@@ -1,0 +1,80 @@
+"""Abundance / normalization math (SURVEY §2.4 A5, A6, A9, A12).
+
+Reference semantics:
+  - rel_abund: ``rel_abund = count / sum(count) over sample``
+    (code/merge_bracken.R:64-65, code/plot_contig_abund_uniref_LCA_single_sample.R:38)
+  - RPKM: ``rpkm = n * 1e9 / (total_reads_in_sample * length)``
+    (code/summarize_marker_gene_read_mapping.R:45-52)
+  - TPM:  ``tpm = 1e6 * (n/len) / sum(n/len) over sample``
+    (code/postgres_scripts/tpm.R:24-30; FPKM→TPM variant postgres.Rmd:1193)
+  - weighted mean: ``sum(score*count)/sum(count)`` (code/ampliconTrunc.R:172-180)
+
+Spark-first: all of these are window-partitioned arithmetic — a single shuffle
+on the sample key (or zero shuffles if the input is already partitioned by it).
+At 100 TB the window over ``sample`` is safe: per-sample groups are bounded
+(one sample's rows fit a partition), and Catalyst turns the unordered
+sum-over-partition into a partial + final aggregate, not a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rel_abund(df: DataFrame, value: str, sample_cols: list[str],
+              out: str = "rel_abund") -> DataFrame:
+    """Per-group relative abundance: value / sum(value) over the sample keys."""
+    w = Window.partitionBy(*sample_cols)
+    return df.withColumn(out, F.col(value) / F.sum(value).over(w))
+
+
+def rpkm(df: DataFrame, count: str, length: str, sample_cols: list[str],
+         out: str = "rpkm") -> DataFrame:
+    """Reads-per-kilobase-per-million: n*1e9/(sample_total*len)."""
+    w = Window.partitionBy(*sample_cols)
+    return df.withColumn(
+        out, F.col(count) * F.lit(1e9) / (F.sum(count).over(w) * F.col(length)))
+
+
+def tpm(df: DataFrame, count: str, length: str, sample_cols: list[str],
+        out: str = "tpm") -> DataFrame:
+    """Transcripts-per-million: 1e6*(n/len) / sum(n/len) over sample.
+
+    Invariant (tested): sum(tpm) per sample == 1e6
+    (the reference asserts the same shape in code/postgres_scripts/tpm.R).
+    """
+    w = Window.partitionBy(*sample_cols)
+    rate = F.col(count) / F.col(length)
+    return df.withColumn(out, F.lit(1e6) * rate / F.sum(rate).over(w))
+
+
+def weighted_mean(value: str, weight: str) -> Column:
+    """Aggregate expression: sum(value*weight)/sum(weight)."""
+    return F.sum(F.col(value) * F.col(weight)) / F.sum(weight)
+
+
+def coverage_stats(df: DataFrame, group: str, depth: str = "depth",
+                   trim_frac: float = 0.05) -> DataFrame:
+    """coverM-style per-contig coverage aggregate (SURVEY A12; Snakefile:1663-1669).
+
+    Input: one row per (contig_position | alignment) with a depth value.
+    Output per group: mean, trimmed_mean (middle 1-2*trim_frac quantile band),
+    variance, covered_bases, count.
+
+    trimmed mean via rank-based trimming (coverM semantics: drop the bottom
+    and top floor(trim_frac*n) values exactly) — one window + one aggregate,
+    fully JVM-side.
+    """
+    w = Window.partitionBy(group).orderBy(F.col(depth).asc())
+    wn = Window.partitionBy(group)
+    ranked = (df.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cnt", F.count(F.lit(1)).over(wn))
+              .withColumn("_cut", F.floor(F.col("_cnt") * trim_frac)))
+    in_band = (F.col("_rn") > F.col("_cut")) & (F.col("_rn") <= F.col("_cnt") - F.col("_cut"))
+    return (ranked.groupBy(group)
+            .agg(F.mean(depth).alias("mean"),
+                 F.mean(F.when(in_band, F.col(depth))).alias("trimmed_mean"),
+                 F.variance(depth).alias("variance"),
+                 F.sum(F.when(F.col(depth) > 0, 1).otherwise(0)).alias("covered_bases"),
+                 F.count(F.lit(1)).alias("count")))

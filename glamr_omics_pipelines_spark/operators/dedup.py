@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Reference precedent: the pipeline runs bbtools clumpify/dedupe for exact read
+dedup (Snakefile:429-473, 1 TB memory envelope!) and RemovePolyPairs.pl does
+exact pair dedup via in-memory hash (code/RemovePolyPairs.pl:32-80); sourmash
+computes MinHash sketches for genome similarity (Snakefile:2529). Here those
+become distributed, shuffle-bounded Spark plans — the 1 TB single-node hash
+table becomes a hash-partitioned groupBy.
+
+Operators:
+  - exact_dedup: hash-groupBy canonical-row selection. One shuffle on the
+    content hash; at 100 TB use xxhash64(content) as the shuffle key so the
+    exchange carries 8-byte keys, not document bodies.
+  - minhash_lsh_candidates / minhash_dedup: shingle → k minhashes → band
+    buckets → bucket self-join. Shuffle cost O(docs × bands), join blowup
+    bounded per bucket; skewed (huge) buckets are AQE-split.
+  - simhash_candidates: 64-bit simhash over token hashes; near-dup = equal
+    band slices (Hamming-adjacent buckets).
+  - ngram_jaccard_pairs: exact n-gram Jaccard via shingle inverted index —
+    the verification step after LSH candidate generation.
+
+All hashing uses xxhash64 (JVM builtin, whole-stage-codegen friendly); no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Exact dedup: one canonical row per distinct content (SURVEY ext.).
+
+    Keeps the row with the min (or max) id per content group. Returns the
+    full deduped frame. Shuffle key is the 64-bit content hash, not the
+    content itself — at 100 TB this is the difference between shuffling
+    8 B/row and shuffling whole documents.
+    """
+    h = F.xxhash64(*content_cols)
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = (df.withColumn("_h", h)
+               .groupBy("_h").agg(agg.alias(id_col)))
+    return df.join(winners, id_col, "left_semi")
+
+
+def dup_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate-group summary: canonical id + multiplicity per content value."""
+    return (df.groupBy(*content_cols)
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def char_shingles(df: DataFrame, text_col: str, n: int = 5,
+                  out: str = "shingle") -> DataFrame:
+    """Explode a text column into its distinct character n-grams.
+
+    Pure builtin expressions (sequence + transform + explode) — stays in
+    whole-stage codegen, no UDF.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n))))
+    return df.withColumn(out, F.explode(grams))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_n: int = 5) -> DataFrame:
+    """Per-doc MinHash signature: for k seeded xxhash64 functions, the min
+    hash over the doc's shingle set. Output: (id, sig: array<bigint>[k]).
+
+    Implemented as ONE aggregation over the exploded shingles with k min()
+    columns — partial aggregation makes the shuffle O(docs × k), independent
+    of document length.
+    """
+    sh = char_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"_m{i}" for i in range(num_hashes)])
+                      .alias("minhash_sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 5) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of their MinHash signature.
+
+    banding: k hashes split into ``bands`` rows-per-band groups; band hash =
+    xxhash64 of the slice. Self-join on (band_idx, band_hash) — the classic
+    shingle→minhash→band→bucket-join plan, one shuffle each side keyed by an
+    8-byte bucket hash. Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(
+            ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
+                             lambda x: x.cast("string"))), b))
+    buckets = (sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket")))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 5, threshold: float = 0.0,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity between document pairs.
+
+    Without ``candidates``: all pairs sharing at least one shingle (inverted-
+    index self-join — use only on bounded inputs or post-LSH). With
+    ``candidates`` (id_a, id_b): verification join for the LSH pipeline.
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = char_shingles(df.select(id_col, text_col), text_col, shingle_n) \
+        .select(id_col, "shingle").distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed("_sz", "_sa")
+                 .withColumnRenamed(id_col, "id_a"), "id_a")
+           .join(sizes.withColumnRenamed("_sz", "_sb")
+                 .withColumnRenamed(id_col, "id_b"), "id_b")
+           .withColumn("jaccard", F.col("_inter")
+                       / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
+           .select("id_a", "id_b", "jaccard"))
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, pure builtin bit arithmetic.
+
+    For each bit position, sum +1/-1 weighted by token-hash bit; sign → bit.
+    Expressed as 64 aggregate columns over exploded tokens (partial agg keeps
+    the shuffle at O(docs × 64) longs).
+    """
+    def s64(x: int) -> int:
+        # two's-complement: bit 63 set → negative long literal
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    toks = (df.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = F.xxhash64("tok")
+    bit_sums = [F.sum(F.when(h.bitwiseAND(F.lit(s64(1 << i))) != 0, 1).otherwise(-1))
+                .alias(f"_b{i}") for i in range(64)]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(s64(1 << i))).otherwise(F.lit(0))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates: equal 16-bit slice of the 64-bit simhash in ≥1 of
+    ``bands`` bands (catches pairs within Hamming distance ~bands-1)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", i * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for i in range(bands)])
+    buckets = sig.select(id_col, F.explode(band_arr).alias("bb")) \
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95,
+                          candidates: DataFrame | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= threshold).
+
+    Brute-force O(n²) without candidates — gate behind LSH buckets at scale
+    (see similarity.lsh_cosine_buckets). Cosine computed with higher-order
+    functions in the JVM.
+    """
+    from glamr_omics_pipelines_spark.operators.similarity import cosine_sim
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+    return (pairs.withColumn("cosine", cosine_sim("_va", "_vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

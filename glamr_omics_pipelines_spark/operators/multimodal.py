@@ -1,0 +1,90 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Design: media are opaque ``binary`` columns + typed metadata structs; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so bytes move executor-side in columnar batches and
+never through the driver.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode kernel is stubbed: ``decode_stub=True`` (default) yields deterministic
+fake features derived from the bytes' hash — the Spark-side plumbing (schema,
+batch iteration, partitioning, UDF signature) is real and tested; swap
+``_decode_image_batch`` for a real codec at deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
+                               StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),   # image|audio|video
+    StructField("content", BinaryType()),
+    StructField("meta", StructType([
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ])),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+    StructField("decode_ok", StringType()),
+])
+
+
+def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.DataFrame:
+    """Per-batch decode kernel. STUB: features = normalized byte histogram
+    folded to feature_dim (deterministic in content); real impl would call
+    PIL.Image.open over each buffer."""
+    if not stub:
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision — not in this container")
+    feats, oks = [], []
+    for buf in pdf["content"]:
+        if buf is None:
+            feats.append(None)
+            oks.append("null_content")
+            continue
+        acc = [0.0] * feature_dim
+        for i, byte in enumerate(buf):
+            acc[i % feature_dim] += byte
+        total = sum(acc) or 1.0
+        feats.append([v / total for v in acc])
+        oks.append("ok")
+    return pd.DataFrame({"media_id": pdf["media_id"],
+                         "feature": feats, "decode_ok": oks})
+
+
+def extract_image_features(df: DataFrame, feature_dim: int = 16,
+                           stub: bool = True) -> DataFrame:
+    """binary content → feature vector via Arrow-batched mapInPandas.
+
+    Scale shape: batches stream through each task (constant memory in rows ×
+    batch size, never whole-partition materialization); repartition upstream
+    by media_id range if individual blobs are large so tasks stay balanced.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_image_batch(pdf, feature_dim, stub)
+
+    cols = df.select("media_id", "content")
+    return cols.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms) rows
+    from metadata (decode stubbed). The explode is pure-JVM; the eventual
+    frame decode plugs in as another mapInPandas stage."""
+    frames = F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                        F.lit(every_ms))
+    return (df.filter(F.col("media_type") == "video")
+            .select("media_id", F.explode(frames).alias("frame_ts_ms")))

@@ -1,0 +1,169 @@
+"""Taxonomy engine: lineage parsing, closure tables, subtree rollup, LCA.
+
+Reference semantics:
+  - lineage split into rank columns: ``separate(std_lineage, sep=";[a-z]__")``
+    (postgres.Rmd:180,669,865; code/merge_kraken_tax.R:37,49)
+  - subtree rollup: per taxon, sum over the taxon AND all descendants —
+    the reference shells out to taxonkit per tax_id and re-sums
+    (code/tax_abund_from_contigs.R:72-88); bracken's count_w_subtax column
+    carries the same semantic (postgres.Rmd:708).
+  - LCA: most-specific common lineage prefix across the hits of a gene/contig
+    (code/AnnotateContigs.pl:653-696 MakeLCA; mmseqs --lca-mode 3
+    Snakefile:2100-2113).
+  - rank-ladder rollup: bracken reports carry one row per rank per taxon
+    (K/P/C/O/F/G/S) == GROUP BY ROLLUP over the rank columns (SURVEY §2.4).
+
+Spark-first design:
+  The reference's per-taxon taxonkit fan-out (furrr::future_map_dfr, one
+  subprocess per taxon) becomes ONE join against a lineage-closure table:
+    closure(ancestor, descendant) built by exploding each node's ancestor
+    path. |closure| = #nodes × avg_depth (NCBI: ~2.4M × ~8 ≈ 20M rows —
+    broadcastable at 64 MB threshold after dictionary-encoding, else a
+    shuffle join that AQE handles). Then
+      subtree_sum = abundance ⨝ closure ON tax_id = descendant
+                    GROUP BY ancestor
+  — a single shuffle, no driver loop, no subprocess.
+
+  LCA is an exact aggregate over lineage arrays: the longest common prefix
+  of sorted-group lineages equals the common prefix of the lexicographic MIN
+  and MAX lineage arrays (classic trick — only two array comparisons per
+  group survive the partial aggregation, so the agg is shuffle-light and
+  needs no collect_list blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANKS = ["kingdom", "phylum", "class", "order", "family", "genus", "species"]
+
+
+def parse_lineage(df: DataFrame, lineage_col: str, ranks: list[str] | None = None,
+                  sep: str = ";[a-z]__", strip_prefix: bool = True) -> DataFrame:
+    """Split a ``d__X;p__Y;...`` lineage string into rank columns + array.
+
+    Keeps the raw string, adds ``lineage_path`` (array) and one column per
+    rank (empty→NULL, matching merge_kraken_tax.R:50's empty-rank handling).
+    """
+    ranks = ranks or RANKS
+    first_prefix = r"^[a-z]__" if strip_prefix else r"$^"
+    cleaned = F.regexp_replace(F.col(lineage_col), first_prefix, "")
+    arr = F.split(cleaned, sep)
+    out = df.withColumn("lineage_path", arr)
+    for i, r in enumerate(ranks):
+        v = F.element_at("lineage_path", i + 1)
+        out = out.withColumn(r, F.when(v == "", None).otherwise(v))
+    return out
+
+
+def lineage_closure(nodes: DataFrame, id_col: str, path_col: str) -> DataFrame:
+    """Build closure(ancestor, descendant, depth) from per-node ancestor paths.
+
+    ``path_col`` is an array of ancestor ids root→self (self included).
+    One explode — no recursion, no iteration. This replaces the reference's
+    per-taxon `taxonkit list` subprocess calls (tax_abund_from_contigs.R:72-86).
+    """
+    return (nodes.select(F.col(id_col).alias("descendant"),
+                         F.posexplode(path_col).alias("depth", "ancestor"))
+            .select("ancestor", "descendant", "depth"))
+
+
+def closure_from_parent_edges(edges: DataFrame, child: str = "child",
+                              parent: str = "parent", max_depth: int = 32) -> DataFrame:
+    """Closure from (child, parent) edges by iterative join (tree depth ≤ max_depth).
+
+    Spark SQL has no recursive CTE; for bounded-depth trees (NCBI taxonomy
+    depth ~40) an iterative self-join with early exit is the idiomatic
+    replacement. Each iteration is one broadcast-or-shuffle join; the loop
+    runs on the driver but the data never does.
+    """
+    closure = edges.select(F.col(child).alias("descendant"),
+                           F.col(child).alias("ancestor"),
+                           F.lit(0).alias("depth"))
+    frontier = edges.select(F.col(child).alias("descendant"),
+                            F.col(parent).alias("ancestor"),
+                            F.lit(1).alias("depth"))
+    e = edges.select(F.col(child).alias("_c"), F.col(parent).alias("_p"))
+    for _ in range(max_depth):
+        closure = closure.unionByName(frontier)
+        nxt = (frontier.join(e, frontier.ancestor == e._c, "inner")
+               .select("descendant", F.col("_p").alias("ancestor"),
+                       (F.col("depth") + 1).alias("depth")))
+        frontier = nxt.persist()
+        if frontier.isEmpty():
+            break
+    return closure.dropDuplicates(["ancestor", "descendant"])
+
+
+def subtree_rollup(abund: DataFrame, closure: DataFrame, tax_id: str,
+                   value: str, out_direct: str = "abund_direct",
+                   out_subtree: str = "abund_w_subtax") -> DataFrame:
+    """Per-taxon direct sum + subtree (self+descendants) sum (SURVEY A2).
+
+    Returns one row per ancestor present in the closure with both sums.
+    Invariant (reference asserts it, tax_abund_from_contigs.R:90-92, and our
+    tests do too): subtree >= direct for every node.
+    """
+    direct = abund.groupBy(F.col(tax_id).alias("node")).agg(
+        F.sum(value).alias(out_direct))
+    sub = (abund.join(closure, abund[tax_id] == closure.descendant, "inner")
+           .groupBy(F.col("ancestor").alias("node"))
+           .agg(F.sum(value).alias(out_subtree)))
+    return (sub.join(direct, "node", "left")
+            .na.fill({out_direct: 0.0}))
+
+
+def rank_ladder_rollup(df: DataFrame, rank_cols: list[str], agg_exprs: list) -> DataFrame:
+    """bracken-style one-row-per-rank table via native ROLLUP (SURVEY §2.4).
+
+    GROUP BY ROLLUP(kingdom..species) reproduces the K/P/C/O/F/G/S rank
+    ladder of a kraken/bracken report in one pass (partial aggregation
+    handles all grouping sets map-side).
+    """
+    return df.rollup(*rank_cols).agg(*agg_exprs)
+
+
+def lca_aggregate(df: DataFrame, group_cols: list[str], path_col: str,
+                  out_path: str = "lca_path") -> DataFrame:
+    """Lowest-common-ancestor lineage per group (SURVEY A11, MakeLCA).
+
+    Exact and shuffle-light: the common prefix of ALL paths in a group equals
+    the common prefix of the lexicographically smallest and largest paths, so
+    ``min(path)`` / ``max(path)`` (both partially aggregable) carry all needed
+    state; the prefix is computed with higher-order array functions — no UDF,
+    no collect_list.
+    """
+    mn, mx = F.min(path_col).alias("_mn"), F.max(path_col).alias("_mx")
+    agg = df.groupBy(*group_cols).agg(mn, mx)
+    n = F.least(F.array_size("_mn"), F.array_size("_mx"))
+    # common prefix length = number of leading positions where _mn[i]==_mx[i];
+    # scan positions 1..n, take while equal.
+    idx = F.sequence(F.lit(1), n)
+    eq_flags = F.transform(idx, lambda i: F.when(
+        F.element_at("_mn", i) == F.element_at("_mx", i), F.lit(1)).otherwise(F.lit(0)))
+    # prefix length = index of first mismatch minus 1 (array_position is
+    # 1-based and returns 0 when no mismatch exists → full length n)
+    prefix_len = F.when(F.array_position(eq_flags, 0) == 0, n).otherwise(
+        F.array_position(eq_flags, 0) - 1)
+    return (agg.withColumn(out_path, F.slice("_mn", 1, prefix_len.cast("int")))
+            .drop("_mn", "_mx"))
+
+
+def kingdom_priority_lca(df: DataFrame, group_cols: list[str], path_col: str,
+                         kingdom_col: str, priority: list[str],
+                         out_path: str = "lca_path") -> DataFrame:
+    """MakeLCA's kingdom-priority buckets (AnnotateContigs.pl:690-696):
+    compute the LCA within the highest-priority kingdom present in the group
+    (e.g. G > I > B), ignoring hits from lower-priority kingdoms.
+    """
+    prio = F.create_map(*[x for i, k in enumerate(priority)
+                          for x in (F.lit(k), F.lit(i))])
+    ranked = df.withColumn("_prio", F.coalesce(prio[F.col(kingdom_col)],
+                                               F.lit(len(priority))))
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols)
+    best = (ranked.withColumn("_best", F.min("_prio").over(w))
+            .filter(F.col("_prio") == F.col("_best"))
+            .drop("_prio", "_best"))
+    return lca_aggregate(best, group_cols, path_col, out_path)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for corpus curation (BASELINE.json north-star ext.).
+
+All pure builtin expressions — whole-stage-codegen'd, no Python UDFs.
+Heuristics intentionally simple + deterministic (so the duckdb oracle can
+mirror them exactly); swap the marker tables for real models at deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic; deterministic + mirrorable in ANSI SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    return F.filter(F.split(F.col(text_col) if isinstance(text_col, str) else text_col,
+                            r"\s+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.array_size(tokens(text_col)))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str,
+                        out: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-approximating token count: runs of letters, runs of digits, or a
+    single other non-space char each count as one token (the usual ~regex
+    pre-tokenizer shape)."""
+    return df.withColumn(
+        out, F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length/punct/stopword quality features + a composite score in [0,1].
+
+    score = 0.4*saturating(n_tokens/100) + 0.3*(1-punct_ratio)
+          + 0.3*saturating(stopword_ratio*5)  — a deterministic stand-in for
+    a learned quality model; the Spark value is the feature plumbing.
+    """
+    toks = tokens(text_col)
+    n_tok = F.array_size(toks)
+    n_chars = F.length(text_col)
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    avg_tok_len = (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1))
+    score = (F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+             + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)))
+    return (df.withColumn("n_tokens", n_tok)
+            .withColumn("punct_ratio", punct_ratio)
+            .withColumn("stopword_ratio", stop_ratio)
+            .withColumn("avg_token_len", avg_tok_len)
+            .withColumn("quality_score", score))
+
+
+def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
+            default: str = "und") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hit counts,
+    ties broken by language code order; no hits → ``default``."""
+    toks = tokens(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        cnt = F.array_size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*[
+        F.struct(s.score.alias("score"),
+                 # invert lang for tie-break: array_max picks the largest
+                 # struct lexicographically → on tied score the *latest* lang
+                 # wins; negate by comparing on score only via stable order
+                 s.lang.alias("lang")) for s in scores]))
+    # array_max on (score, lang) breaks ties toward the lexicographically
+    # larger lang; to break toward the smaller one, order langs descending
+    # when building and it flips — instead keep it simple and deterministic:
+    # ties → lexicographically larger code. Documented contract.
+    return df.withColumn(
+        out, F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit(default)))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
+                    out: str = "fingerprint") -> DataFrame:
+    """Deterministic rolling polynomial hash of the first ``prefix_len`` chars:
+    h = fold(h*31 + ascii(c)) mod 1e9+7 — integer arithmetic, exact, and
+    reproducible in any SQL engine (the duckdb oracle mirrors it)."""
+    chars = F.split(F.substring(F.col(text_col), 1, prefix_len), "")
+    chars = F.filter(chars, lambda c: c != "")
+    h = F.aggregate(chars, F.lit(0).cast("bigint"),
+                    lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007))
+    return df.withColumn(out, h)

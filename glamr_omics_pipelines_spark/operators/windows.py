@@ -1,0 +1,132 @@
+"""Window-function operator family (SURVEY §2.5 W1-W6).
+
+Reference semantics reproduced:
+  - W1 top-1 per group: ``slice_min(evalue, n=1, with_ties=FALSE)``
+    (code/summarize_hmmscan.R:58-62; postgres.Rmd:351-353)
+  - W1 tie-discarding variant: a winner only counts when it is strictly unique
+    (pypelib/amplicon/hmm_summarize.py:125-153)
+  - W2 anvio stacked ranked filter (postgres.Rmd:1418-1432 dplyr ==
+    postgres.Rmd:1455-1532 generated SQL) — three stacked window layers
+  - W3 lag-based retention ladder (postgres.Rmd:270-280)
+  - W6 global sequential renumbering (code/standardize_bins.R:94-97)
+
+Scale notes: every helper partitions its window by the group key — never a
+global window except ``sequential_ids`` which documents its single-partition
+constraint explicitly (same constraint the reference has: a global ordering
+is inherently serial).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top1_per_group(df: DataFrame, group_cols: list[str], order_cols: list) -> DataFrame:
+    """Deterministic best-row-per-group: row_number()==1 over the given order.
+
+    Pass fully-deterministic ``order_cols`` (include a tiebreak column) —
+    matches slice_min(with_ties=FALSE) reference semantics.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_cols: list,
+                   k: int, rank_col: str | None = None) -> DataFrame:
+    """Top-k rows per group (generalization of W1)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return out.withColumnRenamed("_rn", rank_col) if rank_col else out.drop("_rn")
+
+
+def tie_discard_top1(df: DataFrame, group_cols: list[str], score: str,
+                     descending: bool = True) -> DataFrame:
+    """Winner per group only when the best score is uniquely held.
+
+    Reference: hmm_summarize.py:125-153 discards reads whose two best models
+    tie. rank()==1 picks all ties; count over (group, score)==1 requires the
+    winning score to be held by exactly one row.
+    """
+    ordc = F.col(score).desc() if descending else F.col(score).asc()
+    w_rank = Window.partitionBy(*group_cols).orderBy(ordc)
+    w_ties = Window.partitionBy(*group_cols, score)
+    return (df.withColumn("_rk", F.rank().over(w_rank))
+            .withColumn("_nt", F.count(F.lit(1)).over(w_ties))
+            .filter((F.col("_rk") == 1) & (F.col("_nt") == 1))
+            .drop("_rk", "_nt"))
+
+
+def lag_retention_ladder(df: DataFrame, group_cols: list[str], order_col: str,
+                         count_col: str, out: str = "percent_retained") -> DataFrame:
+    """Stage-over-stage retention: count / lag(count) over the ordered ladder.
+
+    Reference: read_count percent_retained (postgres.Rmd:270-280) over
+    read_state ordered by pipeline stage.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    return df.withColumn(
+        out, F.lit(100.0) * F.col(count_col) / F.lag(count_col).over(w))
+
+
+def anvio_stacked_filter(df: DataFrame, gene: str, score: str, threshold: str,
+                         e_value: str, e_cutoff: float = 1e-5,
+                         score_frac: float = 0.5,
+                         tiebreak_cols: list | None = None) -> DataFrame:
+    """The reference's most SQL-rich query (W2): kofam_scan_signif_anvio.
+
+    postgres.Rmd:1418-1432 (dplyr) == postgres.Rmd:1455-1532 (generated SQL):
+      1. keep hits with score > score_frac*threshold and e_value < e_cutoff,
+         rank()==1 per (gene, ko-bucket) — here the input is already one row
+         per candidate hit, so the first layer is the predicate filter;
+      2. count(*) over (partition by gene): keep if the gene has a unique
+         candidate OR the hit is fully significant (score >= threshold);
+      3. rank() over (gene order by score desc)==1;
+      4. row_number() over (gene order by threshold desc)==1  → exactly one
+         winning annotation per gene.
+    """
+    ties = [F.col(c) for c in (tiebreak_cols or [])]
+    w_gene_score = Window.partitionBy(gene).orderBy(F.col(score).desc())
+    w_gene = Window.partitionBy(gene)
+    w_gene_thr = Window.partitionBy(gene).orderBy(
+        F.col(threshold).desc(), F.col(score).desc(), *ties)
+    step1 = df.filter((F.col(score) > score_frac * F.col(threshold))
+                      & (F.col(e_value) < e_cutoff))
+    step2 = (step1.withColumn("_n_hits", F.count(F.lit(1)).over(w_gene))
+             .filter((F.col("_n_hits") == 1) | (F.col(score) >= F.col(threshold))))
+    step3 = step2.withColumn("_rk", F.rank().over(w_gene_score)).filter(F.col("_rk") == 1)
+    step4 = step3.withColumn("_rn", F.row_number().over(w_gene_thr)).filter(F.col("_rn") == 1)
+    return step4.drop("_n_hits", "_rk", "_rn")
+
+
+def sequential_ids(df: DataFrame, order_cols: list, out: str = "seq_id") -> DataFrame:
+    """Global sequential renumbering ordered by ``order_cols`` (W6).
+
+    Reference: bins renumbered by create_time (code/standardize_bins.R:94-97).
+    CONSTRAINT: a global total order is inherently a single-partition window;
+    use only on driver-scale metadata (bin inventories, file catalogs), never
+    on fact tables. For distributed monotonic ids without a total order, use
+    ``F.monotonically_increasing_id()`` instead.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def sessionize(df: DataFrame, user: str, ts: str, gap_seconds: int = 1800,
+               out: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: new session when the inter-event gap exceeds
+    ``gap_seconds``. Session id = running count of boundaries per user.
+
+    (Streaming-shaped batch operator; the streaming variant lives in
+    streaming/ with applyInPandasWithState.)
+    """
+    w = Window.partitionBy(user).orderBy(ts)
+    # microsecond precision: second-truncated gaps can flip the boundary
+    # comparison vs engines that keep fractional seconds
+    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return (df.withColumn("_new", is_new)
+            .withColumn(out, F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("_new"))

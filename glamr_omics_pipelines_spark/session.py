@@ -1,0 +1,72 @@
+"""SparkSession bootstrap.
+
+Local testing runs on ``local[N]`` but every default here is chosen for the
+real target: a multi-executor cluster scanning ~100 TB of Parquet.
+
+Scale rationale (per-config):
+  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting is
+    the single biggest win for 100 TB joins with skewed keys (sample/taxon
+    hot spots are ubiquitous in omics abundance tables).
+  - shuffle.partitions: a *starting* number; AQE coalesces down. On a cluster
+    set ~2-3x total cores; locally 32 keeps sf0.1 partitions small enough to
+    stay in memory.
+  - autoBroadcastJoinThreshold: dimension tables (taxonomy ~2.4M rows,
+    region/nation-style dims) must broadcast; 64 MB covers the NCBI taxonomy
+    dimension while keeping the fact side shuffle-free.
+  - Arrow enabled: every pandas_udf / applyInPandas operator (LCA, dada2-style
+    grouped maps, multimodal decode) moves batches via Arrow, not pickled rows.
+  - session timezone UTC: deterministic timestamp semantics across engines
+    (the duckdb correctness oracle is timezone-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # 128 MB input splits: the Parquet scan granularity that keeps a 100 TB
+    # table at ~800k tasks — large enough to amortize task overhead, small
+    # enough that one partition always fits in executor memory.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "glamr-omics-spark", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) for the test
+    environment; on a cluster, leave unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = ("region", "nation", "customer", "supplier",
+                                          "part", "orders", "lineitem", "events",
+                                          "documents", "embeddings")) -> dict:
+    """Load the driver's parquet tables as DataFrames keyed by name."""
+    out = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            out[n] = spark.read.parquet(p)
+    return out

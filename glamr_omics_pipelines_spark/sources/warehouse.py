@@ -1,0 +1,85 @@
+"""Parquet warehouse with incremental per-sample MERGE semantics (S8, §2.10).
+
+Reference semantics: every loader in postgres.Rmd discovers result files,
+anti-joins against the samples already in the table, and appends
+(postgres.Rmd:239-292 and ~30 siblings). Idempotence comes from the sample-ID
+anti-join, not from exactly-once sinks. B-tree indexes are dropped around
+bulk loads and rebuilt (postgres.Rmd:414-432).
+
+Spark-first: append-only Parquet partitioned by the merge key; the anti-join
+happens against the (tiny) distinct-key listing — which, because the key IS
+the partition column, is a directory listing, not a data scan (the same
+purpose the reference's recursive-CTE loose index scan serves,
+postgres.Rmd:22-37, for free). Index drop/rebuild disappears entirely.
+A ledger records every load batch for audit (pypelib/post.py checkout-file
+analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    """Directory-backed Parquet warehouse with (table, sample)-keyed
+    incremental loads and a JSON-lines load ledger."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.ledger_path = os.path.join(root, "_load_ledger.jsonl")
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def loaded_keys(self, spark: SparkSession, table: str, key: str) -> DataFrame:
+        """Distinct loaded merge keys. Because ``key`` is the partition
+        column, this is satisfied by partition-directory listing (Catalyst
+        prunes to metadata-only) — the loose-index-scan analog."""
+        return self.read(spark, table).select(key).distinct()
+
+    def incremental_append(self, df: DataFrame, table: str, key: str) -> int:
+        """Anti-join-then-append: load only rows whose ``key`` value is not
+        yet present (postgres.Rmd:246-248 semantics). Returns #new keys."""
+        spark = df.sparkSession
+        if self.exists(table):
+            existing = self.loaded_keys(spark, table, key)
+            fresh = df.join(F.broadcast(existing), key, "left_anti")
+        else:
+            fresh = df
+        new_keys = fresh.select(key).distinct().count()
+        if new_keys:
+            (fresh.write.mode("append").partitionBy(key)
+             .parquet(self.path(table)))
+        self._log(table=table, key=key, new_keys=new_keys)
+        return new_keys
+
+    def overwrite_partitions(self, df: DataFrame, table: str, key: str) -> None:
+        """Upsert semantics via dynamic partition overwrite — replaces only
+        the partitions present in ``df`` (the MERGE analog without Delta)."""
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(key).parquet(self.path(table)))
+        self._log(table=table, key=key, mode="overwrite_partitions")
+
+    def save_view(self, df: DataFrame, table: str) -> None:
+        """Materialized-view analog: full rewrite of a derived table
+        (kofam_scan_signif_anvio MV refresh, postgres.Rmd:1456-1532)."""
+        df.write.mode("overwrite").parquet(self.path(table))
+        self._log(table=table, mode="refresh_view")
+
+    def _log(self, **kw) -> None:
+        kw["ts"] = time.time()
+        with open(self.ledger_path, "a") as fh:
+            fh.write(json.dumps(kw) + "\n")

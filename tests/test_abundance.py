@@ -1,0 +1,55 @@
+"""Property tests for abundance math — the invariants the reference itself
+asserts (SURVEY §5: TPM sums to 1e6 per sample; rel_abund sums to 1)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import abundance
+
+
+def _fixture(spark):
+    rows = [("s1", "g1", 10.0, 100), ("s1", "g2", 30.0, 300),
+            ("s1", "g3", 60.0, 200), ("s2", "g1", 5.0, 100),
+            ("s2", "g2", 15.0, 300)]
+    return spark.createDataFrame(rows, ["sample", "gene", "n", "length"])
+
+
+def test_rel_abund_sums_to_one(spark):
+    df = abundance.rel_abund(_fixture(spark), "n", ["sample"])
+    sums = {r["sample"]: r["s"] for r in
+            df.groupBy("sample").agg(F.sum("rel_abund").alias("s")).collect()}
+    assert all(math.isclose(v, 1.0, rel_tol=1e-12) for v in sums.values())
+
+
+def test_tpm_sums_to_1e6_per_sample(spark):
+    df = abundance.tpm(_fixture(spark), "n", "length", ["sample"])
+    sums = {r["sample"]: r["s"] for r in
+            df.groupBy("sample").agg(F.sum("tpm").alias("s")).collect()}
+    assert all(math.isclose(v, 1e6, rel_tol=1e-9) for v in sums.values())
+
+
+def test_rpkm_formula(spark):
+    df = abundance.rpkm(_fixture(spark), "n", "length", ["sample"])
+    got = {(r["sample"], r["gene"]): r["rpkm"] for r in df.collect()}
+    # s1 total = 100; g1: 10*1e9/(100*100)
+    assert math.isclose(got[("s1", "g1")], 10 * 1e9 / (100 * 100))
+    assert math.isclose(got[("s2", "g2")], 15 * 1e9 / (20 * 300))
+
+
+def test_weighted_mean(spark):
+    df = spark.createDataFrame([("a", 2.0, 1.0), ("a", 4.0, 3.0)],
+                               ["g", "v", "w"])
+    out = df.groupBy("g").agg(
+        abundance.weighted_mean("v", "w").alias("wm")).collect()[0]
+    assert math.isclose(out["wm"], (2 * 1 + 4 * 3) / 4)
+
+
+def test_coverage_stats_trimmed_mean(spark):
+    rows = [("c1", float(d)) for d in [0, 1, 1, 1, 1, 1, 1, 1, 1, 100]]
+    df = spark.createDataFrame(rows, ["contig", "depth"])
+    out = abundance.coverage_stats(df, "contig", trim_frac=0.1).collect()[0]
+    assert out["covered_bases"] == 9
+    assert out["count"] == 10
+    # trimmed mean excludes the 0 and the 100
+    assert math.isclose(out["trimmed_mean"], 1.0)

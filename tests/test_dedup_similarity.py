@@ -1,0 +1,86 @@
+"""Dedup + similarity operator tests (LSH recall on planted duplicates,
+exact Jaccard ground truth, cosine top-k)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words appear in this sentence here"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3}  # 4 collapses into 1
+
+
+def test_dup_groups(spark):
+    out = dedup.dup_groups(_docs(spark), ["text"], "doc_id")
+    got = {r["canonical_id"]: r["dup_count"] for r in out.collect()}
+    assert got[1] == 2 and got[2] == 1 and got[3] == 1
+
+
+def test_ngram_jaccard_exact_dup_is_one(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                      shingle_n=4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert math.isclose(got[(1, 4)], 1.0)
+    assert got[(1, 2)] > 0.5          # near dup
+    assert got.get((1, 3), 0.0) < 0.2  # unrelated
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    cands = dedup.minhash_lsh_candidates(_docs(spark), "doc_id", "text",
+                                         num_hashes=32, bands=16, shingle_n=4)
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 4) in got  # identical docs always collide
+    assert (1, 2) in got  # j~0.8 found at bands=16 w.h.p.
+
+
+def test_simhash_identical_docs_collide(spark):
+    sig = dedup.simhash_signatures(_docs(spark), "doc_id", "text")
+    got = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert got[1] == got[4]
+    cands = dedup.simhash_candidates(_docs(spark), "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 4) in pairs
+
+
+def test_embedding_cosine_dups(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.04]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.embedding_cosine_dups(df, "vec_id", "embedding", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5])]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(corpus, queries, "vec_id", "embedding", k=2)
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out.collect()])
+    assert ranked == [(1, 2), (2, 4)]
+
+
+def test_lsh_topk_recovers_identical_vector(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # == vec 0
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(corpus, queries, "vec_id", "embedding",
+                              k=1, num_planes=4, dim=8)
+    top = out.collect()[0]
+    assert top["neighbor_id"] == 100 and abs(top["cosine"] - 1.0) < 1e-9

@@ -1,0 +1,42 @@
+"""Multimodal column plumbing tests (decode kernel stubbed — the Spark-side
+schema/batching/partitioning is what's under test)."""
+
+import pytest
+from pyspark.sql import Row
+
+from glamr_omics_pipelines_spark.operators import multimodal
+
+
+def _media(spark):
+    rows = [
+        Row(media_id=1, media_type="image", content=bytes([1, 2, 3, 4]),
+            meta=Row(width=2, height=2, duration_ms=None, codec="png")),
+        Row(media_id=2, media_type="image", content=bytes([9, 9, 9, 9]),
+            meta=Row(width=2, height=2, duration_ms=None, codec="png")),
+        Row(media_id=3, media_type="video", content=b"\x00",
+            meta=Row(width=64, height=64, duration_ms=3500, codec="h264")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_image_features_stub(spark):
+    df = _media(spark)
+    out = multimodal.extract_image_features(df, feature_dim=4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["feature"]) == 4
+    assert by_id[1]["decode_ok"] == "ok"
+    # deterministic in content
+    assert abs(sum(by_id[1]["feature"]) - 1.0) < 1e-6
+
+
+def test_extract_image_features_real_decode_raises(spark):
+    df = _media(spark)
+    with pytest.raises(Exception):
+        multimodal.extract_image_features(df, stub=False).collect()
+
+
+def test_sample_video_frames(spark):
+    df = _media(spark)
+    out = multimodal.sample_video_frames(df, every_ms=1000).collect()
+    got = sorted(r["frame_ts_ms"] for r in out)
+    assert got == [0, 1000, 2000, 3000]

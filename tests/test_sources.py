@@ -1,0 +1,110 @@
+"""Source/sink tests: FASTQ/FASTA readers, path-derived columns, warehouse
+incremental merge, schema registry, streaming ingest."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, StringType, StructField, StructType)
+
+from glamr_omics_pipelines_spark.schema import SchemaRegistry
+from glamr_omics_pipelines_spark.sources import readers, sequences
+from glamr_omics_pipelines_spark.sources.warehouse import Warehouse
+
+FASTQ = "@r1\nACGT\n+\nIIII\n@r2\nGGCC\n+\nIII!\n"
+FASTA = ">contig_1 len=8\nACGTACGT\n>contig_2 len=4\nGG\nCC\n"
+
+
+def test_read_fastq_gz(spark, tmp_path):
+    p = tmp_path / "reads.fastq.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(FASTQ)
+    df = sequences.read_fastq(spark, str(p))
+    rows = {r["read_id"]: r["seq"] for r in df.collect()}
+    assert rows == {"r1": "ACGT", "r2": "GGCC"}
+
+
+def test_read_fastq_pairs(spark, tmp_path):
+    fwd, rev = tmp_path / "f.fastq", tmp_path / "r.fastq"
+    fwd.write_text(FASTQ)
+    rev.write_text(FASTQ.replace("ACGT", "TTTT"))
+    df = sequences.read_fastq_pairs(spark, str(fwd), str(rev))
+    assert df.count() == 2
+    row = df.filter(F.col("fwd_id") == "r1").collect()[0]
+    assert row["fwd_seq"] == "ACGT" and row["rev_seq"] == "TTTT"
+
+
+def test_read_fasta_multiline(spark, tmp_path):
+    p = tmp_path / "contigs.fasta"
+    p.write_text(FASTA)
+    df = sequences.read_fasta(spark, str(p))
+    rows = {r["header"]: r["seq"] for r in df.collect()}
+    assert rows == {"contig_1 len=8": "ACGTACGT", "contig_2 len=4": "GGCC"}
+
+
+def test_glob_tsv_with_path_columns(spark, tmp_path):
+    for sample in ["samp_1", "samp_2"]:
+        d = tmp_path / "omics" / "metagenomes" / sample
+        d.mkdir(parents=True)
+        (d / "bracken_gtdb.tsv").write_text("tax_id\tcount\n1\t10\n2\t20\n")
+    schema = StructType([StructField("tax_id", IntegerType()),
+                         StructField("count", IntegerType())])
+    df = readers.read_glob_tsv(
+        spark, str(tmp_path / "omics" / "*" / "*" / "bracken_*.tsv"),
+        pattern="omics/{sample_type}/{sample}/bracken_{database}.tsv",
+        schema=schema)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r["sample"] for r in rows} == {"samp_1", "samp_2"}
+    assert {r["database"] for r in rows} == {"gtdb"}
+    assert {r["sample_type"] for r in rows} == {"metagenomes"}
+
+
+def test_warehouse_incremental_append_is_idempotent(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([("s1", 1), ("s2", 2)], ["sample", "v"])
+    assert wh.incremental_append(df1, "t", "sample") == 2
+    # re-load same samples + one new -> only the new one lands
+    df2 = spark.createDataFrame([("s1", 99), ("s3", 3)], ["sample", "v"])
+    assert wh.incremental_append(df2, "t", "sample") == 1
+    out = wh.read(spark, "t")
+    assert out.count() == 3
+    assert out.filter(F.col("sample") == "s1").collect()[0]["v"] == 1  # not 99
+
+
+def test_schema_registry_pins_and_conforms(spark, tmp_path):
+    reg = SchemaRegistry(str(tmp_path / "schemas"))
+    df = spark.createDataFrame([("a", 1)], ["s", "v"])
+    reg.conform(df, "t")  # pins
+    # later load arrives with long v and extra col -> cast + prune
+    df2 = spark.createDataFrame([("b", 2, "x")], ["s", "v", "extra"])
+    out = reg.conform(df2, "t")
+    assert out.columns == ["s", "v"]
+    assert [f.dataType for f in out.schema.fields] == \
+           [f.dataType for f in df.schema.fields]
+
+
+def test_schema_registry_missing_column_raises(spark, tmp_path):
+    reg = SchemaRegistry(str(tmp_path / "schemas"))
+    reg.conform(spark.createDataFrame([("a", 1)], ["s", "v"]), "t")
+    import pytest
+    with pytest.raises(ValueError, match="missing"):
+        reg.conform(spark.createDataFrame([("a",)], ["s"]), "t")
+
+
+def test_file_stream_ingest_available_now(spark, tmp_path):
+    from glamr_omics_pipelines_spark.streaming.ingest import file_stream_ingest
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "batch1.tsv").write_text("sample\tv\ns1\t1\ns2\t2\n")
+    schema = StructType([StructField("sample", StringType()),
+                         StructField("v", IntegerType())])
+    dest, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    file_stream_ingest(spark, str(src), "csv", schema, dest, ckpt)
+    assert spark.read.parquet(dest).count() == 2
+    # second batch: only new file is processed (checkpointed discovery)
+    (src / "batch2.tsv").write_text("sample\tv\ns3\t3\n")
+    file_stream_ingest(spark, str(src), "csv", schema, dest, ckpt)
+    out = spark.read.parquet(dest)
+    assert out.count() == 3
+    assert out.filter(F.col("sample") == "s3").count() == 1

@@ -1,0 +1,92 @@
+"""Taxonomy engine tests: lineage parse, closure, subtree rollup (with the
+reference's own invariant: subtree >= direct, not all equal —
+tax_abund_from_contigs.R:90-92), LCA."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import taxonomy
+
+
+def test_parse_lineage(spark):
+    df = spark.createDataFrame(
+        [("d__Bacteria;p__Proteo;c__Gamma;o__;f__;g__;s__",)], ["lin"])
+    out = taxonomy.parse_lineage(df, "lin").collect()[0]
+    assert out["kingdom"] == "Bacteria"
+    assert out["phylum"] == "Proteo"
+    assert out["class"] == "Gamma"
+    assert out["order"] is None  # empty rank -> NULL
+
+
+def _tree(spark):
+    # root r; children a, b; leaves a1, a2 under a; b1 under b
+    rows = [("a1", ["r", "a", "a1"], 10.0),
+            ("a2", ["r", "a", "a2"], 5.0),
+            ("b1", ["r", "b", "b1"], 2.0),
+            # internal node with direct abundance too
+            ("a", ["r", "a"], 1.0)]
+    return spark.createDataFrame(rows, ["tax_id", "path", "tpm"])
+
+
+def test_lineage_closure_and_subtree_rollup(spark):
+    nodes = _tree(spark)
+    closure = taxonomy.lineage_closure(nodes, "tax_id", "path")
+    abund = nodes.select("tax_id", "tpm")
+    out = taxonomy.subtree_rollup(abund, closure, "tax_id", "tpm")
+    got = {r["node"]: (r["abund_direct"], r["abund_w_subtax"])
+           for r in out.collect()}
+    assert got["r"] == (0.0, 18.0)
+    assert got["a"] == (1.0, 16.0)
+    assert got["b"] == (0.0, 2.0)
+    assert got["a1"] == (10.0, 10.0)
+    # reference invariant: subtree >= direct everywhere, and not all equal
+    assert all(s >= d for d, s in got.values())
+    assert any(not math.isclose(s, d) for d, s in got.values())
+
+
+def test_closure_from_parent_edges(spark):
+    edges = spark.createDataFrame(
+        [("a", "r"), ("b", "r"), ("a1", "a")], ["child", "parent"])
+    closure = taxonomy.closure_from_parent_edges(edges)
+    got = {(r["ancestor"], r["descendant"]) for r in closure.collect()}
+    assert ("r", "a1") in got      # transitive
+    assert ("a", "a1") in got
+    assert ("a1", "a1") in got     # reflexive
+    assert ("r", "b") in got
+
+
+def test_lca_aggregate(spark):
+    df = spark.createDataFrame(
+        [("g1", ["r", "a", "a1"]), ("g1", ["r", "a", "a2"]),
+         ("g2", ["r", "a", "a1"]), ("g2", ["r", "b", "b1"]),
+         ("g3", ["r", "a", "a1"])],
+        ["gene", "path"])
+    out = taxonomy.lca_aggregate(df, ["gene"], "path")
+    got = {r["gene"]: r["lca_path"] for r in out.collect()}
+    assert got["g1"] == ["r", "a"]
+    assert got["g2"] == ["r"]
+    assert got["g3"] == ["r", "a", "a1"]
+
+
+def test_kingdom_priority_lca(spark):
+    df = spark.createDataFrame(
+        [("g1", "B", ["B", "x"]), ("g1", "G", ["G", "y"]),
+         ("g1", "G", ["G", "z"])],
+        ["gene", "kingdom", "path"])
+    out = taxonomy.kingdom_priority_lca(df, ["gene"], "path", "kingdom",
+                                        priority=["G", "I", "B"])
+    got = out.collect()[0]["lca_path"]
+    assert got == ["G"]  # only G hits considered; common prefix of y,z paths
+
+
+def test_rank_ladder_rollup(spark):
+    df = spark.createDataFrame(
+        [("K1", "P1", 1.0), ("K1", "P2", 2.0), ("K2", "P3", 4.0)],
+        ["kingdom", "phylum", "n"])
+    out = taxonomy.rank_ladder_rollup(df, ["kingdom", "phylum"],
+                                      [F.sum("n").alias("n")])
+    got = {(r["kingdom"], r["phylum"]): r["n"] for r in out.collect()}
+    assert got[(None, None)] == 7.0
+    assert got[("K1", None)] == 3.0
+    assert got[("K1", "P1")] == 1.0

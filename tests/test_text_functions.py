@@ -1,0 +1,84 @@
+"""Text-analysis + bio scalar function tests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.functions import bio
+from glamr_omics_pipelines_spark.operators import text
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world  foo")], ["id", "t"])
+    out = text.bpe_ish_token_count(text.token_count(df, "t"), "t").collect()[0]
+    assert out["n_tokens"] == 3
+    assert out["n_bpe_tokens"] == 3
+
+
+def test_bpe_ish_counts_mixed(spark):
+    df = spark.createDataFrame([(1, "ab12 cd, ef!")], ["id", "t"])
+    out = text.bpe_ish_token_count(df, "t").collect()[0]
+    # ab | 12 | cd | , | ef | !
+    assert out["n_bpe_tokens"] == 6
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el que la y de"),
+         (3, "zzz qqq www")], ["id", "t"])
+    out = {r["id"]: r["pred_lang"] for r in
+           text.lang_id(df, "t").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat!")], ["id", "t"])
+    out = text.quality_features(df, "t").collect()[0]
+    assert out["n_tokens"] == 2
+    assert math.isclose(out["punct_ratio"], 1 / 8)
+    assert math.isclose(out["stopword_ratio"], 0.5)
+
+
+def test_doc_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "abd")], ["id", "t"])
+    got = {r["id"]: r["fingerprint"] for r in
+           text.doc_fingerprint(df, "t").collect()}
+    assert got[1] == got[2] != got[3]
+    # h('abc') = (97*31 + 98)*31 + 99 mod p
+    assert got[1] == ((97 * 31 + 98) * 31 + 99) % 1000000007
+
+
+def test_gc_content_and_revcomp(spark):
+    df = spark.createDataFrame([(1, "ACGT"), (2, "GGCC")], ["id", "seq"])
+    out = df.select("id", bio.gc_content("seq").alias("gc"),
+                    bio.reverse_complement("seq").alias("rc")).collect()
+    got = {r["id"]: (r["gc"], r["rc"]) for r in out}
+    assert math.isclose(got[1][0], 0.5) and got[1][1] == "ACGT"
+    assert math.isclose(got[2][0], 1.0) and got[2][1] == "GGCC"
+
+
+def test_quality_filter_drops_bad_reads(spark):
+    rows = [(1, "ACGT" * 20),            # good
+            (2, "AC"),                   # too short
+            (3, "N" * 80),               # too many Ns
+            (4, "A" * 80)]               # homopolymer
+    df = spark.createDataFrame(rows, ["id", "seq"])
+    out = bio.quality_filter(df, "seq", min_len=50, max_n=5,
+                             max_homopolymer=20)
+    assert {r["id"] for r in out.collect()} == {1}
+
+
+def test_mean_qual(spark):
+    df = spark.createDataFrame([(1, "II!!")], ["id", "qual"])  # 40,40,0,0
+    out = df.select(bio.mean_qual("qual").alias("mq")).collect()[0]
+    assert math.isclose(out["mq"], 20.0)
+
+
+def test_seqkit_stats(spark):
+    df = spark.createDataFrame([("s", l) for l in [10, 20, 30, 40]],
+                               ["sample", "len"])
+    out = bio.seqkit_stats(df, ["sample"], "len").collect()[0]
+    assert out["num_seqs"] == 4 and out["min_len"] == 10
+    assert math.isclose(out["q2"], 25.0)

@@ -1,0 +1,114 @@
+"""Local correctness harness mimicking the driver's duckdb-oracle compare.
+
+Runs every queries() entry at sf0.01 alongside its oracle_sql() in DuckDB,
+compares row count, column names, and order-insensitive values (columns
+sorted by name, rows sorted, approx-equal floats at 1e-9 after the 4dp
+rounding both sides already do).
+
+Usage: python tools/check.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} "
+                        f"duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = normalize(spark_df), normalize(duck_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+                av = pd.to_numeric(a[c], errors="coerce")
+                bv = pd.to_numeric(b[c], errors="coerce")
+                bad = ~(((av - bv).abs() < 1e-9) | (av.isna() & bv.isna()))
+                if bad.any():
+                    i = bad.idxmax()
+                    problems.append(f"float col {c}: {int(bad.sum())} mismatches, "
+                                    f"first at row {i}: {av[i]} vs {bv[i]}")
+            else:
+                bad = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
+                if bad.any():
+                    i = bad.idxmax()
+                    problems.append(f"col {c}: {int(bad.sum())} mismatches, first at "
+                                    f"row {i}: {a[c][i]!r} vs {b[c][i]!r}")
+    return problems
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from glamr_omics_pipelines_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duck_con()
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only), rows={len(sdf)} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} rows={len(sdf)}/{len(ddf)} [{time.time()-t0:.1f}s]")
+            for p in problems[:4]:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
