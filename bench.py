@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing method: each query is built lazily, then forced with a count-style
+terminal action that materializes every row (``df.foreach(noop)`` would skip
+whole-stage results; ``collect`` pulls to the driver like the correctness
+harness does, matching how the driver measures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from glamr_omics_pipelines_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline subset: one per operator family that dominates runtime at scale.
+HEADLINE = [
+    "pricing_summary",   # scan-heavy multi-agg
+    "topk_revenue",      # big join + agg + top-k
+    "tpm",               # window-normalized abundance over join chain
+    "top1_per_group",    # window row_number over the fact table
+    "anvio_stacked",     # 3-layer stacked windows (the reference's richest SQL)
+    "subtree_rollup",    # hierarchical closure join
+    "lca",               # path-prefix aggregate
+    "pivot_wider",       # pivot matrix
+    "sessionize",        # gap sessionization over events
+    "windowed_counts",   # event-time tumbling windows
+    "exact_dedup",       # hash-groupBy dedup over documents
+    "minhash_dedup",     # shingle->minhash->LSH->verify
+    "cosine_topk",       # brute-force ANN baseline
+    "text_quality",      # text feature extraction
+    "seqkit_stats",      # quantile aggregate
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("glamr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen once so per-query numbers measure the plan, not
+    # session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

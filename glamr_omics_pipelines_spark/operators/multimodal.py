@@ -19,7 +19,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, LongType,
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
                                StringType, StructField, StructType)
 
 MEDIA_SCHEMA = StructType([
@@ -36,7 +36,9 @@ MEDIA_SCHEMA = StructType([
 
 IMAGE_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
-    StructField("feature", ArrayType(FloatType())),
+    # double (not float32): the stub's byte-histogram arithmetic is exact in
+    # doubles, which keeps the duckdb correctness oracle bit-identical
+    StructField("feature", ArrayType(DoubleType())),
     StructField("decode_ok", StringType()),
 ])
 
