@@ -24,6 +24,7 @@ from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
 from glamr_omics_pipelines_spark.functions import bio
+from glamr_omics_pipelines_spark.sources import sequences
 from glamr_omics_pipelines_spark.streaming.ingest import windowed_event_counts
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -514,6 +515,87 @@ def q_multimodal_features(spark, sf_dir):
                     _r4("v").alias("feat")))
 
 
+def _fasta_path(spark, sf_dir) -> str:
+    """Deterministic FASTA rendering of documents' acgt-reduced text —
+    generated once per sf under /tmp (atomic rename), so the S2 reader can be
+    exercised inside the correctness gate."""
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/glamr_fasta_{tag}.fa"
+    if not os.path.exists(path):
+        rows = (_t(spark, sf_dir, "documents")
+                .select("doc_id", "source", "lang",
+                        F.regexp_replace(F.lower("text"), "[^acgt]", "")
+                        .alias("seq"))
+                .orderBy("doc_id").collect())
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(f">doc_{r.doc_id} source={r.source} lang={r.lang}\n")
+                for i in range(0, len(r.seq), 60):
+                    f.write(r.seq[i:i + 60] + "\n")
+        os.replace(tmp, path)
+    return path
+
+
+def q_fasta_roundtrip(spark, sf_dir):
+    """S2 FASTA reader (rename_contigs.R:46-83): split-safe '>'-delimited scan
+    + header field extraction, verified against the source documents."""
+    fa = sequences.read_fasta(spark, _fasta_path(spark, sf_dir))
+    return fa.select(
+        F.regexp_extract("header", r"doc_(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("header", r"source=(\S+)", 1).alias("source"),
+        F.regexp_extract("header", r"lang=(\S+)", 1).alias("lang"),
+        F.length("seq").cast("bigint").alias("seq_len"))
+
+
+def q_xml_extract(spark, sf_dir):
+    """S7 XML metadata extraction (pypelib/sra.py:28-75): xpath over an XML
+    column, JVM-side (no UDF)."""
+    o = _t(spark, sf_dir, "orders")
+    xml = o.select("o_orderkey", F.concat(
+        F.lit("<rec><status>"), "o_orderstatus",
+        F.lit("</status><prio>"), "o_orderpriority",
+        F.lit("</prio></rec>")).alias("xml"))
+    return xml.select(
+        "o_orderkey",
+        F.xpath_string("xml", F.lit("/rec/status")).alias("status"),
+        F.xpath_string("xml", F.lit("/rec/prio")).alias("prio"))
+
+
+def q_quality_bands(spark, sf_dir):
+    """P8 checkM quality banding (make_das_and_drep_inputs.R:36-38):
+    case-when bands + per-band counts."""
+    c = _t(spark, sf_dir, "customer")
+    band = (F.when(F.col("c_acctbal") > 7500, "High")
+            .when(F.col("c_acctbal") > 2500, "Medium")
+            .otherwise("Low"))
+    return (c.withColumn("band", band)
+            .groupBy("c_mktsegment", "band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r4(F.avg("c_acctbal")).alias("avg_acctbal")))
+
+
+def q_distinct_catalog(spark, sf_dir):
+    """§2.7/A7 distinct-sample catalog (the loose-index-scan analog,
+    postgres.Rmd:22-37): distinct priorities + per-priority distinct
+    customer count."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_na_handling(spark, sf_dir):
+    """P4 NA normalization (postgres.Rmd:83, merge_kraken_tax.R:42):
+    sentinel→NULL via when/otherwise, then replace_na."""
+    d = _t(spark, sf_dir, "documents")
+    lang_clean = F.when(F.col("lang").isin("zh", "und"), None) \
+        .otherwise(F.col("lang"))
+    return (d.withColumn("lang_clean", F.coalesce(lang_clean, F.lit("unknown")))
+            .groupBy("lang_clean").agg(F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extensions: dedup / similarity / text (north star)
 # ---------------------------------------------------------------------------
@@ -704,6 +786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dna_reads_qc": q_dna_reads_qc,
         "asv_matrix": q_asv_matrix,
         "multimodal_features": q_multimodal_features,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "xml_extract": q_xml_extract,
+        "quality_bands": q_quality_bands,
+        "distinct_catalog": q_distinct_catalog,
+        "na_handling": q_na_handling,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
         "exact_dedup": q_exact_dedup,
@@ -975,6 +1062,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.e, b.e) >= 0.999
         """,
         "lsh_ann": _lsh_ann_sql(),
+        "fasta_roundtrip": """
+            SELECT doc_id, source, lang,
+                   length(regexp_replace(lower(text), '[^acgt]', '', 'g')) AS seq_len
+            FROM documents
+        """,
+        "xml_extract": """
+            SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio
+            FROM orders
+        """,
+        "quality_bands": """
+            SELECT c_mktsegment,
+                   CASE WHEN c_acctbal > 7500 THEN 'High'
+                        WHEN c_acctbal > 2500 THEN 'Medium'
+                        ELSE 'Low' END AS band,
+                   count(*) AS n, round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer GROUP BY 1, 2
+        """,
+        "distinct_catalog": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "na_handling": """
+            SELECT coalesce(CASE WHEN lang IN ('zh', 'und') THEN NULL
+                                 ELSE lang END, 'unknown') AS lang_clean,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

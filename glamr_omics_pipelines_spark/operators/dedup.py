@@ -98,7 +98,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         lambda b: F.xxhash64(F.concat_ws(
             ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
                              lambda x: x.cast("string"))), b))
-    buckets = (sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket")))
+    buckets = (sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+               .persist())  # both self-join sides read this; avoid 2x recompute
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
@@ -117,13 +118,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sh = char_shingles(df.select(id_col, text_col), text_col, shingle_n) \
         .select(id_col, "shingle").distinct()
+    # the shingle table feeds THREE subplans (a-side, b-side, sizes) whose
+    # aliases defeat Spark's ReusedExchange; persist so the explode+distinct
+    # runs once, not 3x. Size is O(total corpus chars) — at 100 TB checkpoint
+    # to Parquet instead of memory (same plan shape).
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter")))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # candidate list is LSH output — orders of magnitude smaller than the
+        # inverted index; broadcast so the semi-join adds no shuffle. The
+        # surviving inter is candidate-bounded, so IT becomes the broadcast
+        # side of the size-attach joins (sizes is per-doc: huge at scale).
+        inter = F.broadcast(
+            inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi"))
     out = (inter
            .join(sizes.withColumnRenamed("_sz", "_sa")
                  .withColumnRenamed(id_col, "id_a"), "id_a")
@@ -172,7 +183,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                  .bitwiseAND(F.lit(mask)).alias("bucket"))
         for i in range(bands)])
     buckets = sig.select(id_col, F.explode(band_arr).alias("bb")) \
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .select(id_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")).persist()
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))

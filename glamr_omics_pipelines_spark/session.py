@@ -27,6 +27,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
+    # without this, a .persist() anywhere freezes its subtree at the static
+    # shuffle-partition count — AQE can no longer coalesce tiny stages, which
+    # multiplies per-stage latency on composed pipelines (dedup/LSH chains)
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
@@ -38,7 +42,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # enough that one partition always fits in executor memory.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[N] runs driver AND all executor threads in ONE JVM — size the heap
+    # for the whole pipeline, not just the driver role (8g thrashes GC once a
+    # few 600k-row shuffles + broadcasts accumulate; 32g is ~25% of the box).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    # local mode: broadcast/shuffle blocks of finished jobs are only dropped
+    # on driver GC; periodic GC keeps long benchmark sessions flat.
+    "spark.cleaner.periodicGC.interval": "30s",
     "spark.ui.enabled": "false",
 }
 
