@@ -1,0 +1,200 @@
+"""The reference's flagship tabular pipelines, re-expressed Spark-first.
+
+Each function reproduces one end-to-end Layer-B/C pipeline from the reference
+(file:line cited per function) over DataFrames. These are the "a user of the
+reference could switch" entry points: same inputs (reference-layout files or
+warehouse tables), same output semantics, one lazy Catalyst plan instead of
+eager R (no driver-side loops, no per-taxon subprocess fan-out).
+
+Scale notes are inline; the common pattern: dimensions broadcast, facts
+shuffle once on their natural key (sample / gene / contig), windows partition
+by bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from glamr_omics_pipelines_spark.operators import abundance, taxonomy, windows
+from glamr_omics_pipelines_spark.operators.reshape import pivot_longer, pivot_wider
+from glamr_omics_pipelines_spark.sources.readers import (read_typed_csv,
+                                                         with_path_columns)
+
+BRACKEN_SCHEMA = StructType([
+    StructField("percent_abund", DoubleType()),
+    StructField("count_w_subtax", LongType()),
+    StructField("count_direct", LongType()),
+    StructField("rank", StringType()),
+    StructField("tax_id", IntegerType()),
+    StructField("name", StringType()),
+])
+
+RPKM_SCHEMA = StructType([
+    StructField("Name", StringType()),
+    StructField("Length", LongType()),
+    StructField("Bases", LongType()),
+    StructField("Coverage", DoubleType()),
+    StructField("Reads", LongType()),
+    StructField("RPKM", DoubleType()),
+    StructField("Frags", LongType()),
+    StructField("FPKM", DoubleType()),
+])
+
+
+def merge_bracken(spark: SparkSession, glob: str, tax_info: DataFrame,
+                  samples: list[str] | None = None):
+    """code/merge_bracken.R end-to-end (SURVEY §7.1): glob-scan per-sample
+    bracken TSVs (S4 path columns), broadcast-join taxonomy (J1), drop
+    refseq rows duplicating GTDB domains (P2), per-sample rel_abund (A5),
+    pivot to sample-wide count + rel-abund matrices (R1).
+
+    Returns (long, counts_wide, relabund_wide). One scan over all files —
+    the reference's per-file read loop (merge_bracken.R:39-47) becomes a
+    single multi-file DataFrame; `sample`/`database` come from the path.
+    """
+    raw = read_typed_csv(spark, glob, schema=BRACKEN_SCHEMA, header=False)
+    scanned = with_path_columns(raw, "{sample}/bracken_{database}.tsv")
+    tax = tax_info.select("tax_id", "std_lineage", "kingdom")
+    joined = scanned.join(F.broadcast(tax), "tax_id", "left")
+    # P2: refseq rows whose lineage is a GTDB domain are duplicates
+    # (merge_bracken.R:62-63)
+    filtered = joined.filter(~((F.col("database") == "refseq")
+                               & F.col("std_lineage").rlike(
+                                   "^[kd]__(Archaea|Bacteria)")))
+    species = filtered.filter(F.col("rank") == "S")
+    long = abundance.rel_abund(
+        species.withColumn("n", F.col("count_w_subtax")),
+        "n", ["sample", "database"])
+    counts_wide = pivot_wider(long, ["tax_id", "name", "database"], "sample",
+                              F.first("n"), values=samples, fill=0)
+    relabund_wide = pivot_wider(long, ["tax_id", "name", "database"], "sample",
+                                F.first("rel_abund"), values=samples, fill=0.0)
+    return long, counts_wide, relabund_wide
+
+
+def tpm_chain(read_mapping: DataFrame, uniref_lookup: DataFrame,
+              uniref_index: DataFrame) -> DataFrame:
+    """code/postgres_scripts/tpm.R:17-35 (J4 + A6): attach target length via
+    the lookup→index chain (raw length is stored +2, postgres.Rmd:206-208),
+    then per-sample TPM + RPKM.
+
+    Scale: lookup/index are the UniRef dimension (~400M rows at production
+    scale) — bucket both by `id` and the fact by `target` instead of
+    broadcasting; here the broadcast hint keeps the small case shuffle-free.
+    """
+    dim = (uniref_lookup.join(uniref_index, "id")
+           .select(F.col("uniref100").alias("target"),
+                   (F.col("length") - 2).alias("target_len")))
+    with_len = read_mapping.join(F.broadcast(dim), "target")
+    out = abundance.tpm(with_len, "num_seqs_aligned", "target_len", ["sample"])
+    return abundance.rpkm(out, "num_seqs_aligned", "target_len", ["sample"])
+
+
+def bin_summary(checkm: DataFrame, gtdb: DataFrame, drep: DataFrame) -> DataFrame:
+    """The bin_summary VIEW (postgres.Rmd:124-165, J3): regexp-extract
+    sample/binner/bin number from the bin id, 3-way left join of quality,
+    taxonomy and dereplication tables. All three sides are bin-grain
+    (metadata-scale) — broadcast the two right sides."""
+    base = checkm.select(
+        "bin",
+        F.regexp_extract("bin", r"^(samp_\w+?)_[a-z]", 1).alias("sample"),
+        F.regexp_extract("bin", r"_([a-z0-9]+)_\d+$", 1).alias("binner"),
+        F.regexp_extract("bin", r"_(\d+)$", 1).cast("int").alias("bin_number"),
+        "completeness", "contamination")
+    quality = base.withColumn(
+        "quality_band",
+        F.when((F.col("completeness") > 90) & (F.col("contamination") < 5), "High")
+        .when((F.col("completeness") > 50) & (F.col("contamination") < 10), "Medium")
+        .otherwise("Low"))
+    return (quality
+            .join(F.broadcast(gtdb), "bin", "left")
+            .join(F.broadcast(drep.select("bin", "secondary_cluster",
+                                          "is_cluster_rep")), "bin", "left"))
+
+
+def kofam_anvio(kofam: DataFrame) -> DataFrame:
+    """The reference's most SQL-rich query — the anvio-heuristic kofam MV
+    (postgres.Rmd:1418-1432 dplyr == 1455-1532 SQL, W2): three stacked window
+    layers pick ≤1 KO per gene. Direct reuse of the engine operator."""
+    return windows.anvio_stacked_filter(
+        kofam, "gene", "score", "thrshld", "e_value",
+        e_cutoff=1e-5, score_frac=0.5, tiebreak_cols=["ko"])
+
+
+def read_ladder(read_counts: DataFrame) -> DataFrame:
+    """read_count ingestion (postgres.Rmd:252-292): pivot fwd/rev to long
+    (R4) then lag-derived percent_retained per (sample, direction) ordered
+    by pipeline stage (W3)."""
+    long = pivot_longer(read_counts, ["sample", "read_state", "state_order"],
+                        ["fwd_read_count", "rev_read_count"],
+                        name_col="direction", value_col="count")
+    long = long.withColumn("direction",
+                           F.regexp_replace("direction", "_read_count", ""))
+    return windows.lag_retention_ladder(long, ["sample", "direction"],
+                                        "state_order", "count",
+                                        out="percent_retained")
+
+
+def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
+    """gene_abundance ingestion (postgres.Rmd:1169-1259): bbmap rpkm files
+    with prodigal headers. The two-stage separate (R6) splits '#Name' into
+    gene coordinates + the key=value attribute block; FPKM→TPM per sample
+    (postgres.Rmd:1193).
+
+    comment='#' drops both the 4 preamble lines and the '#Name' header, so
+    the explicit schema is the contract (inferred-then-pinned, SURVEY §1.2).
+    """
+    raw = read_typed_csv(spark, glob, schema=RPKM_SCHEMA, header=False,
+                         comment="#")
+    raw = with_path_columns(raw, "{sample}_genes.rpkm")
+    parts = F.split("Name", r" # ")
+    attrs = F.element_at(parts, 5)
+    genes = raw.select(
+        "sample",
+        F.element_at(parts, 1).alias("gene"),
+        F.element_at(parts, 2).cast("long").alias("left"),
+        F.element_at(parts, 3).cast("long").alias("right"),
+        F.element_at(parts, 4).cast("int").alias("strand"),
+        F.regexp_extract(attrs, r"gc_cont=([\d.]+)", 1).cast("double")
+        .alias("gc_content"),
+        F.regexp_extract("Name", r"^(.+)_\d+ #", 1).alias("contig"),
+        "Length", "Reads", "RPKM", "FPKM")
+    w = Window.partitionBy("sample")
+    return genes.withColumn(
+        "tpm", F.col("FPKM") / F.sum("FPKM").over(w) * F.lit(1e6))
+
+
+def tax_subtree_rollup(contig_abund: DataFrame, tax_info: DataFrame) -> DataFrame:
+    """code/tax_abund_from_contigs.R:60-92 (A2): join contig abundance to its
+    LCA taxon, then per-taxon direct + subtree TPM sums via ONE
+    lineage-closure join — replacing the reference's per-taxon `taxonkit
+    list` subprocess fan-out (furrr::future_map_dfr).
+
+    Includes the reference's own sanity invariant: subtree >= direct.
+    """
+    nodes = tax_info.select(
+        F.col("tax_id").cast("long").alias("tax_id"),
+        F.split("std_lineage", ";").alias("path"))
+    closure = taxonomy.lineage_closure(nodes, "tax_id", "path")
+    # closure ancestors are lineage labels; map back to tax ids via the label
+    # of each node (last path element)
+    label_to_id = nodes.select(
+        F.element_at("path", -1).alias("ancestor_label"),
+        F.col("tax_id").alias("ancestor_id"))
+    closure = (closure
+               .withColumnRenamed("ancestor", "ancestor_label")
+               .join(F.broadcast(label_to_id), "ancestor_label")
+               .select(F.col("ancestor_id").alias("ancestor"), "descendant"))
+    abund = contig_abund.select(F.col("tax_id").cast("long"), "tpm", "sample")
+    per_taxon = abund.groupBy("sample", "tax_id").agg(
+        F.sum("tpm").alias("tpm"))
+    direct = per_taxon.select("sample", F.col("tax_id").alias("node"),
+                              F.col("tpm").alias("abund_direct"))
+    sub = (per_taxon.join(closure, per_taxon.tax_id == closure.descendant)
+           .groupBy("sample", F.col("ancestor").alias("node"))
+           .agg(F.sum("tpm").alias("abund_w_subtax")))
+    return (sub.join(direct, ["sample", "node"], "left")
+            .na.fill({"abund_direct": 0.0}))

@@ -1,0 +1,126 @@
+"""End-to-end domain-pipeline tests over the FIXTURES.md micro-fixtures,
+asserting the reference's own invariants (SURVEY §5; FIXTURES.md
+cross-cutting list)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark import fixtures
+from glamr_omics_pipelines_spark.pipelines import glamr
+
+
+@pytest.fixture(scope="module")
+def tax(spark):
+    return spark.createDataFrame(fixtures.make_taxonomy())
+
+
+@pytest.fixture(scope="module")
+def contigs():
+    return fixtures.make_contigs()
+
+
+def test_merge_bracken_end_to_end(spark, tax, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bracken"))
+    rows = fixtures.make_bracken_counts(fixtures.make_taxonomy())
+    glob = fixtures.write_bracken_tree(root, rows)
+    long, counts_wide, relabund_wide = glamr.merge_bracken(
+        spark, glob, tax, samples=fixtures.SAMPLES)
+    # rel_abund sums to 1 per (sample, database) over species rows
+    sums = (long.groupBy("sample", "database")
+            .agg(F.sum("rel_abund").alias("s")).collect())
+    assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+    # P2: no refseq species row carries a GTDB domain lineage
+    bad = long.filter((F.col("database") == "refseq")
+                      & F.col("std_lineage").rlike("^[kd]__(Archaea|Bacteria)"))
+    assert bad.count() == 0
+    # wide matrices: one row per (tax, database) seen, one col per sample
+    assert set(fixtures.SAMPLES) <= set(counts_wide.columns)
+    assert counts_wide.count() == relabund_wide.count()
+    # path-derived columns really came from the file path
+    assert set(r.sample for r in long.select("sample").distinct().collect()) \
+        == set(fixtures.SAMPLES)
+
+
+def test_bracken_subtree_invariant_vs_closure(spark, tax):
+    """count_w_subtax in the fixture == closure-join rollup of count_direct
+    (the bracken rollup oracle, FIXTURES.md §3)."""
+    rows = fixtures.make_bracken_counts(fixtures.make_taxonomy())
+    bracken = spark.createDataFrame(rows)
+    ca = (bracken.filter((F.col("database") == "gtdb")
+                         & (F.col("rank") == "S"))
+          .select("sample", "tax_id", F.col("count_direct").cast("double")
+                  .alias("tpm")))
+    rolled = glamr.tax_subtree_rollup(ca, tax)
+    expect = (bracken.filter(F.col("database") == "gtdb")
+              .select("sample", F.col("tax_id").cast("long").alias("node"),
+                      F.col("count_w_subtax").cast("double").alias("want")))
+    joined = rolled.join(expect, ["sample", "node"], "inner")
+    mismatches = joined.filter(
+        F.abs(F.col("abund_w_subtax") - F.col("want")) > 1e-6).count()
+    assert mismatches == 0
+    # reference invariant: subtree >= direct, and not all equal
+    assert joined.filter(F.col("abund_w_subtax")
+                         < F.col("abund_direct") - 1e-9).count() == 0
+    assert joined.filter(F.col("abund_w_subtax")
+                         > F.col("abund_direct") + 1e-9).count() > 0
+
+
+def test_tpm_chain_sums_to_1e6(spark):
+    mapping, lookup, index = fixtures.make_uniref_mapping(
+        fixtures.make_taxonomy())
+    out = glamr.tpm_chain(spark.createDataFrame(mapping),
+                          spark.createDataFrame(lookup),
+                          spark.createDataFrame(index))
+    sums = out.groupBy("sample").agg(F.sum("tpm").alias("s")).collect()
+    assert sums and all(abs(r.s - 1e6) < 1e-3 for r in sums)
+    # length joined through the chain is the corrected (-2) one
+    row = out.limit(1).collect()[0]
+    assert row.target_len >= 90
+
+
+def test_bin_summary_view(spark, contigs):
+    checkm, gtdb, drep, _ = fixtures.make_bins(contigs)
+    out = glamr.bin_summary(spark.createDataFrame(checkm),
+                            spark.createDataFrame(gtdb),
+                            spark.createDataFrame(drep))
+    rows = out.collect()
+    assert len(rows) == len(checkm)
+    by_bin = {r.bin: r for r in rows}
+    b = by_bin["samp_T1_metabat2_2"]
+    assert b.sample == "samp_T1" and b.binner == "metabat2" and b.bin_number == 2
+    assert b.classification.startswith("d__Bacteria")
+    assert all(r.quality_band in ("High", "Medium", "Low") for r in rows)
+
+
+def test_kofam_anvio_at_most_one_ko_per_gene(spark, contigs):
+    kofam = spark.createDataFrame(fixtures.make_kofam(contigs))
+    out = glamr.kofam_anvio(kofam)
+    per_gene = out.groupBy("gene").count().filter(F.col("count") > 1)
+    assert per_gene.count() == 0  # unique index invariant (postgres.Rmd:1536)
+    # every surviving hit passed the relaxed threshold
+    assert out.filter(F.col("score") <= 0.5 * F.col("thrshld")).count() == 0
+
+
+def test_read_ladder_monotone(spark):
+    rc = spark.createDataFrame(fixtures.make_read_counts())
+    out = glamr.read_ladder(rc)
+    assert out.count() == len(fixtures.SAMPLES) * 4 * 2
+    # percent_retained in (0, 100]; null only for the first stage
+    pr = out.filter(F.col("state_order") > 0)
+    assert pr.filter(F.col("percent_retained").isNull()).count() == 0
+    assert pr.filter((F.col("percent_retained") <= 0)
+                     | (F.col("percent_retained") > 100)).count() == 0
+
+
+def test_load_gene_abundance_prodigal_parse(spark, contigs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("rpkm"))
+    glob = fixtures.make_gene_rpkm_files(root, contigs)
+    out = glamr.load_gene_abundance(spark, glob)
+    rows = out.collect()
+    assert rows
+    r = rows[0]
+    assert r.gene.startswith(r.contig + "_")
+    assert r.right > r.left and r.strand in (1, -1)
+    assert 0.0 < r.gc_content < 1.0
+    sums = out.groupBy("sample").agg(F.sum("tpm").alias("s")).collect()
+    assert all(abs(x.s - 1e6) < 1e-3 for x in sums)
