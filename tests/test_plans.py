@@ -1,0 +1,76 @@
+"""Physical-plan regression tests (SURVEY §4): the scale guarantees —
+predicate pushdown to the parquet scan, column pruning, dimension broadcast,
+codegen — must survive refactors. These assert plan *properties*, not plan
+strings."""
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (E.queries()[name](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def _pushed(plan: str) -> list[str]:
+    return [p for p in re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+            if p != "PushedFilters: []"]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in p for p in _pushed(plan))
+    plan = _plan(spark, "threshold_filter")
+    assert any("GreaterThanOrEqual(value,150.0)" in p for p in _pushed(plan))
+
+
+def test_column_pruning(spark):
+    """The 6-agg pricing summary needs 7 lineitem columns, not 11."""
+    plan = _plan(spark, "pricing_summary")
+    cols = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert cols and all(len(c.split(",")) <= 7 for c in cols)
+
+
+def test_dimension_joins_broadcast(spark):
+    """Dim-side joins (part, nation, region, orders-sized) must broadcast —
+    a SortMergeJoin against a dimension at 100 TB is a lost shuffle."""
+    for q in ["tpm", "topk_revenue", "anvio_stacked", "lca", "bin_summary_view"]:
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_no_cartesian_in_pair_generators(spark):
+    """LSH candidate generation must join on (band, bucket) — an accidental
+    cross join here is quadratic in the corpus."""
+    for q in ["minhash_dedup", "simhash_dedup", "lsh_ann"]:
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_whole_stage_codegen_active(spark):
+    """'*(n)' markers = codegen'd stages; the scan+agg hot path must carry
+    them (a codegen fallback means an interpreted row loop at scale).
+    AQE only materializes the final (codegen-annotated) plan after execution."""
+    df = E.queries()["pricing_summary"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+@pytest.mark.parametrize("query", ["exact_dedup", "text_quality", "token_counts",
+                                   "doc_fingerprint", "lang_id"])
+def test_text_pipeline_has_no_python_udf(spark, query):
+    """Text/dedup operators promise pure-JVM expressions (SURVEY §2.9) —
+    BatchEvalPython/ArrowEvalPython in the plan would mean a 10-100x hot-path
+    regression at corpus scale."""
+    plan = _plan(spark, query)
+    assert "EvalPython" not in plan, query
