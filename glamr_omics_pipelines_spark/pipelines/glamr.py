@@ -167,6 +167,47 @@ def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
         "tpm", F.col("FPKM") / F.sum("FPKM").over(w) * F.lit(1e6))
 
 
+def rename_contigs(fasta: DataFrame, sample: str) -> DataFrame:
+    """code/rename_contigs.R:46-83 (W6 + S2): standardize assembler headers
+    (megahit ``k141_{n} flag=... len=...`` or spades ``NODE_{n}_length_..._cov_...``)
+    to sequential ``{sample}_{i}`` ids ordered by header, returning the
+    old→new mapping with parsed metadata.
+
+    Single-partition window by design — contig inventories are
+    metadata-scale (the reference sorts them in one R process too)."""
+    def rx(pat, typ=None):
+        # regexp_extract yields '' (not NULL) on no-match; ANSI casts reject ''
+        v = F.nullif(F.regexp_extract("header", pat, 1), F.lit(""))
+        return v.cast(typ) if typ else v
+
+    parsed = fasta.select(
+        "header", "seq",
+        F.coalesce(rx(r"^(k\d+_\d+)"), rx(r"^(NODE_\d+)")).alias("old_id"),
+        F.coalesce(rx(r"len=(\d+)", "long"), rx(r"length_(\d+)", "long"),
+                   F.length("seq").cast("long")).alias("contig_len"),
+        rx(r"(?:multi|cov)[=_]([\d.]+)", "double").alias("coverage"))
+    renumbered = windows.sequential_ids(
+        parsed, [F.col("old_id").asc()], out="contig_number")
+    return renumbered.withColumn(
+        "contig", F.concat(F.lit(sample), F.lit("_"), F.col("contig_number")))
+
+
+def export_coverage_slices(wide: DataFrame, contig_col: str,
+                           sample_cols: list[str], out_dir: str) -> list[str]:
+    """code/create_maxbin_coverage.R:36-54 (R8): per-sample depth-file export
+    from a metabat-style wide coverage matrix. The loop is driver-side by
+    nature (one OUTPUT FILE per sample) but each write is a distributed
+    single-column projection — no collect."""
+    paths = []
+    for s in sample_cols:
+        path = f"{out_dir}/{s}.depth.tsv"
+        (wide.select(contig_col, s)
+         .write.mode("overwrite").option("sep", "\t")
+         .option("header", False).csv(path))
+        paths.append(path)
+    return paths
+
+
 def tax_subtree_rollup(contig_abund: DataFrame, tax_info: DataFrame) -> DataFrame:
     """code/tax_abund_from_contigs.R:60-92 (A2): join contig abundance to its
     LCA taxon, then per-taxon direct + subtree TPM sums via ONE

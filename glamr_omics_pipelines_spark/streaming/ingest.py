@@ -46,6 +46,62 @@ def file_stream_ingest(spark: SparkSession, src_dir: str, fmt: str,
     writer.start().awaitTermination()
 
 
+def sessionize_stream(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_seconds: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (SURVEY §2.10/§2.11 — the streaming twin of
+    ``windows.sessionize``).
+
+    Per-user state = (session_count, last_event_ts, events_in_session).
+    On timeout (gap elapsed with no events) the open session is emitted and
+    state cleared. Scale: state is O(active users), partitioned by user —
+    the same key the shuffle already uses.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id bigint, session_id bigint, n_events bigint, "
+                  "session_start timestamp, session_end timestamp")
+    state_schema = "session_id bigint, last_ts double, n_events bigint"
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            sid, last_ts, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user], "session_id": [sid],
+                                "n_events": [n],
+                                "session_start": [pd.NaT],
+                                "session_end": [pd.Timestamp(last_ts, unit="s")]})
+            return
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        ts = rows["ts"].astype("int64") / 1e9  # epoch seconds
+        sid, last_ts, n = state.get if state.exists else (0, None, 0)
+        out = []
+        start = None
+        for t in ts:
+            if last_ts is None or t - last_ts > gap_seconds:
+                if n:  # close the previous session
+                    out.append((user, sid, n, start, last_ts))
+                sid, n, start = sid + 1, 0, t
+            n += 1
+            last_ts = t
+        state.update((int(sid), float(last_ts), int(n)))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            [{"user_id": u, "session_id": s, "n_events": c,
+              "session_start": pd.Timestamp(st, unit="s"),
+              "session_end": pd.Timestamp(en, unit="s")}
+             for u, s, c, st, en in out])
+
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "1 hour",

@@ -1,0 +1,90 @@
+"""Streaming stateful sessionization, ASV denoise grouped-map, contig rename,
+coverage slice export."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import amplicon
+from glamr_omics_pipelines_spark.pipelines import glamr
+from glamr_omics_pipelines_spark.sources import sequences
+from glamr_omics_pipelines_spark.streaming.ingest import sessionize_stream
+
+
+def test_denoise_pools_hamming1_errors(spark):
+    reads = [("s1", "ACGTACGT")] * 50 + [("s1", "ACGAACGT")] * 2 \
+        + [("s1", "TTTTCCCC")] * 30 + [("s2", "ACGTACGT")] * 7
+    df = spark.createDataFrame(reads, ["sample", "seq"])
+    out = amplicon.denoise_asvs(df, min_fold=10).collect()
+    by = {(r.sample, r.asv_seq): r["count"] for r in out}
+    # the 2-count single-substitution variant merged into the 50-count ASV
+    assert by[("s1", "ACGTACGT")] == 52
+    assert ("s1", "ACGAACGT") not in by
+    assert by[("s1", "TTTTCCCC")] == 30
+    assert by[("s2", "ACGTACGT")] == 7
+
+
+def test_asv_matrix_pivot(spark):
+    asvs = spark.createDataFrame(
+        [("s1", "AAAA", 5), ("s2", "AAAA", 3), ("s2", "CCCC", 9)],
+        ["sample", "asv_seq", "count"])
+    wide = amplicon.asv_matrix(asvs, samples=["s1", "s2"]).collect()
+    by = {r.asv_seq: r for r in wide}
+    assert by["AAAA"].s1 == 5 and by["AAAA"].s2 == 3
+    assert by["CCCC"].s1 == 0 and by["CCCC"].s2 == 9
+
+
+def test_rename_contigs_both_assemblers(spark, tmp_path):
+    fa = tmp_path / "contigs.fa"
+    fa.write_text(
+        ">k141_5 flag=1 multi=12.3 len=8\nACGTACGT\n"
+        ">k141_12 flag=1 multi=3.5 len=4\nTTTT\n"
+        ">NODE_3_length_6_cov_9.25\nGGGCCC\n")
+    df = sequences.read_fasta(spark, str(fa))
+    out = glamr.rename_contigs(df, "samp_T1").collect()
+    by = {r.old_id: r for r in out}
+    assert by["k141_5"].contig_len == 8 and by["k141_5"].coverage == 12.3
+    assert by["NODE_3"].contig_len == 6 and by["NODE_3"].coverage == 9.25
+    assert sorted(r.contig for r in out) == \
+        ["samp_T1_1", "samp_T1_2", "samp_T1_3"]
+
+
+def test_export_coverage_slices(spark, tmp_path):
+    wide = spark.createDataFrame(
+        [("c1", 1.5, 0.0), ("c2", 2.5, 3.5)], ["contig", "s1", "s2"])
+    paths = glamr.export_coverage_slices(wide, "contig", ["s1", "s2"],
+                                         str(tmp_path))
+    assert len(paths) == 2
+    got = spark.read.option("sep", "\t").csv(paths[0]).collect()
+    assert {(r._c0, float(r._c1)) for r in got} == {("c1", 1.5), ("c2", 2.5)}
+
+
+@pytest.mark.timeout(300)
+def test_sessionize_stream_stateful(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    # two bursts for u1 separated by > gap; one burst for u2
+    rows = [(1, "2024-01-01 00:00:%02d" % s) for s in (0, 10, 20)] \
+        + [(1, "2024-01-01 02:00:%02d" % s) for s in (0, 5)] \
+        + [(2, "2024-01-01 00:30:00")]
+    import csv
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["user_id", "ts"])
+        w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("user_id long, ts timestamp")
+              .option("sep", "\t").option("header", True)
+              .load(str(src)))
+    sess = sessionize_stream(stream, gap_seconds=1800)
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    time.sleep(1)
+    got = spark.sql("select * from sess_out").collect()
+    # within one availableNow trigger only CLOSED sessions are emitted:
+    # u1's first burst closes when its second burst arrives
+    closed = {(r.user_id, r.session_id): r.n_events for r in got}
+    assert closed.get((1, 1)) == 3
