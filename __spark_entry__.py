@@ -549,6 +549,43 @@ def q_fasta_roundtrip(spark, sf_dir):
         F.length("seq").cast("bigint").alias("seq_len"))
 
 
+def _fastq_path(spark, sf_dir) -> str:
+    """Deterministic gzipped FASTQ derived from documents (S1 gate input):
+    seq = first 20 acgt chars (docs with >=20 only), qual[i] = chr(33 +
+    (doc_id + i + 1) % 40) — arithmetic the oracle reproduces without
+    reading the file."""
+    import gzip
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/glamr_fastq_{tag}.fastq.gz"
+    if not os.path.exists(path):
+        rows = (_t(spark, sf_dir, "documents")
+                .select("doc_id", F.regexp_replace(F.lower("text"), "[^acgt]", "")
+                        .alias("seq"))
+                .filter(F.length("seq") >= 20)
+                .orderBy("doc_id").collect())
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            for r in rows:
+                qual = "".join(chr(33 + (r.doc_id + i + 1) % 40)
+                               for i in range(20))
+                f.write(f"@doc_{r.doc_id}\n{r.seq[:20]}\n+\n{qual}\n")
+        os.replace(tmp, path)
+    return path
+
+
+def q_fastq_roundtrip(spark, sf_dir):
+    """S1 FASTQ(.gz) reader (pypelib/raw_reads.py:291-338) + §2.9 mean_qual /
+    gc_content: 4-line gzip records parsed executor-side, Phred decode via
+    higher-order functions."""
+    fq = sequences.read_fastq(spark, _fastq_path(spark, sf_dir))
+    return fq.select(
+        F.regexp_extract("read_id", r"doc_(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.length("seq").cast("bigint").alias("read_len"),
+        _r4(bio.gc_content("seq")).alias("gc"),
+        _r4(bio.mean_qual("qual")).alias("mean_qual"))
+
+
 def q_xml_extract(spark, sf_dir):
     """S7 XML metadata extraction (pypelib/sra.py:28-75): xpath over an XML
     column, JVM-side (no UDF)."""
@@ -787,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asv_matrix": q_asv_matrix,
         "multimodal_features": q_multimodal_features,
         "fasta_roundtrip": q_fasta_roundtrip,
+        "fastq_roundtrip": q_fastq_roundtrip,
         "xml_extract": q_xml_extract,
         "quality_bands": q_quality_bands,
         "distinct_catalog": q_distinct_catalog,
@@ -1066,6 +1104,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang,
                    length(regexp_replace(lower(text), '[^acgt]', '', 'g')) AS seq_len
             FROM documents
+        """,
+        "fastq_roundtrip": """
+            WITH reads AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^acgt]', '', 'g'), 1, 20)
+                       AS seq
+              FROM documents
+              WHERE length(regexp_replace(lower(text), '[^acgt]', '', 'g')) >= 20),
+            quals AS (
+              SELECT doc_id,
+                     (SELECT avg((doc_id + i + 1) % 40)
+                      FROM generate_series(0, 19) AS g(i)) AS mq
+              FROM reads)
+            SELECT r.doc_id, length(r.seq)::BIGINT AS read_len,
+                   round(length(regexp_replace(upper(r.seq), '[^GC]', '', 'g'))::DOUBLE
+                         / greatest(length(r.seq), 1), 4) AS gc,
+                   round(q.mq, 4) AS mean_qual
+            FROM reads r JOIN quals q USING (doc_id)
         """,
         "xml_extract": """
             SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio
