@@ -53,18 +53,25 @@ def main() -> None:
     # session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # two measured runs per query, report the min: steady-state plan cost,
+    # not first-run codegen compilation / JIT / page-cache noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
+        "runs_per_query": 2,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
