@@ -36,8 +36,17 @@ HEADLINE = [
     "windowed_counts",   # event-time tumbling windows
     "exact_dedup",       # hash-groupBy dedup over documents
     "minhash_dedup",     # shingle->minhash->LSH->verify
+    "simhash_dedup",     # 64-bit simhash banding + verify
     "cosine_topk",       # brute-force ANN baseline
+    "lsh_ann",           # hyperplane-bucketed ANN (the scale path)
+    "embedding_dups",    # embedding-cosine near-dup pairs
+    "coverage_stats",    # coverM-style rank-trimmed coverage aggregate
+    "kingdom_priority_lca",  # priority-bucketed LCA
+    "multimodal_features",   # Arrow-batched mapInPandas decode stub
     "text_quality",      # text feature extraction
+    "token_counts",      # whitespace + BPE-ish token counting
+    "lang_id",           # marker-word language ID
+    "doc_fingerprint",   # rolling polynomial hash
     "seqkit_stats",      # quantile aggregate
 ]
 

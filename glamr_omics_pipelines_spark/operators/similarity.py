@@ -70,21 +70,29 @@ def hyperplane_buckets(df: DataFrame, vec_col: str, num_planes: int = 16,
                        out: str = "lsh_bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id (sign pattern packed into a long).
 
-    Hyperplanes are deterministic pseudo-random vectors derived from
-    xxhash-style integer mixing of (seed, plane, dim) — reproducible across
-    runs with zero driver→executor data movement (the planes are literals
-    folded into the expression tree).
+    Hyperplanes are deterministic pseudo-random vectors (seeded PRNG) —
+    reproducible across runs with zero driver→executor data movement: the
+    planes are literals folded into the expression tree.
+
+    Built as ONE SQL expression string: per-plane Column composition costs
+    hundreds of py4j roundtrips (~5 s of driver time per call); a single
+    F.expr is one roundtrip and compiles to the same JVM plan. Bucket =
+    Σ 2^p over planes with dot(v, plane_p) >= 0 (bits disjoint ⇒ sum == OR).
     """
     import random
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-    v = as_double_vec(vec_col)
-    bucket = None
-    for p_idx, plane in enumerate(planes):
-        lit = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(v, lit) >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    return df.withColumn(out, bucket)
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in planes) + ")"
+    expr = (
+        "aggregate(zip_with("
+        f"transform({planes_sql}, p -> aggregate(zip_with("
+        f"transform(`{vec_col}`, x -> cast(x as double)), p, (x, y) -> x * y),"
+        " 0D, (a, v) -> a + v)), "
+        f"sequence(0, {num_planes - 1}), "
+        "(d, i) -> CASE WHEN d >= 0D THEN shiftleft(1, i) ELSE 0 END), "
+        "0, (acc, v) -> acc + v)")
+    return df.withColumn(out, F.expr(expr))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,

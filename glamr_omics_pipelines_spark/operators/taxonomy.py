@@ -161,9 +161,11 @@ def kingdom_priority_lca(df: DataFrame, group_cols: list[str], path_col: str,
                           for x in (F.lit(k), F.lit(i))])
     ranked = df.withColumn("_prio", F.coalesce(prio[F.col(kingdom_col)],
                                                F.lit(len(priority))))
-    from pyspark.sql import Window
-    w = Window.partitionBy(*group_cols)
-    best = (ranked.withColumn("_best", F.min("_prio").over(w))
+    # groupBy-min + equi-join back, NOT min-over-window: the window needs a
+    # full sort per partition key; the aggregate is partial-agg'd map-side and
+    # the join shuffles both sides on the same key the LCA agg needs anyway.
+    best = ranked.groupBy(*group_cols).agg(F.min("_prio").alias("_best"))
+    kept = (ranked.join(best, group_cols)
             .filter(F.col("_prio") == F.col("_best"))
             .drop("_prio", "_best"))
-    return lca_aggregate(best, group_cols, path_col, out_path)
+    return lca_aggregate(kept, group_cols, path_col, out_path)
