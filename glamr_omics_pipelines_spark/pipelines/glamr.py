@@ -167,6 +167,56 @@ def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
         "tpm", F.col("FPKM") / F.sum("FPKM").over(w) * F.lit(1e6))
 
 
+HMM_TBLOUT_COLS = ["target_name", "target_acc", "query_name", "acc",
+                   "hmm_from", "hmm_to", "align_from", "align_to",
+                   "env_from", "env_to", "modlen", "strand",
+                   "evalue", "score", "bias"]
+
+
+def load_hmm_tblout(spark: SparkSession, path: str) -> DataFrame:
+    """nhmmscan tblout parse (summarize_hmmscan.R:20-55, FIXTURES §17):
+    whitespace-aligned columns, '#' comments, free-text description tail.
+    split(limit=16) keeps the description intact; numeric cols cast after."""
+    lines = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    parts = F.split(F.trim("value"), r"\s+", len(HMM_TBLOUT_COLS) + 1)
+    ints = {"hmm_from", "hmm_to", "align_from", "align_to", "env_from",
+            "env_to", "modlen"}
+    doubles = {"evalue", "score", "bias"}
+    cols = []
+    for i, name in enumerate(HMM_TBLOUT_COLS):
+        c = F.element_at(parts, i + 1)
+        if name in ints:
+            c = c.cast("long")
+        elif name in doubles:
+            c = c.cast("double")
+        cols.append(c.alias(name))
+    cols.append(F.element_at(parts, len(HMM_TBLOUT_COLS) + 1)
+                .alias("description"))
+    return lines.select(*cols)
+
+
+def summarize_hmmscan(hits: DataFrame):
+    """code/summarize_hmmscan.R:58-85 (W1 + A4 + case_when): best model per
+    read (slice_min evalue, ties broken deterministically), then per-model n
+    + exact medians of the position/score columns, with the model name split
+    into gene/tax_group labels (16S_bac -> 16S, bac)."""
+    winners = windows.top1_per_group(
+        hits, ["query_name"],
+        [F.col("evalue").asc(), F.col("score").desc(),
+         F.col("target_name").asc()])
+    med = lambda c: F.expr(f"percentile({c}, 0.5)").alias(f"median_{c}")  # noqa: E731
+    summary = (winners.groupBy("target_name")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    med("hmm_from"), med("hmm_to"),
+                    med("align_from"), med("align_to"),
+                    med("score"), med("evalue"))
+               .withColumn("gene",
+                           F.regexp_extract("target_name", r"^([^_]+)_", 1))
+               .withColumn("tax_group",
+                           F.regexp_extract("target_name", r"_([a-z]+)$", 1)))
+    return winners, summary
+
+
 def rename_contigs(fasta: DataFrame, sample: str) -> DataFrame:
     """code/rename_contigs.R:46-83 (W6 + S2): standardize assembler headers
     (megahit ``k141_{n} flag=... len=...`` or spades ``NODE_{n}_length_..._cov_...``)
