@@ -654,6 +654,22 @@ def q_embedding_dups(spark, sf_dir):
     return out.select("id_a", "id_b", _r4("cosine").alias("cosine"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + nprobe cell scan): the second
+    scale path beside LSH. No oracle_sql entry — the Lloyd training loop is
+    not SQL-expressible; the driver records the weaker rows-only check, and
+    tests/test_dedup_similarity.py verifies exact-duplicate recovery."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, "embedding", k=8, iters=4,
+                                           sample_rows=512)
+    queries_df = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, queries_df, "vec_id", "embedding", cents,
+                              k=3, nprobe=2)
+    return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (the scale path): probes join only their
     sign-pattern bucket instead of the full corpus."""
@@ -831,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "na_handling": q_na_handling,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,

@@ -95,6 +95,80 @@ def hyperplane_buckets(df: DataFrame, vec_col: str, num_planes: int = 16,
     return df.withColumn(out, F.expr(expr))
 
 
+def _vec_sql(vec_col: str) -> str:
+    return f"transform(`{vec_col}`, x -> cast(x as double))"
+
+
+def _centroids_sql(centroids: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centroids) + ")"
+
+
+def _nearest_centroid_expr(vec_col: str, centroids: list[list[float]],
+                           rank: int = 1) -> str:
+    """SQL expr: index (0-based) of the rank-th nearest centroid by squared
+    L2. Single expression string — one py4j call, plans small."""
+    cs = _centroids_sql(centroids)
+    dists = (f"transform({cs}, c -> aggregate(zip_with({_vec_sql(vec_col)}, c,"
+             " (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
+    # pair distances with indices, sort, take the rank-th index
+    pairs = (f"arrays_zip({dists}, sequence(0, {len(centroids) - 1}))")
+    return (f"array_sort({pairs}, (l, r) -> CASE WHEN l['0'] < r['0'] THEN -1 "
+            f"WHEN l['0'] > r['0'] THEN 1 ELSE int(l['1']) - int(r['1']) END)"
+            f"[{rank - 1}]['1']")
+
+
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, k: int = 16,
+                        iters: int = 5, sample_rows: int = 2048,
+                        seed: int = 42) -> list[list[float]]:
+    """Deterministic mini k-means (Lloyd) for the IVF coarse quantizer.
+
+    Trains on a bounded head sample driver-side (numpy): the quantizer is a
+    tiny model (k × dim floats); training cost is independent of corpus
+    size. Assignment/probing stay distributed."""
+    import numpy as np
+    rows = (corpus.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
+            .limit(sample_rows).collect())
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            m = x[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    return [list(map(float, c)) for c in cent]
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             centroids: list[list[float]], k: int = 5, nprobe: int = 2,
+             query_id: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid (the
+    inverted file); each query scans only its ``nprobe`` nearest cells.
+
+    Scale shape: write the corpus bucketed/partitioned by ``ivf_cell`` once;
+    each probe is a partition-pruned scan + per-cell top-k — corpus-size-
+    independent probe cost, unlike brute force."""
+    cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"), cell.alias("ivf_cell"))
+    probes = [F.expr(_nearest_centroid_expr(vec_col, centroids, rank=r + 1))
+              .cast("int") for r in range(nprobe)]
+    q = F.broadcast(queries.select(
+        query_id, F.col(vec_col).alias("_qv"),
+        F.explode(F.array(*probes)).alias("ivf_cell")))
+    scored = (c.join(q, "ivf_cell")
+              .filter(F.col("neighbor_id") != F.col(query_id))
+              .withColumn("cosine", cosine_sim("_cv", "_qv")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "neighbor_id", "cosine", "rank"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, num_planes: int = 12, dim: int = 64,
              query_id: str = "query_id") -> DataFrame:

@@ -84,3 +84,19 @@ def test_lsh_topk_recovers_identical_vector(spark):
                               k=1, num_planes=4, dim=8)
     top = out.collect()[0]
     assert top["neighbor_id"] == 100 and abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recovers_identical_vector(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    rows.append((900, list(rows[3][1])))  # planted duplicate of vec 3
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from glamr_omics_pipelines_spark.operators import similarity
+    cents = similarity.train_ivf_centroids(emb, "embedding", k=8, iters=3,
+                                           sample_rows=128)
+    assert len(cents) == 8 and len(cents[0]) == 16
+    q = emb.filter("vec_id = 3").selectExpr("vec_id as query_id", "embedding")
+    out = similarity.ivf_topk(emb, q, "vec_id", "embedding", cents,
+                              k=3, nprobe=2).collect()
+    assert out and out[0].neighbor_id == 900 and abs(out[0].cosine - 1.0) < 1e-9

@@ -108,3 +108,13 @@ def test_file_stream_ingest_available_now(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == 3
     assert out.filter(F.col("sample") == "s3").count() == 1
+
+
+def test_glamr_schema_contracts_importable(spark):
+    from glamr_omics_pipelines_spark.schemas_glamr import GLAMR_SCHEMAS
+    assert len(GLAMR_SCHEMAS) >= 14
+    for name, st in GLAMR_SCHEMAS.items():
+        assert st.fields, name
+    # a contract actually usable as a read schema
+    df = spark.createDataFrame([], GLAMR_SCHEMAS["bracken"])
+    assert df.schema["count_w_subtax"].dataType.typeName() == "long"
