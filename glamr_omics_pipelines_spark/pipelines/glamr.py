@@ -167,6 +167,34 @@ def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
         "tpm", F.col("FPKM") / F.sum("FPKM").over(w) * F.lit(1e6))
 
 
+def annotate_contigs(gene_hits: DataFrame, hit_lineage: DataFrame,
+                     hit_funcs: DataFrame, evalue_cutoff: float = 1e-5):
+    """code/AnnotateContigs.pl:655-765 (J9 + W1 + A11 + A8): the Perl nested
+    hash-join chain as a relational plan. Per gene: best hit by e-value;
+    attach the hit's lineage and function; per contig: LCA across its genes'
+    lineages + function tally.
+
+    Returns (gene_annotations, contig_lca, contig_func_counts). The Perl
+    version holds all three lookup hashes in one process's memory; here the
+    lookups broadcast (dimension-sized) and genes stay partition-parallel.
+    """
+    filtered = gene_hits.filter(F.col("evalue") <= evalue_cutoff)
+    best = windows.top1_per_group(
+        filtered, ["gene"],
+        [F.col("evalue").asc(), F.col("bitscore").desc(), F.col("hit").asc()])
+    genes = (best
+             .join(F.broadcast(hit_lineage), "hit", "left")
+             .join(F.broadcast(hit_funcs), "hit", "left")
+             .withColumn("contig", F.regexp_extract("gene", r"^(.+)_\d+$", 1)))
+    contig_lca = taxonomy.lca_aggregate(
+        genes.filter(F.col("lineage_path").isNotNull()),
+        ["contig"], "lineage_path")
+    func_counts = (genes.filter(F.col("function").isNotNull())
+                   .groupBy("contig", "function")
+                   .agg(F.count(F.lit(1)).alias("n_genes")))
+    return genes, contig_lca, func_counts
+
+
 HMM_TBLOUT_COLS = ["target_name", "target_acc", "query_name", "acc",
                    "hmm_from", "hmm_to", "align_from", "align_to",
                    "env_from", "env_to", "modlen", "strand",

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the algebraic operators — the
+invariants hold for ARBITRARY inputs, not just fixtures."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import abundance, taxonomy
+from glamr_omics_pipelines_spark.pipelines import glamr
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+paths = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=4),
+    min_size=1, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(paths)
+def test_lca_is_common_prefix_of_all(spark, ps):
+    df = spark.createDataFrame([(1, p) for p in ps], ["g", "path"])
+    out = taxonomy.lca_aggregate(df, ["g"], "path").collect()[0].lca_path
+    # out is a prefix of every path...
+    assert all(list(p[:len(out)]) == list(out) for p in ps)
+    # ...and maximal: extending by one more element breaks prefix-ness
+    k = len(out)
+    assert not all(len(p) > k and p[k] == ps[0][k] for p in ps) \
+        or any(len(p) <= k for p in ps) or not all(
+            p[k] == ps[0][k] for p in ps if len(p) > k)
+
+
+counts = st.lists(st.tuples(st.sampled_from(["s1", "s2"]),
+                            st.integers(min_value=1, max_value=10_000),
+                            st.integers(min_value=1, max_value=5_000)),
+                  min_size=2, max_size=20)
+
+
+@settings(**SETTINGS)
+@given(counts)
+def test_tpm_always_sums_to_1e6(spark, rows):
+    df = spark.createDataFrame(
+        [(s, float(n), float(ln)) for s, n, ln in rows],
+        ["sample", "n", "len"])
+    out = abundance.tpm(df, "n", "len", ["sample"])
+    sums = out.groupBy("sample").agg(F.sum("tpm").alias("t")).collect()
+    assert all(abs(r.t - 1e6) < 1e-3 for r in sums)
+
+
+def test_annotate_contigs_chain(spark):
+    hits = spark.createDataFrame(
+        [("c1_1", "U1", 1e-30, 200.0), ("c1_1", "U2", 1e-10, 90.0),
+         ("c1_2", "U2", 1e-20, 150.0), ("c2_1", "U3", 1e-8, 70.0),
+         ("c2_2", "U9", 1e-2, 30.0)],   # above cutoff -> dropped
+        ["gene", "hit", "evalue", "bitscore"])
+    lineage = spark.createDataFrame(
+        [("U1", ["Bacteria", "Proteo", "Ecoli"]),
+         ("U2", ["Bacteria", "Proteo", "Vibrio"]),
+         ("U3", ["Archaea", "Eury"])],
+        ["hit", "lineage_path"])
+    funcs = spark.createDataFrame(
+        [("U1", "K00001"), ("U2", "K00002"), ("U3", "K00003")],
+        ["hit", "function"])
+    genes, contig_lca, func_counts = glamr.annotate_contigs(
+        hits, lineage, funcs)
+    g = {r.gene: r for r in genes.collect()}
+    assert g["c1_1"].hit == "U1"           # best e-value wins
+    assert "c2_2" not in g                 # cutoff applied
+    lca = {r.contig: r.lca_path for r in contig_lca.collect()}
+    assert lca["c1"] == ["Bacteria", "Proteo"]   # Ecoli vs Vibrio
+    assert lca["c2"] == ["Archaea", "Eury"]
+    fc = {(r.contig, r["function"]): r.n_genes for r in func_counts.collect()}
+    assert fc[("c1", "K00001")] == 1 and fc[("c1", "K00002")] == 1
