@@ -73,6 +73,22 @@ class Warehouse:
          .partitionBy(key).parquet(self.path(table)))
         self._log(table=table, key=key, mode="overwrite_partitions")
 
+    def save_bucketed(self, df: DataFrame, table: str, key: str,
+                      buckets: int = 16) -> None:
+        """Bucketed table write — the engine's replacement for the reference's
+        per-column B-tree secondary indexes (postgres.Rmd:430-432 etc.).
+
+        Joins/aggregations between tables bucketed on the same key by the
+        same bucket count need NO shuffle exchange (verified in
+        tests/test_bucketing.py). Use for the repeatedly-joined fact pairs:
+        read_mapping ⨝ uniref dim on target id, contig_abund ⨝ lca on contig.
+        """
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(buckets, key).sortBy(key)
+         .option("path", self.path(table))
+         .saveAsTable(table))
+        self._log(table=table, key=key, mode="bucketed", buckets=buckets)
+
     def save_view(self, df: DataFrame, table: str) -> None:
         """Materialized-view analog: full rewrite of a derived table
         (kofam_scan_signif_anvio MV refresh, postgres.Rmd:1456-1532)."""
