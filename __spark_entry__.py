@@ -507,8 +507,13 @@ def q_multimodal_features(spark, sf_dir):
     """North-star multimodal plumbing: opaque binary column → Arrow-batched
     mapInPandas feature extraction (stub decode: byte histogram), long form."""
     d = _t(spark, sf_dir, "documents")
+    # ASCII-strip before encoding: the stub histograms UTF-8 BYTES (correct
+    # for opaque media) while the SQL oracle can only walk characters — on
+    # multi-byte text the two would diverge, so the gate input is pinned to
+    # the byte==char subset on BOTH sides.
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     media = d.select(F.col("doc_id").alias("media_id"),
-                     F.encode("text", "UTF-8").alias("content"))
+                     F.encode(ascii_text, "UTF-8").alias("content"))
     feats = multimodal.extract_image_features(media, feature_dim=8)
     return (feats.select("media_id", F.posexplode("feature").alias("k", "v"))
             .select("media_id", F.col("k").cast("bigint").alias("k"),
@@ -686,8 +691,8 @@ def q_exact_dedup(spark, sf_dir):
     — its 1 TB single-node hash table becomes one shuffle): documents
     grouped by their first-3-token prefix."""
     d = _t(spark, sf_dir, "documents")
-    keyed = d.withColumn(
-        "prefix", F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 3)))
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    keyed = d.withColumn("prefix", F.concat_ws(" ", F.slice(toks, 1, 3)))
     out = dedup.dup_groups(keyed, ["prefix"], "doc_id")
     return out.select("prefix", "canonical_id", "dup_count")
 
@@ -1093,10 +1098,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "multimodal_features": """
-            WITH chars AS (
+            WITH ascii_docs AS (
+              SELECT doc_id,
+                     regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS text
+              FROM documents),
+            chars AS (
               SELECT doc_id, (i - 1) % 8 AS k,
                      ascii(substr(text, i, 1))::DOUBLE AS v
-              FROM documents,
+              FROM ascii_docs,
                    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g),
             sums AS (SELECT doc_id, k, sum(v) AS s FROM chars GROUP BY doc_id, k),
             tot AS (SELECT doc_id, sum(s) AS t FROM sums GROUP BY doc_id)

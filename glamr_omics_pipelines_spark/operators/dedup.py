@@ -40,8 +40,14 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
     (~3 expected collisions at 10^10 docs); the combined 192-bit space makes
     a false merge cosmologically unlikely while keeping the exchange narrow.
     """
-    h64 = F.xxhash64(*content_cols)
-    h128 = F.md5(F.concat_ws(chr(0), *content_cols))
+    # NULL-safe content encoding: xxhash64 and concat_ws both SKIP null
+    # inputs, so ('a', NULL) and (NULL, 'a') would otherwise share both hash
+    # keys and merge distinct rows. Mark each column as 'v:<value>' or 'null'
+    # so null position is part of the hashed content.
+    marked = [F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")),
+                         F.lit("null")) for c in content_cols]
+    h64 = F.xxhash64(*marked)
+    h128 = F.md5(F.concat_ws(chr(0), *marked))
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     winners = (df.withColumn("_h", h64).withColumn("_h2", h128)
                .groupBy("_h", "_h2").agg(agg.alias(id_col)))

@@ -79,6 +79,9 @@ def hyperplane_buckets(df: DataFrame, vec_col: str, num_planes: int = 16,
     F.expr is one roundtrip and compiles to the same JVM plan. Bucket =
     Σ 2^p over planes with dot(v, plane_p) >= 0 (bits disjoint ⇒ sum == OR).
     """
+    if not 1 <= num_planes <= 62:
+        raise ValueError("num_planes must be in [1, 62] — bucket bits live in "
+                         "a signed 64-bit long")
     import random
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
@@ -90,8 +93,10 @@ def hyperplane_buckets(df: DataFrame, vec_col: str, num_planes: int = 16,
         f"transform(`{vec_col}`, x -> cast(x as double)), p, (x, y) -> x * y),"
         " 0D, (a, v) -> a + v)), "
         f"sequence(0, {num_planes - 1}), "
-        "(d, i) -> CASE WHEN d >= 0D THEN shiftleft(1, i) ELSE 0 END), "
-        "0, (acc, v) -> acc + v)")
+        # bigint shift: shiftleft(1, i) is 32-bit and overflows at plane 31
+        "(d, i) -> CASE WHEN d >= 0D THEN shiftleft(cast(1 as bigint), i) "
+        "ELSE cast(0 as bigint) END), "
+        "cast(0 as bigint), (acc, v) -> acc + v)")
     return df.withColumn(out, F.expr(expr))
 
 

@@ -78,9 +78,15 @@ def closure_from_parent_edges(edges: DataFrame, child: str = "child",
     replacement. Each iteration is one broadcast-or-shuffle join; the loop
     runs on the driver but the data never does.
     """
-    closure = edges.select(F.col(child).alias("descendant"),
-                           F.col(child).alias("ancestor"),
-                           F.lit(0).alias("depth"))
+    # self-rows for EVERY node — children AND parents; a root appears only on
+    # the parent side, and omitting its self-row would drop root-directed
+    # abundance from the root's own subtree sum (subtree >= direct invariant)
+    all_nodes = (edges.select(F.col(child).alias("_n"))
+                 .unionByName(edges.select(F.col(parent).alias("_n")))
+                 .distinct())
+    closure = all_nodes.select(F.col("_n").alias("descendant"),
+                               F.col("_n").alias("ancestor"),
+                               F.lit(0).alias("depth"))
     frontier = edges.select(F.col(child).alias("descendant"),
                             F.col(parent).alias("ancestor"),
                             F.lit(1).alias("depth"))

@@ -296,17 +296,23 @@ def tax_subtree_rollup(contig_abund: DataFrame, tax_info: DataFrame) -> DataFram
     """
     nodes = tax_info.select(
         F.col("tax_id").cast("long").alias("tax_id"),
-        F.split("std_lineage", ";").alias("path"))
-    closure = taxonomy.lineage_closure(nodes, "tax_id", "path")
-    # closure ancestors are lineage labels; map back to tax ids via the label
-    # of each node (last path element)
-    label_to_id = nodes.select(
-        F.element_at("path", -1).alias("ancestor_label"),
-        F.col("tax_id").alias("ancestor_id"))
-    closure = (closure
-               .withColumnRenamed("ancestor", "ancestor_label")
-               .join(F.broadcast(label_to_id), "ancestor_label")
-               .select(F.col("ancestor_id").alias("ancestor"), "descendant"))
+        F.split("std_lineage", ";").alias("path"),
+        F.col("std_lineage"))
+    # ancestor key = FULL lineage prefix, not the last label: taxon names are
+    # homonymous in real taxonomies (same genus label under two kingdoms) and
+    # a label-keyed join would cross-attribute both subtrees. The prefix
+    # string equals the ancestor's own std_lineage — unique by construction.
+    closure = nodes.select(
+        F.col("tax_id").alias("descendant"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.array_size("path")),
+            lambda i: F.array_join(F.slice("path", 1, i), ";")))
+        .alias("ancestor_lineage"))
+    prefix_to_id = nodes.select(
+        F.col("std_lineage").alias("ancestor_lineage"),
+        F.col("tax_id").alias("ancestor"))
+    closure = (closure.join(F.broadcast(prefix_to_id), "ancestor_lineage")
+               .select("ancestor", "descendant"))
     abund = contig_abund.select(F.col("tax_id").cast("long"), "tpm", "sample")
     per_taxon = abund.groupBy("sample", "tax_id").agg(
         F.sum("tpm").alias("tpm"))

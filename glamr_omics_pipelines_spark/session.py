@@ -36,6 +36,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # explicit (Spark 4 default, but load-bearing): ANSI casts make
+    # SchemaRegistry.conform genuinely cast-or-FAIL — a drifted load errors
+    # instead of silently nulling, matching the reference's Postgres appends
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     # 128 MB input splits: the Parquet scan granularity that keeps a 100 TB
     # table at ~800k tasks — large enough to amortize task overhead, small

@@ -58,10 +58,16 @@ class Warehouse:
             fresh = df.join(F.broadcast(existing), key, "left_anti")
         else:
             fresh = df
-        new_keys = fresh.select(key).distinct().count()
-        if new_keys:
-            (fresh.write.mode("append").partitionBy(key)
-             .parquet(self.path(table)))
+        # persist across the count + write actions — without it the whole
+        # upstream plan (scan/joins/windows) executes twice per load
+        fresh = fresh.persist()
+        try:
+            new_keys = fresh.select(key).distinct().count()
+            if new_keys:
+                (fresh.write.mode("append").partitionBy(key)
+                 .parquet(self.path(table)))
+        finally:
+            fresh.unpersist()
         self._log(table=table, key=key, new_keys=new_keys)
         return new_keys
 

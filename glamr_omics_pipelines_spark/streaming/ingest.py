@@ -63,24 +63,27 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
 
     out_schema = ("user_id bigint, session_id bigint, n_events bigint, "
                   "session_start timestamp, session_end timestamp")
-    state_schema = "session_id bigint, last_ts double, n_events bigint"
+    # start_ts persisted too: a session can span micro-batches, and closing a
+    # carried session must still emit its true start
+    state_schema = ("session_id bigint, last_ts double, n_events bigint, "
+                    "start_ts double")
     gap_ms = gap_seconds * 1000
 
     def fn(key, pdf_iter, state: GroupState):
         (user,) = key
         if state.hasTimedOut:
-            sid, last_ts, n = state.get
+            sid, last_ts, n, start_ts = state.get
             state.remove()
             yield pd.DataFrame({"user_id": [user], "session_id": [sid],
                                 "n_events": [n],
-                                "session_start": [pd.NaT],
+                                "session_start": [pd.Timestamp(start_ts, unit="s")],
                                 "session_end": [pd.Timestamp(last_ts, unit="s")]})
             return
         rows = pd.concat(list(pdf_iter)).sort_values("ts")
         ts = rows["ts"].astype("int64") / 1e9  # epoch seconds
-        sid, last_ts, n = state.get if state.exists else (0, None, 0)
+        sid, last_ts, n, start = (state.get if state.exists
+                                  else (0, None, 0, None))
         out = []
-        start = None
         for t in ts:
             if last_ts is None or t - last_ts > gap_seconds:
                 if n:  # close the previous session
@@ -88,7 +91,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
                 sid, n, start = sid + 1, 0, t
             n += 1
             last_ts = t
-        state.update((int(sid), float(last_ts), int(n)))
+        state.update((int(sid), float(last_ts), int(n), float(start)))
         state.setTimeoutDuration(gap_ms)
         yield pd.DataFrame(
             [{"user_id": u, "session_id": s, "n_events": c,

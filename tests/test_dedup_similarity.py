@@ -100,3 +100,20 @@ def test_ivf_topk_recovers_identical_vector(spark):
     out = similarity.ivf_topk(emb, q, "vec_id", "embedding", cents,
                               k=3, nprobe=2).collect()
     assert out and out[0].neighbor_id == 900 and abs(out[0].cosine - 1.0) < 1e-9
+
+
+def test_exact_dedup_null_positions_not_merged(spark):
+    """('a', NULL) and (NULL, 'a') are different contents (review finding:
+    xxhash64/concat_ws both skip nulls)."""
+    df = spark.createDataFrame([(1, "a", None), (2, None, "a")],
+                               ["id", "c1", "c2"])
+    out = dedup.exact_dedup(df, ["c1", "c2"], "id")
+    assert out.count() == 2
+
+
+def test_hyperplane_buckets_rejects_wide_planes(spark):
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.operators import similarity
+    df = spark.createDataFrame([(1, [0.1, 0.2])], ["id", "v"])
+    with _pytest.raises(ValueError, match="num_planes"):
+        similarity.hyperplane_buckets(df, "v", num_planes=63, dim=2)

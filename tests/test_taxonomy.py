@@ -90,3 +90,18 @@ def test_rank_ladder_rollup(spark):
     assert got[(None, None)] == 7.0
     assert got[("K1", None)] == 3.0
     assert got[("K1", "P1")] == 1.0
+
+
+def test_closure_root_gets_self_row(spark):
+    """Root appears only as a parent; its subtree sum must still include
+    abundance assigned directly to the root (review finding)."""
+    from glamr_omics_pipelines_spark.operators import taxonomy as tx
+    from pyspark.sql import functions as F
+    edges = spark.createDataFrame([("B", "A")], ["child", "parent"])
+    closure = tx.closure_from_parent_edges(edges)
+    abund = spark.createDataFrame([("A", 5.0), ("B", 3.0)], ["tax_id", "tpm"])
+    out = tx.subtree_rollup(abund, closure, "tax_id", "tpm")
+    rows = {r.node: r for r in out.collect()}
+    assert rows["A"].abund_direct == 5.0
+    assert rows["A"].abund_w_subtax == 8.0   # self + descendant
+    assert rows["B"].abund_w_subtax == 3.0
