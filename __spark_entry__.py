@@ -190,6 +190,35 @@ def q_pivot_wider(spark, sf_dir):
     return out.orderBy("c_mktsegment")
 
 
+def q_binner_completion(spark, sf_dir):
+    """R2 completion-flag pivot (standardize_bins.R:104-112): did every
+    'binner' (order status) produce output for each 'sample' (customer)?
+    Pivot to bool flags + an all-complete column — the reference's
+    7-binner completeness audit shape."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    counts = pivot_wider(o, ["o_custkey"], "o_orderstatus",
+                         F.count(F.lit(1)), values=["F", "O", "P"], fill=0)
+    flags = counts.select(
+        "o_custkey",
+        *[(F.col(s) > 0).alias(f"has_{s}") for s in ("F", "O", "P")])
+    return (flags.withColumn(
+        "complete", F.col("has_F") & F.col("has_O") & F.col("has_P"))
+        .orderBy("o_custkey"))
+
+
+def q_newest_import(spark, sf_dir):
+    """W4 newest-row-per-group by time (import.Rmd:122-125: latest import
+    per (sampleID, read_dir) by date): latest order per customer,
+    orderkey-desc tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    newest = windows.top1_per_group(
+        o, ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return newest.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+
+
 def q_pivot_longer(spark, sf_dir):
     """R4 pivot_longer (postgres.Rmd:270): per-nation stats to long form."""
     c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
@@ -820,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_ladder": q_retention_ladder,
         "anvio_stacked": q_anvio_stacked,
         "pivot_wider": q_pivot_wider,
+        "binner_completion": q_binner_completion,
+        "newest_import": q_newest_import,
         "pivot_longer": q_pivot_longer,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -1297,6 +1328,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "binner_completion": """
+            SELECT o_custkey,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0 AS has_F,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) > 0 AS has_O,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) > 0 AS has_P,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0
+                   AND count(CASE WHEN o_orderstatus = 'O' THEN 1 END) > 0
+                   AND count(CASE WHEN o_orderstatus = 'P' THEN 1 END) > 0
+                     AS complete
+            FROM orders WHERE o_custkey <= 200
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "newest_import": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1
         """,
         "pivot_longer": """
             WITH stats AS (
