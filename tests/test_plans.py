@@ -74,3 +74,14 @@ def test_text_pipeline_has_no_python_udf(spark, query):
     regression at corpus scale."""
     plan = _plan(spark, query)
     assert "EvalPython" not in plan, query
+
+
+def test_new_queries_pushdown_and_no_udf(spark):
+    """binner_completion's custkey bound must reach the orders scan;
+    newest_import's window must not silently cross join or drop to Python."""
+    plan = _plan(spark, "binner_completion")
+    assert any("LessThanOrEqual(o_custkey,200)" in p for p in _pushed(plan))
+    for q in ["binner_completion", "newest_import"]:
+        plan = _plan(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
