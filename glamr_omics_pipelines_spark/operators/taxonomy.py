@@ -142,6 +142,12 @@ def lca_aggregate(df: DataFrame, group_cols: list[str], path_col: str,
     """
     mn, mx = F.min(path_col).alias("_mn"), F.max(path_col).alias("_mx")
     agg = df.groupBy(*group_cols).agg(mn, mx)
+    return _common_prefix(agg, out_path)
+
+
+def _common_prefix(agg: DataFrame, out_path: str) -> DataFrame:
+    """Shared tail of the LCA aggregates: longest common prefix of the
+    `_mn`/`_mx` array columns, computed with higher-order functions."""
     n = F.least(F.array_size("_mn"), F.array_size("_mx"))
     # common prefix length = number of leading positions where _mn[i]==_mx[i];
     # scan positions 1..n, take while equal.
@@ -167,11 +173,16 @@ def kingdom_priority_lca(df: DataFrame, group_cols: list[str], path_col: str,
                           for x in (F.lit(k), F.lit(i))])
     ranked = df.withColumn("_prio", F.coalesce(prio[F.col(kingdom_col)],
                                                F.lit(len(priority))))
-    # groupBy-min + equi-join back, NOT min-over-window: the window needs a
-    # full sort per partition key; the aggregate is partial-agg'd map-side and
-    # the join shuffles both sides on the same key the LCA agg needs anyway.
-    best = ranked.groupBy(*group_cols).agg(F.min("_prio").alias("_best"))
-    kept = (ranked.join(best, group_cols)
-            .filter(F.col("_prio") == F.col("_best"))
-            .drop("_prio", "_best"))
-    return lca_aggregate(kept, group_cols, path_col, out_path)
+    # ONE shuffle, no join-back: struct ordering is lexicographic, so
+    #   min(struct(prio, path))  = min path within the best (lowest) priority
+    #   max(struct(-prio, path)) = max path within that same priority
+    # — both partially aggregable, carrying the priority filter inside the
+    # aggregate itself instead of a groupBy + equi-join + second groupBy.
+    mn_s = F.min(F.struct(F.col("_prio").alias("p"),
+                          F.col(path_col).alias("v")))
+    mx_s = F.max(F.struct((-F.col("_prio")).alias("p"),
+                          F.col(path_col).alias("v")))
+    agg = (ranked.groupBy(*group_cols)
+           .agg(mn_s.getField("v").alias("_mn"),
+                mx_s.getField("v").alias("_mx")))
+    return _common_prefix(agg, out_path)
