@@ -690,16 +690,19 @@ def q_embedding_dups(spark, sf_dir):
 
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer + nprobe cell scan): the second
-    scale path beside LSH. No oracle_sql entry — the Lloyd training loop is
-    not SQL-expressible; the driver records the weaker rows-only check, and
-    tests/test_dedup_similarity.py verifies exact-duplicate recovery."""
+    scale path beside LSH. Probing ALL cells makes IVF exact *by
+    construction* — every corpus vector lives in exactly one cell and the
+    probe set covers them all — so the full quantize/assign/probe machinery
+    gets a value-exact brute-force SQL oracle without the (non-SQL) Lloyd
+    loop mattering to the result. Partial-probe recall (nprobe < cells) is
+    covered by tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.train_ivf_centroids(emb, "embedding", k=8, iters=4,
                                            sample_rows=512)
-    queries_df = emb.filter(F.col("vec_id") < 5) \
+    queries_df = emb.filter(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk(emb, queries_df, "vec_id", "embedding", cents,
-                              k=3, nprobe=2)
+                              k=4, nprobe=len(cents))
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
@@ -1483,6 +1486,22 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.999),
         "ngram_jaccard": _jaccard_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id < 60", 0.15),
+        "ivf_ann": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 4
+        """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),

@@ -109,18 +109,25 @@ def _centroids_sql(centroids: list[list[float]]) -> str:
         "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centroids) + ")"
 
 
-def _nearest_centroid_expr(vec_col: str, centroids: list[list[float]],
-                           rank: int = 1) -> str:
-    """SQL expr: index (0-based) of the rank-th nearest centroid by squared
-    L2. Single expression string — one py4j call, plans small."""
+def _nearest_cells_expr(vec_col: str, centroids: list[list[float]],
+                        nprobe: int) -> str:
+    """SQL expr: array of the 0-based indices of the ``nprobe`` nearest
+    centroids by squared L2, nearest first (index-asc tiebreak). ONE
+    expression regardless of nprobe — the distance transform and sort are
+    evaluated once per row, not once per probe rank."""
     cs = _centroids_sql(centroids)
     dists = (f"transform({cs}, c -> aggregate(zip_with({_vec_sql(vec_col)}, c,"
              " (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
-    # pair distances with indices, sort, take the rank-th index
     pairs = (f"arrays_zip({dists}, sequence(0, {len(centroids) - 1}))")
-    return (f"array_sort({pairs}, (l, r) -> CASE WHEN l['0'] < r['0'] THEN -1 "
-            f"WHEN l['0'] > r['0'] THEN 1 ELSE int(l['1']) - int(r['1']) END)"
-            f"[{rank - 1}]['1']")
+    ordered = (f"array_sort({pairs}, (l, r) -> CASE WHEN l['0'] < r['0'] THEN -1 "
+               f"WHEN l['0'] > r['0'] THEN 1 ELSE int(l['1']) - int(r['1']) END)")
+    return f"slice(transform({ordered}, p -> p['1']), 1, {nprobe})"
+
+
+def _nearest_centroid_expr(vec_col: str, centroids: list[list[float]],
+                           rank: int = 1) -> str:
+    """SQL expr: index (0-based) of the rank-th nearest centroid."""
+    return _nearest_cells_expr(vec_col, centroids, rank) + f"[{rank - 1}]"
 
 
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, k: int = 16,
@@ -159,11 +166,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cv"), cell.alias("ivf_cell"))
-    probes = [F.expr(_nearest_centroid_expr(vec_col, centroids, rank=r + 1))
-              .cast("int") for r in range(nprobe)]
+    probes = F.expr(_nearest_cells_expr(vec_col, centroids, nprobe))
     q = F.broadcast(queries.select(
         query_id, F.col(vec_col).alias("_qv"),
-        F.explode(F.array(*probes)).alias("ivf_cell")))
+        F.explode(probes.cast("array<int>")).alias("ivf_cell")))
     scored = (c.join(q, "ivf_cell")
               .filter(F.col("neighbor_id") != F.col(query_id))
               .withColumn("cosine", cosine_sim("_cv", "_qv")))
