@@ -48,6 +48,7 @@ HEADLINE = [
     "lang_id",           # marker-word language ID
     "doc_fingerprint",   # rolling polynomial hash
     "seqkit_stats",      # quantile aggregate
+    "ivf_ann",           # IVF quantizer + cell-probe ANN (probe-all exact mode)
 ]
 
 
