@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from functools import reduce
 
-from glamr_omics_pipelines_spark.operators import abundance, dedup, multimodal
+from glamr_omics_pipelines_spark.operators import abundance, dedup, joins, multimodal
 from glamr_omics_pipelines_spark.operators import similarity, text
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -45,8 +45,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(
-            (F.col("ts") / F.lit(1000)).cast("long")))
+        # integer DIV, not /1000-then-cast: nanos exceed 2^53, so the double
+        # round-trip perturbs values by up to ~128 ns — enough to flip a
+        # microsecond boundary the duckdb oracle truncates exactly.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
@@ -338,6 +340,46 @@ def q_windowed_counts(spark, sf_dir):
     return out.select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
                       .alias("window_start"),
                       "event_type", "n", _r4("sum_value").alias("sum_value"))
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (engine extension; the reference's nearest analog is
+    interval containment by string convention, postgres.Rmd:1194-1199): each
+    purchase event attached to the user's latest click at-or-before it.
+    Union-merge implementation — ONE shuffle on user_id, zero join blowup."""
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts", "value"))
+    out = joins.asof_join(purchases, clicks, on=["user_id"],
+                          left_ts="ts", right_ts="ts", tiebreak="event_id",
+                          right_prefix="click_")
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.col("click_event_id").alias("click_id"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        _r4("click_value").alias("click_value"))
+
+
+def q_range_join(spark, sf_dir):
+    """Binned range join (engine extension; bedtools-style containment,
+    SURVEY §2.3 note): per error event, activity of the same user inside the
+    10-minute window starting at the error — point-in-interval as an EQUI
+    join on (user_id, time_bin), never a nested-loop non-equi join."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    win_us = 600 * 1_000_000
+    intervals = (ev.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("error_id"), "user_id",
+                         F.col("ts_us").alias("start_us"),
+                         (F.col("ts_us") + win_us).alias("end_us")))
+    points = ev.select("user_id", "ts_us", "value")
+    hits = joins.range_join_binned(points, intervals, keys=["user_id"],
+                                   point_col="ts_us", start_col="start_us",
+                                   end_col="end_us", bin_width=win_us)
+    return (hits.groupBy("error_id")
+            .agg(F.count(F.lit(1)).alias("n_in_window"),
+                 _r4(F.sum("value")).alias("sum_value")))
 
 
 def q_threshold_filter(spark, sf_dir):
@@ -863,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lca": q_lca,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "threshold_filter": q_threshold_filter,
         "weighted_mean": q_weighted_mean,
         "json_histogram": q_json_histogram,
@@ -1439,6 +1483,35 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+                              value
+                       FROM events WHERE event_type = 'click'),
+                 m AS (SELECT p.event_id, c.event_id AS click_id,
+                              c.ts_us AS click_ts_us, c.value AS click_value,
+                              row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+                       FROM p JOIN c ON c.user_id = p.user_id
+                                    AND c.ts_us <= p.ts_us)
+            SELECT p.event_id, p.user_id, p.ts_us, m.click_id, m.click_ts_us,
+                   round(m.click_value, 4) AS click_value
+            FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+        """,
+        "range_join": """
+            WITH i AS (SELECT event_id AS error_id, user_id,
+                              epoch_us(ts::TIMESTAMP) AS start_us,
+                              epoch_us(ts::TIMESTAMP) + 600000000 AS end_us
+                       FROM events WHERE event_type = 'error'),
+                 p AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value
+                       FROM events)
+            SELECT i.error_id, count(*) AS n_in_window,
+                   round(sum(p.value), 4) AS sum_value
+            FROM i JOIN p ON p.user_id = i.user_id
+                         AND p.ts_us BETWEEN i.start_us AND i.end_us
+            GROUP BY i.error_id
         """,
         "threshold_filter": """
             SELECT event_id, user_id, event_type, round(value, 4) AS value

@@ -49,6 +49,8 @@ HEADLINE = [
     "doc_fingerprint",   # rolling polynomial hash
     "seqkit_stats",      # quantile aggregate
     "ivf_ann",           # IVF quantizer + cell-probe ANN (probe-all exact mode)
+    "asof_join",         # union-merge as-of join (single shuffle, no blowup)
+    "range_join",        # binned point-in-interval equi join
 ]
 
 

@@ -1,0 +1,129 @@
+"""Temporal / interval join operators: as-of join and binned range join.
+
+The reference has no native theta/range/as-of joins (SURVEY §2.3): its one
+interval-containment semantic — gene↔contig coordinate mapping — is resolved
+by string convention (`gene = contig + "_" + k`, postgres.Rmd:1194-1199), and
+bedtools-style containment happens inside external tools. At 100 TB these
+become first-class engine operators, and a naive implementation is a
+cartesian-product trap: Spark executes a non-equi join as
+BroadcastNestedLoopJoin (or worse), which is O(|L|·|R|) per key.
+
+Spark-first designs used here:
+
+  asof_join — the "latest right row at or before each left row" join
+    (market-data / event-attribution staple). Implemented as the classic
+    union-merge: tag both sides, union, ONE shuffle on the key, sort by
+    (ts, side, tiebreak) within each key partition, and carry the most
+    recent right payload forward with last(ignorenulls=True) over an
+    unbounded-preceding running window. Cost: one exchange + one sort —
+    identical shape to any windowed aggregate over the same key, with no
+    join blowup at all. Works unmodified on a 1000-executor cluster: each
+    key's timeline is processed within its hash partition.
+
+  range_join_binned — point-in-interval join (point BETWEEN start AND end)
+    via bin quantization: points land in exactly one fixed-width bin;
+    intervals explode into the bins they cover (ceil(len/width)+1 rows,
+    small for bounded intervals); the join becomes an EQUI join on
+    (keys…, bin) that Catalyst executes as a plain shuffled hash join with
+    partial pruning, followed by the exact BETWEEN filter. No duplicate
+    elimination is needed: a (point, interval) pair meets in exactly the
+    point's single bin. This is the standard genomic-interval / telemetry
+    pattern; bin width should be chosen ≈ the typical interval length so
+    the explode factor stays ~2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str, tiebreak: str,
+              direction: str = "backward", tolerance: int | None = None,
+              right_prefix: str = "right_") -> DataFrame:
+    """As-of join: attach to each left row the nearest right row at-or-before
+    (backward) / at-or-after (forward) its timestamp, per join key.
+
+    Parameters
+    ----------
+    on : equi-join key columns (present in both sides).
+    left_ts / right_ts : ordering columns (numeric or timestamp; must be
+        mutually comparable).
+    tiebreak : right-side column ordering ties among equal ``right_ts`` rows —
+        the greatest (backward) / least (forward) tiebreak value wins. Required
+        so results are deterministic (a requirement the oracle compare shares).
+    tolerance : optional max |left_ts - right_ts| (same units as the ts cols);
+        matches farther away are nulled out, like pandas.merge_asof.
+    right_prefix : prefix for the attached right-side payload columns.
+
+    Returns the left frame + prefixed right payload columns (null when no
+    match) — left-outer as-of semantics. One shuffle, no join blowup.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = [c for c in right.columns if c not in on]
+    r_payload = F.struct(*[F.col(c) for c in payload_cols])
+
+    # side tag sorts the right row FIRST at equal ts (backward) so an exact-ts
+    # match is visible to the left row — as-of is at-or-before / at-or-after.
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tie"),
+        r_payload.alias("_r"))
+    l2 = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r2.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r2.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"))
+    merged = r2.withColumn("_l", F.lit(None).cast(l2.schema["_l"].dataType)) \
+        .unionByName(l2)
+
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_tie").desc()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last("_r", ignorenulls=True).over(w)
+    matched_ts = F.last(F.when(F.col("_side") == 0, F.col("_ts")),
+                        ignorenulls=True).over(w)
+
+    out = (merged.withColumn("_m", matched).withColumn("_mts", matched_ts)
+           .filter(F.col("_side") == 1))
+    if tolerance is not None:
+        dist = F.abs(F.col("_ts").cast("double") - F.col("_mts").cast("double"))
+        out = out.withColumn("_m", F.when(dist <= F.lit(tolerance), F.col("_m")))
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols]
+    return out.select(*cols)
+
+
+def explode_interval_bins(intervals: DataFrame, start_col: str, end_col: str,
+                          bin_width: int, out: str = "_bin") -> DataFrame:
+    """One row per fixed-width bin an [start, end] interval covers."""
+    lo = F.floor(F.col(start_col).cast("long") / F.lit(bin_width))
+    hi = F.floor(F.col(end_col).cast("long") / F.lit(bin_width))
+    return intervals.withColumn(out, F.explode(F.sequence(lo, hi)))
+
+
+def range_join_binned(points: DataFrame, intervals: DataFrame, keys: list[str],
+                      point_col: str, start_col: str, end_col: str,
+                      bin_width: int) -> DataFrame:
+    """Point-in-interval join (point BETWEEN start AND end, equi on ``keys``)
+    as a binned EQUI join — never a nested-loop non-equi join.
+
+    Each point gets its single bin; each interval explodes into covered bins;
+    the (keys…, bin) equi-join meets every qualifying pair exactly once, then
+    the exact BETWEEN predicate keeps true containments. Inner semantics:
+    intervals containing no point produce no row.
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col).cast("long") / F.lit(bin_width)))
+    i = explode_interval_bins(intervals, start_col, end_col, bin_width)
+    cond = F.col(point_col).between(F.col(start_col), F.col(end_col))
+    return p.join(i, keys + ["_bin"]).filter(cond).drop("_bin")

@@ -1,0 +1,99 @@
+"""as-of join + binned range join: semantics vs naive reference plans, and
+the physical-plan properties that make them scale (one exchange, no
+nested-loop non-equi join)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from glamr_omics_pipelines_spark.operators import joins  # noqa: E402
+
+
+def _quotes(spark):
+    # (key, ts, id, px) — two symbols, interleaved timelines
+    rows = [("A", 1, 10, 1.0), ("A", 3, 11, 2.0), ("A", 3, 12, 3.0),
+            ("A", 9, 13, 4.0), ("B", 5, 20, 9.0)]
+    return spark.createDataFrame(rows, "sym string, ts long, qid long, px double")
+
+
+def _trades(spark):
+    rows = [("A", 0, 100), ("A", 3, 101), ("A", 4, 102), ("A", 20, 103),
+            ("B", 5, 200), ("B", 4, 201), ("C", 7, 300)]
+    return spark.createDataFrame(rows, "sym string, ts long, tid long")
+
+
+def test_asof_backward_semantics(spark):
+    out = joins.asof_join(_trades(spark), _quotes(spark), on=["sym"],
+                          left_ts="ts", right_ts="ts", tiebreak="qid").collect()
+    got = {r.tid: (r.right_qid, r.right_px) for r in out}
+    assert len(got) == 7
+    assert got[100] == (None, None)          # before any quote
+    assert got[101] == (12, 3.0)             # equal-ts match, max-qid tiebreak
+    assert got[102] == (12, 3.0)
+    assert got[103] == (13, 4.0)
+    assert got[200] == (20, 9.0)             # at-or-before includes equal ts
+    assert got[201] == (None, None)
+    assert got[300] == (None, None)          # key with no right rows at all
+
+
+def test_asof_forward_and_tolerance(spark):
+    fwd = joins.asof_join(_trades(spark), _quotes(spark), on=["sym"],
+                          left_ts="ts", right_ts="ts", tiebreak="qid",
+                          direction="forward").collect()
+    got = {r.tid: r.right_qid for r in fwd}
+    assert got[100] == 10 and got[101] == 11  # min-qid tiebreak going forward
+    assert got[102] == 13 and got[103] is None
+    tol = joins.asof_join(_trades(spark), _quotes(spark), on=["sym"],
+                          left_ts="ts", right_ts="ts", tiebreak="qid",
+                          tolerance=1).collect()
+    got = {r.tid: r.right_qid for r in tol}
+    assert got[102] == 12 and got[103] is None  # |4-3|<=1 in, |20-9|>1 out
+
+
+def test_asof_single_exchange(spark):
+    """The union-merge as-of is ONE hash exchange (plus the final window sort)
+    — no join operator at all in the plan."""
+    out = joins.asof_join(_trades(spark), _quotes(spark), on=["sym"],
+                          left_ts="ts", right_ts="ts", tiebreak="qid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_range_join_matches_naive(spark):
+    ev = (spark.range(0, 500)
+          .select((F.col("id") % 7).alias("k"),
+                  (F.col("id") * 37 % 1000).alias("pos"),
+                  F.col("id").alias("pid")))
+    iv = (spark.range(0, 40)
+          .select((F.col("id") % 7).alias("k"),
+                  (F.col("id") * 53 % 900).alias("lo"),
+                  (F.col("id") * 53 % 900 + 120).alias("hi"),
+                  F.col("id").alias("iid")))
+    got = joins.range_join_binned(ev, iv, keys=["k"], point_col="pos",
+                                  start_col="lo", end_col="hi", bin_width=100)
+    naive = ev.join(iv, "k").filter(F.col("pos").between(F.col("lo"), F.col("hi")))
+    g = {(r.pid, r.iid) for r in got.collect()}
+    n = {(r.pid, r.iid) for r in naive.collect()}
+    assert g == n and len(g) > 0
+
+
+def test_range_join_is_equi_join(spark):
+    """Binning must turn BETWEEN into an equi join — a nested-loop plan here
+    is the exact failure mode the operator exists to avoid."""
+    ev = spark.range(0, 100).select((F.col("id") % 3).alias("k"),
+                                    F.col("id").alias("pos"))
+    iv = spark.range(0, 10).select((F.col("id") % 3).alias("k"),
+                                   (F.col("id") * 9).alias("lo"),
+                                   (F.col("id") * 9 + 5).alias("hi"))
+    out = joins.range_join_binned(ev, iv, keys=["k"], point_col="pos",
+                                  start_col="lo", end_col="hi", bin_width=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
+        or ("ShuffledHashJoin" in plan)
