@@ -77,6 +77,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # several operators persist() intermediates that stay referenced by
+        # their (discarded) plans; without this, ~50 pinned RDDs accumulate
+        # over the run and GC/eviction pressure inflates later queries 2-5x.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

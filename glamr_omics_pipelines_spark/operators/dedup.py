@@ -209,12 +209,21 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     (see similarity.lsh_cosine_buckets). Cosine computed with higher-order
     functions in the JVM.
     """
-    from glamr_omics_pipelines_spark.operators.similarity import cosine_sim
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from glamr_omics_pipelines_spark.operators.similarity import (
+        as_double_vec, dot_col, norm_col)
+    # per-ROW norm + double-cast below the join: the n² join condition then
+    # evaluates only a dot product and one divide per pair, not two norm
+    # reductions + two array casts per pair.
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   as_double_vec(vec_col).alias("_va"),
+                   norm_col(vec_col).alias("_na"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   as_double_vec(vec_col).alias("_vb"),
+                   norm_col(vec_col).alias("_nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     if candidates is not None:
         pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-    return (pairs.withColumn("cosine", cosine_sim("_va", "_vb"))
+    cos = dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

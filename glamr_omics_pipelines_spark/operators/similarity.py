@@ -36,6 +36,20 @@ def as_double_vec(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def norm_col(col) -> Column:
+    """L2 norm as a scalar column. Precomputing this per ROW (projection
+    below a pair join) turns per-pair cosine into dot / (na*nb) — at n² pairs
+    the two norm reductions would otherwise dominate the join's expression
+    cost. (Do NOT divide inside a transform lambda instead: Catalyst inlines
+    the aggregate into the lambda body, re-evaluating it per element.)"""
+    return _norm(as_double_vec(col))
+
+
+def dot_col(a, b) -> Column:
+    """Dot product of two double-vector columns."""
+    return _dot(a, b)
+
+
 def cosine_sim(a, b) -> Column:
     """Cosine similarity of two array columns (computed in double)."""
     da, db = as_double_vec(a), as_double_vec(b)
