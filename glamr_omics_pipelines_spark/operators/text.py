@@ -48,7 +48,10 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
           + 0.3*saturating(stopword_ratio*5)  — a deterministic stand-in for
     a learned quality model; the Spark value is the feature plumbing.
     """
-    toks = tokens(text_col)
+    # materialize the token array once (see lang_id) — every downstream
+    # feature then reads a column, not its own copy of the regex tokenizer
+    df = df.withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     n_tok = F.array_size(toks)
     n_chars = F.length(text_col)
     punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
@@ -64,18 +67,25 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             .withColumn("punct_ratio", punct_ratio)
             .withColumn("stopword_ratio", stop_ratio)
             .withColumn("avg_token_len", avg_tok_len)
-            .withColumn("quality_score", score))
+            .withColumn("quality_score", score)
+            .drop("_toks"))
 
 
 def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
             default: str = "und") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hit counts,
     ties broken by language code order; no hits → ``default``."""
-    toks = tokens(text_col)
+    # tokenize + lowercase ONCE in a materialized projection: embedding the
+    # split/transform tree into every language's score would re-run the regex
+    # tokenizer |langs| times per row (it dominates the runtime), and
+    # CollapseProject keeps a non-cheap multi-referenced alias un-inlined.
+    lowered = F.transform(tokens(text_col), F.lower)
+    df = df.withColumn("_lc_toks", lowered)
+    toks = F.col("_lc_toks")
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        cnt = F.array_size(F.filter(toks, lambda t: F.array_contains(markers, F.lower(t))))
+        cnt = F.array_size(F.filter(toks, lambda t: F.array_contains(markers, t)))
         scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*[
         F.struct(s.score.alias("score"),
@@ -89,7 +99,7 @@ def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
     # ties → lexicographically larger code. Documented contract.
     return df.withColumn(
         out, F.when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(F.lit(default)))
+        .otherwise(F.lit(default))).drop("_lc_toks")
 
 
 def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
