@@ -125,7 +125,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ``candidates`` (id_a, id_b): verification join for the LSH pipeline.
     Returns (id_a, id_b, jaccard).
     """
-    sh = char_shingles(df.select(id_col, text_col), text_col, shingle_n) \
+    base = df.select(id_col, text_col)
+    if candidates is not None:
+        # the candidate plan (usually a full LSH pipeline) feeds two subplans
+        # below (doc-id restriction + pair semi-join); persist so it executes
+        # once — it is the expensive stage here, and it's small (pairs only).
+        candidates = candidates.persist()
+        # verification only needs the docs the LSH stage surfaced: restrict
+        # BEFORE exploding shingles and self-joining, or the "verify" stage
+        # silently re-runs the full O(Σ per-shingle k²) all-pairs plan the
+        # LSH existed to avoid. Candidate ids are LSH output — tiny; broadcast.
+        cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                    .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+        base = base.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = char_shingles(base, text_col, shingle_n) \
         .select(id_col, "shingle").distinct()
     # the shingle table feeds THREE subplans (a-side, b-side, sizes) whose
     # aliases defeat Spark's ReusedExchange; persist so the explode+distinct
@@ -138,10 +152,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter")))
     if candidates is not None:
-        # candidate list is LSH output — orders of magnitude smaller than the
-        # inverted index; broadcast so the semi-join adds no shuffle. The
-        # surviving inter is candidate-bounded, so IT becomes the broadcast
-        # side of the size-attach joins (sizes is per-doc: huge at scale).
+        # drop non-candidate pairs among candidate docs; candidate-bounded
+        # inter then broadcasts into the size-attach joins (sizes is per-doc:
+        # huge at scale).
         inter = F.broadcast(
             inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi"))
     out = (inter
@@ -159,24 +172,26 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens, pure builtin bit arithmetic.
 
     For each bit position, sum +1/-1 weighted by token-hash bit; sign → bit.
-    Expressed as 64 aggregate columns over exploded tokens (partial agg keeps
-    the shuffle at O(docs × 64) longs).
+    Shape: hash each token ONCE, posexplode its 64 sign contributions, then
+    two narrow aggregations — (id, bit) partial-agg'd sign sums, and a final
+    per-id sum of the distinct power-of-two terms (numerically identical to
+    OR-ing the bits, including the sign bit in two's complement). A previous
+    64-aggregate-column formulation duplicated the token-hash tree into every
+    aggregate and paid a multi-second plan/codegen tax per run; this plan's
+    expressions are tiny and its shuffles carry the same O(docs × 64) longs.
     """
-    def s64(x: int) -> int:
-        # two's-complement: bit 63 set → negative long literal
-        return x - (1 << 64) if x >= (1 << 63) else x
-
     toks = (df.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
             .filter(F.col("tok") != ""))
-    h = F.xxhash64("tok")
-    bit_sums = [F.sum(F.when(h.bitwiseAND(F.lit(s64(1 << i))) != 0, 1).otherwise(-1))
-                .alias(f"_b{i}") for i in range(64)]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(64):
-        term = F.when(F.col(f"_b{i}") > 0, F.lit(s64(1 << i))).otherwise(F.lit(0))
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select(id_col, sim.alias("simhash"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
+    signs = hashed.select(
+        id_col,
+        F.posexplode(F.expr(
+            "transform(sequence(0, 63), i -> CASE WHEN (shiftrightunsigned(_h, i) & 1) = 1 "
+            "THEN 1 ELSE -1 END)")).alias("bit", "sign"))
+    bit_sums = signs.groupBy(id_col, "bit").agg(F.sum("sign").alias("_s"))
+    term = F.expr("CASE WHEN _s > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END")
+    return (bit_sums.groupBy(id_col)
+            .agg(F.sum(term).alias("simhash")))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
