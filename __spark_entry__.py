@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, joins, multimodal
-from glamr_omics_pipelines_spark.operators import similarity, text
+from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
@@ -856,6 +856,45 @@ def q_doc_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k: token frequency with a deterministic
+    (count desc, token asc) cut — map-side partial agg + TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_topk(d, "text", k=20)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample by key hash (reference analog: seeded
+    test-env subsampling, pypelib/utils.py:357-376) — row-local predicate,
+    no shuffle, engine-portable via md5."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, "doc_id", 10, salt="s1") \
+        .select("doc_id", "lang", "source")
+
+
+def q_stratified_split(spark, sf_dir):
+    """Train/val/test split (80/10/10) by key hash: stable under
+    repartitioning and corpus growth — the contamination-safe split."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_split(d, "doc_id") \
+        .select("doc_id", "lang", "split")
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity time rollup: day ⊃ hour levels +
+    grand total in ONE scan via GROUP BY ROLLUP (grouping sets expand after
+    partial agg)."""
+    ev = _events(spark, sf_dir).select("ts", "value")
+    out = timeseries.hypertable_rollup(
+        ev, "ts", [F.count(F.lit(1)).alias("n"),
+                   _r4(F.sum("value")).alias("sum_value")],
+        levels=["day", "hour"])
+    return out.select(
+        F.date_format("bucket_day", "yyyy-MM-dd HH:mm:ss").alias("bucket_day"),
+        F.date_format("bucket_hour", "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        "n", "sum_value", "grain")
+
+
 def q_seqkit_stats(spark, sf_dir):
     """A14 seqkit-stats aggregate (Snakefile:4606-4619): per-source doc
     length stats with exact quartiles."""
@@ -940,6 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "vocab_topk": q_vocab_topk,
+        "hash_sample": q_hash_sample,
+        "stratified_split": q_stratified_split,
+        "hypertable_rollup": q_hypertable_rollup,
         "seqkit_stats": q_seqkit_stats,
     }
 
@@ -1630,6 +1673,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": _fingerprint_sql(40),
+        "vocab_topk": """
+            WITH t AS (SELECT unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                       FROM documents)
+            SELECT token, count(*) AS n FROM t
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(concat('s1:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 10
+        """,
+        "stratified_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(concat('0x', substr(md5(concat('split:',
+                              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+                  FROM documents)
+        """,
+        "hypertable_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+                   count(*) AS n, round(sum(value), 4) AS sum_value,
+                   CAST((1 - GROUPING(date_trunc('day', ts)))
+                        + (1 - GROUPING(date_trunc('hour', ts))) AS BIGINT) AS grain
+            FROM events
+            GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+        """,
         "seqkit_stats": """
             SELECT source, count(*) AS num_seqs, sum(n_chars) AS sum_len,
                    min(n_chars) AS min_len,

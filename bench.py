@@ -51,6 +51,8 @@ HEADLINE = [
     "ivf_ann",           # IVF quantizer + cell-probe ANN (probe-all exact mode)
     "asof_join",         # union-merge as-of join (single shuffle, no blowup)
     "range_join",        # binned point-in-interval equi join
+    "hypertable_rollup", # multi-granularity time rollup in one scan
+    "vocab_topk",        # corpus vocabulary: explode + partial-agg + top-k
 ]
 
 

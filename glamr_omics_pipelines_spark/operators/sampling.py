@@ -1,0 +1,55 @@
+"""Deterministic sampling / dataset-split operators for corpus curation.
+
+A training-data pipeline needs samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) stable under re-partitioning,
+and (c) computable without any global state. `rand()`-based sampling fails
+all three (seed × partition layout dependent); sampling on a content hash of
+the KEY fails none: every engine that can md5 a string agrees on membership,
+and membership is a pure row-local predicate — no shuffle, fully pushed into
+the scan stage, embarrassingly parallel at 100 TB.
+
+The reference's analog is seeded subsampling for test envs
+(pypelib/utils.py:357-376, seed=67 RNG) — same intent, made engine-portable.
+
+Hash primitive: first 8 hex chars of md5(key) as an integer, mod ``buckets``.
+md5 (not xxhash64) so an ANSI-SQL oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, buckets: int = 100,
+                salt: str | None = None) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key's string form.
+
+    ``salt`` decorrelates independent uses (e.g. a sample and a split over
+    the same key must not select the same rows).
+    """
+    k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
+    if salt is not None:
+        k = F.concat(F.lit(salt + ":"), k)
+    h = F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def hash_sample(df: DataFrame, key: str, fraction_pct: int,
+                salt: str | None = None) -> DataFrame:
+    """Keep ~fraction_pct% of rows, chosen by key hash — reproducible,
+    partition-layout independent, and a pure scan-stage filter (no shuffle)."""
+    return df.filter(hash_bucket(key, 100, salt) < fraction_pct)
+
+
+def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
+                     val_pct: int = 10, salt: str | None = "split",
+                     out: str = "split") -> DataFrame:
+    """Assign each row to train/val/test by key hash (train_pct / val_pct /
+    remainder). Row-local: no shuffle, stable under any partitioning, and a
+    row's assignment never changes as the corpus grows — the property that
+    keeps eval sets uncontaminated across dataset versions."""
+    b = hash_bucket(key, 100, salt)
+    return df.withColumn(
+        out, F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val").otherwise("test"))

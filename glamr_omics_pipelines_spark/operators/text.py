@@ -102,6 +102,17 @@ def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
         .otherwise(F.lit(default))).drop("_lc_toks")
 
 
+def vocab_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency (count desc, token asc —
+    a total order, so the cut is deterministic). Explode → count is fully
+    partial-aggregated map-side; the shuffle carries one row per distinct
+    token per partition, and the final top-k is a TakeOrdered, not a global
+    sort."""
+    toks = df.select(F.explode(F.transform(tokens(text_col), F.lower)).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc()).limit(k))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
                     out: str = "fingerprint") -> DataFrame:
     """Deterministic rolling polynomial hash of the first ``prefix_len`` chars:

@@ -1,0 +1,58 @@
+"""Property tests for deterministic sampling/splits and the time rollup."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from glamr_omics_pipelines_spark.operators import sampling, timeseries  # noqa: E402
+
+
+def test_hash_sample_partition_independent(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r.k for r in sampling.hash_sample(df, "k", 10).collect()}
+    b = {r.k for r in sampling.hash_sample(df.repartition(13), "k", 10).collect()}
+    assert a == b                      # membership is row-local, layout-free
+    assert 100 < len(a) < 320          # ~10% of 2000, hash-binomial bounds
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r.k for r in sampling.hash_sample(df, "k", 10, salt="x").collect()}
+    b = {r.k for r in sampling.hash_sample(df, "k", 10, salt="y").collect()}
+    assert a != b and 0 < len(a & b) < len(a)
+
+
+def test_stratified_split_stable_under_growth(spark):
+    """A row's split must not change when the corpus grows — the property
+    that keeps eval sets uncontaminated across dataset versions."""
+    small = spark.range(0, 500).select(F.col("id").alias("k"))
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    s = {r.k: r.split for r in sampling.stratified_split(small, "k").collect()}
+    g = {r.k: r.split for r in sampling.stratified_split(big, "k").collect()}
+    assert all(g[k] == v for k, v in s.items())
+    parts = {v for v in g.values()}
+    assert parts == {"train", "val", "test"}
+
+
+def test_hypertable_rollup_levels_consistent(spark):
+    ev = spark.createDataFrame(
+        [(f"2024-01-0{d} 0{h}:15:00", float(d * 10 + h))
+         for d in (1, 2) for h in (1, 2, 3)],
+        "ts string, v double").withColumn("ts", F.to_timestamp("ts"))
+    out = timeseries.hypertable_rollup(
+        ev, "ts", [F.sum("v").alias("s")], levels=["day", "hour"]).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r.grain, []).append(r)
+    assert len(by_grain[0]) == 1                      # grand total
+    assert len(by_grain[1]) == 2 and len(by_grain[2]) == 6
+    total = by_grain[0][0].s
+    assert abs(sum(r.s for r in by_grain[1]) - total) < 1e-9
+    assert abs(sum(r.s for r in by_grain[2]) - total) < 1e-9
+    day1 = [r for r in by_grain[1] if r.bucket_day.day == 1][0]
+    hours1 = [r.s for r in by_grain[2] if r.bucket_day.day == 1]
+    assert abs(sum(hours1) - day1.s) < 1e-9
