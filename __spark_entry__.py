@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from functools import reduce
 
-from glamr_omics_pipelines_spark.operators import abundance, dedup, joins, multimodal
+from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -86,6 +86,22 @@ def q_topk_revenue(spark, sf_dir):
             .select("o_orderkey", "o_orderpriority", "revenue")
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
             .limit(10))
+
+
+def q_skew_join_salted(spark, sf_dir):
+    """Salted skew join (SURVEY §4 AQE-skew alternative): lineitem⨝part with
+    the small side replicated 8 ways and the fact side scattered across
+    replicas — same result as the plain equi join (the oracle), with no
+    single hot-key reducer. Revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice",
+                                              "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = external.salted_join(li.withColumnRenamed("l_partkey", "p_partkey"),
+                             p, "p_partkey", salt=8)
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .alias("revenue")))
 
 
 def q_rel_abund(spark, sf_dir):
@@ -784,7 +800,8 @@ def q_minhash_dedup(spark, sf_dir):
     verified by exact n-gram Jaccard >= 0.9."""
     corpus = _dup_corpus(spark, sf_dir)
     cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text",
-                                         num_hashes=32, bands=16, shingle_n=4)
+                                         num_hashes=32, bands=16, shingle_n=4,
+                                         dedup_pairs=False)  # semi-join consumer
     pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=4,
                                       threshold=0.9, candidates=cands)
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
@@ -794,7 +811,8 @@ def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidates (64-bit, 4×16-bit bands) verified by exact
     Jaccard >= 0.999 (identical docs) on the planted-duplicate corpus."""
     corpus = _dup_corpus(spark, sf_dir)
-    cands = dedup.simhash_candidates(corpus, "doc_id", "text", bands=4)
+    cands = dedup.simhash_candidates(corpus, "doc_id", "text", bands=4,
+                                     dedup_pairs=False)  # semi-join consumer
     pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=4,
                                       threshold=0.999, candidates=cands)
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
@@ -939,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "bin_summary_view": q_bin_summary_view,
+        "skew_join_salted": q_skew_join_salted,
         "rollup_ladder": q_rollup_ladder,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
@@ -1526,6 +1545,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        """,
+        "skew_join_salted": """
+            SELECT p.p_brand, count(*) AS n,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         "asof_join": """
             WITH p AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us

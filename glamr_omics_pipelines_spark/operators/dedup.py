@@ -92,7 +92,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
-                           shingle_n: int = 5) -> DataFrame:
+                           shingle_n: int = 5,
+                           dedup_pairs: bool = True) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band of their MinHash signature.
 
     banding: k hashes split into ``bands`` rows-per-band groups; band hash =
@@ -111,8 +112,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                .persist())  # both self-join sides read this; avoid 2x recompute
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    # dedup_pairs=False skips the distinct's shuffle — sound whenever the
+    # consumer is a semi-join (e.g. ngram_jaccard_pairs verification), which
+    # ignores multiplicity; a pair repeats at most once per matching band.
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -195,7 +200,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4, dedup_pairs: bool = True) -> DataFrame:
     """Near-dup candidates: equal 16-bit slice of the 64-bit simhash in ≥1 of
     ``bands`` bands (catches pairs within Hamming distance ~bands-1)."""
     sig = simhash_signatures(df, id_col, text_col)
@@ -211,8 +216,9 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                 F.col("bb.bucket").alias("bucket")).persist()
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    return pairs.distinct() if dedup_pairs else pairs  # see minhash note
 
 
 def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
