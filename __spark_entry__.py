@@ -787,6 +787,28 @@ def q_exact_dedup(spark, sf_dir):
     return out.select("prefix", "canonical_id", "dup_count")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Flagship training-data curation composition over the planted-dup
+    corpus: language gate → quality gate (token count) → exact dedup
+    (content hash, keep min doc_id) → deterministic train/val/test split →
+    per (lang, split) counts. Every stage is the engine operator the
+    individual queries exercise; this query proves they compose into one
+    lazy plan (scan-stage filters → ONE dedup shuffle → split predicate →
+    final agg)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = d.filter(F.col("doc_id") < 100) \
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text", "lang")
+    corpus = d.unionByName(copies)
+    gated = (text.token_count(corpus, "text")
+             .filter(F.col("n_tokens") >= 10)
+             .filter(F.col("lang").isin("en", "es", "fr", "de")))
+    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
+    split = sampling.stratified_split(deduped, "doc_id")
+    return (split.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("min_id")))
+
+
 def _dup_corpus(spark, sf_dir, limit=100):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit) \
         .select("doc_id", "text")
@@ -958,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "bin_summary_view": q_bin_summary_view,
         "skew_join_salted": q_skew_join_salted,
+        "curation_pipeline": q_curation_pipeline,
         "rollup_ladder": q_rollup_ladder,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
@@ -1545,6 +1568,34 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        """,
+        "curation_pipeline": """
+            WITH corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text, lang FROM documents
+              WHERE doc_id < 100),
+            gated AS (
+              SELECT * FROM corpus
+              WHERE len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> x <> '')) >= 10
+                AND lang IN ('en', 'es', 'fr', 'de')),
+            deduped AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated) WHERE rn = 1),
+            assigned AS (
+              SELECT doc_id, lang,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id, lang,
+                           CAST(concat('0x', substr(md5(concat('split:',
+                                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                           % 100 AS b
+                    FROM deduped))
+            SELECT lang, split, count(*) AS n, min(doc_id) AS min_id
+            FROM assigned GROUP BY lang, split
         """,
         "skew_join_salted": """
             SELECT p.p_brand, count(*) AS n,

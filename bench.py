@@ -53,6 +53,7 @@ HEADLINE = [
     "range_join",        # binned point-in-interval equi join
     "hypertable_rollup", # multi-granularity time rollup in one scan
     "vocab_topk",        # corpus vocabulary: explode + partial-agg + top-k
+    "curation_pipeline", # lang gate -> quality gate -> exact dedup -> split
 ]
 
 
