@@ -85,3 +85,31 @@ def test_new_queries_pushdown_and_no_udf(spark):
         plan = _plan(spark, q)
         assert "EvalPython" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_sampling_is_scan_stage_only(spark):
+    """hash_sample / stratified_split are row-local: their plans must contain
+    no Exchange at all before the (absent) aggregation — membership is a
+    scan-stage predicate, which is what makes them free at 100 TB."""
+    plan = _plan(spark, "hash_sample")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    plan = _plan(spark, "stratified_split")
+    assert "Exchange" not in plan
+
+
+def test_curation_pipeline_filters_reach_scan(spark):
+    """The composed curation plan must push the language gate into the
+    parquet scan and stay free of Python eval and cartesian joins."""
+    plan = _plan(spark, "curation_pipeline")
+    assert any("In(lang" in p for p in _pushed(plan))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_single_scan(spark):
+    """ROLLUP must expand grouping sets after one scan — two parquet scans
+    would mean the per-granularity rescan the operator exists to avoid."""
+    plan = _plan(spark, "hypertable_rollup")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
