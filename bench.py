@@ -68,13 +68,13 @@ def main() -> None:
     # session startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two measured runs per query, report the min: steady-state plan cost,
-    # not first-run codegen compilation / JIT / page-cache noise
+    # three measured runs per query, report the min: steady-state plan cost,
+    # not first-run codegen compilation / JIT / page-cache / GC noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
@@ -90,7 +90,7 @@ def main() -> None:
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
