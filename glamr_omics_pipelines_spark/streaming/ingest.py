@@ -105,6 +105,22 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
                                     "append", GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def stream_dedup(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on key columns with bounded state.
+
+    The streaming twin of the reference's anti-join idempotence
+    (postgres.Rmd:246-248): `dropDuplicatesWithinWatermark` keeps a key only
+    until the watermark passes it, so state is O(keys per watermark window),
+    not O(all keys ever) — the property that lets the dedup run forever.
+    On a batch frame it degrades to plain dropDuplicates (oracle-checkable).
+    """
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(key_cols))
+    return events.dropDuplicates(key_cols)
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "1 hour",

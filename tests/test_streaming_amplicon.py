@@ -88,3 +88,35 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     # u1's first burst closes when its second burst arrives
     closed = {(r.user_id, r.session_id): r.n_events for r in got}
     assert closed.get((1, 1)) == 3
+
+
+@pytest.mark.timeout(300)
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from glamr_omics_pipelines_spark.streaming.ingest import stream_dedup
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    import csv
+    # duplicate keys within and across files — one survivor per key
+    for fname, rows in [("a.csv", [(1, "2024-01-01 00:00:00", "x"),
+                                   (1, "2024-01-01 00:00:05", "y"),
+                                   (2, "2024-01-01 00:01:00", "z")]),
+                        ("b.csv", [(2, "2024-01-01 00:02:00", "w"),
+                                   (3, "2024-01-01 00:03:00", "v")])]:
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(["k", "ts", "payload"])
+            w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("k long, ts timestamp, payload string")
+              .option("sep", "\t").option("header", True)
+              .load(str(src)))
+    out = stream_dedup(stream, ["k"], watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = spark.table("dd_out").collect()
+    assert sorted(r.k for r in got) == [1, 2, 3]
+    # batch form degrades to plain dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], ["k", "payload"])
+    assert stream_dedup(batch, ["k"]).count() == 2
