@@ -1,0 +1,34 @@
+"""CLI surface (SURVEY §3.2 docopt analog): each subcommand drives its
+pipeline end-to-end in-process."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from glamr_omics_pipelines_spark.cli import main  # noqa: E402
+
+
+def test_fixtures_and_warehouse_demo(spark, tmp_path, capsys):
+    assert main(["fixtures", str(tmp_path / "fx")]) == 0
+    globs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "bracken" in globs["bracken_glob"]
+    assert main(["warehouse-build", "--root", str(tmp_path / "wh"),
+                 "--demo", str(tmp_path / "demo")]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts["bracken"] > 0 and counts["tpm"] > 0
+
+
+def test_query_and_list(spark, tmp_path, capsys):
+    assert main(["list-queries", "--entry", "/root/repo/__spark_entry__.py"]) == 0
+    names = dict(line.split("\t") for line in
+                 capsys.readouterr().out.strip().splitlines())
+    assert names.get("pricing_summary") == "oracle"
+    out = tmp_path / "res"
+    assert main(["query", "pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001",
+                 "--entry", "/root/repo/__spark_entry__.py",
+                 "--out", str(out)]) == 0
+    assert spark.read.parquet(str(out)).count() == 6
