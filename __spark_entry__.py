@@ -149,9 +149,10 @@ def q_top1_per_group(spark, sf_dir):
     """W1 slice_min/with_ties=FALSE: best line per order
     (summarize_hmmscan.R:58-62)."""
     li = _t(spark, sf_dir, "lineitem")
-    best = windows.top1_per_group(
+    best = windows.top1_by_agg(
         li, ["l_orderkey"],
-        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()])
+        order=[("l_extendedprice", False), ("l_linenumber", True)],
+        payload=["l_linenumber", "l_extendedprice"])
     return best.select("l_orderkey", "l_linenumber",
                        _r4("l_extendedprice").alias("best_price"))
 

@@ -97,3 +97,26 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) \
         or ("ShuffledHashJoin" in plan)
+
+
+def test_top1_by_agg_matches_window(spark):
+    from glamr_omics_pipelines_spark.operators import windows
+    import pyspark.sql.functions as FF
+    df = (spark.range(0, 3000)
+          .select((FF.col("id") % 97).alias("g"),
+                  (FF.col("id") * 31 % 1000).cast("double").alias("score"),
+                  FF.col("id").alias("rid")))
+    via_agg = windows.top1_by_agg(df, ["g"],
+                                  order=[("score", False), ("rid", True)],
+                                  payload=["rid", "score"])
+    via_win = windows.top1_per_group(
+        df, ["g"], [FF.col("score").desc(), FF.col("rid").asc()])
+    a = {(r.g, r.rid, r.score) for r in via_agg.collect()}
+    w = {(r.g, r.rid, r.score) for r in via_win.collect()}
+    assert a == w and len(a) == 97
+    plan = via_agg._jdf.queryExecution().executedPlan().toString()
+    # struct-min lowers to SortAggregate (sort by GROUP KEY only) — the win
+    # over row_number is map-side combine: one row per group crosses the
+    # shuffle instead of every row. No Window/full-order sort allowed.
+    assert "Window" not in plan
+    assert "SortAggregate" in plan
