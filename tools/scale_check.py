@@ -1,0 +1,86 @@
+"""Scale-up stress: replicate sf0.1 K× (default 8×) into a temp dir with
+offset keys (dims stay fixed, like production fact growth), run the bench
+headline queries at both scales, and report per-query scaling factors.
+
+A query whose factor greatly exceeds K has a superlinear plan (accidental
+cross join, driver materialization, unpartitioned sort) — the failure modes
+that stay invisible at a single small SF.
+
+Usage: python tools/scale_check.py [K] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/glamr_scale_check"
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACTS = {  # table -> (key column, per-replica offset)
+    "orders": ("o_orderkey", 10_000_000),
+    "lineitem": ("l_orderkey", 10_000_000),
+    "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+}
+
+
+def build(spark, k: int) -> None:
+    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(DST, exist_ok=True)
+    for name in DIMS:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite") \
+            .parquet(f"{DST}/{name}.parquet")
+    for name, (key, off) in FACTS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        out = df
+        for i in range(1, k):
+            out = out.unionByName(df.withColumn(key, F.col(key) + i * off))
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+
+def run(spark, qs, names, sf_dir: str) -> dict[str, float]:
+    t = {}
+    for n in names:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[n](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+        t[n] = round(best, 3)
+    return t
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
+    from glamr_omics_pipelines_spark.session import get_spark
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    build(spark, k)
+    base = run(spark, qs, HEADLINE, SRC)
+    big = run(spark, qs, HEADLINE, DST)
+    report = {n: {"sf0.1": base[n], f"x{k}": big[n],
+                  "factor": round(big[n] / max(base[n], 1e-9), 1)}
+              for n in HEADLINE}
+    flagged = {n: r for n, r in report.items() if r["factor"] > 2 * k}
+    print(json.dumps({"k": k, "queries": report, "superlinear": flagged}))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(DST, ignore_errors=True)
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
