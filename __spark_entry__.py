@@ -921,6 +921,16 @@ def q_stratified_split(spark, sf_dir):
         .select("doc_id", "lang", "split")
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-source corpus cap: at most 40 docs per source, deterministic by
+    key-hash order — the per-domain balancing step of a curation pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(d, ["source"], "doc_id", 40)
+    return (capped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity time rollup: day ⊃ hour levels +
     grand total in ONE scan via GROUP BY ROLLUP (grouping sets expand after
@@ -1025,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "hash_sample": q_hash_sample,
         "stratified_split": q_stratified_split,
+        "cap_per_source": q_cap_per_source,
         "hypertable_rollup": q_hypertable_rollup,
         "seqkit_stats": q_seqkit_stats,
     }
@@ -1771,6 +1782,21 @@ def oracle_sql() -> dict[str, str]:
                          CAST(concat('0x', substr(md5(concat('split:',
                               CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
                   FROM documents)
+        """,
+        "cap_per_source": """
+            WITH h AS (
+              SELECT source, doc_id,
+                     CAST(concat('0x', substr(md5(concat('cap:',
+                          CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                     % 2147483648 AS hb
+              FROM documents),
+            ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hb ASC, doc_id ASC) AS rn
+              FROM h)
+            SELECT source, count(*) AS n, sum(doc_id) AS id_sum
+            FROM ranked WHERE rn <= 40 GROUP BY source
         """,
         "hypertable_rollup": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,

@@ -42,6 +42,22 @@ def hash_sample(df: DataFrame, key: str, fraction_pct: int,
     return df.filter(hash_bucket(key, 100, salt) < fraction_pct)
 
 
+def cap_per_group(df: DataFrame, group_cols: list[str], key: str, n: int,
+                  salt: str | None = "cap") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by key
+    hash order (tie-broken by the key itself) — the per-source/per-domain
+    balancing cap of a corpus pipeline, reproducible across runs and engines.
+
+    One window over (group, hash) — the shuffle is the same the group-by
+    would pay; no sort of anything wider than the hash pair.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(key, 1 << 31, salt).asc(), F.col(key).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
 def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
                      val_pct: int = 10, salt: str | None = "split",
                      out: str = "split") -> DataFrame:

@@ -56,3 +56,17 @@ def test_hypertable_rollup_levels_consistent(spark):
     day1 = [r for r in by_grain[1] if r.bucket_day.day == 1][0]
     hours1 = [r.s for r in by_grain[2] if r.bucket_day.day == 1]
     assert abs(sum(hours1) - day1.s) < 1e-9
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    df = (spark.range(0, 900)
+          .select((F.col("id") % 3).cast("string").alias("src"),
+                  F.col("id").alias("k")))
+    from glamr_omics_pipelines_spark.operators import sampling as S
+    a = S.cap_per_group(df, ["src"], "k", 50)
+    b = S.cap_per_group(df.repartition(17), ["src"], "k", 50)
+    ra = {(r.src, r.k) for r in a.collect()}
+    rb = {(r.src, r.k) for r in b.collect()}
+    assert ra == rb                       # layout-independent selection
+    counts = a.groupBy("src").count().collect()
+    assert all(r["count"] == 50 for r in counts)
