@@ -32,3 +32,17 @@ def test_query_and_list(spark, tmp_path, capsys):
                  "--entry", "/root/repo/__spark_entry__.py",
                  "--out", str(out)]) == 0
     assert spark.read.parquet(str(out)).count() == 6
+
+
+def test_merge_bracken_cli(spark, tmp_path, capsys):
+    from glamr_omics_pipelines_spark import fixtures
+    rows = fixtures.make_bracken_counts(fixtures.make_taxonomy())
+    glob = fixtures.write_bracken_tree(str(tmp_path / "br"), rows)
+    tax = str(tmp_path / "tax.parquet")
+    spark.createDataFrame(fixtures.make_taxonomy()).write.parquet(tax)
+    out = tmp_path / "out"
+    assert main(["merge-bracken", "--glob", glob, "--tax", tax,
+                 "--out", str(out)]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] > 0
+    assert (out / "counts.tsv").exists() and (out / "rel_abund.tsv").exists()
