@@ -120,6 +120,9 @@ def cmd_query(args) -> int:
         print(json.dumps({"query": args.name, "out": args.out}))
     else:
         df.show(args.limit, truncate=False)
+    # some operators persist() intermediates their lazy API cannot unpersist;
+    # drop them so repeated CLI queries in one session don't accumulate
+    spark.catalog.clearCache()
     return 0
 
 

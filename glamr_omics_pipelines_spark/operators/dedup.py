@@ -49,9 +49,14 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
     h64 = F.xxhash64(*marked)
     h128 = F.md5(F.concat_ws(chr(0), *marked))
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    winners = (df.withColumn("_h", h64).withColumn("_h2", h128)
-               .groupBy("_h", "_h2").agg(agg.alias(id_col)))
-    return df.join(winners, id_col, "left_semi")
+    hashed = df.withColumn("_h", h64).withColumn("_h2", h128)
+    winners = hashed.groupBy("_h", "_h2").agg(agg.alias(id_col))
+    # semi-join on (hash, id), NOT id alone: an id can be the winner of a
+    # DIFFERENT content group (id spaces that interleave content groups,
+    # e.g. planted-copy offsets colliding with real ids) — matching on id
+    # only would keep that row for the wrong content.
+    return (hashed.join(winners, ["_h", "_h2", id_col], "left_semi")
+            .drop("_h", "_h2"))
 
 
 def dup_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

@@ -62,6 +62,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # SQL equi-join semantics: a NULL key matches nothing. Window.partitionBy
+    # would happily group NULL keys together, so drop null-keyed RIGHT rows
+    # (they can never match); null-keyed LEFT rows stay and get null matches.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     payload_cols = [c for c in right.columns if c not in on]
     r_payload = F.struct(*[F.col(c) for c in payload_cols])
 

@@ -30,7 +30,11 @@ def hash_bucket(key: Column | str, buckets: int = 100,
     """
     k = F.col(key).cast("string") if isinstance(key, str) else key.cast("string")
     if salt is not None:
-        k = F.concat(F.lit(salt + ":"), k)
+        # concat_ws, not concat: concat null-propagates in Spark but SKIPS
+        # nulls in most SQL engines (incl. the DuckDB oracle) — concat_ws
+        # matches the skip behavior, so a NULL key hashes identically
+        # everywhere instead of silently vanishing from the sample.
+        k = F.concat_ws("", F.lit(salt + ":"), k)
     h = F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("bigint")
     return h % buckets
 

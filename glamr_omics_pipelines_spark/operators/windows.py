@@ -45,13 +45,25 @@ def top1_by_agg(df: DataFrame, group_cols: list[str],
     row_number plan from 0.9s to 4.9s; this plan stays near-flat).
 
     ``order``: (column, ascending) pairs forming a TOTAL order (include a
-    tiebreak). Descending columns are negated, so they must be numeric or
-    timestamp-like. Null order keys sort first (Spark struct comparison) —
-    filter them beforehand if that is not the wanted semantics.
+    tiebreak). Descending columns are negated, so they must be NUMERIC
+    (timestamps are converted to epoch micros first; strings are not
+    supported descending — use the window variant). Caveats: a bigint
+    descending key must not contain LONG_MIN (ANSI mode raises on negation),
+    and null order keys sort FIRST (Spark struct comparison) — filter them
+    beforehand if that is not the wanted semantics.
     """
+    from pyspark.sql.types import DateType, StringType, TimestampType
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     keys = []
     for i, (c, asc) in enumerate(order):
         col = F.col(c)
+        dt = dtypes.get(c)
+        if not asc:
+            if isinstance(dt, (TimestampType, DateType)):
+                col = F.unix_micros(F.col(c).cast("timestamp"))
+            elif isinstance(dt, StringType):
+                raise ValueError(f"descending string key {c!r} unsupported "
+                                 "in top1_by_agg; use top1_per_group")
         keys.append((col if asc else (-col)).alias(f"_k{i}"))
     packed = F.struct(*keys,
                       F.struct(*[F.col(p) for p in payload]).alias("_p"))

@@ -117,3 +117,16 @@ def test_hyperplane_buckets_rejects_wide_planes(spark):
     df = spark.createDataFrame([(1, [0.1, 0.2])], ["id", "v"])
     with _pytest.raises(ValueError, match="num_planes"):
         similarity.hyperplane_buckets(df, "v", num_planes=63, dim=2)
+
+
+def test_exact_dedup_id_winner_of_other_group(spark):
+    """A row whose id equals the WINNER of a different content group must
+    still be dropped (semi-join must match on (hash, id), not id alone)."""
+    from glamr_omics_pipelines_spark.operators import dedup
+    rows = [(42, "textA"), (10042, "textA"),   # winner 42
+            (10042, "textB")]                  # same id, different content
+    # textB's winner is 10042 — but row (10042, 'textA') must STILL die
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.text) for r in
+           dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {(42, "textA"), (10042, "textB")}

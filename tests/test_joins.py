@@ -120,3 +120,29 @@ def test_top1_by_agg_matches_window(spark):
     # shuffle instead of every row. No Window/full-order sort allowed.
     assert "Window" not in plan
     assert "SortAggregate" in plan
+
+
+def test_asof_null_keys_match_nothing(spark):
+    """SQL equi-join semantics: NULL keys never match (window partitioning
+    would otherwise happily pair null-keyed rows)."""
+    left = spark.createDataFrame([(None, 5, 1), ("A", 5, 2)],
+                                 "sym string, ts long, tid long")
+    right = spark.createDataFrame([(None, 1, 10, 1.0), ("A", 1, 11, 2.0)],
+                                  "sym string, ts long, qid long, px double")
+    out = joins.asof_join(left, right, on=["sym"], left_ts="ts",
+                          right_ts="ts", tiebreak="qid").collect()
+    got = {r.tid: r.right_qid for r in out}
+    assert got[1] is None      # null-keyed left row kept, but matches nothing
+    assert got[2] == 11
+
+
+def test_top1_by_agg_descending_timestamp(spark):
+    from glamr_omics_pipelines_spark.operators import windows
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-02 09:00:00", 2),
+         ("b", "2024-01-01 00:00:00", 3)],
+        "g string, ts string, rid long").withColumn("ts", F.to_timestamp("ts"))
+    out = windows.top1_by_agg(df, ["g"], order=[("ts", False), ("rid", True)],
+                              payload=["rid"])
+    got = {r.g: r.rid for r in out.collect()}
+    assert got == {"a": 2, "b": 3}   # newest-per-group (W4 shape)

@@ -70,3 +70,17 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     assert ra == rb                       # layout-independent selection
     counts = a.groupBy("src").count().collect()
     assert all(r["count"] == 50 for r in counts)
+
+
+def test_hash_bucket_null_key_matches_sql_concat_skip(spark):
+    """Salted hashing of a NULL key must hash the bare salt (engines' concat
+    skips NULLs) — not null-propagate and silently drop the row."""
+    import duckdb
+    from glamr_omics_pipelines_spark.operators import sampling as S
+    df = spark.createDataFrame([(None,), (7,)], "k int")
+    got = {r.k: r.b for r in
+           df.withColumn("b", S.hash_bucket("k", 100, salt="s1")).collect()}
+    want_null = duckdb.sql(
+        "SELECT CAST(concat('0x', substr(md5(concat('s1:', CAST(NULL AS "
+        "VARCHAR))), 1, 8)) AS BIGINT) % 100").fetchone()[0]
+    assert got[None] == want_null and got[7] is not None

@@ -106,6 +106,7 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+        spark.catalog.clearCache()  # drop operator-persisted intermediates
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

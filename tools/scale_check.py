@@ -23,12 +23,16 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = "/tmp/glamr_scale_check"
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
-FACTS = {  # table -> (key column, per-replica offset)
-    "orders": ("o_orderkey", 10_000_000),
-    "lineitem": ("l_orderkey", 10_000_000),
-    "events": ("event_id", 10_000_000),
-    "documents": ("doc_id", 1_000_000),
-    "embeddings": ("vec_id", 1_000_000),
+FACTS = {  # table -> [(key column, per-replica offset), ...]
+    "orders": [("o_orderkey", 10_000_000)],
+    "lineitem": [("l_orderkey", 10_000_000)],
+    # offset user_id too: replicas sharing users+timestamps would make the
+    # events self-joins (asof/range/sessionize) K^2 in true output size —
+    # the detector would then flag quadratic DATA as a superlinear PLAN.
+    # Offsetting keeps per-user event density constant, like real growth.
+    "events": [("event_id", 10_000_000), ("user_id", 10_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
 }
 
 
@@ -39,11 +43,14 @@ def build(spark, k: int) -> None:
     for name in DIMS:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite") \
             .parquet(f"{DST}/{name}.parquet")
-    for name, (key, off) in FACTS.items():
+    for name, keys in FACTS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         out = df
         for i in range(1, k):
-            out = out.unionByName(df.withColumn(key, F.col(key) + i * off))
+            p = df
+            for key, off in keys:
+                p = p.withColumn(key, F.col(key) + i * off)
+            out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
 
 
