@@ -82,6 +82,47 @@ def extract_image_features(df: DataFrame, feature_dim: int = 16,
     return cols.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("resize_ok", StringType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  stub: bool = True) -> DataFrame:
+    """binary content → resized binary via Arrow-batched mapInPandas.
+
+    STUB kernel: emits a deterministic content transform (byte stream
+    truncated/cycled to width*height bytes) so schema, batch iteration and
+    output sizing are real; a deployment swaps in PIL's resize. Same
+    constant-memory batch shape as extract_image_features.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this container")
+            out_content, oks = [], []
+            target = width * height
+            for buf in pdf["content"]:
+                if buf is None:
+                    out_content.append(None)
+                    oks.append("null_content")
+                    continue
+                reps = (target // max(len(buf), 1)) + 1
+                out_content.append((bytes(buf) * reps)[:target])
+                oks.append("ok")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "content": out_content,
+                "width": [width] * len(pdf), "height": [height] * len(pdf),
+                "resize_ok": oks})
+
+    return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms) rows
     from metadata (decode stubbed). The explode is pure-JVM; the eventual

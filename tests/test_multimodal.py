@@ -40,3 +40,14 @@ def test_sample_video_frames(spark):
     out = multimodal.sample_video_frames(df, every_ms=1000).collect()
     got = sorted(r["frame_ts_ms"] for r in out)
     assert got == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_stub_batch_shape(spark):
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    rows = [(1, bytearray(b"abcdef")), (2, None), (3, bytearray(b"x"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in M.resize_images(df, 4, 2).collect()}
+    assert len(out[1].content) == 8 and out[1].resize_ok == "ok"
+    assert out[1].width == 4 and out[1].height == 2
+    assert out[2].content is None and out[2].resize_ok == "null_content"
+    assert out[3].content == b"x" * 8      # short blob cycled to target size
