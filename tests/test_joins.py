@@ -146,3 +146,23 @@ def test_top1_by_agg_descending_timestamp(spark):
                               payload=["rid"])
     got = {r.g: r.rid for r in out.collect()}
     assert got == {"a": 2, "b": 3}   # newest-per-group (W4 shape)
+
+
+def test_asof_matches_naive_random(spark):
+    """Randomized (seeded) equivalence: union-merge as-of == the naive
+    join + argmax formulation, including ties and no-match keys."""
+    import random
+    rng = random.Random(7)
+    left = [(rng.randrange(6), rng.randrange(50), i) for i in range(300)]
+    right = [(rng.randrange(8), rng.randrange(50), 1000 + i,
+              float(rng.randrange(100))) for i in range(200)]
+    l = spark.createDataFrame(left, "k long, ts long, lid long")
+    r = spark.createDataFrame(right, "k long, ts long, rid long, v double")
+    out = {r_.lid: r_.right_rid for r_ in joins.asof_join(
+        l, r, on=["k"], left_ts="ts", right_ts="ts", tiebreak="rid").collect()}
+    # naive: per left row the max (ts, rid) among right rows at-or-before
+    naive = {}
+    for k, ts, lid in left:
+        cands = [(rt, rid) for (rk, rt, rid, _) in right if rk == k and rt <= ts]
+        naive[lid] = max(cands)[1] if cands else None
+    assert out == naive
