@@ -97,6 +97,32 @@ def tie_discard_top1(df: DataFrame, group_cols: list[str], score: str,
             .drop("_rk", "_nt"))
 
 
+def tie_discard_top1_agg(df: DataFrame, group_cols: list[str], score: str,
+                         payload: list[str], tiebreak: str,
+                         descending: bool = True) -> DataFrame:
+    """tie_discard_top1 as aggregations (the 100 TB path for W1-tie-discard).
+
+    Phase 1: groupBy(group, score) — count holders of each score and keep one
+    deterministic representative row (min by tiebreak). Phase 2: struct-min
+    top-1 over the per-score rows; groups whose best score has >1 holder are
+    dropped. Both phases partial-aggregate map-side; nothing is ever sorted
+    by more than the group key, and no full-row window shuffle happens.
+    ``score`` must be numeric when descending (struct-min negation).
+    """
+    per_score = df.groupBy(*group_cols, score).agg(
+        F.count(F.lit(1)).alias("_holders"),
+        F.min(F.struct(F.col(tiebreak).alias("_t"),
+                       F.struct(*[F.col(p) for p in payload]).alias("_p")))
+        .getField("_p").alias("_rep"))
+    flat = per_score.select(*group_cols, score, "_holders",
+                            *[F.col(f"_rep.{p}").alias(p) for p in payload])
+    best = top1_by_agg(flat, group_cols,
+                       order=[(score, not descending)],
+                       payload=[score, "_holders", *payload])
+    return (best.filter(F.col("_holders") == 1)
+            .drop("_holders"))
+
+
 def lag_retention_ladder(df: DataFrame, group_cols: list[str], order_col: str,
                          count_col: str, out: str = "percent_retained") -> DataFrame:
     """Stage-over-stage retention: count / lag(count) over the ordered ladder.

@@ -166,3 +166,20 @@ def test_asof_matches_naive_random(spark):
         cands = [(rt, rid) for (rk, rt, rid, _) in right if rk == k and rt <= ts]
         naive[lid] = max(cands)[1] if cands else None
     assert out == naive
+
+
+def test_tie_discard_agg_matches_window(spark):
+    from glamr_omics_pipelines_spark.operators import windows
+    import random
+    rng = random.Random(11)
+    rows = [(rng.randrange(40), float(rng.randrange(6)), i)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g long, score double, rid long")
+    via_win = windows.tie_discard_top1(df, ["g"], "score")
+    via_agg = windows.tie_discard_top1_agg(df, ["g"], "score",
+                                           payload=["rid"], tiebreak="rid")
+    w = {(r.g, r.score, r.rid) for r in via_win.collect()}
+    a = {(r.g, r.score, r.rid) for r in via_agg.collect()}
+    assert w == a and 0 < len(a) < 40   # some groups tie-discarded
+    plan = via_agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
