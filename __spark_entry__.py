@@ -161,7 +161,9 @@ def q_tie_discard_top1(spark, sf_dir):
     """W1 tie-discarding winner (hmm_summarize.py:125-153): max-quantity line
     per order kept only when uniquely held."""
     li = _t(spark, sf_dir, "lineitem")
-    out = windows.tie_discard_top1(li, ["l_orderkey"], "l_quantity")
+    out = windows.tie_discard_top1_agg(li, ["l_orderkey"], "l_quantity",
+                                       payload=["l_linenumber"],
+                                       tiebreak="l_linenumber")
     return out.select("l_orderkey", "l_linenumber",
                       _r4("l_quantity").alias("best_qty"))
 
