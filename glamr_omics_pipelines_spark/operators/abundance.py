@@ -78,3 +78,30 @@ def coverage_stats(df: DataFrame, group: str, depth: str = "depth",
                  F.variance(depth).alias("variance"),
                  F.sum(F.when(F.col(depth) > 0, 1).otherwise(0)).alias("covered_bases"),
                  F.count(F.lit(1)).alias("count")))
+
+
+def coverage_stats_quantile(df: DataFrame, group: str, depth: str = "depth",
+                            trim_frac: float = 0.05,
+                            accuracy: int = 10000) -> DataFrame:
+    """coverage_stats' billion-row path: quantile-band trimming, no sort.
+
+    The rank-based variant row_numbers (sorts) every depth row per group —
+    exact, but a per-base coverage table at assembly scale is billions of
+    rows per sample. Here the trim band comes from percentile_approx (one
+    aggregation, mergeable sketches), then a second aggregation computes the
+    conditional mean inside [lo, hi]. Two combine-friendly shuffles, nothing
+    sorted. Differs from rank trimming only in how ties AT the band edge are
+    counted (all tied values are kept, where rank trimming drops a fixed
+    number) and by the sketch's bounded quantile error.
+    """
+    q = df.groupBy(group).agg(
+        F.expr(f"percentile_approx({depth}, {trim_frac}, {accuracy})").alias("_lo"),
+        F.expr(f"percentile_approx({depth}, {1 - trim_frac}, {accuracy})").alias("_hi"))
+    joined = df.join(q, group)
+    in_band = F.col(depth).between(F.col("_lo"), F.col("_hi"))
+    return (joined.groupBy(group)
+            .agg(F.mean(depth).alias("mean"),
+                 F.mean(F.when(in_band, F.col(depth))).alias("trimmed_mean"),
+                 F.variance(depth).alias("variance"),
+                 F.sum(F.when(F.col(depth) > 0, 1).otherwise(0)).alias("covered_bases"),
+                 F.count(F.lit(1)).alias("count")))

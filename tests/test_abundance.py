@@ -53,3 +53,26 @@ def test_coverage_stats_trimmed_mean(spark):
     assert out["count"] == 10
     # trimmed mean excludes the 0 and the 100
     assert math.isclose(out["trimmed_mean"], 1.0)
+
+
+def test_coverage_stats_quantile_close_to_rank(spark):
+    """The sort-free quantile-band variant must agree with rank trimming on
+    mean/variance/count exactly and on trimmed_mean within edge tolerance."""
+    from glamr_omics_pipelines_spark.operators import abundance as A
+    import pyspark.sql.functions as FF
+    df = (spark.range(0, 2000)
+          .select((FF.col("id") % 4).alias("contig"),
+                  ((FF.col("id") * 7919 % 1000) / 10.0).alias("depth")))
+    exact = {r.contig: r for r in A.coverage_stats(df, "contig").collect()}
+    approx = {r.contig: r
+              for r in A.coverage_stats_quantile(df, "contig").collect()}
+    for c in exact:
+        assert approx[c]["count"] == exact[c]["count"]
+        assert abs(approx[c]["mean"] - exact[c]["mean"]) < 1e-9
+        assert abs(approx[c]["variance"] - exact[c]["variance"]) < 1e-9
+        rel = abs(approx[c]["trimmed_mean"] - exact[c]["trimmed_mean"]) \
+            / exact[c]["trimmed_mean"]
+        assert rel < 0.01
+    plan = A.coverage_stats_quantile(df, "contig") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
