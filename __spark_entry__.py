@@ -232,9 +232,10 @@ def q_newest_import(spark, sf_dir):
     per (sampleID, read_dir) by date): latest order per customer,
     orderkey-desc tiebreak."""
     o = _t(spark, sf_dir, "orders")
-    newest = windows.top1_per_group(
+    newest = windows.top1_by_agg(
         o, ["o_custkey"],
-        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+        order=[("o_orderdate", False), ("o_orderkey", False)],
+        payload=["o_orderkey", "o_orderdate"])
     return newest.select(
         "o_custkey", "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))

@@ -52,14 +52,15 @@ def top1_by_agg(df: DataFrame, group_cols: list[str],
     and null order keys sort FIRST (Spark struct comparison) — filter them
     beforehand if that is not the wanted semantics.
     """
-    from pyspark.sql.types import DateType, StringType, TimestampType
+    from pyspark.sql.types import (DateType, StringType, TimestampNTZType,
+                                   TimestampType)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     keys = []
     for i, (c, asc) in enumerate(order):
         col = F.col(c)
         dt = dtypes.get(c)
         if not asc:
-            if isinstance(dt, (TimestampType, DateType)):
+            if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
                 col = F.unix_micros(F.col(c).cast("timestamp"))
             elif isinstance(dt, StringType):
                 raise ValueError(f"descending string key {c!r} unsupported "
