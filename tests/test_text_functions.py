@@ -82,3 +82,18 @@ def test_seqkit_stats(spark):
     out = bio.seqkit_stats(df, ["sample"], "len").collect()[0]
     assert out["num_seqs"] == 4 and out["min_len"] == 10
     assert math.isclose(out["q2"], 25.0)
+
+
+def test_dedup_pairs_exact_pair_content(spark):
+    """P6 pair dedup (RemovePolyPairs.pl:58-80): one survivor per distinct
+    (fwd_seq, rev_seq) pair; different pairings of the same sequences are
+    NOT duplicates."""
+    from glamr_omics_pipelines_spark.functions import bio
+    rows = [("ACGT", "TTTT", 1), ("ACGT", "TTTT", 2),   # exact dup pair
+            ("ACGT", "GGGG", 3),                        # same fwd, new rev
+            ("TTTT", "ACGT", 4)]                        # swapped != dup
+    df = spark.createDataFrame(rows, "fwd_seq string, rev_seq string, rid long")
+    out = bio.dedup_pairs(df)
+    assert out.count() == 3
+    pairs = {(r.fwd_seq, r.rev_seq) for r in out.collect()}
+    assert pairs == {("ACGT", "TTTT"), ("ACGT", "GGGG"), ("TTTT", "ACGT")}
