@@ -44,11 +44,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         # integer DIV, not /1000-then-cast: nanos exceed 2^53, so the double
         # round-trip perturbs values by up to ~128 ns — enough to flip a
         # microsecond boundary the duckdb oracle truncates exactly.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # value-preserving under the UTC session tz; unix_micros and window()
+        # only accept TIMESTAMP, so normalize once at the chokepoint.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -376,9 +381,9 @@ def q_asof_join(spark, sf_dir):
                           left_ts="ts", right_ts="ts", tiebreak="event_id",
                           right_prefix="click_")
     return out.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_id", "user_id", windows._epoch_us("ts").alias("ts_us"),
         F.col("click_event_id").alias("click_id"),
-        F.unix_micros("click_ts").alias("click_ts_us"),
+        windows._epoch_us("click_ts").alias("click_ts_us"),
         _r4("click_value").alias("click_value"))
 
 
@@ -387,7 +392,7 @@ def q_range_join(spark, sf_dir):
     SURVEY §2.3 note): per error event, activity of the same user inside the
     10-minute window starting at the error — point-in-interval as an EQUI
     join on (user_id, time_bin), never a nested-loop non-equi join."""
-    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows._epoch_us("ts"))
     win_us = 600 * 1_000_000
     intervals = (ev.filter(F.col("event_type") == "error")
                  .select(F.col("event_id").alias("error_id"), "user_id",

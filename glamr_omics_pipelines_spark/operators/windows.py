@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(col) -> "F.Column":
+    """Epoch microseconds of a timestamp-like column, tolerant of
+    TIMESTAMP_NTZ (parquet writers flip between the two; unix_micros only
+    accepts TIMESTAMP). With a UTC session timezone the cast is
+    value-preserving, matching a timezone-naive oracle's epoch_us()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def top1_per_group(df: DataFrame, group_cols: list[str], order_cols: list) -> DataFrame:
     """Deterministic best-row-per-group: row_number()==1 over the given order.
 
@@ -190,7 +199,7 @@ def sessionize(df: DataFrame, user: str, ts: str, gap_seconds: int = 1800,
     w = Window.partitionBy(user).orderBy(ts)
     # microsecond precision: second-truncated gaps can flip the boundary
     # comparison vs engines that keep fractional seconds
-    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    gap = _epoch_us(ts) - F.lag(_epoch_us(ts)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return (df.withColumn("_new", is_new)
             .withColumn(out, F.sum("_new").over(
