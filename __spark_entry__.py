@@ -43,6 +43,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_us() applies.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→TIMESTAMP cast below is value-preserving only under UTC; the
+    # driver may hand us a builder-default session, so pin it here (runtime-
+    # settable) rather than relying on the library's get_spark having run.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _t(spark, sf_dir, "events")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
@@ -381,9 +385,9 @@ def q_asof_join(spark, sf_dir):
                           left_ts="ts", right_ts="ts", tiebreak="event_id",
                           right_prefix="click_")
     return out.select(
-        "event_id", "user_id", windows._epoch_us("ts").alias("ts_us"),
+        "event_id", "user_id", windows.epoch_us("ts").alias("ts_us"),
         F.col("click_event_id").alias("click_id"),
-        windows._epoch_us("click_ts").alias("click_ts_us"),
+        windows.epoch_us("click_ts").alias("click_ts_us"),
         _r4("click_value").alias("click_value"))
 
 
@@ -392,7 +396,7 @@ def q_range_join(spark, sf_dir):
     SURVEY §2.3 note): per error event, activity of the same user inside the
     10-minute window starting at the error — point-in-interval as an EQUI
     join on (user_id, time_bin), never a nested-loop non-equi join."""
-    ev = _events(spark, sf_dir).withColumn("ts_us", windows._epoch_us("ts"))
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
     win_us = 600 * 1_000_000
     intervals = (ev.filter(F.col("event_type") == "error")
                  .select(F.col("event_id").alias("error_id"), "user_id",

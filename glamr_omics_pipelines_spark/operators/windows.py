@@ -22,13 +22,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _epoch_us(col) -> "F.Column":
+def epoch_us(col) -> "F.Column":
     """Epoch microseconds of a timestamp-like column, tolerant of
     TIMESTAMP_NTZ (parquet writers flip between the two; unix_micros only
-    accepts TIMESTAMP). With a UTC session timezone the cast is
-    value-preserving, matching a timezone-naive oracle's epoch_us()."""
+    accepts TIMESTAMP).
+
+    REQUIRES a UTC session timezone (``spark.sql.session.timeZone=UTC``, set
+    by the library's ``get_spark``): the NTZ→TIMESTAMP cast reinterprets the
+    wall-clock under the session tz, so only UTC makes it value-preserving
+    and injective (non-UTC zones shift every epoch value and are non-injective
+    across DST folds), matching a timezone-naive oracle's epoch_us()."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+# Backwards-compatible alias (pre-round-4 name).
+_epoch_us = epoch_us
 
 
 def top1_per_group(df: DataFrame, group_cols: list[str], order_cols: list) -> DataFrame:
@@ -193,13 +202,16 @@ def sessionize(df: DataFrame, user: str, ts: str, gap_seconds: int = 1800,
     """Gap-based sessionization: new session when the inter-event gap exceeds
     ``gap_seconds``. Session id = running count of boundaries per user.
 
+    ``ts`` may be TIMESTAMP or TIMESTAMP_NTZ; NTZ input requires a UTC
+    session timezone (see ``epoch_us``) — the library's ``get_spark`` sets it.
+
     (Streaming-shaped batch operator; the streaming variant lives in
     streaming/ with applyInPandasWithState.)
     """
     w = Window.partitionBy(user).orderBy(ts)
     # microsecond precision: second-truncated gaps can flip the boundary
     # comparison vs engines that keep fractional seconds
-    gap = _epoch_us(ts) - F.lag(_epoch_us(ts)).over(w)
+    gap = epoch_us(ts) - F.lag(epoch_us(ts)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return (df.withColumn("_new", is_new)
             .withColumn(out, F.sum("_new").over(
