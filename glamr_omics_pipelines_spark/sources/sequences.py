@@ -2,22 +2,26 @@
 
 Reference semantics:
   - FASTQ: 4-line records (@id / seq / + / qual), gzip transparent, paired
-    files interleave-checked (pypelib/raw_reads.py:291-338,
+    files interleave-checked (pypelib/raw_reads.py:271-338,
     code/RemovePolyPairs.pl:32-40).
   - FASTA: '>'-delimited records, header fields split into columns
     (code/rename_contigs.R:46-83, code/standardize_bins.R:128-137).
 
-Spark-first:
-  - FASTA uses the Hadoop text input format with a custom record delimiter
-    ('\\n>') so record assembly happens at SPLIT level — each multi-GB FASTA
-    splits across executors with no driver involvement and no 4-line
-    alignment problem.
+Spark-first (and the 100 TB scan path):
+  - FASTA is read by the JVM text datasource with a custom ``lineSep`` of
+    '\\n>', so record framing happens at SPLIT level inside the scan — each
+    multi-GB FASTA splits across executors with no driver involvement — and
+    record assembly (header/body split, newline removal) is pure Column
+    expressions inside whole-stage codegen. No Python evaluates in the plan.
   - FASTQ's 4-line framing is not split-safe on raw text (a split boundary
     can land mid-record, and gzip is unsplittable anyway), so the reader
-    processes one FILE per task via mapPartitions over a file list —
-    parallelism across files (the reference's own unit of work: one fastq
-    per sample per direction). For splittable scale-out of a single huge
-    uncompressed FASTQ, re-frame via the '@'-delimiter variant.
+    processes one FILE per task — parallelism across files, the reference's
+    own unit of work (one fastq per sample per direction). Parsing is
+    Arrow-batched ``mapInPandas`` over a file-name frame: the stream parser
+    accumulates bounded record batches and ships them as Arrow columns, so
+    the per-record Python-object tax of an rdd.flatMap generator is replaced
+    by one columnar transfer per ~8k records. For splittable scale-out of a
+    single huge uncompressed FASTQ, re-frame via an '@'-delimiter variant.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,76 +50,133 @@ FASTA_SCHEMA = StructType([
 
 
 def read_fasta(spark: SparkSession, path: str) -> DataFrame:
-    """FASTA → DataFrame(header, seq) via custom record delimiter.
+    """FASTA → DataFrame(header, seq), fully JVM-side.
 
-    Splittable: Hadoop's TextInputFormat honors textinputformat.record.delimiter,
-    so each '>' record is one row regardless of file size. (Same plan the
-    reference's readDNAStringSet implies, minus the single-node memory cap.)
+    ``spark.read.text`` with ``lineSep='\\n>'`` frames one '>' record per row
+    at split level (splittable, no driver listing), then Column expressions
+    assemble the record: first line → header ('>' and trailing CR trimmed),
+    remaining lines → seq with newlines removed. The whole plan stays inside
+    whole-stage codegen — no Python worker ever sees a contig byte.
+    (Same result as the reference's readDNAStringSet, code/rename_contigs.R:46,
+    minus the single-node memory cap.)
     """
-    conf = {"textinputformat.record.delimiter": "\n>"}
-    rdd = spark.sparkContext.newAPIHadoopFile(
-        path,
-        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-        "org.apache.hadoop.io.LongWritable",
-        "org.apache.hadoop.io.Text",
-        conf=conf).map(lambda kv: kv[1])
-
-    def assemble(rec: str):
-        rec = rec.lstrip(">").strip()
-        if not rec:
-            return None
-        head, _, body = rec.partition("\n")
-        return (head.strip(), body.replace("\n", ""))
-
-    rows = rdd.map(assemble).filter(lambda r: r is not None)
-    return spark.createDataFrame(rows, FASTA_SCHEMA)
+    raw = spark.read.option("lineSep", "\n>").text(path)
+    first_line = F.substring_index("value", "\n", 1)
+    header = F.trim(F.translate(F.regexp_replace(first_line, "^>+", ""),
+                                "\r", ""))
+    # body = everything after the first newline; absent newline -> ''
+    body = F.expr(
+        "substring(value, length(substring_index(value, '\n', 1)) + 2)")
+    seq = F.translate(body, "\n\r", "")
+    return (raw.filter(F.trim("value") != "")
+            .select(header.alias("header"), seq.alias("seq")))
 
 
 def read_fastq(spark: SparkSession, paths: list[str] | str,
-               parallelism: int | None = None) -> DataFrame:
+               parallelism: int | None = None,
+               batch_size: int = 8192) -> DataFrame:
     """FASTQ(.gz) → DataFrame(read_id, seq, qual, file, record_index).
 
     One file per task (gzip is unsplittable; 4-line framing is not
-    boundary-safe). Python-side parse is a generator over the stream —
-    constant memory per task.
+    boundary-safe). Arrow-batched: ``mapInPandas`` over a file-name frame —
+    the stream parser yields one pandas batch per ``batch_size`` records, so
+    data crosses the JVM↔Python boundary as columnar Arrow buffers, not
+    per-record Python tuples. Constant memory per task (one batch in flight).
     """
     if isinstance(paths, str):
         paths = [paths]
     paths = [os.path.abspath(p) for p in paths]
-    sc = spark.sparkContext
     n = parallelism or len(paths)
+    files = spark.createDataFrame(
+        [(p,) for p in paths],
+        StructType([StructField("file", StringType())])).repartition(n)
 
-    def parse_file(path: str):
-        opener = gzip.open if path.endswith(".gz") else open
-        with opener(path, "rb") as fh:
-            text = io.TextIOWrapper(fh)
-            idx = 0
-            while True:
-                h = text.readline()
-                if not h:
-                    return
-                seq = text.readline().rstrip("\n")
-                text.readline()  # '+'
-                qual = text.readline().rstrip("\n")
-                yield (h.rstrip("\n").lstrip("@"), seq, qual, path, idx)
-                idx += 1
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    rdd = sc.parallelize(paths, n).flatMap(parse_file)
-    return spark.createDataFrame(rdd, FASTQ_SCHEMA)
+        def flush(ids, seqs, quals, path, start):
+            return pd.DataFrame({
+                "read_id": ids, "seq": seqs, "qual": quals,
+                "file": path,
+                "record_index": range(start, start + len(ids))})
+
+        for pdf in batches:
+            for path in pdf["file"].tolist():
+                opener = gzip.open if path.endswith(".gz") else open
+                with opener(path, "rb") as fh:
+                    text = io.TextIOWrapper(fh)
+                    ids, seqs, quals = [], [], []
+                    emitted = 0
+                    while True:
+                        h = text.readline()
+                        if not h:
+                            break
+                        ids.append(h.rstrip("\n").lstrip("@"))
+                        seqs.append(text.readline().rstrip("\n"))
+                        text.readline()  # '+' separator line
+                        quals.append(text.readline().rstrip("\n"))
+                        if len(ids) >= batch_size:
+                            yield flush(ids, seqs, quals, path, emitted)
+                            emitted += len(ids)
+                            ids, seqs, quals = [], [], []
+                    if ids:
+                        yield flush(ids, seqs, quals, path, emitted)
+
+    return files.mapInPandas(parse, FASTQ_SCHEMA)
 
 
-def read_fastq_pairs(spark: SparkSession, fwd: str, rev: str) -> DataFrame:
+def _strip_pair_suffix(col) -> "F.Column":
+    """Read id with the pair-direction suffix removed.
+
+    Handles both common conventions: legacy '/1' '/2' suffixes and the
+    space-separated Casava '1:...' '2:...' comment (id token before first
+    whitespace), per the reference's interleave check
+    (pypelib/raw_reads.py:271-338)."""
+    token = F.substring_index(F.substring_index(col, " ", 1), "\t", 1)
+    return F.regexp_replace(token, "/[12]$", "")
+
+
+def read_fastq_pairs(spark: SparkSession, fwd: str, rev: str,
+                     id_check: str = "flag") -> DataFrame:
     """Paired FASTQ → one row per pair (fwd_*, rev_*), joined on record index.
 
-    Mirrors the reference's interleave check (raw_reads.py:291-338): pairing
-    is positional; the join on (record_index) enforces it, and a count
-    mismatch surfaces as unmatched rows (inner join drops them — compare
-    counts to detect).
+    Pairing is positional, as in the reference (raw_reads.py:291-333), but —
+    unlike a bare positional zip — each pair's read ids are verified to agree
+    after stripping the '/1'-'/2' (or Casava comment) direction suffix, the
+    reference's interleave check (raw_reads.py:271-338). ``id_check``:
+
+      - ``"flag"`` (default): adds boolean ``id_match`` so mis-paired rows
+        are diagnosable downstream (distributed-friendly: no driver action).
+      - ``"strict"``: raises ``ValueError`` naming the first few mismatched
+        record indexes (forces a count — use at ingest boundaries).
+      - ``"none"``: positional pairing only (pre-round-4 behavior).
+
+    A length mismatch between the files surfaces as dropped rows (inner join
+    on record_index) — compare counts to detect, as the reference does via
+    its spots invariant (raw_reads.py:17-49).
     """
+    if id_check not in ("flag", "strict", "none"):
+        raise ValueError(f"id_check must be flag|strict|none, got {id_check!r}")
     f = read_fastq(spark, fwd).select(
         F.col("read_id").alias("fwd_id"), F.col("seq").alias("fwd_seq"),
         F.col("qual").alias("fwd_qual"), "record_index")
     r = read_fastq(spark, rev).select(
         F.col("read_id").alias("rev_id"), F.col("seq").alias("rev_seq"),
         F.col("qual").alias("rev_qual"), "record_index")
-    return f.join(r, "record_index", "inner")
+    pairs = f.join(r, "record_index", "inner")
+    if id_check == "none":
+        return pairs
+    match = (_strip_pair_suffix(F.col("fwd_id"))
+             == _strip_pair_suffix(F.col("rev_id")))
+    pairs = pairs.withColumn("id_match", match)
+    if id_check == "strict":
+        bad = (pairs.filter(~F.col("id_match"))
+               .select("record_index", "fwd_id", "rev_id").limit(5).collect())
+        if bad:
+            detail = ", ".join(
+                f"#{b['record_index']}: {b['fwd_id']!r} vs {b['rev_id']!r}"
+                for b in bad)
+            raise ValueError(
+                f"paired FASTQ id mismatch between {fwd} and {rev}: {detail}")
+        return pairs.drop("id_match")
+    return pairs

@@ -34,6 +34,36 @@ def test_read_fastq_pairs(spark, tmp_path):
     assert row["fwd_seq"] == "ACGT" and row["rev_seq"] == "TTTT"
 
 
+def test_read_fastq_pairs_id_agreement(spark, tmp_path):
+    """Mis-paired files are diagnosed, not silently zipped (raw_reads.py:271-338)."""
+    import pytest
+
+    fwd, rev = tmp_path / "f.fastq", tmp_path / "r.fastq"
+    fwd.write_text("@a/1\nACGT\n+\nIIII\n@b/1\nGGCC\n+\nIIII\n")
+    rev.write_text("@a/2\nTTTT\n+\nIIII\n@c/2\nCCCC\n+\nIIII\n")
+    df = sequences.read_fastq_pairs(spark, str(fwd), str(rev))
+    got = {r["fwd_id"]: r["id_match"] for r in df.collect()}
+    assert got == {"a/1": True, "b/1": False}
+    with pytest.raises(ValueError, match="id mismatch"):
+        sequences.read_fastq_pairs(spark, str(fwd), str(rev), id_check="strict")
+    # Casava-style space-separated comments agree on the id token
+    fwd2, rev2 = tmp_path / "f2.fastq", tmp_path / "r2.fastq"
+    fwd2.write_text("@a 1:N:0:ACGT\nACGT\n+\nIIII\n")
+    rev2.write_text("@a 2:N:0:ACGT\nTTTT\n+\nIIII\n")
+    df2 = sequences.read_fastq_pairs(spark, str(fwd2), str(rev2),
+                                     id_check="strict")
+    assert df2.count() == 1
+
+
+def test_read_fasta_plan_is_jvm_only(spark, tmp_path):
+    """S2 scan path: no Python eval anywhere in the FASTA plan (100 TB path)."""
+    p = tmp_path / "contigs.fasta"
+    p.write_text(FASTA)
+    plan = (sequences.read_fasta(spark, str(p))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
 def test_read_fasta_multiline(spark, tmp_path):
     p = tmp_path / "contigs.fasta"
     p.write_text(FASTA)
