@@ -691,6 +691,25 @@ def q_fastq_roundtrip(spark, sf_dir):
         _r4(bio.mean_qual("qual")).alias("mean_qual"))
 
 
+def q_quality_window_trim(spark, sf_dir):
+    """P5 tail — fastp sliding-window quality trim + low-complexity filter
+    (Snakefile:563-571: --cut_front --cut_tail --cut_window_size=4
+    --cut_mean_quality 20 --low_complexity_filter --complexity_threshold 7):
+    higher-order Column expressions over the decoded Phred array of the S1
+    FASTQ fixture — no Python in the plan."""
+    fq = sequences.read_fastq(spark, _fastq_path(spark, sf_dir))
+    t = bio.sliding_window_trim(fq, seq="seq", qual="qual",
+                                window=4, min_mean_q=20)
+    t = t.withColumn("complexity", bio.sequence_complexity("seq"))
+    return (t.filter(F.col("complexity") >= 7.0)
+            .select(F.regexp_extract("read_id", r"doc_(\d+)", 1)
+                    .cast("bigint").alias("doc_id"),
+                    "front_cut", "tail_cut",
+                    F.length("trimmed_seq").cast("bigint").alias("trimmed_len"),
+                    "trimmed_seq",
+                    _r4("complexity").alias("complexity")))
+
+
 def q_xml_extract(spark, sf_dir):
     """S7 XML metadata extraction (pypelib/sra.py:28-75): xpath over an XML
     column, JVM-side (no UDF)."""
@@ -1040,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "hypertable_rollup": q_hypertable_rollup,
         "seqkit_stats": q_seqkit_stats,
+        "quality_window_trim": q_quality_window_trim,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
         "pivot_longer": q_pivot_longer,
@@ -1342,6 +1362,45 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "quality_window_trim": """
+            WITH reads AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^acgt]', '', 'g'), 1, 20)
+                       AS seq
+              FROM documents
+              WHERE length(regexp_replace(lower(text), '[^acgt]', '', 'g')) >= 20),
+            ph AS (
+              SELECT doc_id, seq,
+                     list_transform(generate_series(0, 19),
+                                    i -> (doc_id + i + 1) % 40) AS p
+              FROM reads),
+            fr AS (
+              SELECT *, coalesce(
+                  list_filter(generate_series(0, 19),
+                    i -> list_aggregate(
+                           list_slice(p, i + 1, least(i + 4, 20)), 'avg') >= 20)[1],
+                  20) AS front
+              FROM ph),
+            tl AS (
+              SELECT *, coalesce(
+                  list_filter(generate_series(1, 20),
+                    j -> j > front AND list_aggregate(
+                           list_slice(p, greatest(j - 3, 1), j), 'avg') >= 20)[-1],
+                  front) AS tail
+              FROM fr),
+            cx AS (
+              SELECT *,
+                     100.0 * list_sum(list_transform(generate_series(1, 19),
+                       i -> CASE WHEN substr(seq, i, 1) != substr(seq, i + 1, 1)
+                                 THEN 1 ELSE 0 END)) / 19 AS complexity
+              FROM tl)
+            SELECT doc_id, front::BIGINT AS front_cut,
+                   (20 - tail)::BIGINT AS tail_cut,
+                   (tail - front)::BIGINT AS trimmed_len,
+                   substr(seq, front + 1, tail - front) AS trimmed_seq,
+                   round(complexity, 4) AS complexity
+            FROM cx WHERE complexity >= 7.0
         """,
         "xml_extract": """
             SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio

@@ -61,6 +61,95 @@ def quality_filter(df: DataFrame, seq: str = "seq", min_len: int = 50,
                      & ~has_homopolymer(seq, max_homopolymer))
 
 
+def phred_array(qual, offset: int = 33) -> Column:
+    """array<int> of Phred scores decoded from a quality string (no UDF)."""
+    chars = F.filter(F.split(F.col(qual) if isinstance(qual, str) else qual, ""),
+                     lambda c: c != "")
+    return F.transform(chars, lambda c: F.ascii(c) - offset)
+
+
+def sequence_complexity(seq) -> Column:
+    """fastp sequence complexity: percent of positions whose base differs from
+    the next base (Snakefile:566 --low_complexity_filter). 0 for length<=1."""
+    up = F.upper(F.col(seq) if isinstance(seq, str) else seq)
+    chars = F.filter(F.split(up, ""), lambda c: c != "")
+    n = F.size(chars)
+    diffs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: (F.get(chars, i) != F.get(chars, i - 1)).cast("int"))
+    return (F.when(n <= 1, F.lit(0.0))
+            .otherwise(F.lit(100.0)
+                       * F.aggregate(diffs, F.lit(0), lambda a, x: a + x)
+                       / (n - 1)))
+
+
+def low_complexity_filter(df: DataFrame, seq: str = "seq",
+                          threshold: float = 30.0) -> DataFrame:
+    """Drop reads below the complexity threshold (fastp
+    --complexity_threshold; the reference pipeline uses 7, Snakefile:566)."""
+    return df.filter(sequence_complexity(seq) >= threshold)
+
+
+def sliding_window_trim(df: DataFrame, seq: str = "seq", qual: str = "qual",
+                        window: int = 4, min_mean_q: int = 20,
+                        offset: int = 33, cut_front: bool = True,
+                        cut_tail: bool = True,
+                        out_seq: str = "trimmed_seq",
+                        out_qual: str = "trimmed_qual") -> DataFrame:
+    """fastp --cut_front/--cut_tail sliding-window quality trim
+    (Snakefile:568-571: --cut_window_size=4 --cut_mean_quality 20).
+
+    Semantics (fastp's documented behavior, deterministic and oracle-exact):
+      - front: slide a window of ``window`` bases (clipped at the read end)
+        from the 5' end; trim one base while the window mean quality is below
+        ``min_mean_q``; keep from the first position whose window passes.
+        A read with no passing window trims to empty.
+      - tail: symmetric from the 3' end — keep up to the last position whose
+        ENDING window (clipped at the read start) passes.
+
+    Pure Column expressions (higher-order functions over the decoded Phred
+    array): O(len*window) per read inside whole-stage codegen — no Python in
+    the plan, so the trim runs at scan speed on 100 TB of reads. Adds
+    ``out_seq``/``out_qual`` (trimmed) plus ``front_cut``/``tail_cut`` counts.
+    """
+    p = phred_array(qual, offset)
+    n = F.size(p)
+    W, Q = window, min_mean_q
+
+    def wmean_from(i):  # window STARTING at 0-based i, clipped at the end
+        sl = F.slice(p, i + 1, F.least(F.lit(W), n - i))
+        return F.aggregate(sl, F.lit(0), lambda a, x: a + x) / F.size(sl)
+
+    def wmean_to(j):  # window ENDING at 1-based j, clipped at the start
+        sl = F.slice(p, F.greatest(j - W + 1, F.lit(1)), F.least(F.lit(W), j))
+        return F.aggregate(sl, F.lit(0), lambda a, x: a + x) / F.size(sl)
+
+    if cut_front:
+        ok_from = F.filter(F.sequence(F.lit(0), n - 1),
+                           lambda i: wmean_from(i) >= Q)
+        front = (F.when(n == 0, F.lit(0))
+                 .otherwise(F.coalesce(F.get(ok_from, 0), n)))
+    else:
+        front = F.lit(0)
+    if cut_tail:
+        ok_to = F.filter(F.sequence(F.lit(1), n),
+                         lambda j: (j > front) & (wmean_to(j) >= Q))
+        tail = (F.when(n == 0, F.lit(0))
+                .otherwise(F.coalesce(F.get(ok_to, F.size(ok_to) - 1), front)))
+    else:
+        tail = n
+    keep_len = F.col("_t") - F.col("_f")
+    return (df.withColumn("_f", front).withColumn("_t", tail)
+            .withColumn(out_seq,
+                        F.substring(F.col(seq), F.col("_f") + 1, keep_len))
+            .withColumn(out_qual,
+                        F.substring(F.col(qual), F.col("_f") + 1, keep_len))
+            .withColumn("front_cut", F.col("_f").cast("bigint"))
+            .withColumn("tail_cut",
+                        (F.length(seq) - F.col("_t")).cast("bigint"))
+            .drop("_f", "_t"))
+
+
 def dedup_pairs(df: DataFrame, fwd: str = "fwd_seq", rev: str = "rev_seq") -> DataFrame:
     """Exact read-pair dedup on (fwd_seq, rev_seq) (RemovePolyPairs.pl:58-80)."""
     return df.dropDuplicates([fwd, rev])
