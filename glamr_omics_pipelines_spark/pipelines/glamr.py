@@ -270,6 +270,32 @@ def rename_contigs(fasta: DataFrame, sample: str) -> DataFrame:
         "contig", F.concat(F.lit(sample), F.lit("_"), F.col("contig_number")))
 
 
+def standardize_bins(bin_files: DataFrame, sample_col: str = "sample",
+                     binner_col: str = "binner") -> DataFrame:
+    """code/standardize_bins.R:92-99 (W6 + S4): renumber a multi-binner bin
+    inventory by file create_time — ``arrange(create_time) %>%
+    mutate(bin_num = row_number())`` — and derive the standardized
+    ``{sample}_{binner}_{bin_num}`` name.
+
+    ``bin_files`` must carry ``path`` + ``file_mtime`` columns (from
+    ``sources.readers.list_files`` or a ``with_path_columns(...,
+    file_metadata=True)`` scan) plus sample/binner labels. ``path`` breaks
+    mtime ties so the numbering is total and deterministic (same-second
+    writes are common on fast filesystems; R's row_number has the same
+    ambiguity and resolves it by listing order).
+
+    Single-partition window by design: bin inventories are metadata-scale
+    (hundreds per sample), matching the reference's single R process.
+    """
+    ordered = windows.sequential_ids(
+        bin_files.filter(F.col(sample_col) != "coassembly"),
+        [F.col("file_mtime").asc(), F.col("path").asc()], out="bin_num")
+    return ordered.withColumn(
+        "new_bin_name",
+        F.concat_ws("_", F.col(sample_col), F.col(binner_col),
+                    F.col("bin_num")))
+
+
 def export_coverage_slices(wide: DataFrame, contig_col: str,
                            sample_cols: list[str], out_dir: str) -> list[str]:
     """code/create_maxbin_coverage.R:36-54 (R8): per-sample depth-file export

@@ -46,12 +46,19 @@ def read_typed_csv(spark: SparkSession, paths, schema: StructType | None = None,
 
 
 def with_path_columns(df: DataFrame, pattern: str,
-                      path_col_name: str = "_path") -> DataFrame:
+                      path_col_name: str = "_path",
+                      file_metadata: bool = False) -> DataFrame:
     """Extract wildcard columns from the source file path (S4, unglue-style).
 
     ``pattern`` uses {name} wildcards, e.g.
     ``data/omics/{sample_type}/{sample}/bracken_{database}.tsv``.
     Each {name} becomes a column via regexp_extract(input_file_name()).
+
+    ``file_metadata=True`` additionally surfaces ``file_mtime`` (timestamp)
+    and ``file_size`` (bytes) from the scan's hidden ``_metadata`` struct —
+    the reference joins file mtimes into its loaders (postgres.Rmd:240-243)
+    and orders bin inventories by create_time (standardize_bins.R:94).
+    Requires ``df`` to be a direct file-source scan (parquet/csv/json/text).
     """
     names = re.findall(r"\{(\w+)\}", pattern)
     regex = re.escape(pattern)
@@ -60,7 +67,37 @@ def with_path_columns(df: DataFrame, pattern: str,
     out = df.withColumn(path_col_name, F.input_file_name())
     for i, n in enumerate(names, start=1):
         out = out.withColumn(n, F.regexp_extract(path_col_name, regex, i))
+    if file_metadata:
+        out = (out
+               .withColumn("file_mtime",
+                           F.col("_metadata.file_modification_time"))
+               .withColumn("file_size", F.col("_metadata.file_size")))
     return out.drop(path_col_name)
+
+
+def list_files(spark: SparkSession, glob: str,
+               pattern: str | None = None) -> DataFrame:
+    """File-inventory scan (S4): DataFrame(path, file_mtime, file_size) for a
+    glob, plus {name} wildcard columns when ``pattern`` is given — the Spark
+    replacement for the reference's Sys.glob + file.mtime data.frame
+    (standardize_bins.R:83-94, postgres.Rmd:240-243).
+
+    Uses the binaryFile datasource WITHOUT selecting ``content``: column
+    pruning keeps the scan listing-only (no file bytes are read), and the
+    listing distributes across executors — no driver-side glob loop.
+    """
+    df = (spark.read.format("binaryFile").load(glob)
+          .select("path",
+                  F.col("modificationTime").alias("file_mtime"),
+                  F.col("length").alias("file_size")))
+    if pattern:
+        names = re.findall(r"\{(\w+)\}", pattern)
+        regex = re.escape(pattern)
+        for n in names:
+            regex = regex.replace(re.escape("{%s}" % n), r"([^/]+)")
+        for i, n in enumerate(names, start=1):
+            df = df.withColumn(n, F.regexp_extract("path", regex, i))
+    return df
 
 
 def read_glob_tsv(spark: SparkSession, glob: str, pattern: str,

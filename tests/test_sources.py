@@ -34,6 +34,57 @@ def test_read_fastq_pairs(spark, tmp_path):
     assert row["fwd_seq"] == "ACGT" and row["rev_seq"] == "TTTT"
 
 
+def test_path_metadata_columns_flow_through_glob_scan(spark, tmp_path):
+    """S4 tail: file mtime/size surface as columns (postgres.Rmd:240-243)."""
+    mtimes = {"samp_1": 1_600_000_000, "samp_2": 1_650_000_000}
+    for sample, mt in mtimes.items():
+        d = tmp_path / "omics" / "metagenomes" / sample
+        d.mkdir(parents=True)
+        p = d / "bracken_gtdb.tsv"
+        p.write_text("tax_id\tcount\n1\t10\n")
+        os.utime(p, (mt, mt))
+    schema = StructType([StructField("tax_id", IntegerType()),
+                         StructField("count", IntegerType())])
+    df = readers.read_typed_csv(
+        spark, str(tmp_path / "omics" / "*" / "*" / "bracken_*.tsv"),
+        schema=schema)
+    df = readers.with_path_columns(
+        df, "omics/{sample_type}/{sample}/bracken_{database}.tsv",
+        file_metadata=True)
+    rows = {r["sample"]: r for r in df.collect()}
+    assert int(rows["samp_1"]["file_mtime"].timestamp()) == 1_600_000_000
+    assert int(rows["samp_2"]["file_mtime"].timestamp()) == 1_650_000_000
+    assert rows["samp_1"]["file_size"] == os.path.getsize(
+        tmp_path / "omics" / "metagenomes" / "samp_1" / "bracken_gtdb.tsv")
+
+
+def test_list_files_and_standardize_bins(spark, tmp_path):
+    """standardize_bins.R:92-99: bins renumbered by create_time order."""
+    from glamr_omics_pipelines_spark.pipelines.glamr import standardize_bins
+
+    # deliberately write in name order OPPOSITE to mtime order
+    plan = [("metabat", "b1.fa", 3_000), ("concoct", "a9.fa", 1_000),
+            ("maxbin", "m5.fa", 2_000)]
+    base = 1_600_000_000
+    for binner, name, offset in plan:
+        d = tmp_path / "bins" / "samp_1" / binner
+        d.mkdir(parents=True, exist_ok=True)
+        p = d / name
+        p.write_text(">c1\nACGT\n")
+        os.utime(p, (base + offset, base + offset))
+    inv = readers.list_files(
+        spark, str(tmp_path / "bins" / "*" / "*" / "*.fa"),
+        pattern="bins/{sample}/{binner}/{bin_file}")
+    assert inv.schema["file_mtime"].dataType.typeName().startswith("timestamp")
+    out = standardize_bins(inv).select("binner", "bin_num", "new_bin_name")
+    got = {r["binner"]: (r["bin_num"], r["new_bin_name"])
+           for r in out.collect()}
+    # mtime order: concoct (+1000) < maxbin (+2000) < metabat (+3000)
+    assert got == {"concoct": (1, "samp_1_concoct_1"),
+                   "maxbin": (2, "samp_1_maxbin_2"),
+                   "metabat": (3, "samp_1_metabat_3")}
+
+
 def test_read_fastq_pairs_id_agreement(spark, tmp_path):
     """Mis-paired files are diagnosed, not silently zipped (raw_reads.py:271-338)."""
     import pytest
