@@ -620,19 +620,32 @@ def q_multimodal_features(spark, sf_dir):
                     _r4("v").alias("feat")))
 
 
+def _docs_tag(spark, sf_dir) -> str:
+    """Cache key for document-derived gate fixtures: path digest PLUS a
+    content fingerprint (row count + xxhash64 over id/length), so a
+    regenerated sf directory can never serve a stale fixture file."""
+    import hashlib
+    # bit_xor, not sum: order-independent AND overflow-free under ANSI mode
+    row = (_t(spark, sf_dir, "documents")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(doc_id, length(text)))").alias("h"))
+           .collect()[0])
+    pathtag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{pathtag}_{row['n']}_{(row['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def _fasta_path(spark, sf_dir) -> str:
     """Deterministic FASTA rendering of documents' acgt-reduced text —
-    generated once per sf under /tmp (atomic rename), so the S2 reader can be
-    exercised inside the correctness gate."""
-    import hashlib
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/glamr_fasta_{tag}.fa"
+    generated once per (sf, content fingerprint) under /tmp (atomic rename),
+    so the S2 reader can be exercised inside the correctness gate. The write
+    streams via toLocalIterator — bounded driver memory at any sf."""
+    path = f"/tmp/glamr_fasta_{_docs_tag(spark, sf_dir)}.fa"
     if not os.path.exists(path):
         rows = (_t(spark, sf_dir, "documents")
                 .select("doc_id", "source", "lang",
                         F.regexp_replace(F.lower("text"), "[^acgt]", "")
                         .alias("seq"))
-                .orderBy("doc_id").collect())
+                .orderBy("doc_id").toLocalIterator())
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             for r in rows:
@@ -658,17 +671,16 @@ def _fastq_path(spark, sf_dir) -> str:
     """Deterministic gzipped FASTQ derived from documents (S1 gate input):
     seq = first 20 acgt chars (docs with >=20 only), qual[i] = chr(33 +
     (doc_id + i + 1) % 40) — arithmetic the oracle reproduces without
-    reading the file."""
+    reading the file. Cache key includes the content fingerprint (_docs_tag);
+    the write streams via toLocalIterator (bounded driver memory)."""
     import gzip
-    import hashlib
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/glamr_fastq_{tag}.fastq.gz"
+    path = f"/tmp/glamr_fastq_{_docs_tag(spark, sf_dir)}.fastq.gz"
     if not os.path.exists(path):
         rows = (_t(spark, sf_dir, "documents")
                 .select("doc_id", F.regexp_replace(F.lower("text"), "[^acgt]", "")
                         .alias("seq"))
                 .filter(F.length("seq") >= 20)
-                .orderBy("doc_id").collect())
+                .orderBy("doc_id").toLocalIterator())
         tmp = path + ".tmp"
         with gzip.open(tmp, "wt") as f:
             for r in rows:

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from glamr_omics_pipelines_spark.operators import _cache
+
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
                 keep: str = "min") -> DataFrame:
@@ -113,8 +115,10 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         lambda b: F.xxhash64(F.concat_ws(
             ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
                              lambda x: x.cast("string"))), b))
-    buckets = (sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
-               .persist())  # both self-join sides read this; avoid 2x recompute
+    # both self-join sides read this; persist (released via
+    # _cache.release_caches()) to avoid 2x recompute
+    buckets = _cache.register(
+        sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket")))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
@@ -140,7 +144,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # the candidate plan (usually a full LSH pipeline) feeds two subplans
         # below (doc-id restriction + pair semi-join); persist so it executes
         # once — it is the expensive stage here, and it's small (pairs only).
-        candidates = candidates.persist()
+        candidates = _cache.register(candidates)
         # verification only needs the docs the LSH stage surfaced: restrict
         # BEFORE exploding shingles and self-joining, or the "verify" stage
         # silently re-runs the full O(Σ per-shingle k²) all-pairs plan the
@@ -155,7 +159,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # aliases defeat Spark's ReusedExchange; persist so the explode+distinct
     # runs once, not 3x. Size is O(total corpus chars) — at 100 TB checkpoint
     # to Parquet instead of memory (same plan shape).
-    sh = sh.persist()
+    sh = _cache.register(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -216,9 +220,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                  F.shiftrightunsigned("simhash", i * width)
                  .bitwiseAND(F.lit(mask)).alias("bucket"))
         for i in range(bands)])
-    buckets = sig.select(id_col, F.explode(band_arr).alias("bb")) \
+    buckets = _cache.register(
+        sig.select(id_col, F.explode(band_arr).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket")).persist()
+                F.col("bb.bucket").alias("bucket")))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))

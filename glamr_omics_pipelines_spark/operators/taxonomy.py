@@ -77,7 +77,15 @@ def closure_from_parent_edges(edges: DataFrame, child: str = "child",
     depth ~40) an iterative self-join with early exit is the idiomatic
     replacement. Each iteration is one broadcast-or-shuffle join; the loop
     runs on the driver but the data never does.
+
+    EAGER: the returned closure is materialized (and left persisted —
+    released via ``_cache.release_caches()`` or ``.unpersist()``) before the
+    per-iteration frontier caches are dropped; previously every frontier
+    stayed pinned for the session. Closures are dimension-scale (#nodes ×
+    depth) by design, so pinning the result, not the intermediates, is the
+    right trade.
     """
+    from glamr_omics_pipelines_spark.operators import _cache
     # self-rows for EVERY node — children AND parents; a root appears only on
     # the parent side, and omitting its self-row would drop root-directed
     # abundance from the root's own subtree sum (subtree >= direct invariant)
@@ -91,15 +99,21 @@ def closure_from_parent_edges(edges: DataFrame, child: str = "child",
                             F.col(parent).alias("ancestor"),
                             F.lit(1).alias("depth"))
     e = edges.select(F.col(child).alias("_c"), F.col(parent).alias("_p"))
+    frontiers = []
     for _ in range(max_depth):
         closure = closure.unionByName(frontier)
         nxt = (frontier.join(e, frontier.ancestor == e._c, "inner")
                .select("descendant", F.col("_p").alias("ancestor"),
                        (F.col("depth") + 1).alias("depth")))
         frontier = nxt.persist()
+        frontiers.append(frontier)
         if frontier.isEmpty():
             break
-    return closure.dropDuplicates(["ancestor", "descendant"])
+    out = _cache.register(closure.dropDuplicates(["ancestor", "descendant"]))
+    out.count()  # materialize while the frontier caches are still live
+    for f in frontiers:
+        f.unpersist()
+    return out
 
 
 def subtree_rollup(abund: DataFrame, closure: DataFrame, tax_id: str,
