@@ -820,6 +820,19 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
+def q_lsh_ann_multi(spark, sf_dir):
+    """OR-amplified multi-table hyperplane LSH ANN: 3 independent hash tables
+    (seeds 42/1042/2042); candidates matching in ANY table are scored once —
+    recall 1-(1-p^b)^L vs the single-table p^b of q_lsh_ann."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk_multi(emb, queries, "vec_id", "embedding", k=3,
+                                    num_planes=8, dim=64, num_tables=3)
+    return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup via hash-groupBy (bbtools dedupe analog, Snakefile:469-473
     — its 1 TB single-node hash table becomes one shuffle): documents
@@ -1052,9 +1065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "fasta_roundtrip": q_fasta_roundtrip,
         "fastq_roundtrip": q_fastq_roundtrip,
-        "xml_extract": q_xml_extract,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_multi": q_lsh_ann_multi,
         "ivf_ann": q_ivf_ann,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -1074,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_window_trim": q_quality_window_trim,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "xml_extract": q_xml_extract,
         "pivot_longer": q_pivot_longer,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -1150,6 +1164,50 @@ def _fingerprint_sql(prefix_len: int) -> str:
             c -> ascii(c)::BIGINT)),
         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
     FROM documents
+    """
+
+
+def _lsh_ann_multi_sql(num_planes: int = 8, dim: int = 64, seed: int = 42,
+                       num_tables: int = 3, k: int = 3, nq: int = 5) -> str:
+    """Replicate lsh_topk_multi's per-table planes (PRNG seeds
+    seed + 1000*t) as SQL literals: per-(table) buckets, candidates sharing a
+    bucket in ANY table, scored once per distinct pair."""
+    import random
+    rows = []
+    for t in range(num_tables):
+        rng = random.Random(seed + 1000 * t)
+        for i, p in enumerate([[rng.gauss(0.0, 1.0) for _ in range(dim)]
+                               for _ in range(num_planes)]):
+            rows.append(
+                f"({t}, {i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES {values}) AS t(tbl, p, v)),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    buckets AS (
+      SELECT vec_id, pl.tbl,
+             CAST(sum(CASE WHEN list_dot_product(c.e, pl.v) >= 0
+                           THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM corpus c, planes pl GROUP BY vec_id, pl.tbl),
+    q AS (SELECT c.vec_id AS query_id, c.e AS qe, b.tbl, b.bucket
+          FROM corpus c JOIN buckets b USING (vec_id) WHERE c.vec_id < {nq}),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, c.e, q.qe
+      FROM corpus c JOIN buckets b ON c.vec_id = b.vec_id
+      JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(e, qe) AS cosine
+      FROM cand),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1352,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.e, b.e) >= 0.999
         """,
         "lsh_ann": _lsh_ann_sql(),
+        "lsh_ann_multi": _lsh_ann_multi_sql(),
         "fasta_roundtrip": """
             SELECT doc_id, source, lang,
                    length(regexp_replace(lower(text), '[^acgt]', '', 'g')) AS seq_len

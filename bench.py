@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_dedup",     # 64-bit simhash banding + verify
     "cosine_topk",       # brute-force ANN baseline
     "lsh_ann",           # hyperplane-bucketed ANN (the scale path)
+    "lsh_ann_multi",     # OR-amplified 3-table LSH ANN (recall-tunable)
     "embedding_dups",    # embedding-cosine near-dup pairs
     "coverage_stats",    # coverM-style rank-trimmed coverage aggregate
     "kingdom_priority_lca",  # priority-bucketed LCA

@@ -194,6 +194,52 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             .select(query_id, "neighbor_id", "cosine", "rank"))
 
 
+def lsh_topk_multi(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, k: int = 5, num_planes: int = 12,
+                   dim: int = 64, num_tables: int = 3,
+                   query_id: str = "query_id", seed: int = 42) -> DataFrame:
+    """OR-amplified hyperplane LSH top-k: ``num_tables`` independent hash
+    tables (seeds ``seed + 1000*t``); a candidate matches if it shares a
+    bucket with the query in ANY table. Classic LSH amplification — recall
+    1-(1-p^b)^L instead of the single-table p^b, tunable without widening
+    buckets (precision stays per-table).
+
+    Plan shape: each side computes all L buckets in ONE projection (the
+    planes are expression-tree literals), posexplodes to (table, bucket), and
+    the candidate join is an equi join on (table, bucket) — the corpus-side
+    exchange carries L rows per vector, not a per-table rescan. Duplicate
+    candidates (pairs matching in several tables) are scored first (cosine is
+    identical across duplicates) and collapsed by a (query, neighbor) agg —
+    the dedup shuffle then carries one double per pair instead of two
+    vectors. At scale, write the corpus (table, bucket)-bucketed once and
+    reuse it across query batches.
+    """
+    def bucketed(df: DataFrame, keep_id: str, keep_vec: str) -> DataFrame:
+        out = df
+        for t in range(num_tables):
+            out = hyperplane_buckets(out, vec_col, num_planes, dim,
+                                     seed=seed + 1000 * t, out=f"_b{t}")
+        buckets = F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
+        return out.select(
+            F.col(df.columns[0]).alias(keep_id),
+            F.col(vec_col).alias(keep_vec),
+            F.posexplode(buckets).alias("lsh_table", "lsh_bucket"))
+
+    c = bucketed(corpus.select(id_col, vec_col), "neighbor_id", "_cv")
+    q = F.broadcast(bucketed(queries.select(query_id, vec_col),
+                             query_id, "_qv"))
+    scored = (c.join(q, ["lsh_table", "lsh_bucket"])
+              .filter(F.col("neighbor_id") != F.col(query_id))
+              .withColumn("cosine", cosine_sim("_cv", "_qv"))
+              .groupBy(query_id, "neighbor_id")
+              .agg(F.first("cosine").alias("cosine")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "neighbor_id", "cosine", "rank"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, num_planes: int = 12, dim: int = 64,
              query_id: str = "query_id") -> DataFrame:

@@ -86,6 +86,29 @@ def test_lsh_topk_recovers_identical_vector(spark):
     assert top["neighbor_id"] == 100 and abs(top["cosine"] - 1.0) < 1e-9
 
 
+def test_lsh_topk_multi_amplifies_recall(spark):
+    """OR-amplification: with table-0 seeded identically to the single-table
+    form, every single-table result pair must also be reachable multi-table,
+    and extra tables can only ADD candidates (recall is monotone in L)."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    rows.append((900, list(rows[5][1])))  # planted duplicate of vec 5
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id = 5").selectExpr("vec_id as query_id", "embedding")
+    single = similarity.lsh_topk(emb, q, "vec_id", "embedding",
+                                 k=300, num_planes=10, dim=16)
+    multi = similarity.lsh_topk_multi(emb, q, "vec_id", "embedding",
+                                      k=300, num_planes=10, dim=16,
+                                      num_tables=3)
+    s = {r["neighbor_id"] for r in single.collect()}
+    m = {r["neighbor_id"] for r in multi.collect()}
+    assert s <= m and len(m) >= len(s)
+    # the planted duplicate always lands in the same bucket in every table
+    top = multi.filter(F.col("rank") == 1).collect()[0]
+    assert top["neighbor_id"] == 900 and abs(top["cosine"] - 1.0) < 1e-9
+
+
 def test_ivf_topk_recovers_identical_vector(spark):
     import random
     rng = random.Random(7)
