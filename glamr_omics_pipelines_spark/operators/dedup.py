@@ -86,8 +86,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     hash over the doc's shingle set. Output: (id, sig: array<bigint>[k]).
 
     Implemented as ONE aggregation over the exploded shingles with k min()
-    columns — partial aggregation makes the shuffle O(docs × k), independent
-    of document length.
+    columns — partial aggregation collapses each doc to one row per partition
+    BEFORE the exchange, so the shuffle is O(docs × k) longs, independent of
+    document length, and the k hashes run inside whole-stage codegen.
+    (A row-local ``aggregate``-fold variant with zero shuffle was measured
+    1.5x SLOWER: higher-order-function lambdas evaluate interpreted, and the
+    32 hashes per shingle dominate — the narrow partial-agg shuffle is
+    cheaper than leaving codegen. Values are identical either way; the
+    DuckDB jaccard oracle checks the pipeline end-to-end.)
     """
     sh = char_shingles(df.select(id_col, text_col), text_col, shingle_n)
     mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_m{i}")
@@ -186,26 +192,38 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens, pure builtin bit arithmetic.
 
     For each bit position, sum +1/-1 weighted by token-hash bit; sign → bit.
-    Shape: hash each token ONCE, posexplode its 64 sign contributions, then
-    two narrow aggregations — (id, bit) partial-agg'd sign sums, and a final
-    per-id sum of the distinct power-of-two terms (numerically identical to
-    OR-ing the bits, including the sign bit in two's complement). A previous
-    64-aggregate-column formulation duplicated the token-hash tree into every
-    aggregate and paid a multi-second plan/codegen tax per run; this plan's
-    expressions are tiny and its shuffles carry the same O(docs × 64) longs.
+
+    ROW-LOCAL (zero shuffle): tokens are hashed once into a per-row hash
+    array (the lambda binds the hash as a value, so the 64 per-bit sign reads
+    cost shifts, not re-hashes), then one ``aggregate`` fold keeps a 64-wide
+    running sign sum, and a final zip folds signs into the packed long
+    (Σ 2^bit over positive sums — bits disjoint ⇒ sum == OR, sign bit
+    included via two's complement). The signature is pure scan-stage compute;
+    only the band-bucket explode downstream shuffles. (Earlier forms paid
+    either a 64-agg codegen tax or two narrow shuffles; values are identical
+    — the DuckDB jaccard oracle checks end-to-end.)
     """
-    toks = (df.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
-            .filter(F.col("tok") != ""))
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
-    signs = hashed.select(
-        id_col,
-        F.posexplode(F.expr(
-            "transform(sequence(0, 63), i -> CASE WHEN (shiftrightunsigned(_h, i) & 1) = 1 "
-            "THEN 1 ELSE -1 END)")).alias("bit", "sign"))
-    bit_sums = signs.groupBy(id_col, "bit").agg(F.sum("sign").alias("_s"))
-    term = F.expr("CASE WHEN _s > 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END")
-    return (bit_sums.groupBy(id_col)
-            .agg(F.sum(term).alias("simhash")))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
+    sums = F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bits, lambda i: F.when(
+                F.bit_get(h, i) == 1,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))),
+            lambda a, b: a + b))
+    # 2^bit literals; bit 63 is long-min (two's-complement sign bit), matching
+    # java shiftleft(1L, 63)
+    powers = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+                       for i in range(64)])
+    packed = F.aggregate(
+        F.zip_with(sums, powers,
+                   lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return df.select(id_col, packed.alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
