@@ -820,6 +820,34 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition gates (dup-word / dup-bigram /
+    top-bigram fractions) — row-local HOF expressions, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.repetition_metrics(d, "text")
+    return out.select("doc_id",
+                      _r4("dup_word_frac").alias("dup_word_frac"),
+                      _r4("dup_bigram_frac").alias("dup_bigram_frac"),
+                      _r4("top_bigram_frac").alias("top_bigram_frac"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction curation stage: synthetic email/URL/phone injected per
+    doc (both sides inject identically), then the shared regex chain redacts
+    and audits counts."""
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.withColumn("text2", F.concat(
+        F.col("text"), F.lit(" contact doc"), F.col("doc_id"),
+        F.lit("@example.com via https://ex.com/d/"), F.col("doc_id"),
+        F.lit(" or +1 555-000-"), F.col("doc_id")))
+    out = text.scrub_pii(seeded, "text2")
+    return out.select("doc_id",
+                      F.col("n_emails").cast("bigint").alias("n_emails"),
+                      F.col("n_urls").cast("bigint").alias("n_urls"),
+                      F.col("n_phones").cast("bigint").alias("n_phones"),
+                      "clean_text")
+
+
 def q_lsh_ann_multi(spark, sf_dir):
     """OR-amplified multi-table hyperplane LSH ANN: 3 independent hash tables
     (seeds 42/1042/2042); candidates matching in ANY table are scored once —
@@ -1045,8 +1073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_ladder": q_retention_ladder,
         "anvio_stacked": q_anvio_stacked,
         "pivot_wider": q_pivot_wider,
-        "binner_completion": q_binner_completion,
-        "newest_import": q_newest_import,
         "bin_summary_view": q_bin_summary_view,
         "skew_join_salted": q_skew_join_salted,
         "curation_pipeline": q_curation_pipeline,
@@ -1085,8 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "seqkit_stats": q_seqkit_stats,
         "quality_window_trim": q_quality_window_trim,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "binner_completion": q_binner_completion,
+        "newest_import": q_newest_import,
         "xml_extract": q_xml_extract,
         "pivot_longer": q_pivot_longer,
         "anti_join": q_anti_join,
@@ -1433,6 +1463,52 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS ws
+              FROM documents),
+            b AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(generate_series(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE [] END AS bg
+              FROM w)
+            SELECT doc_id,
+                   round(CASE WHEN n <= 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(ws))::DOUBLE / n END, 4)
+                     AS dup_word_frac,
+                   round(CASE WHEN len(bg) <= 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END, 4)
+                     AS dup_bigram_frac,
+                   round(CASE WHEN len(bg) <= 0 THEN 0.0
+                         ELSE list_max(list_transform(list_distinct(bg),
+                                d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                              / len(bg) END, 4) AS top_bigram_frac
+            FROM b
+        """,
+        "pii_scrub": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact doc' || doc_id ||
+                     '@example.com via https://ex.com/d/' || doc_id ||
+                     ' or +1 555-000-' || doc_id AS t
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(t, '\\+?[0-9][0-9() \\-]{6,}[0-9]'))::BIGINT
+                     AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '\\+?[0-9][0-9() \\-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM seeded
         """,
         "quality_window_trim": """
             WITH reads AS (

@@ -113,6 +113,68 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
             .orderBy(F.col("n").desc(), F.col("token").asc()).limit(k))
 
 
+def repetition_metrics(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (quality gates used by
+    large-scale corpus curation: drop docs dominated by repeated n-grams).
+
+    Adds, per document (all row-local higher-order expressions — zero
+    shuffle, the metrics are scan-stage predicates at 100 TB):
+      - ``dup_word_frac``: 1 - distinct_words / words
+      - ``dup_bigram_frac``: 1 - distinct_bigrams / bigrams
+      - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+        total bigrams (the "fraction in most common 2-gram" Gopher rule)
+    Documents with <2 words score 0 on bigram metrics; empty docs score 0.
+    The per-doc cost is O(words + distinct_bigrams × bigrams) — bounded by
+    document length, independent of corpus size.
+    """
+    df = df.withColumn("_w", F.transform(tokens(text_col), F.lower))
+    w = F.col("_w")
+    n = F.array_size(w)
+    dup_word = F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.array_size(F.array_distinct(w)) / n)
+    bg = F.transform(F.sequence(F.lit(1), n - 1),
+                     lambda i: F.concat_ws(" ", F.get(w, i - 1), F.get(w, i)))
+    df = df.withColumn("_bg", F.when(n >= 2, bg).otherwise(
+        F.array().cast("array<string>")))
+    b = F.col("_bg")
+    nb = F.array_size(b)
+    dup_bigram = F.when(nb <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.array_size(F.array_distinct(b)) / nb)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(b),
+        lambda d: F.array_size(F.filter(b, lambda x: x == d))))
+    top_bigram = F.when(nb <= 0, F.lit(0.0)).otherwise(top_cnt / nb)
+    return (df.withColumn("dup_word_frac", dup_word)
+            .withColumn("dup_bigram_frac", dup_bigram)
+            .withColumn("top_bigram_frac", top_bigram)
+            .drop("_w", "_bg"))
+
+
+# Deterministic, RE2-and-Java-compatible redaction patterns (no backrefs, no
+# lookaround) so the DuckDB oracle can apply the identical regexes.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9() \-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFrame:
+    """Redact emails, URLs and phone-like numbers (training-data curation
+    stage). Chain of JVM regexp_replace — codegen'd, order matters (emails
+    before phones so the digits in a local-part are not half-eaten).
+    Also counts redactions per kind (``n_emails``/``n_urls``/``n_phones``)
+    from the ORIGINAL text, for corpus auditing."""
+    email, url, phone = (p for p, _ in PII_PATTERNS)
+    cleaned = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return (df.withColumn("n_emails", F.regexp_count(F.col(text_col), F.lit(email)))
+            .withColumn("n_urls", F.regexp_count(F.col(text_col), F.lit(url)))
+            .withColumn("n_phones", F.regexp_count(F.col(text_col), F.lit(phone)))
+            .withColumn(out, cleaned))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
                     out: str = "fingerprint") -> DataFrame:
     """Deterministic rolling polynomial hash of the first ``prefix_len`` chars:

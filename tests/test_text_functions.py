@@ -97,3 +97,38 @@ def test_dedup_pairs_exact_pair_content(spark):
     assert out.count() == 3
     pairs = {(r.fwd_seq, r.rev_seq) for r in out.collect()}
     assert pairs == {("ACGT", "TTTT"), ("ACGT", "GGGG"), ("TTTT", "ACGT")}
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher repetition gates on hand-built docs."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    rows = [
+        (1, "a b a b a b"),        # words: 6, distinct 2; bigrams 5:
+                                   # [a b, b a, a b, b a, a b] distinct 2,
+                                   # top 'a b' = 3/5
+        (2, "x y z w"),            # all unique
+        (3, "solo"),               # 1 word -> bigram metrics 0
+        (4, ""),                   # empty -> all 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.repetition_metrics(df, "text").collect()}
+    assert abs(out[1]["dup_word_frac"] - (1 - 2 / 6)) < 1e-9
+    assert abs(out[1]["dup_bigram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert abs(out[1]["top_bigram_frac"] - 3 / 5) < 1e-9
+    assert out[2]["dup_word_frac"] == 0.0
+    # all-unique bigrams: the most common one still covers 1/nb
+    assert abs(out[2]["top_bigram_frac"] - 1 / 3) < 1e-9
+    assert out[3]["dup_bigram_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 0.0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    rows = [(1, "mail me at jo.doe+x@corp.io or see https://a.b/c?d=1 "
+                "or ring +1 (555) 123-4567 now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = T.scrub_pii(df, "text").collect()[0]
+    assert r["n_emails"] == 1 and r["n_urls"] == 1 and r["n_phones"] == 1
+    assert "<EMAIL>" in r["clean_text"] and "<URL>" in r["clean_text"]
+    assert "<PHONE>" in r["clean_text"]
+    assert "jo.doe" not in r["clean_text"] and "555" not in r["clean_text"]
