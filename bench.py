@@ -55,6 +55,9 @@ HEADLINE = [
     "hypertable_rollup", # multi-granularity time rollup in one scan
     "vocab_topk",        # corpus vocabulary: explode + partial-agg + top-k
     "curation_pipeline", # lang gate -> quality gate -> exact dedup -> split
+    "quality_window_trim",  # fastp sliding-window trim over Phred arrays
+    "text_repetition",   # Gopher repetition gates (row-local HOFs)
+    "pii_scrub",         # regex redaction chain, scan-stage
 ]
 
 

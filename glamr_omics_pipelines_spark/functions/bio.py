@@ -108,13 +108,20 @@ def sliding_window_trim(df: DataFrame, seq: str = "seq", qual: str = "qual",
         ENDING window (clipped at the read start) passes.
 
     Pure Column expressions (higher-order functions over the decoded Phred
-    array): O(len*window) per read inside whole-stage codegen — no Python in
-    the plan, so the trim runs at scan speed on 100 TB of reads. Adds
+    array) — no Python in the plan. The Phred array and the front/tail cut
+    positions are MATERIALIZED as intermediate columns (``_p``/``_f``/``_t``):
+    higher-order lambdas inline whatever expression tree they reference, so
+    leaving them as raw expressions re-evaluates the array decode inside
+    every window probe and the whole front scan inside every tail probe — a
+    multiplicative interpreted blowup measured at ~50 ms/row. With the
+    columns pinned (CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined), the cost is the intended O(len*window) per read. Adds
     ``out_seq``/``out_qual`` (trimmed) plus ``front_cut``/``tail_cut`` counts.
     """
-    p = phred_array(qual, offset)
-    n = F.size(p)
     W, Q = window, min_mean_q
+    df = df.withColumn("_p", phred_array(qual, offset))
+    p = F.col("_p")
+    n = F.size(p)
 
     def wmean_from(i):  # window STARTING at 0-based i, clipped at the end
         sl = F.slice(p, i + 1, F.least(F.lit(W), n - i))
@@ -131,23 +138,25 @@ def sliding_window_trim(df: DataFrame, seq: str = "seq", qual: str = "qual",
                  .otherwise(F.coalesce(F.get(ok_from, 0), n)))
     else:
         front = F.lit(0)
+    df = df.withColumn("_f", front)
+    fcol = F.col("_f")
     if cut_tail:
         ok_to = F.filter(F.sequence(F.lit(1), n),
-                         lambda j: (j > front) & (wmean_to(j) >= Q))
+                         lambda j: (j > fcol) & (wmean_to(j) >= Q))
         tail = (F.when(n == 0, F.lit(0))
-                .otherwise(F.coalesce(F.get(ok_to, F.size(ok_to) - 1), front)))
+                .otherwise(F.coalesce(F.try_element_at(ok_to, F.lit(-1)), fcol)))
     else:
         tail = n
+    df = df.withColumn("_t", tail)
     keep_len = F.col("_t") - F.col("_f")
-    return (df.withColumn("_f", front).withColumn("_t", tail)
-            .withColumn(out_seq,
-                        F.substring(F.col(seq), F.col("_f") + 1, keep_len))
+    return (df.withColumn(out_seq,
+                          F.substring(F.col(seq), F.col("_f") + 1, keep_len))
             .withColumn(out_qual,
                         F.substring(F.col(qual), F.col("_f") + 1, keep_len))
             .withColumn("front_cut", F.col("_f").cast("bigint"))
             .withColumn("tail_cut",
                         (F.length(seq) - F.col("_t")).cast("bigint"))
-            .drop("_f", "_t"))
+            .drop("_p", "_f", "_t"))
 
 
 def dedup_pairs(df: DataFrame, fwd: str = "fwd_seq", rev: str = "rev_seq") -> DataFrame:
