@@ -140,9 +140,16 @@ def repetition_metrics(df: DataFrame, text_col: str) -> DataFrame:
     nb = F.array_size(b)
     dup_bigram = F.when(nb <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.array_size(F.array_distinct(b)) / nb)
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(b),
-        lambda d: F.array_size(F.filter(b, lambda x: x == d))))
+    # most-frequent-bigram count via sort + longest-equal-run fold: O(B log B)
+    # per doc. (The obvious distinct×filter counting is O(B²) — quadratic in
+    # document length, a real hazard on 100k-word documents.)
+    run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+    top_cnt = F.aggregate(F.array_sort(b), run0, _step)["best"]
     top_bigram = F.when(nb <= 0, F.lit(0.0)).otherwise(top_cnt / nb)
     return (df.withColumn("dup_word_frac", dup_word)
             .withColumn("dup_bigram_frac", dup_bigram)
