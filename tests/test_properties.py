@@ -69,3 +69,51 @@ def test_annotate_contigs_chain(spark):
     assert lca["c2"] == ["Archaea", "Eury"]
     fc = {(r.contig, r["function"]): r.n_genes for r in func_counts.collect()}
     assert fc[("c1", "K00001")] == 1 and fc[("c1", "K00002")] == 1
+
+
+texts = st.text(alphabet=st.sampled_from("acgt ACGT.@/:+-019\n"), max_size=80)
+quals = st.lists(st.integers(min_value=0, max_value=41), max_size=60)
+
+
+@settings(**SETTINGS)
+@given(quals)
+def test_sliding_window_trim_invariants(spark, phreds):
+    """For ANY quality string: 0 <= front <= tail-ish bounds hold and the
+    trimmed pieces are consistent slices of the originals."""
+    from glamr_omics_pipelines_spark.functions import bio
+    seq = "A" * len(phreds)
+    q = "".join(chr(33 + p) for p in phreds)
+    df = spark.createDataFrame([(seq, q)], ["seq", "qual"])
+    r = bio.sliding_window_trim(df, window=4, min_mean_q=20).collect()[0]
+    n = len(phreds)
+    assert 0 <= r["front_cut"] <= n and 0 <= r["tail_cut"] <= n
+    assert r["front_cut"] + r["tail_cut"] + len(r["trimmed_seq"]) == n
+    assert len(r["trimmed_seq"]) == len(r["trimmed_qual"])
+    assert r["trimmed_qual"] == q[r["front_cut"]: n - r["tail_cut"]]
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_repetition_fracs_bounded(spark, docs):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    for r in T.repetition_metrics(df, "text").collect():
+        for c in ["dup_word_frac", "dup_bigram_frac", "top_bigram_frac"]:
+            assert 0.0 <= r[c] <= 1.0, (c, r[c])
+
+
+@settings(**SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_pii_scrub_idempotent(spark, docs):
+    """Scrubbing twice == scrubbing once (placeholders never re-match), and
+    no email/URL survives a scrub."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    import re
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    once = T.scrub_pii(df, "text").select(
+        "doc_id", F.col("clean_text").alias("text"))
+    twice = T.scrub_pii(once, "text")
+    for r in twice.collect():
+        assert r["text"] == r["clean_text"]
+        assert not re.search(T.PII_PATTERNS[0][0], r["clean_text"])
+        assert not re.search(T.PII_PATTERNS[1][0], r["clean_text"])
