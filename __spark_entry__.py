@@ -914,6 +914,25 @@ def q_minhash_dedup(spark, sf_dir):
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster formation (transitive closure over verified pairs):
+    LSH candidates → exact-Jaccard verify → connected components → one
+    cluster id + size per clustered doc. The survivor-selection step of a
+    corpus dedup pipeline."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text",
+                                         num_hashes=32, bands=16, shingle_n=4,
+                                         dedup_pairs=False)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=4,
+                                      threshold=0.9, candidates=cands)
+    labels = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    F.col("cluster_size").cast("bigint").alias("cluster_size")))
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidates (64-bit, 4×16-bit bands) verified by exact
     Jaccard >= 0.999 (identical docs) on the planted-duplicate corpus."""
@@ -1070,7 +1089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpkm": q_rpkm,
         "top1_per_group": q_top1_per_group,
         "tie_discard_top1": q_tie_discard_top1,
-        "retention_ladder": q_retention_ladder,
         "anvio_stacked": q_anvio_stacked,
         "pivot_wider": q_pivot_wider,
         "bin_summary_view": q_bin_summary_view,
@@ -1097,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "dup_clusters": q_dup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1115,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "retention_ladder": q_retention_ladder,
         "binner_completion": q_binner_completion,
         "newest_import": q_newest_import,
         "xml_extract": q_xml_extract,
@@ -1912,6 +1932,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "minhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.9),
+        "dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_jaccard_sql(_DUP_CORPUS_SQL, 0.9)}) j),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT id AS doc_id, cluster_id,
+                   (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+            FROM labels
+        """,
         "simhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.999),
         "ngram_jaccard": _jaccard_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id < 60", 0.15),

@@ -249,6 +249,58 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     return pairs.distinct() if dedup_pairs else pairs  # see minhash note
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id) with
+    cluster_id = min doc id in the component. The step every dedup pipeline
+    needs after pair generation (X2-X5 emit PAIRS; keeping one survivor per
+    duplicate CLUSTER requires the transitive closure: a~b, b~c ⇒ {a,b,c}).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels — one shuffled join + groupBy per
+    round, converging in O(component diameter) rounds (dup components are
+    shallow: near-dup similarity is near-transitive). Early-exits when a
+    round changes nothing. At extreme scale swap in the alternating
+    small-star/large-star formulation (same join shape, fewer rounds on
+    high-diameter graphs); the reference point is the classic CC-over-
+    candidate-pairs stage of web-scale dedup pipelines.
+    """
+    half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (half.unionByName(half.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+             .distinct()
+             # EAGER lineage cut: the pair-generation plan upstream (typically
+             # a full LSH+verify pipeline) would otherwise be re-analyzed and
+             # partially re-executed by every round's subplans.
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.v == labels.id)
+                   .groupBy("u").agg(F.min("label").alias("_nbr")))
+        new = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
+               .select(labels.id,
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("_nbr"), F.col("label")))
+                       .alias("label"))
+               # localCheckpoint, not persist: each round's plan references
+               # the previous round twice, so an un-truncated lineage DOUBLES
+               # per round and Catalyst re-analysis goes exponential (round 0
+               # took 7s, round 1 33s on a 200-node graph). Checkpointing
+               # pins the round to its materialized RDD and keeps every
+               # round's plan constant-size. (Same pattern GraphFrames uses
+               # for iterative CC.)
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           candidates: DataFrame | None = None) -> DataFrame:

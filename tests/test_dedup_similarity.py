@@ -86,6 +86,19 @@ def test_lsh_topk_recovers_identical_vector(spark):
     assert top["neighbor_id"] == 100 and abs(top["cosine"] - 1.0) < 1e-9
 
 
+def test_dup_clusters_transitive_closure(spark):
+    """a~b, b~c collapse into one cluster labeled by the min id; disjoint
+    pairs stay separate; a long chain (diameter > 1 round) converges."""
+    pairs = [(1, 2), (2, 3),          # triangle-free chain -> {1,2,3}
+             (10, 11),                 # separate 2-clique
+             (20, 21), (21, 22), (22, 23), (23, 24)]  # 5-chain
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = {r["id"]: r["label"] for r in dedup.dup_clusters(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
 def test_lsh_topk_multi_amplifies_recall(spark):
     """OR-amplification: with table-0 seeded identically to the single-table
     form, every single-table result pair must also be reachable multi-table,
