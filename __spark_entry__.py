@@ -820,6 +820,15 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
+def q_doc_lm_score(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's own empirical
+    distribution — cheap perplexity-style quality gate (CCNet-shaped)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.unigram_lm_score(d, "doc_id", "text")
+    return out.select("doc_id", _r4("lm_score").alias("lm_score"),
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition gates (dup-word / dup-bigram /
     top-bigram fractions) — row-local HOF expressions, zero shuffle."""
@@ -1094,7 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_summary_view": q_bin_summary_view,
         "skew_join_salted": q_skew_join_salted,
         "curation_pipeline": q_curation_pipeline,
-        "rollup_ladder": q_rollup_ladder,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
         "sessionize": q_sessionize,
@@ -1132,8 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_window_trim": q_quality_window_trim,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
+        "doc_lm_score": q_doc_lm_score,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "rollup_ladder": q_rollup_ladder,
         "retention_ladder": q_retention_ladder,
         "binner_completion": q_binner_completion,
         "newest_import": q_newest_import,
@@ -1483,6 +1493,19 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "doc_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x != '')) AS token
+              FROM documents),
+            vocab AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT sum(c) AS t FROM vocab),
+            lp AS (SELECT token, ln(c::DOUBLE / t) AS logp FROM vocab, tot)
+            SELECT doc_id, round(avg(logp), 4) AS lm_score,
+                   count(*)::BIGINT AS n_tokens
+            FROM toks JOIN lp USING (token) GROUP BY doc_id
         """,
         "text_repetition": """
             WITH w AS (

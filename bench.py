@@ -58,6 +58,7 @@ HEADLINE = [
     "quality_window_trim",  # fastp sliding-window trim over Phred arrays
     "text_repetition",   # Gopher repetition gates (row-local HOFs)
     "pii_scrub",         # regex redaction chain, scan-stage
+    "doc_lm_score",      # corpus unigram logprob quality gate
 ]
 
 

@@ -182,6 +182,33 @@ def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFram
             .withColumn(out, cleaned))
 
 
+def unigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                     out: str = "lm_score") -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own empirical
+    unigram distribution — the classic cheap perplexity-style quality signal
+    (docs full of globally-rare tokens score low; swap the self-trained
+    vocabulary for a reference-corpus table to score against clean text, as
+    CCNet does with a real LM).
+
+    Two aggregations + one token join: vocabulary counts partial-aggregate
+    map-side; the logprob table is token-grain (small relative to the corpus
+    — Catalyst auto-broadcasts under the threshold, and at web-scale vocab
+    it degrades to a plain shuffled equi join, still O(tokens)). Docs with
+    zero tokens produce no row (no distribution to score under).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_t"))
+    logp = (vocab.crossJoin(F.broadcast(total))
+            .select("token", F.log(F.col("_c") / F.col("_t")).alias("_logp")))
+    return (toks.join(logp, "token")
+            .groupBy(id_col)
+            .agg(F.avg("_logp").alias(out),
+                 F.count(F.lit(1)).alias("n_tokens")))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
                     out: str = "fingerprint") -> DataFrame:
     """Deterministic rolling polynomial hash of the first ``prefix_len`` chars:

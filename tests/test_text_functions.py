@@ -132,3 +132,14 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "<EMAIL>" in r["clean_text"] and "<URL>" in r["clean_text"]
     assert "<PHONE>" in r["clean_text"]
     assert "jo.doe" not in r["clean_text"] and "555" not in r["clean_text"]
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """corpus = {a: 3, b: 1}; doc1='a a a' -> ln(3/4); doc2='b' -> ln(1/4)."""
+    import math
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["lm_score"], r["n_tokens"])
+           for r in T.unigram_lm_score(df, "doc_id", "text").collect()}
+    assert abs(got[1][0] - math.log(3 / 4)) < 1e-9 and got[1][1] == 3
+    assert abs(got[2][0] - math.log(1 / 4)) < 1e-9 and got[2][1] == 1
