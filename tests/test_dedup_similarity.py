@@ -166,3 +166,15 @@ def test_exact_dedup_id_winner_of_other_group(spark):
     out = {(r.doc_id, r.text) for r in
            dedup.exact_dedup(df, ["text"], "doc_id").collect()}
     assert out == {(42, "textA"), (10042, "textB")}
+
+
+def test_cache_registry_release(spark):
+    """Operator-internal persists are released by _cache.release_caches()."""
+    from glamr_omics_pipelines_spark.operators import _cache
+    df = spark.createDataFrame([(1, "aaaa bbbb"), (2, "aaaa bbbb")],
+                               ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(df, "doc_id", "text",
+                                         num_hashes=8, bands=4, shingle_n=3)
+    cands.collect()  # materializes the registered bucket cache
+    assert _cache.release_caches() >= 1
+    assert _cache.release_caches() == 0  # registry drained
