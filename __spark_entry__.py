@@ -411,6 +411,28 @@ def q_range_join(spark, sf_dir):
                  _r4(F.sum("value")).alias("sum_value")))
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (bedtools-intersect analog): per error event,
+    the user's purchase windows overlapping the error's 10-minute window —
+    binned equi join, first-shared-bin dedup, no nested loop."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
+    e_win, p_win = 600 * 1_000_000, 300 * 1_000_000
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("error_id"), "user_id",
+                    F.col("ts_us").alias("e_start"),
+                    (F.col("ts_us") + e_win).alias("e_end")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.col("ts_us").alias("p_start"),
+                     (F.col("ts_us") + p_win).alias("p_end")))
+    hits = joins.interval_join_binned(errs, purch, ["user_id"],
+                                      "e_start", "e_end", "p_start", "p_end",
+                                      bin_width=e_win)
+    return (hits.groupBy("error_id")
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.min("purchase_id").alias("first_purchase_id")))
+
+
 def q_threshold_filter(spark, sf_dir):
     """P3 kraken minimizer-style threshold filter + column drop
     (Snakefile:1823): events with value >= 150, report columns only."""
@@ -1097,7 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpm": q_tpm,
         "rpkm": q_rpkm,
         "top1_per_group": q_top1_per_group,
-        "tie_discard_top1": q_tie_discard_top1,
         "anvio_stacked": q_anvio_stacked,
         "pivot_wider": q_pivot_wider,
         "bin_summary_view": q_bin_summary_view,
@@ -1109,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "interval_overlap": q_interval_overlap,
         "coverage_stats": q_coverage_stats,
         "read_count_ladder": q_read_count_ladder,
         "kingdom_priority_lca": q_kingdom_priority_lca,
@@ -1143,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "tie_discard_top1": q_tie_discard_top1,
         "rollup_ladder": q_rollup_ladder,
         "retention_ladder": q_retention_ladder,
         "binner_completion": q_binner_completion,
@@ -1493,6 +1516,21 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "interval_overlap": """
+            WITH e AS (SELECT event_id AS error_id, user_id,
+                              epoch_us(ts::TIMESTAMP) AS e_start,
+                              epoch_us(ts::TIMESTAMP) + 600000000 AS e_end
+                       FROM events WHERE event_type = 'error'),
+                 p AS (SELECT event_id AS purchase_id, user_id,
+                              epoch_us(ts::TIMESTAMP) AS p_start,
+                              epoch_us(ts::TIMESTAMP) + 300000000 AS p_end
+                       FROM events WHERE event_type = 'purchase')
+            SELECT e.error_id, count(*)::BIGINT AS n_overlaps,
+                   min(p.purchase_id) AS first_purchase_id
+            FROM e JOIN p ON e.user_id = p.user_id
+                         AND e.e_start <= p.p_end AND p.p_start <= e.e_end
+            GROUP BY e.error_id
         """,
         "doc_lm_score": """
             WITH toks AS (

@@ -132,3 +132,30 @@ def range_join_binned(points: DataFrame, intervals: DataFrame, keys: list[str],
     i = explode_interval_bins(intervals, start_col, end_col, bin_width)
     cond = F.col(point_col).between(F.col(start_col), F.col(end_col))
     return p.join(i, keys + ["_bin"]).filter(cond).drop("_bin")
+
+
+def interval_join_binned(left: DataFrame, right: DataFrame, keys: list[str],
+                         l_start: str, l_end: str, r_start: str, r_end: str,
+                         bin_width: int) -> DataFrame:
+    """Interval-OVERLAP join (l_start <= r_end AND r_start <= l_end, equi on
+    ``keys``) as a binned EQUI join — the bedtools-intersect / telemetry
+    overlap staple, never a nested-loop non-equi join.
+
+    Both sides explode into the fixed-width bins they cover; the
+    (keys…, bin) equi-join meets each overlapping pair in EVERY shared bin,
+    so the join keeps a pair only in its FIRST shared bin — which for
+    overlapping intervals is exactly ``max(start_bin_l, start_bin_r)`` (the
+    later-starting side's first bin, which the earlier side must cover since
+    they overlap). That makes the dedup a row-local predicate instead of a
+    distinct shuffle. Start/end column names must differ across the two
+    sides (rename before calling if needed).
+    """
+    lb = explode_interval_bins(left, l_start, l_end, bin_width, out="_bin")
+    rb = explode_interval_bins(right, r_start, r_end, bin_width, out="_bin")
+    overlap = ((F.col(l_start) <= F.col(r_end))
+               & (F.col(r_start) <= F.col(l_end)))
+    first_shared = F.col("_bin") == F.greatest(
+        F.floor(F.col(l_start).cast("long") / F.lit(bin_width)),
+        F.floor(F.col(r_start).cast("long") / F.lit(bin_width)))
+    return lb.join(rb, keys + ["_bin"]).filter(overlap & first_shared) \
+        .drop("_bin")

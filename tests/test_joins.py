@@ -183,3 +183,23 @@ def test_tie_discard_agg_matches_window(spark):
     assert w == a and 0 < len(a) < 40   # some groups tie-discarded
     plan = via_agg._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_interval_join_binned_overlaps(spark):
+    """Overlap semantics incl. cross-bin spans: each overlapping pair appears
+    EXACTLY once (first-shared-bin dedup), non-overlaps never."""
+    from glamr_omics_pipelines_spark.operators import joins
+    left = spark.createDataFrame(
+        [("u1", 1, 0, 100),      # overlaps r1 (50..150) and r2 (90..95)
+         ("u1", 2, 200, 300),    # overlaps nothing
+         ("u1", 3, 0, 1000),     # wide: spans many bins; overlaps r1, r2, r3
+         ("u2", 4, 0, 100)],     # same span, different key -> no match
+        ["user", "lid", "l_start", "l_end"])
+    right = spark.createDataFrame(
+        [("u1", 1, 50, 150), ("u1", 2, 90, 95), ("u1", 3, 900, 1200)],
+        ["user", "rid", "r_start", "r_end"])
+    out = joins.interval_join_binned(left, right, ["user"],
+                                     "l_start", "l_end", "r_start", "r_end",
+                                     bin_width=64)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (3, 1), (3, 2), (3, 3)]
