@@ -1,0 +1,55 @@
+"""Mergeable HLL sketch operators: accuracy + mergeability invariants.
+
+Approximate operators carry pytest gates instead of DuckDB hash oracles
+(implementation-specific estimates can't hash-match across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.operators import sketches
+
+
+def _events(spark, n=5000, users=700):
+    return spark.range(n).select(
+        (F.col("id") % 5).alias("day"),
+        F.concat(F.lit("u"), (F.xxhash64("id") % users)).alias("user_id"))
+
+
+def test_hll_estimate_within_tolerance(spark):
+    df = _events(spark)
+    exact = {r["day"]: r["n"] for r in
+             df.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()}
+    est = sketches.hll_estimate(sketches.hll_sketch(df, ["day"], "user_id"))
+    for r in est.collect():
+        assert abs(r["approx_distinct"] - exact[r["day"]]) \
+            <= 0.05 * exact[r["day"]] + 2, (r["day"], r["approx_distinct"])
+
+
+def test_hll_rollup_merges_without_rescan(spark):
+    """Union of per-day sketches must estimate the ALL-days distinct count —
+    and agree with a sketch built directly over the whole table (mergeability
+    is what makes the sketch warehouse pattern work)."""
+    df = _events(spark)
+    per_day = sketches.hll_sketch(df, ["day"], "user_id")
+    total_from_union = sketches.hll_rollup(
+        per_day.withColumn("all", F.lit(1)), ["all"]).collect()[0]
+    direct = sketches.hll_estimate(
+        sketches.hll_sketch(df.withColumn("all", F.lit(1)), ["all"], "user_id")
+    ).collect()[0]
+    assert total_from_union["approx_distinct"] == direct["approx_distinct"]
+    exact = df.select("user_id").distinct().count()
+    assert abs(total_from_union["approx_distinct"] - exact) <= 0.05 * exact + 2
+
+
+def test_hll_sketch_column_survives_parquet(spark, tmp_path):
+    """The sketch is a plain BINARY column: write, read back, roll up."""
+    df = _events(spark, n=2000, users=300)
+    path = str(tmp_path / "sketches.parquet")
+    sketches.hll_sketch(df, ["day"], "user_id").write.parquet(path)
+    back = spark.read.parquet(path)
+    out = sketches.hll_rollup(back.withColumn("all", F.lit(1)), ["all"])
+    exact = df.select("user_id").distinct().count()
+    got = out.collect()[0]["approx_distinct"]
+    assert abs(got - exact) <= 0.05 * exact + 2
