@@ -117,3 +117,28 @@ def test_pii_scrub_idempotent(spark, docs):
         assert r["text"] == r["clean_text"]
         assert not re.search(T.PII_PATTERNS[0][0], r["clean_text"])
         assert not re.search(T.PII_PATTERNS[1][0], r["clean_text"])
+
+
+asof_rows = st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
+                               st.integers(min_value=0, max_value=100)),
+                     min_size=1, max_size=15)
+
+
+@settings(**SETTINGS)
+@given(asof_rows, asof_rows)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """For ANY inputs: each left row attaches the max right ts <= its ts
+    (per key), ties broken by max tiebreak id — pandas.merge_asof semantics."""
+    from glamr_omics_pipelines_spark.operators import joins
+    left = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(lrows)], ["u", "ts", "lid"])
+    right = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rrows)], ["u", "ts", "rid"])
+    out = joins.asof_join(left, right, on=["u"], left_ts="ts", right_ts="ts",
+                          tiebreak="rid", right_prefix="r_")
+    got = {r["lid"]: r["r_rid"] for r in out.collect()}
+    for i, (u, t) in enumerate(lrows):
+        cand = [(rt, j) for j, (ru, rt) in enumerate(rrows)
+                if ru == u and rt <= t]
+        expect = max(cand)[1] if cand else None
+        assert got[i] == expect, (i, u, t, cand)
