@@ -842,6 +842,17 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
+def q_split_contamination(spark, sf_dir):
+    """Eval decontamination sweep: stratified split over the planted-dup
+    corpus, then count 8-gram overlaps of each val/test doc with the train
+    split — copies straddling the split boundary surface here."""
+    corpus = _dup_corpus(spark, sf_dir)
+    split = sampling.stratified_split(corpus, "doc_id")
+    out = text.ngram_contamination(split, "doc_id", "text", "split", n=8)
+    return out.select("doc_id", "split",
+                      F.col("n_shared").cast("bigint").alias("n_shared"))
+
+
 def q_doc_lm_score(spark, sf_dir):
     """Per-doc mean unigram log-probability under the corpus's own empirical
     distribution — cheap perplexity-style quality gate (CCNet-shaped)."""
@@ -1120,7 +1131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpkm": q_rpkm,
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
-        "pivot_wider": q_pivot_wider,
         "bin_summary_view": q_bin_summary_view,
         "skew_join_salted": q_skew_join_salted,
         "curation_pipeline": q_curation_pipeline,
@@ -1163,8 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "doc_lm_score": q_doc_lm_score,
+        "split_contamination": q_split_contamination,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "pivot_wider": q_pivot_wider,
         "tie_discard_top1": q_tie_discard_top1,
         "rollup_ladder": q_rollup_ladder,
         "retention_ladder": q_retention_ladder,
@@ -1516,6 +1528,32 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "split_contamination": f"""
+            WITH corpus AS ({_DUP_CORPUS_SQL}),
+            s AS (SELECT doc_id, text,
+                         CASE WHEN b < 80 THEN 'train'
+                              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                  FROM (SELECT doc_id, text,
+                               CAST(concat('0x', substr(md5(concat('split:',
+                                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                                 % 100 AS b
+                        FROM corpus)),
+            w AS (SELECT doc_id, split,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x != '') AS ws
+                  FROM s),
+            g AS (SELECT doc_id, split,
+                         unnest(list_distinct(list_transform(
+                           generate_series(1, len(ws) - 7),
+                           i -> array_to_string(list_slice(ws, i, i + 7), ' '))))
+                           AS gram
+                  FROM w WHERE len(ws) >= 8),
+            train AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+            SELECT g.doc_id, g.split, count(*)::BIGINT AS n_shared
+            FROM g JOIN train USING (gram)
+            WHERE g.split IN ('val', 'test')
+            GROUP BY g.doc_id, g.split
         """,
         "interval_overlap": """
             WITH e AS (SELECT event_id AS error_id, user_id,

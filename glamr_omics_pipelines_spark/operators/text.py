@@ -182,6 +182,39 @@ def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFram
             .withColumn(out, cleaned))
 
 
+def ngram_contamination(df: DataFrame, id_col: str, text_col: str,
+                        split_col: str, n: int = 8,
+                        train_value: str = "train",
+                        check_values: tuple = ("val", "test")) -> DataFrame:
+    """Test-set decontamination check: for each val/test document, count its
+    word ``n``-grams that ALSO appear anywhere in the train split — the
+    standard eval-contamination sweep run before training on a corpus whose
+    splits may contain near-copies.
+
+    Per-doc distinct n-grams are built row-locally (HOFs, zero shuffle),
+    then one shuffled equi join against the distinct train-gram set. Joins
+    on the gram STRING for oracle parity; at 100 TB join on
+    ``xxhash64(gram)`` instead so the exchange carries 8-byte keys.
+    Docs shorter than ``n`` words can't be contaminated and produce no row,
+    as do clean docs (inner-join semantics: the output is the audit list).
+    """
+    df2 = df.withColumn("_w", F.transform(tokens(text_col), F.lower))
+    w = F.col("_w")
+    k = F.array_size(w) - (n - 1)
+    grams_arr = F.when(k >= 1, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n))))) \
+        .otherwise(F.array().cast("array<string>"))
+    g = df2.select(F.col(id_col), F.col(split_col),
+                   F.explode(grams_arr).alias("gram"))
+    train_g = (g.filter(F.col(split_col) == train_value)
+               .select("gram").distinct())
+    check = g.filter(F.col(split_col).isin(*check_values))
+    return (check.join(train_g, "gram")
+            .groupBy(id_col, split_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 def unigram_lm_score(df: DataFrame, id_col: str, text_col: str,
                      out: str = "lm_score") -> DataFrame:
     """Per-doc mean unigram log-probability under the corpus's own empirical

@@ -143,3 +143,17 @@ def test_unigram_lm_score_hand_computed(spark):
            for r in T.unigram_lm_score(df, "doc_id", "text").collect()}
     assert abs(got[1][0] - math.log(3 / 4)) < 1e-9 and got[1][1] == 3
     assert abs(got[2][0] - math.log(1 / 4)) < 1e-9 and got[2][1] == 1
+
+
+def test_ngram_contamination_detects_cross_split_copy(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "train"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "test"),    # full copy: 2 shared 8-grams
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8", "test"),        # clean
+        (4, "short doc", "test"),                      # < 8 words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    got = {r["doc_id"]: r["n_shared"]
+           for r in T.ngram_contamination(df, "doc_id", "text", "split").collect()}
+    assert got == {2: 2}
