@@ -842,6 +842,14 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "neighbor_id", _r4("cosine").alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
 
+def q_temperature_sample(spark, sf_dir):
+    """α=0.5 temperature rebalance across languages: head langs down-sampled
+    toward sqrt-proportional shares, membership by deterministic key hash."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(d, ["lang"], "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
 def q_split_contamination(spark, sf_dir):
     """Eval decontamination sweep: stratified split over the planted-dup
     corpus, then count 8-gram overlaps of each val/test doc with the train
@@ -1132,7 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
         "bin_summary_view": q_bin_summary_view,
-        "skew_join_salted": q_skew_join_salted,
         "curation_pipeline": q_curation_pipeline,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
@@ -1174,8 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_lm_score": q_doc_lm_score,
         "split_contamination": q_split_contamination,
+        "temperature_sample": q_temperature_sample,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "skew_join_salted": q_skew_join_salted,
         "pivot_wider": q_pivot_wider,
         "tie_discard_top1": q_tie_discard_top1,
         "rollup_ladder": q_rollup_ladder,
@@ -1528,6 +1537,18 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(r.seq), 1), 4) AS gc,
                    round(q.mq, 4) AS mean_qual
             FROM reads r JOIN quals q USING (doc_id)
+        """,
+        "temperature_sample": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            tot AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS N FROM c),
+            f AS (SELECT lang,
+                         least(1.0, tot.N * pow(c.n, 0.5) / (tot.z * c.n)) AS f
+                  FROM c, tot)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f USING (lang)
+            WHERE CAST(concat('0x', substr(md5(concat('temp:',
+                       CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
+                  < CAST(round(f.f, 6) * 1000000 AS BIGINT)
         """,
         "split_contamination": f"""
             WITH corpus AS ({_DUP_CORPUS_SQL}),

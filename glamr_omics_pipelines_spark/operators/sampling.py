@@ -62,6 +62,39 @@ def cap_per_group(df: DataFrame, group_cols: list[str], key: str, n: int,
             .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def temperature_sample(df: DataFrame, group_cols: list[str], key: str,
+                       alpha: float = 0.5, salt: str = "temp") -> DataFrame:
+    """α-temperature rebalanced sampling across groups (languages, domains):
+    keep each group with probability f_g = min(1, N·n_g^α / (Σn^α · n_g)) so
+    group g's expected share moves from its natural proportion p_g toward
+    p_g^α / Σp^α — the standard multilingual-pretraining rebalance (head
+    groups down-sampled, tail groups kept whole; α=1 is a no-op, α→0
+    approaches uniform shares). Down-sampling only: an f_g above 1 is capped
+    (up-weighting needs replication, which changes row counts, not sampling).
+
+    Membership is the md5 key-hash predicate of ``hash_bucket`` with the
+    per-group fraction joined in (group-grain — broadcasts), so the sample
+    is reproducible across runs, engines, and partitionings; the fraction is
+    rounded to 6 decimals before thresholding so independent float stacks
+    agree on the cut.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    # distinct names from _n even case-insensitively (Spark's default
+    # resolver treats _n/_N as the same reference)
+    tot = counts.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("_zsum"),
+                     F.sum("_n").alias("_total"))
+    frac = (counts.crossJoin(F.broadcast(tot))
+            .withColumn("_f", F.least(
+                F.lit(1.0),
+                F.col("_total") * F.pow("_n", F.lit(alpha))
+                / (F.col("_zsum") * F.col("_n"))))
+            .select(*group_cols, "_f"))
+    thresh = (F.round(F.col("_f"), 6) * 1_000_000).cast("bigint")
+    return (df.join(F.broadcast(frac), group_cols)
+            .filter(hash_bucket(key, 1_000_000, salt) < thresh)
+            .drop("_f"))
+
+
 def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
                      val_pct: int = 10, salt: str | None = "split",
                      out: str = "split") -> DataFrame:

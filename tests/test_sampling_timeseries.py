@@ -84,3 +84,25 @@ def test_hash_bucket_null_key_matches_sql_concat_skip(spark):
         "SELECT CAST(concat('0x', substr(md5(concat('s1:', CAST(NULL AS "
         "VARCHAR))), 1, 8)) AS BIGINT) % 100").fetchone()[0]
     assert got[None] == want_null and got[7] is not None
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark):
+    """alpha<1 keeps tail groups whole and down-samples head groups; alpha=1
+    is (up to capping) a no-op; membership is deterministic."""
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import sampling
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = sampling.temperature_sample(df, ["grp"], "doc_id", alpha=0.5)
+    got = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 100            # f capped at 1: tail kept whole
+    # f_big = N*sqrt(900)/(z*900) = 1000*30/(40*900) = 0.8333 -> E=750
+    assert 700 < got["big"] < 800
+    # deterministic: same call, same membership
+    again = sampling.temperature_sample(df, ["grp"], "doc_id", alpha=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) \
+        == sorted(r["doc_id"] for r in again.collect())
+    # alpha=1: every fraction is exactly 1 -> identity
+    ident = sampling.temperature_sample(df, ["grp"], "doc_id", alpha=1.0)
+    assert ident.count() == 1000
