@@ -59,6 +59,9 @@ HEADLINE = [
     "text_repetition",   # Gopher repetition gates (row-local HOFs)
     "pii_scrub",         # regex redaction chain, scan-stage
     "doc_lm_score",      # corpus unigram logprob quality gate
+    "interval_overlap",  # binned interval-overlap join (first-shared-bin dedup)
+    "split_contamination",  # cross-split n-gram decontamination sweep
+    "temperature_sample",   # alpha-temperature group rebalance
 ]
 
 
