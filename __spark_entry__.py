@@ -1548,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN f USING (lang)
             WHERE CAST(concat('0x', substr(md5(concat('temp:',
                        CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
-                  < CAST(round(f.f, 6) * 1000000 AS BIGINT)
+                  < CAST(round(f.f * 1000000) AS BIGINT)
         """,
         "split_contamination": f"""
             WITH corpus AS ({_DUP_CORPUS_SQL}),
@@ -1637,18 +1637,26 @@ def oracle_sql() -> dict[str, str]:
                      '@example.com via https://ex.com/d/' || doc_id ||
                      ' or +1 555-000-' || doc_id AS t
               FROM documents)
+            , staged AS (
+              SELECT doc_id, t,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM seeded),
+            staged2 AS (
+              SELECT doc_id, t, t1,
+                     regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+              FROM staged)
             SELECT doc_id,
                    len(regexp_extract_all(t,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
                      AS n_emails,
-                   len(regexp_extract_all(t, 'https?://[^\\s]+'))::BIGINT AS n_urls,
-                   len(regexp_extract_all(t, '\\+?[0-9][0-9() \\-]{6,}[0-9]'))::BIGINT
+                   len(regexp_extract_all(t1, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(t2, '\\+?[0-9][0-9() \\-]{6,}[0-9]'))::BIGINT
                      AS n_phones,
-                   regexp_replace(regexp_replace(regexp_replace(t,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                     'https?://[^\\s]+', '<URL>', 'g'),
-                     '\\+?[0-9][0-9() \\-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
-            FROM seeded
+                   regexp_replace(t2, '\\+?[0-9][0-9() \\-]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS clean_text
+            FROM staged2
         """,
         "quality_window_trim": """
             WITH reads AS (

@@ -121,11 +121,16 @@ def main() -> None:
         "unit": "sec",
         "runs_per_query": 3,
         "calibration_probe_sec": round(probe_best, 3),
+        # a total over FEWER queries is not comparable across rounds; these
+        # make a shrunken denominator impossible to miss
+        "n_queries_timed": len(timings),
+        "n_queries_expected": len(HEADLINE),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["total_incomparable"] = True
     print(json.dumps(out))
     spark.stop()
 

@@ -203,8 +203,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     either a 64-agg codegen tax or two narrow shuffles; values are identical
     — the DuckDB jaccard oracle checks end-to-end.)
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    df = df.withColumn("_tk", F.filter(F.split(F.col(text_col), r"\s+"),
+                                       lambda t: t != ""))
+    hashes = F.transform(F.col("_tk"), lambda t: F.xxhash64(t))
     bits = F.sequence(F.lit(0), F.lit(63))
     init = F.array_repeat(F.lit(0).cast("long"), 64)
     sums = F.aggregate(
@@ -223,7 +224,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.zip_with(sums, powers,
                    lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return df.select(id_col, packed.alias("simhash"))
+    # token-less docs carry no signal: emitting them (all with simhash 0)
+    # would put every empty doc in the same bucket in every band — an O(m²)
+    # candidate blowup. Same omission semantics as the explode-based form.
+    return (df.filter(F.array_size("_tk") > 0)
+            .select(id_col, packed.alias("simhash")))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -298,6 +303,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return labels that split one true
+        # component into several clusters — corrupt dedup survivors, no
+        # symptom. Near-dup components are shallow; a diameter beyond
+        # max_iter means the input is not what this operator is for.
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter or "
+            "pre-partition the pair graph")
     return labels
 
 

@@ -74,9 +74,9 @@ def temperature_sample(df: DataFrame, group_cols: list[str], key: str,
 
     Membership is the md5 key-hash predicate of ``hash_bucket`` with the
     per-group fraction joined in (group-grain — broadcasts), so the sample
-    is reproducible across runs, engines, and partitionings; the fraction is
-    rounded to 6 decimals before thresholding so independent float stacks
-    agree on the cut.
+    is reproducible across runs, engines, and partitionings; the threshold
+    integer is round(f*1e6) on both sides so independent float stacks agree
+    on the cut.
     """
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
     # distinct names from _n even case-insensitively (Spark's default
@@ -89,7 +89,12 @@ def temperature_sample(df: DataFrame, group_cols: list[str], key: str,
                 F.col("_total") * F.pow("_n", F.lit(alpha))
                 / (F.col("_zsum") * F.col("_n"))))
             .select(*group_cols, "_f"))
-    thresh = (F.round(F.col("_f"), 6) * 1_000_000).cast("bigint")
+    # round(f*1e6), NOT cast(round(f,6)*1e6): the product of a 6-dp-rounded
+    # double with 1e6 can land epsilon BELOW the integer (248.999...97), and
+    # Spark's double->bigint cast truncates while SQL CAST rounds — an
+    # off-by-one threshold for ~1% of fractions. Rounding the product keeps
+    # both engines on the same integer.
+    thresh = F.round(F.col("_f") * 1_000_000).cast("bigint")
     return (df.join(F.broadcast(frac), group_cols)
             .filter(hash_bucket(key, 1_000_000, salt) < thresh)
             .drop("_f"))

@@ -170,16 +170,22 @@ def scrub_pii(df: DataFrame, text_col: str, out: str = "clean_text") -> DataFram
     """Redact emails, URLs and phone-like numbers (training-data curation
     stage). Chain of JVM regexp_replace — codegen'd, order matters (emails
     before phones so the digits in a local-part are not half-eaten).
-    Also counts redactions per kind (``n_emails``/``n_urls``/``n_phones``)
-    from the ORIGINAL text, for corpus auditing."""
-    email, url, phone = (p for p, _ in PII_PATTERNS)
-    cleaned = F.col(text_col)
-    for pat, repl in PII_PATTERNS:
-        cleaned = F.regexp_replace(cleaned, pat, repl)
+    ``n_emails``/``n_urls``/``n_phones`` count ACTUAL redactions per kind:
+    each count runs against the text as it stood when that pattern was
+    applied (a digit run inside a URL is one <URL> redaction, not also a
+    phone), so the counts reconcile exactly with placeholder occurrences in
+    ``out``."""
+    (email, e_repl), (url, u_repl), (phone, p_repl) = PII_PATTERNS
+    # intermediate texts pinned as columns: each feeds a count AND the next
+    # replace, and a multi-referenced regex tree would otherwise re-run per
+    # reference (same rule as HOF-shared subtrees)
+    df = df.withColumn("_t1", F.regexp_replace(F.col(text_col), email, e_repl))
+    df = df.withColumn("_t2", F.regexp_replace(F.col("_t1"), url, u_repl))
     return (df.withColumn("n_emails", F.regexp_count(F.col(text_col), F.lit(email)))
-            .withColumn("n_urls", F.regexp_count(F.col(text_col), F.lit(url)))
-            .withColumn("n_phones", F.regexp_count(F.col(text_col), F.lit(phone)))
-            .withColumn(out, cleaned))
+            .withColumn("n_urls", F.regexp_count(F.col("_t1"), F.lit(url)))
+            .withColumn("n_phones", F.regexp_count(F.col("_t2"), F.lit(phone)))
+            .withColumn(out, F.regexp_replace(F.col("_t2"), phone, p_repl))
+            .drop("_t1", "_t2"))
 
 
 def ngram_contamination(df: DataFrame, id_col: str, text_col: str,
@@ -205,8 +211,12 @@ def ngram_contamination(df: DataFrame, id_col: str, text_col: str,
         F.transform(F.sequence(F.lit(1), k),
                     lambda i: F.concat_ws(" ", F.slice(w, i, n))))) \
         .otherwise(F.array().cast("array<string>"))
-    g = df2.select(F.col(id_col), F.col(split_col),
-                   F.explode(grams_arr).alias("gram"))
+    from glamr_omics_pipelines_spark.operators import _cache
+    # the exploded gram frame feeds BOTH the train-distinct branch and the
+    # val/test probe side; persist (released via _cache.release_caches()) so
+    # the tokenize+n-gram explode — the dominant cost — runs once, not twice
+    g = _cache.register(df2.select(F.col(id_col), F.col(split_col),
+                                   F.explode(grams_arr).alias("gram")))
     train_g = (g.filter(F.col(split_col) == train_value)
                .select("gram").distinct())
     check = g.filter(F.col(split_col).isin(*check_values))

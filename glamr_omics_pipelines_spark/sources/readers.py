@@ -45,6 +45,17 @@ def read_typed_csv(spark: SparkSession, paths, schema: StructType | None = None,
     return df
 
 
+def _pattern_regex(pattern: str) -> tuple[list[str], str]:
+    """{name}-wildcard pattern → (names, extraction regex), one group per
+    wildcard. Shared by with_path_columns and list_files so the wildcard
+    semantics cannot drift between the two scan paths."""
+    names = re.findall(r"\{(\w+)\}", pattern)
+    regex = re.escape(pattern)
+    for n in names:
+        regex = regex.replace(re.escape("{%s}" % n), r"([^/]+)")
+    return names, regex
+
+
 def with_path_columns(df: DataFrame, pattern: str,
                       path_col_name: str = "_path",
                       file_metadata: bool = False) -> DataFrame:
@@ -60,10 +71,7 @@ def with_path_columns(df: DataFrame, pattern: str,
     and orders bin inventories by create_time (standardize_bins.R:94).
     Requires ``df`` to be a direct file-source scan (parquet/csv/json/text).
     """
-    names = re.findall(r"\{(\w+)\}", pattern)
-    regex = re.escape(pattern)
-    for n in names:
-        regex = regex.replace(re.escape("{%s}" % n), r"([^/]+)")
+    names, regex = _pattern_regex(pattern)
     out = df.withColumn(path_col_name, F.input_file_name())
     for i, n in enumerate(names, start=1):
         out = out.withColumn(n, F.regexp_extract(path_col_name, regex, i))
@@ -91,10 +99,7 @@ def list_files(spark: SparkSession, glob: str,
                   F.col("modificationTime").alias("file_mtime"),
                   F.col("length").alias("file_size")))
     if pattern:
-        names = re.findall(r"\{(\w+)\}", pattern)
-        regex = re.escape(pattern)
-        for n in names:
-            regex = regex.replace(re.escape("{%s}" % n), r"([^/]+)")
+        names, regex = _pattern_regex(pattern)
         for i, n in enumerate(names, start=1):
             df = df.withColumn(n, F.regexp_extract("path", regex, i))
     return df

@@ -178,3 +178,20 @@ def test_cache_registry_release(spark):
     cands.collect()  # materializes the registered bucket cache
     assert _cache.release_caches() >= 1
     assert _cache.release_caches() == 0  # registry drained
+
+
+def test_simhash_omits_tokenless_docs(spark):
+    """Empty/whitespace docs carry no signal and must produce NO signature
+    row (they would otherwise all share bucket 0 in every band)."""
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")], ["doc_id", "text"])
+    out = dedup.simhash_signatures(df, "doc_id", "text")
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+    chain = [(i, i + 1) for i in range(10)]  # diameter 10 > max_iter 2
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(df, max_iter=2)

@@ -157,3 +157,14 @@ def test_ngram_contamination_detects_cross_split_copy(spark):
     got = {r["doc_id"]: r["n_shared"]
            for r in T.ngram_contamination(df, "doc_id", "text", "split").collect()}
     assert got == {2: 2}
+
+
+def test_scrub_pii_counts_reconcile_with_placeholders(spark):
+    """Digit runs inside a URL are ONE <URL> redaction, not also a phone
+    (counts run against the progressively-cleaned text)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "see https://x.io/123-456-7890 now")],
+                               ["doc_id", "text"])
+    r = T.scrub_pii(df, "text").collect()[0]
+    assert (r["n_urls"], r["n_phones"], r["n_emails"]) == (1, 0, 0)
+    assert r["clean_text"] == "see <URL> now"
