@@ -1109,6 +1109,78 @@ def q_seqkit_stats(spark, sf_dir):
                       _r4("q3").alias("q3"), "max_len")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster survivor selection (the stage after dup_clusters): LSH
+    candidates → exact-Jaccard verify → connected components → keep the
+    longest doc per cluster (tie → min doc_id); singletons survive. One
+    kept-flag row per doc — the complete dedup pipeline's final output."""
+    corpus = _dup_corpus(spark, sf_dir).withColumn(
+        "score", F.length("text").cast("double"))
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text",
+                                         num_hashes=32, bands=16, shingle_n=4,
+                                         dedup_pairs=False)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=4,
+                                      threshold=0.9, candidates=cands)
+    labels = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    out = dedup.keep_best_per_cluster(corpus, labels, "doc_id", "score")
+    return out.select("doc_id", "cluster_id", "kept")
+
+
+def q_quantile_gate(spark, sf_dir):
+    """Adaptive per-group quality gate: drop each language's shortest
+    quartile (exact per-lang p25 threshold, broadcast back onto the scan) —
+    the data-driven filtering a multilingual corpus needs so one language's
+    length distribution doesn't set every language's cutoff."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.quantile_gate(d, ["lang"], "n_chars", q=0.25)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 _r4(F.first("threshold")).alias("threshold"),
+                 F.min("n_chars").cast("bigint").alias("min_kept_chars")))
+
+
+def q_normalize_text(spark, sf_dir):
+    """Text canonicalization before hashing/dedup: strip planted markup,
+    collapse whitespace runs, trim; emit the canonical md5 + length. Pure
+    codegen'd regexp chain — the scan-stage normalize every exact-dedup
+    pipeline runs first."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.lit("  <p class='x'>"), F.col("text"),
+                 F.lit("</p>\n\t<br/> tail   end ")).alias("text"))
+    out = text.normalize_text(planted, "text")
+    return out.select("doc_id", F.md5("norm_text").alias("norm_hash"),
+                      F.length("norm_text").cast("bigint").alias("norm_len"))
+
+
+def q_session_windows(spark, sf_dir):
+    """Native session_window gap sessionization (per-SESSION grain —
+    complements q_sessionize's per-user rollup): Spark's built-in merging
+    session operator, the same construct that runs stateful in Structured
+    Streaming (streaming/ingest.py), here in batch with a 30-min gap."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _r4(F.sum("value")).alias("sum_value"))
+            .select("user_id",
+                    F.date_format("session_window.start",
+                                  "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def q_kmer_spectrum(spark, sf_dir):
+    """k-mer spectrum (bio n-gram vocabulary; sourmash sketch input,
+    Snakefile:2529): 4-mer counts over acgt reads derived from documents,
+    top-20 by (count desc, kmer asc). Bounded output: ≤ 4^k rows cross the
+    shuffle regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    reads = d.select(F.regexp_replace(F.lower("text"), "[^acgt]", "")
+                     .alias("seq"))
+    spec = bio.kmer_spectrum(reads, "seq", k=4)
+    return spec.orderBy(F.desc("n"), F.asc("kmer")).limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1134,9 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
-        "rel_abund": q_rel_abund,
         "tpm": q_tpm,
-        "rpkm": q_rpkm,
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
         "bin_summary_view": q_bin_summary_view,
@@ -1149,10 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "coverage_stats": q_coverage_stats,
-        "read_count_ladder": q_read_count_ladder,
         "kingdom_priority_lca": q_kingdom_priority_lca,
-        "dna_reads_qc": q_dna_reads_qc,
-        "asv_matrix": q_asv_matrix,
         "multimodal_features": q_multimodal_features,
         "fasta_roundtrip": q_fasta_roundtrip,
         "fastq_roundtrip": q_fastq_roundtrip,
@@ -1163,6 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "quantile_gate": q_quantile_gate,
+        "normalize_text": q_normalize_text,
+        "session_windows": q_session_windows,
+        "kmer_spectrum": q_kmer_spectrum,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1184,6 +1256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
         # --- past the 50-entry window. tools/check.py still covers them.
+        "rel_abund": q_rel_abund,
+        "rpkm": q_rpkm,
+        "read_count_ladder": q_read_count_ladder,
+        "dna_reads_qc": q_dna_reads_qc,
+        "asv_matrix": q_asv_matrix,
         "skew_join_salted": q_skew_join_salted,
         "pivot_wider": q_pivot_wider,
         "tie_discard_top1": q_tie_discard_top1,
@@ -2075,6 +2152,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, cluster_id,
                    (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
             FROM labels
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+            pairs AS (
+              SELECT id_a, id_b FROM ({_jaccard_sql(_DUP_CORPUS_SQL, 0.9)}) j),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            scored AS (
+              SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+                     length(c.text)::DOUBLE AS score
+              FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id),
+            ranked AS (
+              SELECT doc_id, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY score DESC, doc_id ASC) AS rn
+              FROM scored)
+            SELECT doc_id, cluster_id, (rn = 1) AS kept FROM ranked
+        """,
+        "quantile_gate": """
+            WITH th AS (
+              SELECT lang, quantile_cont(n_chars, 0.25) AS threshold
+              FROM documents GROUP BY lang)
+            SELECT d.lang, count(*) AS n_kept,
+                   round(any_value(th.threshold), 4) AS threshold,
+                   CAST(min(d.n_chars) AS BIGINT) AS min_kept_chars
+            FROM documents d JOIN th USING (lang)
+            WHERE d.n_chars >= th.threshold
+            GROUP BY d.lang
+        """,
+        "normalize_text": """
+            WITH planted AS (
+              SELECT doc_id,
+                     '  <p class=''x''>' || text || '</p>' || chr(10) ||
+                     chr(9) || '<br/> tail   end ' AS text
+              FROM documents),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                         '\\s+', ' ', 'g')) AS norm_text
+              FROM planted)
+            SELECT doc_id, md5(norm_text) AS norm_hash,
+                   CAST(length(norm_text) AS BIGINT) AS norm_len
+            FROM norm
+        """,
+        "session_windows": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w ::TIMESTAMP) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "kmer_spectrum": """
+            WITH reads AS (
+              SELECT regexp_replace(lower(text), '[^acgt]', '', 'g') AS seq
+              FROM documents),
+            kmers AS (
+              SELECT substr(seq, i, 4) AS kmer
+              FROM (SELECT seq FROM reads WHERE length(seq) >= 4) r,
+                   LATERAL (SELECT unnest(generate_series(1, length(seq) - 3)) AS i) g)
+            SELECT kmer, count(*) AS n FROM kmers
+            GROUP BY kmer
+            ORDER BY n DESC, kmer ASC
+            LIMIT 20
         """,
         "simhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.999),
         "ngram_jaccard": _jaccard_sql(

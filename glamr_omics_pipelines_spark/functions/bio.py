@@ -178,3 +178,22 @@ def seqkit_stats(df: DataFrame, group_cols: list[str], len_col: str) -> DataFram
         F.expr(f"percentile({len_col}, 0.5)").alias("q2"),
         F.expr(f"percentile({len_col}, 0.75)").alias("q3"),
         F.max(len_col).alias("max_len"))
+
+
+def kmer_spectrum(df: DataFrame, seq_col: str = "seq", k: int = 4) -> DataFrame:
+    """k-mer spectrum: occurrence count of every length-k substring across
+    all sequences — the bio analog of an n-gram vocabulary (sourmash/k-mer
+    profile territory, Snakefile:2529's sketch inputs; also the shingle stage
+    of MinHash dedup applied to DNA).
+
+    sequence() + transform + explode keeps extraction inside whole-stage
+    codegen (no UDF); the count is a map-side partial agg over k-byte
+    strings, so the shuffle carries (kmer, partial_count) pairs — bounded by
+    4^k distinct k-mers for DNA, not by corpus size. Sequences shorter than
+    k are dropped up front so sequence(1, n) never sees a negative span.
+    """
+    kmers = (df.filter(F.length(seq_col) >= k)
+             .select(F.explode(F.expr(
+                 f"transform(sequence(1, length({seq_col}) - {k - 1}), "
+                 f"i -> substring({seq_col}, i, {k}))")).alias("kmer")))
+    return kmers.groupBy("kmer").agg(F.count(F.lit(1)).alias("n"))

@@ -315,6 +315,37 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels
 
 
+def keep_best_per_cluster(corpus: DataFrame, labels: DataFrame,
+                          id_col: str = "doc_id", score_col: str = "score",
+                          label_id: str = "id",
+                          label_col: str = "label") -> DataFrame:
+    """Cluster survivor selection: given docs and near-dup cluster labels
+    (from ``dup_clusters``), keep the highest-``score_col`` doc per cluster
+    (ties → smallest id); docs absent from ``labels`` are singleton clusters
+    and always survive. The final stage of a corpus dedup pipeline —
+    pairs → clusters → ONE representative per duplicate set, chosen by
+    quality rather than arrival order.
+
+    Scale: the winner per cluster is a map-side-combinable min(struct(-score,
+    id)) aggregate (no per-cluster sort window), so the only shuffles are the
+    label attach (labels ≪ corpus: only clustered docs have rows — broadcast
+    when they fit) and the cluster-grain agg, which carries two longs per
+    cluster, never document bodies.
+    """
+    lab = labels.select(F.col(label_id).alias("_lid"),
+                        F.col(label_col).alias("_cl"))
+    d = (corpus.join(lab, corpus[id_col] == F.col("_lid"), "left")
+         .withColumn("cluster_id", F.coalesce(F.col("_cl"), F.col(id_col)))
+         .drop("_lid", "_cl"))
+    winners = (d.groupBy("cluster_id")
+               .agg(F.min(F.struct((-F.col(score_col)).alias("neg_score"),
+                                   F.col(id_col).alias("id"))).alias("_w"))
+               .select("cluster_id", F.col("_w.id").alias("_winner")))
+    return (d.join(winners, "cluster_id")
+            .withColumn("kept", F.col(id_col) == F.col("_winner"))
+            .drop("_winner"))
+
+
 def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           candidates: DataFrame | None = None) -> DataFrame:

@@ -111,3 +111,26 @@ def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
     return df.withColumn(
         out, F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val").otherwise("test"))
+
+
+def quantile_gate(df: DataFrame, group_cols: list[str], score_col: str,
+                  q: float = 0.25, keep: str = "ge") -> DataFrame:
+    """Adaptive per-group quantile threshold filter: keep rows whose
+    ``score_col`` is >= (or <= with ``keep='le'``) the group's exact q-th
+    quantile. The data-driven form of a quality gate — instead of one global
+    cutoff, each group (language, source, domain) sheds its own worst
+    fraction, so a low-resource language is not wiped out by a threshold
+    tuned on the dominant one.
+
+    Exact ``percentile`` (linear interpolation — same definition as ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont) so the gate is engine-portable.
+    Scale: thresholds are one row per group (computed with a partial-agg
+    groupBy), broadcast back onto the fact scan — the filter itself is a
+    row-local comparison; the only full-data shuffle is none.
+    """
+    th = (df.groupBy(*group_cols)
+          .agg(F.expr(f"percentile({score_col}, {q}d)").alias("threshold")))
+    joined = df.join(F.broadcast(th), group_cols)
+    cmp = (F.col(score_col) >= F.col("threshold") if keep == "ge"
+           else F.col(score_col) <= F.col("threshold"))
+    return joined.filter(cmp)

@@ -262,3 +262,19 @@ def doc_fingerprint(df: DataFrame, text_col: str, prefix_len: int = 64,
     h = F.aggregate(chars, F.lit(0).cast("bigint"),
                     lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(1000000007))
     return df.withColumn(out, h)
+
+
+def normalize_text(df: DataFrame, text_col: str,
+                   out: str = "norm_text") -> DataFrame:
+    """Text canonicalization ahead of dedup/tokenization: strip markup tags,
+    fold all whitespace runs (spaces, tabs, newlines) to a single space, and
+    trim. Canonicalizing BEFORE hashing is what makes exact dedup robust to
+    formatting-only differences (same article, different wrapping).
+
+    Pure codegen'd regexp_replace chain (RE2-compatible patterns, so SQL
+    oracles and other engines agree byte-for-byte) — scan-stage, row-local,
+    zero shuffle at any scale.
+    """
+    c = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out, F.trim(c))
