@@ -1181,6 +1181,52 @@ def q_kmer_spectrum(spark, sf_dir):
     return spec.orderBy(F.desc("n"), F.asc("kmer")).limit(20)
 
 
+def q_rolling_features(spark, sf_dir):
+    """Trailing 1h RANGE-frame features per user (rate/burst features):
+    count + mean of value over the last hour at every event — O(n) sliding
+    frame, not an O(n·w) self-join. Second-granularity frame on BOTH engines
+    (epoch_us // 1e6) so the boundary is identical."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = timeseries.rolling_features(ev, "user_id", "ts", "value",
+                                      window_seconds=3600)
+    return out.select("event_id", "user_id",
+                      F.col("trailing_n").cast("bigint").alias("trailing_n"),
+                      _r4("trailing_mean").alias("trailing_mean"))
+
+
+def q_percent_rank_norm(spark, sf_dir):
+    """Within-group CDF normalization (percent_rank) of doc length per
+    language — makes scores comparable across groups before any global
+    cutoff."""
+    d = _t(spark, sf_dir, "documents")
+    out = windows.percent_rank_norm(d, ["lang"], "n_chars")
+    return out.select("doc_id", "lang", _r4("score_pct").alias("score_pct"))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (keyword extraction): explode → tf
+    partial agg, vocabulary-sized df agg broadcast back, bounded per-doc rank
+    window. Rank on round(tfidf, 6) so float ulp differences between engines
+    cannot flip the cut."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = text.tfidf_topk(d, "doc_id", "text", top_terms=3, rank_round=6)
+    return out.select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                      _r4("tfidf").alias("tfidf"),
+                      F.col("term_rank").cast("bigint").alias("term_rank"))
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (robust-stats companion of coverM's
+    trimmed_mean, Snakefile:1663-1669): clip doc length into the per-lang
+    exact [p5, p95] band, then summarize the clipped distribution."""
+    d = _t(spark, sf_dir, "documents")
+    out = abundance.winsorize(d, ["lang"], "n_chars", lo=0.05, hi=0.95)
+    return (out.groupBy("lang")
+            .agg(_r4(F.avg("winsorized")).alias("clipped_mean"),
+                 _r4(F.min("winsorized")).alias("clipped_min"),
+                 _r4(F.max("winsorized")).alias("clipped_max")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1214,15 +1260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
         "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
-        "coverage_stats": q_coverage_stats,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
-        "fasta_roundtrip": q_fasta_roundtrip,
-        "fastq_roundtrip": q_fastq_roundtrip,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_multi": q_lsh_ann_multi,
@@ -1235,6 +1277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "session_windows": q_session_windows,
         "kmer_spectrum": q_kmer_spectrum,
+        "rolling_features": q_rolling_features,
+        "percent_rank_norm": q_percent_rank_norm,
+        "tfidf_topk": q_tfidf_topk,
+        "winsorize": q_winsorize,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1258,6 +1304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "windowed_counts": q_windowed_counts,
+        "coverage_stats": q_coverage_stats,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "fastq_roundtrip": q_fastq_roundtrip,
         "read_count_ladder": q_read_count_ladder,
         "dna_reads_qc": q_dna_reads_qc,
         "asv_matrix": q_asv_matrix,
@@ -2220,6 +2270,61 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+                   round(avg(value) OVER w, 4) AS trailing_mean
+            FROM events WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts::TIMESTAMP) // 1000000
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "percent_rank_norm": """
+            SELECT doc_id, lang,
+                   round(percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 4) AS score_pct
+            FROM documents
+        """,
+        "tfidf_topk": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            toks AS (
+              SELECT doc_id, lower(t) AS term
+              FROM d, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t) g),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_count
+                      FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * ln(n.n_docs::DOUBLE / dfreq.df_count) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, term, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tfidf, 6) DESC, term ASC) AS term_rank
+              FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   round(tfidf, 4) AS tfidf,
+                   CAST(term_rank AS BIGINT) AS term_rank
+            FROM ranked WHERE term_rank <= 3
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                     quantile_cont(n_chars, 0.95) AS hi
+              FROM documents GROUP BY lang)
+            SELECT d.lang,
+                   round(avg(greatest(b.lo, least(b.hi, d.n_chars))), 4)
+                     AS clipped_mean,
+                   round(min(greatest(b.lo, least(b.hi, d.n_chars))), 4)
+                     AS clipped_min,
+                   round(max(greatest(b.lo, least(b.hi, d.n_chars))), 4)
+                     AS clipped_max
+            FROM documents d JOIN b USING (lang)
+            GROUP BY d.lang
         """,
         "kmer_spectrum": """
             WITH reads AS (

@@ -62,6 +62,14 @@ HEADLINE = [
     "interval_overlap",  # binned interval-overlap join (first-shared-bin dedup)
     "split_contamination",  # cross-split n-gram decontamination sweep
     "temperature_sample",   # alpha-temperature group rebalance
+    "dedup_keep_best",   # cluster survivor selection (argmax-by-quality)
+    "quantile_gate",     # per-group exact-quantile adaptive filter
+    "normalize_text",    # markup/whitespace canonicalization chain
+    "session_windows",   # native session_window merging aggregation
+    "kmer_spectrum",     # bounded-output k-mer counting
+    "rolling_features",  # trailing RANGE-frame features per user
+    "tfidf_topk",        # tf partial agg + broadcast idf + rank window
+    "winsorize",         # per-group quantile-band clipping
 ]
 
 

@@ -105,3 +105,26 @@ def coverage_stats_quantile(df: DataFrame, group: str, depth: str = "depth",
                  F.variance(depth).alias("variance"),
                  F.sum(F.when(F.col(depth) > 0, 1).otherwise(0)).alias("covered_bases"),
                  F.count(F.lit(1)).alias("count")))
+
+
+def winsorize(df: DataFrame, group_cols: list[str], value_col: str,
+              lo: float = 0.05, hi: float = 0.95,
+              out: str = "winsorized") -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` into the group's exact
+    [lo, hi] quantile band (PERCENTILE_CONT interpolation). The robust-stats
+    companion to coverM's trimmed_mean (Snakefile:1663-1669) — where trimmed
+    mean DROPS the tails before averaging, winsorize CLIPS them, preserving
+    row count for downstream per-row features.
+
+    Group quantile bounds come from one partial-agg groupBy (two doubles per
+    group), broadcast back onto the scan; the clip itself is a row-local
+    least/greatest — no sort window over the data.
+    """
+    bounds = (df.groupBy(*group_cols)
+              .agg(F.expr(f"percentile({value_col}, {lo}d)").alias("_lo"),
+                   F.expr(f"percentile({value_col}, {hi}d)").alias("_hi")))
+    return (df.join(F.broadcast(bounds), group_cols)
+            .withColumn(out, F.greatest(F.col("_lo"),
+                                        F.least(F.col("_hi"),
+                                                F.col(value_col))))
+            .drop("_lo", "_hi"))

@@ -278,3 +278,41 @@ def normalize_text(df: DataFrame, text_col: str,
     c = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return df.withColumn(out, F.trim(c))
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               top_terms: int = 3, rank_round: int | None = 6) -> DataFrame:
+    """Per-document top TF-IDF terms: tf = in-doc count, idf = ln(N/df),
+    score = tf·idf; keep the ``top_terms`` highest-scoring terms per doc
+    (score desc, term asc — deterministic). The classic keyword/topic
+    signal for corpus exploration and near-topic dedup.
+
+    Scale shape: ONE explode of the corpus into (doc, term, tf) via a
+    map-side partial agg; document frequency is a second partial agg at term
+    grain whose output is vocabulary-sized (≪ corpus) and auto-broadcast
+    back; the final per-doc top-k is a bounded rank window partitioned by
+    doc. No all-pairs anything, no driver materialization.
+
+    ``rank_round`` ranks on round(tfidf, d) (term asc tiebreak) so float ulp
+    differences between engines cannot flip the top-k cut; None ranks on the
+    raw double.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.transform(tokens(text_col), F.lower))
+                     .alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    docfreq = (tf.groupBy("term")
+               .agg(F.countDistinct(id_col).alias("df_count")))
+    scored = (tf.join(F.broadcast(docfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf") * F.log(F.col("_n") / F.col("df_count")))
+              .drop("_n"))
+    from pyspark.sql import Window
+    rank_key = (F.col("tfidf") if rank_round is None
+                else F.round("tfidf", rank_round))
+    w = (Window.partitionBy(id_col)
+         .orderBy(rank_key.desc(), F.col("term").asc()))
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= top_terms))

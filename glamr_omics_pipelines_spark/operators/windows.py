@@ -217,3 +217,18 @@ def sessionize(df: DataFrame, user: str, ts: str, gap_seconds: int = 1800,
             .withColumn(out, F.sum("_new").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
             .drop("_new"))
+
+
+def percent_rank_norm(df: DataFrame, group_cols: list[str], score_col: str,
+                      out: str = "score_pct") -> DataFrame:
+    """Within-group CDF normalization of a score: percent_rank in [0, 1]
+    (ties share a rank; single-row groups get 0.0 by SQL definition). Makes
+    quality scores comparable ACROSS groups with different distributions —
+    the normalization step before a global corpus-wide cutoff can be fair to
+    every language/source.
+
+    One shuffle on the group key + an ordered pass; rank windows need no
+    frame buffer, so memory per partition is O(1) beyond the sort.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(score_col)
+    return df.withColumn(out, F.percent_rank().over(w))

@@ -79,3 +79,57 @@ def test_session_window_boundary_semantics(spark):
     # event 2 is exactly 1800s after event 1 -> merged; event 3 is 1801s
     # after event 2 -> new session
     assert sorted(r.n for r in out) == [1, 2]
+
+
+def test_rolling_features_trailing_window(spark):
+    from glamr_omics_pipelines_spark.operators.timeseries import rolling_features
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, t0, 10.0),
+            (1, t0 + dt.timedelta(seconds=3600), 20.0),   # exactly 1h: in frame
+            (1, t0 + dt.timedelta(seconds=7201), 30.0),   # 3601s after 2nd: out
+            (2, t0, 100.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.user_id, r.value): (r.trailing_n, r.trailing_mean)
+           for r in rolling_features(df, "user_id", "ts", "value").collect()}
+    assert out[(1, 10.0)] == (1, 10.0)
+    assert out[(1, 20.0)] == (2, 15.0)      # 1h-old event still in frame
+    assert out[(1, 30.0)] == (1, 30.0)      # previous events aged out
+    assert out[(2, 100.0)] == (1, 100.0)    # partitioned per user
+
+
+def test_percent_rank_norm_bounds_and_ties(spark):
+    from glamr_omics_pipelines_spark.operators.windows import percent_rank_norm
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 5), ("b", 7)],
+        "g string, score long")
+    out = percent_rank_norm(df, ["g"], "score").collect()
+    got = sorted((r.g, r.score, r.score_pct) for r in out)
+    # ties share a rank; min is 0, max is 1; single-row group is 0
+    assert got == [("a", 1, 0.0), ("a", 2, 1 / 3), ("a", 2, 1 / 3),
+                   ("a", 5, 1.0), ("b", 7, 0.0)]
+
+
+def test_tfidf_topk_scores(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry")],
+        "doc_id long, text string")
+    out = text.tfidf_topk(df, "doc_id", "text", top_terms=1)
+    got = {r.doc_id: (r.term, r.tfidf) for r in out.collect()}
+    # 'apple' appears only in doc 1 with tf=2 -> 2*ln(3/1)
+    assert got[1][0] == "apple"
+    assert abs(got[1][1] - 2 * math.log(3.0)) < 1e-9
+    # doc 3: 'cherry' tf=2, df=2 -> 2*ln(3/2)
+    assert got[3] == ("cherry", got[3][1])
+    assert abs(got[3][1] - 2 * math.log(1.5)) < 1e-9
+
+
+def test_winsorize_clips_to_quantile_band(spark):
+    from glamr_omics_pipelines_spark.operators.abundance import winsorize
+    vals = list(range(1, 12))  # 1..11: p0=1, p100=11
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = winsorize(df, ["g"], "v", lo=0.1, hi=0.9)
+    got = sorted(r.winsorized for r in out.collect())
+    # p10 = 2.0, p90 = 10.0 (linear interpolation on 11 points)
+    assert got[0] == 2.0 and got[-1] == 10.0
+    assert got[5] == 6.0  # interior untouched
