@@ -25,6 +25,8 @@ from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
 from glamr_omics_pipelines_spark.functions import bio
 from glamr_omics_pipelines_spark.sources import sequences
+from glamr_omics_pipelines_spark.sources.warehouse import (
+    snapshot_diff as warehouse_snapshot_diff)
 from glamr_omics_pipelines_spark.streaming.ingest import windowed_event_counts
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -1227,6 +1229,52 @@ def q_winsorize(spark, sf_dir):
                  _r4(F.max("winsorized")).alias("clipped_max")))
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, first-touch,
+    strictly increasing timestamps) per user — stacked conditional-min
+    windows sharing ONE user-key exchange, no per-stage self-join."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.funnel_stages(ev, "user_id", "ts", "event_type",
+                                   ["view", "click", "purchase"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id", F.col("funnel_stage").cast("bigint").alias("funnel_stage"),
+        F.date_format("stage1_ts", fmt).alias("stage1_ts"),
+        F.date_format("stage2_ts", fmt).alias("stage2_ts"),
+        F.date_format("stage3_ts", fmt).alias("stage3_ts"))
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot delta audit (check_import_status.R / update_output_status.R
+    generalized to content): classify every doc across two corpus versions
+    as added/removed/changed/unchanged via pre-join md5 hashes — the join
+    carries keys + hashes, never bodies."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    survived = (base.filter(F.col("doc_id") % 10 != 0)
+                .withColumn("text",
+                            F.when(F.col("doc_id") % 7 == 3,
+                                   F.concat(F.col("text"), F.lit(" v2")))
+                            .otherwise(F.col("text"))))
+    added = base.filter(F.col("doc_id") < 30) \
+        .select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    new = survived.unionByName(added)
+    out = warehouse_snapshot_diff(base, new, ["doc_id"], ["text"])
+    return out.select("doc_id", "status")
+
+
+def q_corr_stats(spark, sf_dir):
+    """§2.9 statistical aggregates (merge-able co-moment form): Pearson
+    corr, sample covariance and stddev of quantity vs price per return
+    flag — one partial-aggregated scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(_r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+                 _r4(F.covar_samp("l_quantity", "l_extendedprice"))
+                 .alias("covar_qp"),
+                 _r4(F.stddev_samp("l_quantity")).alias("stddev_qty")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1255,12 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
-        "bin_summary_view": q_bin_summary_view,
         "curation_pipeline": q_curation_pipeline,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "kingdom_priority_lca": q_kingdom_priority_lca,
@@ -1281,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_norm": q_percent_rank_norm,
         "tfidf_topk": q_tfidf_topk,
         "winsorize": q_winsorize,
+        "funnel": q_funnel,
+        "snapshot_diff": q_snapshot_diff,
+        "corr_stats": q_corr_stats,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1304,6 +1352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "bin_summary_view": q_bin_summary_view,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "windowed_counts": q_windowed_counts,
         "coverage_stats": q_coverage_stats,
         "fasta_roundtrip": q_fasta_roundtrip,
@@ -2270,6 +2321,56 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+              FROM events),
+            s2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click'
+                                 AND epoch_us(ts::TIMESTAMP) > epoch_us(t1::TIMESTAMP)
+                            THEN ts END) OVER (PARTITION BY user_id) AS t2
+              FROM s1),
+            s3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND epoch_us(ts::TIMESTAMP) > epoch_us(t2::TIMESTAMP)
+                            THEN ts END) OVER (PARTITION BY user_id) AS t3
+              FROM s2)
+            SELECT DISTINCT user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S') AS stage1_ts,
+                   strftime(t2, '%Y-%m-%d %H:%M:%S') AS stage2_ts,
+                   strftime(t3, '%Y-%m-%d %H:%M:%S') AS stage3_ts
+            FROM s3
+        """,
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            nw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END
+                       AS text
+              FROM base WHERE doc_id % 10 <> 0
+              UNION ALL
+              SELECT doc_id + 9000 AS doc_id, text FROM base WHERE doc_id < 30)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text <> n.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM base o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        """,
+        "corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+                   round(stddev_samp(l_quantity), 4) AS stddev_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "rolling_features": """
             SELECT event_id, user_id,

@@ -70,6 +70,9 @@ HEADLINE = [
     "rolling_features",  # trailing RANGE-frame features per user
     "tfidf_topk",        # tf partial agg + broadcast idf + rank window
     "winsorize",         # per-group quantile-band clipping
+    "funnel",            # stacked conditional-min funnel windows
+    "snapshot_diff",     # hash-compare full-outer snapshot delta
+    "corr_stats",        # co-moment partial aggregates
 ]
 
 

@@ -58,3 +58,40 @@ def rolling_features(df: DataFrame, group_col: str, ts_col: str,
     return (d.withColumn("trailing_n", F.count(F.lit(1)).over(w))
             .withColumn("trailing_mean", F.avg(value_col).over(w))
             .drop("_sec"))
+
+
+def funnel_stages(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+                  stages: list[str]) -> DataFrame:
+    """Ordered funnel analysis: for each user, how far through the ordered
+    ``stages`` sequence they progressed, requiring each stage's event to
+    occur STRICTLY AFTER the previous stage's first qualifying event
+    (first-touch semantics). The conversion-funnel primitive of product
+    analytics (view → click → purchase).
+
+    One shuffle total: all stage timestamps are stacked conditional-min
+    windows over the SAME user partitioning, so Catalyst reuses one exchange
+    for every layer; no per-stage self-join, no collect_list of event
+    histories. Output is user-grain.
+    """
+    w = Window.partitionBy(user_col)
+    d = df
+    prev_ts = None
+    ts_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_ts is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_ts))
+        name = f"_t{i}"
+        d = d.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_ts = name
+        ts_cols.append(name)
+    stage_n = None
+    for i, c in enumerate(ts_cols):
+        n = F.when(F.col(c).isNotNull(), i + 1).otherwise(0)
+        stage_n = n if stage_n is None else F.greatest(stage_n, n)
+    out = (d.withColumn("funnel_stage", stage_n)
+           .select(user_col, "funnel_stage",
+                   *[F.col(c).alias(f"stage{i + 1}_ts")
+                     for i, c in enumerate(ts_cols)])
+           .distinct())
+    return out

@@ -105,3 +105,34 @@ class Warehouse:
         kw["ts"] = time.time()
         with open(self.ledger_path, "a") as fh:
             fh.write(json.dumps(kw) + "\n")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Snapshot delta: classify every key across two table versions as
+    added / removed / changed / unchanged. The audit form of the reference's
+    import-status tracking (code/check_import_status.R, update_output_status.R
+    exists-flags) generalized to content: a warehouse refresh job diffs the
+    incoming snapshot against the loaded one to decide what to MERGE and
+    what to report.
+
+    Content equality goes through ONE md5 over the concatenated compare
+    columns computed on each side BEFORE the join — the full-outer join then
+    carries keys + 32-byte hashes, never wide rows, and the classify step is
+    row-local. At scale this is a sort-merge join on the key: O(n log n)
+    partition-local sorts, no broadcast needed on either side.
+    """
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                                   F.lit("\x00"))
+                                        for c in compare_cols]))
+        return df.select(*keys, h.alias(alias))
+
+    o = hashed(old, "_h_old")
+    n = hashed(new, "_h_new")
+    joined = o.join(n, keys, "full_outer")
+    status = (F.when(F.col("_h_old").isNull(), "added")
+              .when(F.col("_h_new").isNull(), "removed")
+              .when(F.col("_h_old") != F.col("_h_new"), "changed")
+              .otherwise("unchanged"))
+    return joined.withColumn("status", status).drop("_h_old", "_h_new")

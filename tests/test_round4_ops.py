@@ -133,3 +133,47 @@ def test_winsorize_clips_to_quantile_band(spark):
     # p10 = 2.0, p90 = 10.0 (linear interpolation on 11 points)
     assert got[0] == 2.0 and got[-1] == 10.0
     assert got[5] == 6.0  # interior untouched
+
+
+def test_funnel_stages_strict_ordering(spark):
+    from glamr_omics_pipelines_spark.operators.timeseries import funnel_stages
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(20), "purchase"),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        (2, ts(0), "view"), (2, ts(5), "purchase"), (2, ts(10), "click"),
+        # user 3: click with no prior view -> stage 0
+        (3, ts(0), "click"), (3, ts(5), "purchase"),
+        # user 4: click at the SAME ts as view -> strict > excludes it
+        (4, ts(0), "view"), (4, ts(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r.funnel_stage
+           for r in funnel_stages(df, "user_id", "ts", "event_type",
+                                  ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_snapshot_diff_classification(spark):
+    from glamr_omics_pipelines_spark.sources.warehouse import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    out = {r.k: r.status
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty(spark):
+    """NULL and '' must hash differently (coalesce sentinel, not '')."""
+    from glamr_omics_pipelines_spark.sources.warehouse import snapshot_diff
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "")], "k long, v string")
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert out[0].status == "changed"
