@@ -1275,6 +1275,32 @@ def q_corr_stats(spark, sf_dir):
                  _r4(F.stddev_samp("l_quantity")).alias("stddev_qty")))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic doc packing into ~4000-token training bins across 8
+    hash shards (prefix-sum window per shard; batch-construction step of an
+    LLM pipeline), summarized at bin grain."""
+    d = _t(spark, sf_dir, "documents")
+    packed = sampling.pack_sequences(d, "doc_id", "n_chars",
+                                     budget=4000, shards=8)
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_tokens")))
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection (median/MAD, both exact): per-lang
+    doc-length outliers at k=3 — the QC rule that survives the outliers it
+    is hunting, unlike mean/stddev."""
+    d = _t(spark, sf_dir, "documents")
+    out = abundance.mad_outliers(d, ["lang"], "n_chars", k=3.0)
+    return (out.groupBy("lang")
+            .agg(_r4(F.first("med")).alias("med"),
+                 _r4(F.first("mad")).alias("mad"),
+                 F.sum(F.col("is_outlier").cast("int")).cast("bigint")
+                 .alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1303,10 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
-        "curation_pipeline": q_curation_pipeline,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
-        "range_join": q_range_join,
         "interval_overlap": q_interval_overlap,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
@@ -1329,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "snapshot_diff": q_snapshot_diff,
         "corr_stats": q_corr_stats,
+        "pack_sequences": q_pack_sequences,
+        "mad_outliers": q_mad_outliers,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1352,9 +1378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "curation_pipeline": q_curation_pipeline,
         "bin_summary_view": q_bin_summary_view,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "windowed_counts": q_windowed_counts,
         "coverage_stats": q_coverage_stats,
         "fasta_roundtrip": q_fasta_roundtrip,
@@ -2321,6 +2349,44 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     CAST(concat('0x', substr(md5(concat('pack:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+                     CAST(concat('0x', substr(md5(concat('pack:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 1000000000 AS ord
+              FROM documents),
+            pre AS (
+              SELECT shard, n_chars,
+                     coalesce(sum(n_chars) OVER (PARTITION BY shard
+                       ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+              FROM d)
+            SELECT shard, CAST(floor(before / 4000) AS BIGINT) AS bin,
+                   count(*) AS n_docs, sum(n_chars) AS sum_tokens
+            FROM pre GROUP BY shard, bin
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT lang, quantile_cont(n_chars, 0.5) AS med
+              FROM documents GROUP BY lang),
+            dev AS (
+              SELECT d.lang, abs(d.n_chars - m.med) AS abs_dev, m.med
+              FROM documents d JOIN med m USING (lang)),
+            m2 AS (
+              SELECT lang, quantile_cont(abs_dev, 0.5) AS mad
+              FROM dev GROUP BY lang)
+            SELECT dev.lang, round(any_value(dev.med), 4) AS med,
+                   round(any_value(m2.mad), 4) AS mad,
+                   CAST(sum(CASE WHEN dev.abs_dev > 3 * m2.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   count(*) AS n
+            FROM dev JOIN m2 USING (lang)
+            GROUP BY dev.lang
         """,
         "funnel": """
             WITH s1 AS (

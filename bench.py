@@ -73,6 +73,8 @@ HEADLINE = [
     "funnel",            # stacked conditional-min funnel windows
     "snapshot_diff",     # hash-compare full-outer snapshot delta
     "corr_stats",        # co-moment partial aggregates
+    "pack_sequences",    # hash-sharded prefix-sum packing
+    "mad_outliers",      # median/MAD robust outlier flags
 ]
 
 

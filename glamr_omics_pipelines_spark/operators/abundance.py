@@ -128,3 +128,28 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str,
                                         F.least(F.col("_hi"),
                                                 F.col(value_col))))
             .drop("_lo", "_hi"))
+
+
+def mad_outliers(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier flags: |x − median| > k · MAD, where MAD is
+    the median absolute deviation around the group median (both exact
+    PERCENTILE_CONT medians). Mean/stddev outlier rules break down exactly
+    when outliers are present (the outliers inflate the stddev); the
+    median/MAD pair is the standard robust replacement for QC'ing abundance
+    and quality-score distributions.
+
+    Two grouped partial aggs (median, then deviation median), each one row
+    per group broadcast back onto the scan; the flag itself is row-local.
+    Groups with MAD = 0 (over half the values identical) flag any deviation
+    > 0 — documented edge, matches the robust-stats convention of treating
+    zero-MAD groups as degenerate.
+    """
+    med = (df.groupBy(*group_cols)
+           .agg(F.expr(f"percentile({value_col}, 0.5d)").alias("med")))
+    d = df.join(F.broadcast(med), group_cols) \
+        .withColumn("abs_dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = (d.groupBy(*group_cols)
+           .agg(F.expr("percentile(abs_dev, 0.5d)").alias("mad")))
+    return (d.join(F.broadcast(mad), group_cols)
+            .withColumn("is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad")))

@@ -17,7 +17,7 @@ md5 (not xxhash64) so an ANSI-SQL oracle can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,34 @@ def quantile_gate(df: DataFrame, group_cols: list[str], score_col: str,
     cmp = (F.col(score_col) >= F.col("threshold") if keep == "ge"
            else F.col(score_col) <= F.col("threshold"))
     return joined.filter(cmp)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, shards: int = 32,
+                   salt: str | None = "pack") -> DataFrame:
+    """Deterministic document packing for fixed-budget training batches:
+    assign each doc to a (shard, bin) so bins hold ~``budget`` tokens of
+    consecutive docs. The batch-construction step of an LLM data pipeline —
+    documents are concatenated into fixed-length streams, and packing
+    controls padding waste.
+
+    Semantics: docs are sharded by content hash (row-local), ordered within
+    a shard by (hash, id) — a deterministic, engine-portable order — and
+    ``bin = floor(prefix_sum_before / budget)``: each bin's doc list starts
+    where the previous bin's token interval ended, so a bin overshoots by
+    less than one document (streaming-concat-with-carryover semantics; an
+    exact next-fit would be inherently sequential state).
+
+    Scale: one shuffle on the shard key; the prefix sum is an ordered
+    running-sum window per shard — O(n) per partition, and shard count
+    scales parallelism independently of bin budget. No global ordering, no
+    driver state.
+    """
+    d = (df.withColumn("_shard", hash_bucket(id_col, shards, salt))
+         .withColumn("_ord", hash_bucket(id_col, 1_000_000_000, salt)))
+    w = (Window.partitionBy("_shard").orderBy("_ord", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (d.withColumn("bin",
+                         F.floor(before / F.lit(budget)).cast("bigint"))
+            .withColumnRenamed("_shard", "shard").drop("_ord"))

@@ -177,3 +177,55 @@ def test_snapshot_diff_null_vs_empty(spark):
     new = spark.createDataFrame([(1, "")], "k long, v string")
     out = snapshot_diff(old, new, ["k"], ["v"]).collect()
     assert out[0].status == "changed"
+
+
+def test_pack_sequences_bins_respect_budget_semantics(spark):
+    from glamr_omics_pipelines_spark.operators.sampling import pack_sequences
+    rows = [(i, 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=300, shards=2)
+    rows = out.collect()
+    # every doc assigned exactly one (shard, bin)
+    assert len(rows) == 50
+    # bin starts where the previous bin's token interval ended: within a
+    # shard, a bin's docs-before-it always total < (bin+1)*budget and the
+    # bin ids are contiguous from 0
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.bin)
+    for shard, bins in by_shard.items():
+        got = sorted(set(bins))
+        assert got == list(range(len(got)))  # contiguous from 0
+    # deterministic: rerun gives identical assignment
+    again = {(r.doc_id): (r.shard, r.bin)
+             for r in pack_sequences(df, "doc_id", "n_tokens",
+                                     budget=300, shards=2).collect()}
+    first = {r.doc_id: (r.shard, r.bin) for r in rows}
+    assert first == again
+
+
+def test_pack_sequences_bin_sums_near_budget(spark):
+    from glamr_omics_pipelines_spark.operators.sampling import pack_sequences
+    df = spark.createDataFrame([(i, 70) for i in range(100)],
+                               "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=500, shards=1)
+    import pyspark.sql.functions as SF
+    sums = {r.bin: r.s for r in
+            out.groupBy("bin").agg(SF.sum("n_tokens").alias("s")).collect()}
+    # overshoot bounded by one doc: every full bin in [budget - max_doc + 1,
+    # budget + max_doc - 1]; only the last bin may be smaller
+    last = max(sums)
+    for b, s in sums.items():
+        if b != last:
+            assert 500 - 70 < s < 500 + 70
+
+
+def test_mad_outliers_flags(spark):
+    from glamr_omics_pipelines_spark.operators.abundance import mad_outliers
+    vals = [10, 11, 12, 13, 14, 1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = {r.v: r.is_outlier for r in mad_outliers(df, ["g"], "v").collect()}
+    # median=12.5, MAD=1.5 -> 1000 is the only |dev| > 4.5
+    assert out[1000] is True
+    assert all(not out[v] for v in vals[:-1])
