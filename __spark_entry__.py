@@ -985,6 +985,24 @@ def q_dup_clusters(spark, sf_dir):
                     F.col("cluster_size").cast("bigint").alias("cluster_size")))
 
 
+def q_dup_clusters_star(spark, sf_dir):
+    """Same cluster formation as q_dup_clusters but via alternating
+    large-star/small-star contraction (O(log n) rounds on any diameter) —
+    the web-scale CC; identical output contract, identical oracle."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text",
+                                         num_hashes=32, bands=16, shingle_n=4,
+                                         dedup_pairs=False)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", shingle_n=4,
+                                      threshold=0.9, candidates=cands)
+    labels = dedup.dup_clusters_star(pairs.select("id_a", "id_b"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                    F.col("cluster_size").cast("bigint").alias("cluster_size")))
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidates (64-bit, 4×16-bit bands) verified by exact
     Jaccard >= 0.999 (identical docs) on the planted-duplicate corpus."""
@@ -1330,7 +1348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
         "subtree_rollup": q_subtree_rollup,
-        "lca": q_lca,
         "interval_overlap": q_interval_overlap,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
@@ -1341,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_star": q_dup_clusters_star,
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
         "normalize_text": q_normalize_text,
@@ -1379,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
         "curation_pipeline": q_curation_pipeline,
+        "lca": q_lca,
         "bin_summary_view": q_bin_summary_view,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1451,6 +1470,26 @@ _DUP_CORPUS_SQL = """
     UNION ALL
     SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
 """
+
+# shared by dup_clusters and dup_clusters_star: both algorithms implement the
+# same connected-components contract, so one recursive-CTE oracle covers both.
+_DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({{jaccard}}) j),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+    FROM labels
+"""
+
 
 _LANG_SCORES = """
     SELECT doc_id, lang,
@@ -2266,22 +2305,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "minhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.9),
-        "dup_clusters": f"""
-            WITH RECURSIVE pairs AS (
-              SELECT id_a, id_b FROM ({_jaccard_sql(_DUP_CORPUS_SQL, 0.9)}) j),
-            edges AS (
-              SELECT id_a AS u, id_b AS v FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-            nodes AS (SELECT DISTINCT u AS id FROM edges),
-            reach(id, r) AS (
-              SELECT id, id FROM nodes
-              UNION
-              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
-            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-            SELECT id AS doc_id, cluster_id,
-                   (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
-            FROM labels
-        """,
+        "dup_clusters": _DUP_CLUSTERS_SQL.format(
+            jaccard=_jaccard_sql(_DUP_CORPUS_SQL, 0.9)),
+        "dup_clusters_star": _DUP_CLUSTERS_SQL.format(
+            jaccard=_jaccard_sql(_DUP_CORPUS_SQL, 0.9)),
         "dedup_keep_best": f"""
             WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
             pairs AS (

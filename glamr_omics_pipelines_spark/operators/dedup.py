@@ -265,9 +265,9 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     its own label and its neighbors' labels — one shuffled join + groupBy per
     round, converging in O(component diameter) rounds (dup components are
     shallow: near-dup similarity is near-transitive). Early-exits when a
-    round changes nothing. At extreme scale swap in the alternating
-    small-star/large-star formulation (same join shape, fewer rounds on
-    high-diameter graphs); the reference point is the classic CC-over-
+    round changes nothing. For high-diameter graphs use
+    ``dup_clusters_star`` (alternating large-star/small-star, O(log n)
+    rounds on any diameter); the reference point is the classic CC-over-
     candidate-pairs stage of web-scale dedup pipelines.
     """
     half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -373,3 +373,72 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale formulation ``dup_clusters`` documents as its
+    high-diameter escape hatch. Same output contract: (id, label) with
+    label = min node id of the component.
+
+    Why this shape at 100 TB: min-label propagation needs O(diameter)
+    rounds; star contraction halves tree heights every alternation, so
+    convergence is O(log n) rounds on ANY graph — path-shaped near-dup
+    chains (doc A ~ B ~ C ~ ... from content drift) stop being the worst
+    case. Each phase is one groupBy + one join on node ids carrying two
+    longs per edge; per-round plans are pinned constant-size with eager
+    localCheckpoints exactly like dup_clusters.
+    """
+    # canonical undirected edge set, self-loops dropped
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")) \
+        .filter(F.col("u") != F.col("v"))
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id"))).distinct()
+             .localCheckpoint(eager=True))
+    edges = (e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        mins = (ed.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (ed.join(mins, "u").filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        sm = ed.filter(F.col("v") < F.col("u"))
+        mins = (sm.groupBy("u")
+                .agg(F.min("v").alias("m")))
+        nbr = (sm.join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        own = sm.join(mins, "u").select("u", F.col("m").alias("v")).distinct()
+        return (nbr.unionByName(own)
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    for _ in range(max_iter):
+        after_large = large_star(edges).localCheckpoint(eager=True)
+        # re-symmetrize for the next phase's neighborhood views
+        sym = (after_large.unionByName(
+            after_large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct())
+        after_small = small_star(sym).localCheckpoint(eager=True)
+        new_sym = (after_small.unionByName(
+            after_small.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct().localCheckpoint(eager=True))
+        changed = (new_sym.exceptAll(edges).limit(1).count()
+                   + edges.exceptAll(new_sym).limit(1).count())
+        edges = new_sym
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge within max_iter={max_iter}")
+    # at convergence the directed form v<u is a star: every node points at
+    # its component min. Nodes can appear only as roots; give them self-labels.
+    stars = edges.filter(F.col("v") < F.col("u")) \
+        .select(F.col("u").alias("id"), F.col("v").alias("label"))
+    return (nodes.join(stars, "id", "left")
+            .select("id", F.coalesce("label", F.col("id")).alias("label")))

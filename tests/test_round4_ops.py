@@ -229,3 +229,43 @@ def test_mad_outliers_flags(spark):
     # median=12.5, MAD=1.5 -> 1000 is the only |dev| > 4.5
     assert out[1000] is True
     assert all(not out[v] for v in vals[:-1])
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-label per node
+    return {n: find(n) for n in parent}
+
+
+def test_dup_clusters_star_matches_union_find(spark):
+    import random
+    from glamr_omics_pipelines_spark.operators.dedup import (
+        dup_clusters, dup_clusters_star)
+    rng = random.Random(67)
+    graphs = {
+        # high-diameter path: the min-propagation worst case star-CC fixes
+        "path": [(i, i + 1) for i in range(40)],
+        "random": [(rng.randrange(60), rng.randrange(60)) for _ in range(50)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(a)] +
+                       [(a, b) for a in range(20, 25) for b in range(20, a)],
+    }
+    for name, edges in graphs.items():
+        edges = [(u, v) for u, v in edges if u != v]
+        expected = _uf_components(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {r.id: r.label for r in dup_clusters_star(df).collect()}
+        assert star == expected, f"star CC wrong on {name}"
+        prop = {r.id: r.label for r in dup_clusters(df, max_iter=50).collect()}
+        assert prop == expected, f"label propagation wrong on {name}"
