@@ -113,3 +113,54 @@ def test_hypertable_rollup_single_scan(spark):
     plan = _plan(spark, "hypertable_rollup")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_round4_ops_no_python_no_cartesian(spark):
+    """Round-4 operators promise pure-JVM plans; the only BroadcastNestedLoop
+    allowed is the one-row scalar attach in tfidf_topk."""
+    for q in ["dedup_keep_best", "quantile_gate", "normalize_text",
+              "session_windows", "kmer_spectrum", "rolling_features",
+              "percent_rank_norm", "tfidf_topk", "winsorize", "funnel",
+              "snapshot_diff", "corr_stats", "pack_sequences",
+              "mad_outliers"]:
+        plan = _plan(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_normalize_text_is_scan_stage(spark):
+    """Canonicalization is a row-local regexp chain: no Exchange at all."""
+    plan = _plan(spark, "normalize_text")
+    assert "Exchange" not in plan
+
+
+def test_funnel_single_exchange(spark):
+    """Three stacked conditional-min windows must share ONE user-key
+    exchange — per-stage re-shuffles would triple the funnel's cost."""
+    plan = _plan(spark, "funnel")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_gate_threshold_broadcast(spark):
+    """Per-group thresholds must come back as a broadcast, not a shuffled
+    join of the fact table against itself."""
+    plan = _plan(spark, "quantile_gate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_join_carries_hashes_not_bodies(spark):
+    """The full-outer join input must be (key, md5) projections — the text
+    column must not appear in the join's ReadSchema-downstream exchanges."""
+    plan = _plan(spark, "snapshot_diff")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # the tree prints parents first: the classify Project ABOVE the join must
+    # carry only hashes (no md5 computation); every md5 Project prints under
+    # its Exchange — i.e. hashing happened map-side, before the shuffle.
+    lines = plan.splitlines()
+    top_project = next(ln for ln in lines if "Project" in ln)
+    assert "md5" not in top_project
+    md5_lines = [i for i, ln in enumerate(lines) if "md5(" in ln]
+    exchange_lines = [i for i, ln in enumerate(lines) if "Exchange" in ln]
+    assert md5_lines and all(any(e < m for e in exchange_lines)
+                             for m in md5_lines)
