@@ -1319,6 +1319,32 @@ def q_mad_outliers(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Round-4 flagship composition — the full LLM training-data prep path
+    in ONE lazy plan: canonicalize (markup/whitespace) → per-language
+    adaptive quality gate (p10 of normalized length) → exact dedup on the
+    CANONICAL text (formatting-immune) → deterministic split → pack the
+    train split into ~4000-token bins across 4 hash shards. Scan-stage
+    normalize + gates, one dedup shuffle, row-local split, one prefix-sum
+    window — five operators, three shuffles total."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = d.filter(F.col("doc_id") < 100) \
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text", "lang")
+    corpus = d.unionByName(copies)
+    norm = text.normalize_text(corpus, "text") \
+        .withColumn("norm_len", F.length("norm_text"))
+    gated = sampling.quantile_gate(norm, ["lang"], "norm_len", q=0.1)
+    deduped = dedup.exact_dedup(gated, ["norm_text"], "doc_id")
+    split = sampling.stratified_split(deduped, "doc_id")
+    train = split.filter(F.col("split") == "train")
+    packed = sampling.pack_sequences(train, "doc_id", "norm_len",
+                                     budget=4000, shards=4)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("bin").alias("n_bins"),
+                 F.sum("norm_len").alias("sum_tokens")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1347,7 +1373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
         "anvio_stacked": q_anvio_stacked,
-        "subtree_rollup": q_subtree_rollup,
         "interval_overlap": q_interval_overlap,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
@@ -1373,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": q_corr_stats,
         "pack_sequences": q_pack_sequences,
         "mad_outliers": q_mad_outliers,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1397,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
         "curation_pipeline": q_curation_pipeline,
+        "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
         "bin_summary_view": q_bin_summary_view,
         "sessionize": q_sessionize,
@@ -2376,6 +2403,57 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "curation_pipeline_v2": """
+            WITH corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text, lang FROM documents
+              WHERE doc_id < 100),
+            norm AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                         '\\s+', ' ', 'g')) AS norm_text
+              FROM corpus),
+            lens AS (
+              SELECT doc_id, lang, norm_text,
+                     length(norm_text) AS norm_len
+              FROM norm),
+            th AS (
+              SELECT lang, quantile_cont(norm_len, 0.1) AS t
+              FROM lens GROUP BY lang),
+            gated AS (
+              SELECT l.* FROM lens l JOIN th USING (lang)
+              WHERE l.norm_len >= th.t),
+            deduped AS (
+              SELECT doc_id, norm_len FROM (
+                SELECT doc_id, norm_len,
+                       row_number() OVER (PARTITION BY norm_text
+                                          ORDER BY doc_id) AS rn
+                FROM gated) WHERE rn = 1),
+            train AS (
+              SELECT doc_id, norm_len FROM deduped
+              WHERE CAST(concat('0x', substr(md5(concat('split:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80),
+            sharded AS (
+              SELECT doc_id, norm_len,
+                     CAST(concat('0x', substr(md5(concat('pack:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4 AS shard,
+                     CAST(concat('0x', substr(md5(concat('pack:',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 1000000000 AS ord
+              FROM train),
+            packed AS (
+              SELECT shard, norm_len,
+                     CAST(floor(coalesce(sum(norm_len) OVER (PARTITION BY shard
+                       ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / 4000) AS BIGINT) AS bin
+              FROM sharded)
+            SELECT shard, count(*) AS n_docs,
+                   count(DISTINCT bin) AS n_bins,
+                   sum(norm_len) AS sum_tokens
+            FROM packed GROUP BY shard
         """,
         "pack_sequences": """
             WITH d AS (

@@ -75,6 +75,7 @@ HEADLINE = [
     "corr_stats",        # co-moment partial aggregates
     "pack_sequences",    # hash-sharded prefix-sum packing
     "mad_outliers",      # median/MAD robust outlier flags
+    "curation_pipeline_v2",  # normalize->gate->dedup->split->pack, one plan
 ]
 
 
