@@ -27,7 +27,8 @@ from glamr_omics_pipelines_spark.functions import bio
 from glamr_omics_pipelines_spark.sources import sequences
 from glamr_omics_pipelines_spark.sources.warehouse import (
     snapshot_diff as warehouse_snapshot_diff)
-from glamr_omics_pipelines_spark.streaming.ingest import windowed_event_counts
+from glamr_omics_pipelines_spark.streaming.ingest import (
+    session_window_counts, windowed_event_counts)
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
@@ -1180,13 +1181,11 @@ def q_session_windows(spark, sf_dir):
     session operator, the same construct that runs stateful in Structured
     Streaming (streaming/ingest.py), here in batch with a 30-min gap."""
     ev = _events(spark, sf_dir)
-    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 _r4(F.sum("value")).alias("sum_value"))
-            .select("user_id",
-                    F.date_format("session_window.start",
-                                  "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-                    "n_events", "sum_value"))
+    out = session_window_counts(ev, gap="30 minutes")
+    return out.select("user_id",
+                      F.date_format("session_start",
+                                    "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                      "n_events", _r4("sum_value").alias("sum_value"))
 
 
 def q_kmer_spectrum(spark, sf_dir):

@@ -137,3 +137,27 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("value").alias("sum_value"))
             .select(F.col("win.start").alias("window_start"), key_col, "n", "sum_value"))
+
+
+def session_window_counts(events: DataFrame, user_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native merging session windows (``F.session_window``) — one code path
+    for batch AND streaming. In streaming mode the watermark bounds state and
+    closes sessions for append output; in batch it is the same merging
+    aggregation q_session_windows oracle-checks. Where ``sessionize_stream``
+    shows the CUSTOM stateful escape hatch (applyInPandasWithState), this is
+    the built-in scale path: session merge runs JVM-side with partial
+    aggregation, state is O(open sessions), partitioned on the user key.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(user_col, F.session_window(F.col(ts_col), gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(value_col).alias("sum_value"))
+            .select(user_col,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "sum_value"))

@@ -120,3 +120,50 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     batch = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c")], ["k", "payload"])
     assert stream_dedup(batch, ["k"]).count() == 2
+
+
+@pytest.mark.timeout(300)
+def test_session_window_counts_streaming(spark, tmp_path):
+    """Native session_window in STREAMING mode: with a watermark past the
+    gap, closed sessions are emitted in append mode — the built-in scale
+    path next to the custom applyInPandasWithState sessionizer."""
+    from glamr_omics_pipelines_spark.streaming.ingest import session_window_counts
+    src = tmp_path / "sw_in"
+    src.mkdir()
+    rows = [(1, "2024-01-01 00:00:%02d" % s, 1.0) for s in (0, 10, 20)] \
+        + [(1, "2024-01-01 06:00:00", 1.0)] \
+        + [(2, "2024-01-01 00:30:00", 2.0)]
+    import csv
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["user_id", "ts", "value"])
+        w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("user_id long, ts timestamp, value double")
+              .option("sep", "\t").option("header", True)
+              .load(str(src)))
+    out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sw_out")
+         .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    time.sleep(1)
+    got = {(r.user_id, str(r.session_start)): (r.n_events, r.sum_value)
+           for r in spark.sql("select * from sw_out").collect()}
+    # u1's first burst (3 events) and u2's session close once the 06:00
+    # event advances the watermark past them; the 06:00 session stays open
+    assert got[(1, "2024-01-01 00:00:00")] == (3, 3.0)
+    assert got[(2, "2024-01-01 00:30:00")] == (1, 2.0)
+    assert (1, "2024-01-01 06:00:00") not in got
+
+
+def test_session_window_counts_batch_matches_semantics(spark):
+    """Batch mode of the same operator: exact-gap boundary merges (the
+    semantics the q_session_windows oracle encodes)."""
+    from glamr_omics_pipelines_spark.streaming.ingest import session_window_counts
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=1800), 2.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = session_window_counts(df, gap="30 minutes").collect()
+    assert len(out) == 1 and out[0].n_events == 2 and out[0].sum_value == 3.0
