@@ -26,6 +26,7 @@ from glamr_omics_pipelines_spark.operators.reshape import (
 from glamr_omics_pipelines_spark.functions import bio
 from glamr_omics_pipelines_spark.sources import sequences
 from glamr_omics_pipelines_spark.sources.warehouse import (
+    profile_table as warehouse_profile_table,
     snapshot_diff as warehouse_snapshot_diff)
 from glamr_omics_pipelines_spark.streaming.ingest import (
     session_window_counts, windowed_event_counts)
@@ -1344,6 +1345,26 @@ def q_curation_pipeline_v2(spark, sf_dir):
                  F.sum("norm_len").alias("sum_tokens")))
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long form (class prototypes /
+    cluster-quality audit): posexplode + partial-agg mean — the shuffle
+    carries labels × dims partial sums, independent of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.label_centroids(emb, "label", "embedding")
+    return out.select(F.col("label").cast("bigint").alias("label"),
+                      F.col("dim").cast("bigint").alias("dim"),
+                      _r4("mean_val").alias("mean_val"), "n")
+
+
+def q_profile_table(spark, sf_dir):
+    """Column-profile audit (check_import_status.R analog): null counts,
+    exact distincts, typed min/max per column — ONE scan, O(columns)
+    output."""
+    d = _t(spark, sf_dir, "documents")
+    return warehouse_profile_table(
+        d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1368,10 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
         "pricing_summary": q_pricing_summary,
-        "topk_revenue": q_topk_revenue,
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
-        "anvio_stacked": q_anvio_stacked,
         "interval_overlap": q_interval_overlap,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
@@ -1398,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mad_outliers": q_mad_outliers,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "label_centroids": q_label_centroids,
+        "profile_table": q_profile_table,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1421,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "topk_revenue": q_topk_revenue,
+        "anvio_stacked": q_anvio_stacked,
         "curation_pipeline": q_curation_pipeline,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
@@ -2402,6 +2425,44 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim - 1 AS BIGINT) AS dim,
+                   round(avg(v), 4) AS mean_val, count(*) AS n
+            FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "profile_table": """
+            SELECT 'doc_id' AS "column",
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_val,
+                   CAST(max(doc_id) AS VARCHAR) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'text',
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   min(text), max(text) FROM documents
+            UNION ALL
+            SELECT 'lang',
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   min(lang), max(lang) FROM documents
+            UNION ALL
+            SELECT 'source',
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   min(source), max(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
         """,
         "curation_pipeline_v2": """
             WITH corpus AS (

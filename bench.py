@@ -76,6 +76,8 @@ HEADLINE = [
     "pack_sequences",    # hash-sharded prefix-sum packing
     "mad_outliers",      # median/MAD robust outlier flags
     "curation_pipeline_v2",  # normalize->gate->dedup->split->pack, one plan
+    "label_centroids",   # posexplode partial-agg embedding centroids
+    "profile_table",     # one-scan column profile audit
 ]
 
 

@@ -263,3 +263,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, "neighbor_id", "cosine", "rank"))
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean): (label, dim,
+    mean_val, n) in long form. The embedding-analytics primitive behind
+    cluster quality checks, class prototypes, and IVF re-training audits.
+
+    posexplode → groupBy(label, dim) is fully partial-aggregated map-side,
+    so the shuffle carries O(labels × dims) partial sums — independent of
+    corpus size; long-form output avoids materializing wide arrays through
+    the exchange. (IVF's k-means trainer keeps its bounded driver-side Lloyd
+    loop — this operator is the distributed one-shot form for FIXED labels.)
+    """
+    ex = emb.select(label_col,
+                    F.posexplode(as_double_vec(vec_col)).alias("dim", "val"))
+    return (ex.groupBy(label_col, "dim")
+            .agg(F.avg("val").alias("mean_val"),
+                 F.count(F.lit(1)).alias("n")))

@@ -136,3 +136,30 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
               .when(F.col("_h_old") != F.col("_h_new"), "changed")
               .otherwise("unchanged"))
     return joined.withColumn("status", status).drop("_h_old", "_h_new")
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profile audit: per column, null count, exact distinct count,
+    min and max (stringified AFTER typed comparison). The warehouse-health
+    scan behind the reference's import-status auditing
+    (code/check_import_status.R, update_output_status.R) — run it on every
+    incremental load to catch schema drift, null storms, and key collapse.
+
+    ONE scan: all per-column aggregates run in a single agg (multi-distinct
+    expands via Catalyst's Expand — acceptable to a few dozen columns;
+    swap countDistinct for approx_count_distinct at wider/steeper scale),
+    then a stack() unpivot to (column, stat...) rows — output is
+    O(columns), never data-sized.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                 F.countDistinct(c).alias(f"{c}__distinct"),
+                 F.min(c).cast("string").alias(f"{c}__min"),
+                 F.max(c).cast("string").alias(f"{c}__max")]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {parts}) as "
+        "(column, n_nulls, n_distinct, min_val, max_val)")

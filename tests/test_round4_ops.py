@@ -269,3 +269,25 @@ def test_dup_clusters_star_matches_union_find(spark):
         assert star == expected, f"star CC wrong on {name}"
         prop = {r.id: r.label for r in dup_clusters(df, max_iter=50).collect()}
         assert prop == expected, f"label propagation wrong on {name}"
+
+
+def test_label_centroids_elementwise_mean(spark):
+    from glamr_omics_pipelines_spark.operators.similarity import label_centroids
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>")
+    out = {(r.label, r.dim): (r.mean_val, r.n)
+           for r in label_centroids(df, "label", "embedding").collect()}
+    assert out == {(0, 0): (2.0, 2), (0, 1): (4.0, 2),
+                   (1, 0): (10.0, 1), (1, 1): (20.0, 1)}
+
+
+def test_profile_table_stats(spark):
+    from glamr_omics_pipelines_spark.sources.warehouse import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "k long, v string")
+    out = {r.column: r for r in profile_table(df, ["k", "v"]).collect()}
+    assert out["k"].n_nulls == 0 and out["k"].n_distinct == 3
+    assert out["k"].min_val == "1" and out["k"].max_val == "3"
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 1
+    assert out["v"].min_val == "a" and out["v"].max_val == "a"
