@@ -291,3 +291,56 @@ def test_profile_table_stats(spark):
     assert out["k"].min_val == "1" and out["k"].max_val == "3"
     assert out["v"].n_nulls == 1 and out["v"].n_distinct == 1
     assert out["v"].min_val == "a" and out["v"].max_val == "a"
+
+
+def test_normalize_text_idempotent(spark):
+    """Canonicalization must be a projection: normalize(normalize(x)) ==
+    normalize(x) — otherwise dedup keys depend on how many times a pipeline
+    ran the cleaner."""
+    import random
+    rng = random.Random(41)
+    frag = ["<b>", "</p>", "  ", "\t", "\n", "word", "x y", "<br/>", "a"]
+    rows = [(i, "".join(rng.choice(frag) for _ in range(12)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = text.normalize_text(df, "text", out="n1")
+    twice = text.normalize_text(once.select("doc_id",
+                                            F.col("n1").alias("text")),
+                                "text", out="n2")
+    joined = once.select("doc_id", "n1").join(twice.select("doc_id", "n2"),
+                                              "doc_id")
+    assert joined.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+def test_winsorize_idempotent_and_bounded(spark):
+    from glamr_omics_pipelines_spark.operators.abundance import winsorize
+    import random
+    rng = random.Random(42)
+    rows = [("g%d" % (i % 3), rng.randrange(1000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    w1 = winsorize(df, ["g"], "v", lo=0.1, hi=0.9)
+    # clipped values lie inside the bounds that produced them
+    again = winsorize(w1.select("g", F.col("winsorized").alias("v")),
+                      ["g"], "v", lo=0.0, hi=1.0)  # identity pass
+    assert again.filter(F.col("winsorized") != F.col("v")).count() == 0
+    # winsorizing already-clipped data at the same band changes nothing:
+    # the band of the clipped distribution is the band itself
+    w2 = winsorize(w1.select("g", F.col("winsorized").alias("v")),
+                   ["g"], "v", lo=0.1, hi=0.9)
+    merged = (w1.groupBy("g").agg(F.min("winsorized").alias("lo1"),
+                                  F.max("winsorized").alias("hi1"))
+              .join(w2.groupBy("g").agg(F.min("winsorized").alias("lo2"),
+                                        F.max("winsorized").alias("hi2")), "g"))
+    for r in merged.collect():
+        assert r.lo2 >= r.lo1 and r.hi2 <= r.hi1
+
+
+def test_percent_rank_norm_in_unit_interval(spark):
+    from glamr_omics_pipelines_spark.operators.windows import percent_rank_norm
+    import random
+    rng = random.Random(43)
+    rows = [("g%d" % (i % 4), rng.randrange(100)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = percent_rank_norm(df, ["g"], "v")
+    assert out.filter((F.col("score_pct") < 0) | (F.col("score_pct") > 1)) \
+        .count() == 0
