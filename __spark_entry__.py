@@ -2402,7 +2402,7 @@ def oracle_sql() -> dict[str, str]:
             norm AS (
               SELECT doc_id,
                      trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                                         '\\s+', ' ', 'g')) AS norm_text
+                                         '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text
               FROM planted)
             SELECT doc_id, md5(norm_text) AS norm_hash,
                    CAST(length(norm_text) AS BIGINT) AS norm_len
@@ -2473,7 +2473,7 @@ def oracle_sql() -> dict[str, str]:
             norm AS (
               SELECT doc_id, lang,
                      trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                                         '\\s+', ' ', 'g')) AS norm_text
+                                         '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_text
               FROM corpus),
             lens AS (
               SELECT doc_id, lang, norm_text,

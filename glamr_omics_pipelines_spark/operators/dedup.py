@@ -326,21 +326,27 @@ def keep_best_per_cluster(corpus: DataFrame, labels: DataFrame,
     pairs → clusters → ONE representative per duplicate set, chosen by
     quality rather than arrival order.
 
-    Scale: the winner per cluster is a map-side-combinable min(struct(-score,
-    id)) aggregate (no per-cluster sort window), so the only shuffles are the
-    label attach (labels ≪ corpus: only clustered docs have rows — broadcast
-    when they fit) and the cluster-grain agg, which carries two longs per
-    cluster, never document bodies.
+    Scale: winner selection is ``windows.top1_by_agg`` — a map-side-
+    combinable struct-min aggregate (no per-cluster sort window), so the
+    only shuffles are the label attach (labels ≪ corpus: only clustered
+    docs have rows — broadcast when they fit) and the cluster-grain agg,
+    which carries two longs per cluster, never document bodies. NULL scores
+    rank WORST (coalesced to -inf before the descending key is negated;
+    raw struct-min would rank them first and crown an unscored doc).
     """
+    from glamr_omics_pipelines_spark.operators.windows import top1_by_agg
     lab = labels.select(F.col(label_id).alias("_lid"),
                         F.col(label_col).alias("_cl"))
     d = (corpus.join(lab, corpus[id_col] == F.col("_lid"), "left")
          .withColumn("cluster_id", F.coalesce(F.col("_cl"), F.col(id_col)))
          .drop("_lid", "_cl"))
-    winners = (d.groupBy("cluster_id")
-               .agg(F.min(F.struct((-F.col(score_col)).alias("neg_score"),
-                                   F.col(id_col).alias("id"))).alias("_w"))
-               .select("cluster_id", F.col("_w.id").alias("_winner")))
+    filled = d.withColumn("_score_filled",
+                          F.coalesce(F.col(score_col).cast("double"),
+                                     F.lit(float("-inf"))))
+    winners = (top1_by_agg(filled, ["cluster_id"],
+                           [("_score_filled", False), (id_col, True)],
+                           [id_col])
+               .select("cluster_id", F.col(id_col).alias("_winner")))
     return (d.join(winners, "cluster_id")
             .withColumn("kept", F.col(id_col) == F.col("_winner"))
             .drop("_winner"))
@@ -391,12 +397,14 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     longs per edge; per-round plans are pinned constant-size with eager
     localCheckpoints exactly like dup_clusters.
     """
-    # canonical undirected edge set, self-loops dropped
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")) \
-        .filter(F.col("u") != F.col("v"))
-    nodes = (e.select(F.col("u").alias("id"))
-             .unionByName(e.select(F.col("v").alias("id"))).distinct()
+    # node set from the RAW pairs (a node whose only edge is a self-loop
+    # must still get a self-label, matching dup_clusters' contract); the
+    # edge set then drops self-loops
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    nodes = (raw.select(F.col("u").alias("id"))
+             .unionByName(raw.select(F.col("v").alias("id"))).distinct()
              .localCheckpoint(eager=True))
+    e = raw.filter(F.col("u") != F.col("v"))
     edges = (e.unionByName(e.select(F.col("v").alias("u"),
                                     F.col("u").alias("v")))
              .distinct().localCheckpoint(eager=True))

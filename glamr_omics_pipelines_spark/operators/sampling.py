@@ -128,6 +128,8 @@ def quantile_gate(df: DataFrame, group_cols: list[str], score_col: str,
     groupBy), broadcast back onto the fact scan — the filter itself is a
     row-local comparison; the only full-data shuffle is none.
     """
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
     th = (df.groupBy(*group_cols)
           .agg(F.expr(f"percentile({score_col}, {q}d)").alias("threshold")))
     joined = df.join(F.broadcast(th), group_cols)

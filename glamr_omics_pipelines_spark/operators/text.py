@@ -271,12 +271,14 @@ def normalize_text(df: DataFrame, text_col: str,
     trim. Canonicalizing BEFORE hashing is what makes exact dedup robust to
     formatting-only differences (same article, different wrapping).
 
-    Pure codegen'd regexp_replace chain (RE2-compatible patterns, so SQL
-    oracles and other engines agree byte-for-byte) — scan-stage, row-local,
-    zero shuffle at any scale.
+    Pure codegen'd regexp_replace chain — scan-stage, row-local, zero
+    shuffle at any scale. The whitespace class is EXPLICIT rather than \\s:
+    Java's \\s matches vertical tab but RE2's (DuckDB/Go engines) does not,
+    so \\s would silently break the byte-for-byte cross-engine agreement
+    canonical dedup keys depend on.
     """
     c = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, "[ \\t\\n\\x0B\\f\\r]+", " ")
     return df.withColumn(out, F.trim(c))
 
 

@@ -51,7 +51,10 @@ def rolling_features(df: DataFrame, group_col: str, ts_col: str,
     (SURVEY §2.5 'only default frames'); this is an extension operator.
     """
     from glamr_omics_pipelines_spark.operators.windows import epoch_us
-    sec = (epoch_us(ts_col) / F.lit(1_000_000)).cast("long")
+    # floor, not cast-truncation: cast('long') truncates toward zero, which
+    # diverges from the oracle's integer floor-division for pre-1970
+    # timestamps (negative epochs)
+    sec = F.floor(epoch_us(ts_col) / F.lit(1_000_000)).cast("long")
     d = df.withColumn("_sec", sec)
     w = (Window.partitionBy(group_col).orderBy("_sec")
          .rangeBetween(-window_seconds, 0))

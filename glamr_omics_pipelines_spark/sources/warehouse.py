@@ -116,16 +116,19 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
     incoming snapshot against the loaded one to decide what to MERGE and
     what to report.
 
-    Content equality goes through ONE md5 over the concatenated compare
-    columns computed on each side BEFORE the join — the full-outer join then
-    carries keys + 32-byte hashes, never wide rows, and the classify step is
-    row-local. At scale this is a sort-merge join on the key: O(n log n)
-    partition-local sorts, no broadcast needed on either side.
+    Content equality goes through ONE md5 over the compare columns computed
+    on each side BEFORE the join — the full-outer join then carries keys +
+    32-byte hashes, never wide rows, and the classify step is row-local.
+    Values are encoded 'v:<value>' / 'null' and joined with a NUL separator
+    (the same NULL-safe marked encoding exact_dedup uses, dedup.py) so NULL
+    vs empty-string and column-boundary shifts cannot collide. At scale
+    this is a sort-merge join on the key: O(n log n) partition-local sorts,
+    no broadcast needed on either side.
     """
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
-                                                   F.lit("\x00"))
-                                        for c in compare_cols]))
+        marked = [F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")),
+                             F.lit("null")) for c in compare_cols]
+        h = F.md5(F.concat_ws(chr(0), *marked))
         return df.select(*keys, h.alias(alias))
 
     o = hashed(old, "_h_old")

@@ -344,3 +344,52 @@ def test_percent_rank_norm_in_unit_interval(spark):
     out = percent_rank_norm(df, ["g"], "v")
     assert out.filter((F.col("score_pct") < 0) | (F.col("score_pct") > 1)) \
         .count() == 0
+
+
+def test_keep_best_null_scores_rank_worst(spark):
+    """A NULL-score doc must never beat a scored doc (struct-min would rank
+    nulls first; the operator coalesces to -inf)."""
+    corpus = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, None)], "doc_id long, score double")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, label long")
+    out = {r.doc_id: r.kept
+           for r in keep_best_per_cluster(corpus, labels,
+                                          "doc_id", "score").collect()}
+    assert out == {1: True, 2: False, 3: True}  # all-null cluster: min id
+
+
+def test_snapshot_diff_boundary_shift_detected(spark):
+    """Values shifting across column boundaries must classify as changed
+    (marked encoding, not raw concatenation)."""
+    from glamr_omics_pipelines_spark.sources.warehouse import snapshot_diff
+    old = spark.createDataFrame([(1, "a\x1f", "b")], "k long, c1 string, c2 string")
+    new = spark.createDataFrame([(1, "a", "\x1fb")], "k long, c1 string, c2 string")
+    out = snapshot_diff(old, new, ["k"], ["c1", "c2"]).collect()
+    assert out[0].status == "changed"
+
+
+def test_quantile_gate_rejects_bad_keep(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with _pytest.raises(ValueError):
+        sampling.quantile_gate(df, ["g"], "v", keep="GE")
+
+
+def test_dup_clusters_star_keeps_self_loop_nodes(spark):
+    """A node whose only pair is a self-pair still gets a self-label —
+    same contract as dup_clusters."""
+    from glamr_omics_pipelines_spark.operators.dedup import (
+        dup_clusters, dup_clusters_star)
+    df = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    star = {r.id: r.label for r in dup_clusters_star(df).collect()}
+    prop = {r.id: r.label for r in dup_clusters(df).collect()}
+    assert star == prop == {5: 5, 1: 1, 2: 1}
+
+
+def test_normalize_text_vertical_tab_cross_engine(spark):
+    """\\x0B folds into whitespace — via the explicit class, which RE2
+    oracles reproduce (RE2's \\s would not match it)."""
+    df = spark.createDataFrame([(1, "a\x0bb")], "doc_id long, text string")
+    out = text.normalize_text(df, "text").collect()
+    assert out[0].norm_text == "a b"
