@@ -126,6 +126,21 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column-profile audit of a parquet table (nulls / distincts / min /
+    max per column, one scan) — the check_import_status-style health check,
+    runnable against any warehouse table."""
+    from glamr_omics_pipelines_spark.sources.warehouse import profile_table
+    spark = _spark(args)
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else df.columns
+    unknown = [c for c in cols if c not in df.columns]
+    if unknown:
+        raise SystemExit(f"unknown columns {unknown}; table has {df.columns}")
+    profile_table(df, cols).show(len(cols), truncate=False)
+    return 0
+
+
 def cmd_list_queries(args) -> int:
     mod = _load_entry(args.entry)
     oracles = mod.oracle_sql()
@@ -171,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--entry", help="path to __spark_entry__.py")
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("profile", help="column-profile a parquet table")
+    p.add_argument("path")
+    p.add_argument("--columns", help="comma-separated subset (default: all)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("list-queries", help="list catalog queries")
     p.add_argument("--entry", help="path to __spark_entry__.py")

@@ -46,3 +46,17 @@ def test_merge_bracken_cli(spark, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] > 0
     assert (out / "counts.tsv").exists() and (out / "rel_abund.tsv").exists()
+
+
+def test_profile_cli(spark, capsys):
+    assert main(["profile", "/root/testdata/sf0.001/region.parquet",
+                 "--columns", "r_regionkey,r_name"]) == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "n_distinct" in out
+
+
+def test_profile_cli_unknown_column(spark):
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["profile", "/root/testdata/sf0.001/region.parquet",
+              "--columns", "nope"])
