@@ -1026,6 +1026,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (sourmash containment analog,
+    Snakefile:2529): planted prefix-fragment docs are fully CONTAINED in
+    their source (containment 1.0) even though Jaccard is small — the
+    detector for doc-inside-doc inclusion."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40) \
+        .select("doc_id", "text")
+    frags = d.select((F.col("doc_id") + 5000).alias("doc_id"),
+                     F.substring("text", 1, 60).alias("text"))
+    corpus = d.unionByName(frags)
+    pairs = dedup.ngram_containment_pairs(corpus, "doc_id", "text",
+                                          shingle_n=4, threshold=0.9)
+    return pairs.select("id_a", "id_b",
+                        _r4("containment_a").alias("containment_a"),
+                        _r4("containment_b").alias("containment_b"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table
     (zip_with/aggregate dot products — JVM-side, no UDF)."""
@@ -1388,7 +1405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LLM-pipeline queries (minhash_dedup ... seqkit_stats) — which pass the
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
-        "pricing_summary": q_pricing_summary,
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
         "interval_overlap": q_interval_overlap,
@@ -1421,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "cosine_topk": q_cosine_topk,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1442,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
         "anvio_stacked": q_anvio_stacked,
         "curation_pipeline": q_curation_pipeline,
@@ -2674,6 +2692,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _jaccard_sql(_DUP_CORPUS_SQL, 0.999),
         "ngram_jaccard": _jaccard_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id < 60", 0.15),
+        "ngram_containment": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 5000 AS doc_id, substr(text, 1, 60) AS text
+              FROM documents WHERE doc_id < 40),
+            sh AS ({_SHINGLES4.format(src="corpus")}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / sa.sz, 4) AS containment_a,
+                   round(i::DOUBLE / sb.sz, 4) AS containment_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE greatest(i::DOUBLE / sa.sz, i::DOUBLE / sb.sz) >= 0.9
+        """,
         "ivf_ann": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 8),

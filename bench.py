@@ -78,6 +78,7 @@ HEADLINE = [
     "curation_pipeline_v2",  # normalize->gate->dedup->split->pack, one plan
     "label_centroids",   # posexplode partial-agg embedding centroids
     "profile_table",     # one-scan column profile audit
+    "ngram_containment", # asymmetric inclusion detector (shared overlap core)
 ]
 
 

@@ -135,16 +135,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     return pairs.distinct() if dedup_pairs else pairs
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        shingle_n: int = 5, threshold: float = 0.0,
-                        candidates: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity between document pairs.
-
-    Without ``candidates``: all pairs sharing at least one shingle (inverted-
-    index self-join — use only on bounded inputs or post-LSH). With
-    ``candidates`` (id_a, id_b): verification join for the LSH pipeline.
-    Returns (id_a, id_b, jaccard).
-    """
+def _shingle_overlap(df: DataFrame, id_col: str, text_col: str,
+                     shingle_n: int = 5,
+                     candidates: DataFrame | None = None) -> DataFrame:
+    """Shared inverted-index core of the exact set-similarity verifiers:
+    (id_a, id_b, _inter, _sa, _sb) for every doc pair sharing ≥1 shingle
+    (optionally candidate-restricted). Jaccard and containment are row-local
+    arithmetic on top."""
     base = df.select(id_col, text_col)
     if candidates is not None:
         # the candidate plan (usually a full LSH pipeline) feeds two subplans
@@ -177,15 +174,51 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # huge at scale).
         inter = F.broadcast(
             inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi"))
-    out = (inter
-           .join(sizes.withColumnRenamed("_sz", "_sa")
-                 .withColumnRenamed(id_col, "id_a"), "id_a")
-           .join(sizes.withColumnRenamed("_sz", "_sb")
-                 .withColumnRenamed(id_col, "id_b"), "id_b")
-           .withColumn("jaccard", F.col("_inter")
-                       / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("_sz", "_sa")
+                  .withColumnRenamed(id_col, "id_a"), "id_a")
+            .join(sizes.withColumnRenamed("_sz", "_sb")
+                  .withColumnRenamed(id_col, "id_b"), "id_b"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 5, threshold: float = 0.0,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity between document pairs.
+
+    Without ``candidates``: all pairs sharing at least one shingle (inverted-
+    index self-join — use only on bounded inputs or post-LSH). With
+    ``candidates`` (id_a, id_b): verification join for the LSH pipeline.
+    Returns (id_a, id_b, jaccard).
+    """
+    ov = _shingle_overlap(df, id_col, text_col, shingle_n, candidates)
+    out = (ov.withColumn("jaccard", F.col("_inter")
+                         / (F.col("_sa") + F.col("_sb") - F.col("_inter")))
            .select("id_a", "id_b", "jaccard"))
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            shingle_n: int = 5, threshold: float = 0.0,
+                            candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram CONTAINMENT between document pairs: |A∩B|/|A| and
+    |A∩B|/|B| — the asymmetric similarity sourmash computes for genomes
+    (Snakefile:2529) and the right detector when a small document is
+    embedded inside a much larger one (quote inclusion, contig-in-assembly):
+    Jaccard vanishes as sizes diverge, containment stays at 1.0.
+
+    Same inverted-index core and scale shape as ngram_jaccard_pairs; the
+    two containments are row-local divisions. ``threshold`` keeps pairs
+    whose LARGER containment passes (max form — direction-agnostic).
+    """
+    ov = _shingle_overlap(df, id_col, text_col, shingle_n, candidates)
+    out = (ov.withColumn("containment_a", F.col("_inter") / F.col("_sa"))
+           .withColumn("containment_b", F.col("_inter") / F.col("_sb"))
+           .select("id_a", "id_b", "containment_a", "containment_b"))
+    if threshold > 0:
+        out = out.filter(F.greatest("containment_a", "containment_b")
+                         >= threshold)
+    return out
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -393,3 +393,20 @@ def test_normalize_text_vertical_tab_cross_engine(spark):
     df = spark.createDataFrame([(1, "a\x0bb")], "doc_id long, text string")
     out = text.normalize_text(df, "text").collect()
     assert out[0].norm_text == "a b"
+
+
+def test_ngram_containment_asymmetry(spark):
+    """A fragment fully inside a larger doc has containment 1.0 on its side
+    while Jaccard stays small — the inclusion case Jaccard misses."""
+    from glamr_omics_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+    big = "abcdefghijklmnopqrstuvwxyz0123456789"
+    frag = big[:10]
+    df = spark.createDataFrame([(1, big), (2, frag)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", "text", shingle_n=4).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r.id_a == 1 and r.id_b == 2
+    assert r.containment_b == 1.0 and r.containment_a < 0.25
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=4).collect()
+    assert jac[0].jaccard < 0.25  # Jaccard can't see the inclusion
