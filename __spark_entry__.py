@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
+from glamr_omics_pipelines_spark.operators import diversity
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -1382,6 +1383,55 @@ def q_profile_table(spark, sf_dir):
         d, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _taxon_counts(spark, sf_dir):
+    """sample × taxon abundance frame for the diversity family (lineitem
+    re-read as an abundance table: returnflag≈sample, partkey≈taxon)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(F.col("l_returnflag").alias("sample"),
+                      F.col("l_partkey").alias("taxon"),
+                      F.col("l_quantity").alias("n"))
+            .groupBy("sample", "taxon")
+            .agg(F.sum("n").cast("double").alias("cnt")))
+
+
+def q_shannon_diversity(spark, sf_dir):
+    """Shannon H' + richness + Pielou evenness per sample (the diversity
+    index ecologists run on exactly the reference's sample × taxon tables,
+    plot_metacoder*.R territory): taxon-grain partial agg + one-row-per-
+    sample totals broadcast."""
+    counts = _taxon_counts(spark, sf_dir)
+    out = diversity.shannon_diversity(counts, "sample", "cnt")
+    return out.select("sample", _r4("shannon").alias("shannon"),
+                      F.col("richness").cast("bigint").alias("richness"),
+                      _r4("evenness").alias("evenness"))
+
+
+def q_bray_curtis(spark, sf_dir):
+    """Pairwise Bray-Curtis dissimilarity between samples — inner taxon
+    join for the min-sums (absent taxa contribute 0), totals broadcast;
+    pair fan-out at sample grain, never taxon × taxon."""
+    counts = _taxon_counts(spark, sf_dir)
+    out = diversity.bray_curtis_pairs(counts, "sample", "taxon", "cnt")
+    return out.select("sample_a", "sample_b",
+                      _r4("bray_curtis").alias("bray_curtis"))
+
+
+def q_rarefaction(spark, sf_dir):
+    """Rarefaction curve per sample at 10/50/100% deterministic hash-
+    subsample depths — ONE scan, conditional count-distincts, engine-
+    portable subsample (same md5 bucket as hash_sample)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_returnflag").alias("sample"),
+                  F.col("l_partkey").alias("taxon"),
+                  (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .alias("read_id"))
+    out = diversity.rarefaction_counts(d, "sample", "taxon", "read_id",
+                                       [10, 50, 100])
+    return out.select("sample",
+                      F.col("depth_pct").cast("bigint").alias("depth_pct"),
+                      F.col("richness").cast("bigint").alias("richness"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1405,10 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LLM-pipeline queries (minhash_dedup ... seqkit_stats) — which pass the
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
-        "tpm": q_tpm,
-        "top1_per_group": q_top1_per_group,
         "interval_overlap": q_interval_overlap,
-        "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
@@ -1438,6 +1485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "shannon_diversity": q_shannon_diversity,
+        "bray_curtis": q_bray_curtis,
+        "rarefaction": q_rarefaction,
         "cosine_topk": q_cosine_topk,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1459,6 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry window. tools/check.py still covers them.
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
+        "tpm": q_tpm,
+        "top1_per_group": q_top1_per_group,
+        "kingdom_priority_lca": q_kingdom_priority_lca,
         "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
         "anvio_stacked": q_anvio_stacked,
@@ -2443,6 +2496,55 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "shannon_diversity": """
+            WITH c AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     CAST(sum(l_quantity) AS DOUBLE) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT sample, sum(cnt) AS total FROM c GROUP BY 1)
+            SELECT c.sample,
+                   round(-sum((cnt / total) * ln(cnt / total)), 4) AS shannon,
+                   count(*) AS richness,
+                   round(-sum((cnt / total) * ln(cnt / total))
+                         / ln(count(*)::DOUBLE), 4) AS evenness
+            FROM c JOIN t USING (sample)
+            GROUP BY c.sample
+        """,
+        "bray_curtis": """
+            WITH c AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     CAST(sum(l_quantity) AS DOUBLE) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT sample, sum(cnt) AS total FROM c GROUP BY 1),
+            shared AS (
+              SELECT a.sample AS sample_a, b.sample AS sample_b,
+                     sum(least(a.cnt, b.cnt)) AS minsum
+              FROM c a JOIN c b ON a.taxon = b.taxon AND a.sample < b.sample
+              GROUP BY 1, 2)
+            SELECT sample_a, sample_b,
+                   round(1 - 2 * minsum / (ta.total + tb.total), 4)
+                     AS bray_curtis
+            FROM shared
+            JOIN t ta ON ta.sample = sample_a
+            JOIN t tb ON tb.sample = sample_b
+        """,
+        "rarefaction": """
+            WITH d AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     l_orderkey * 8 + l_linenumber AS read_id
+              FROM lineitem),
+            b AS (
+              SELECT sample, taxon,
+                     CAST(concat('0x', substr(md5(concat('rare:',
+                       CAST(read_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+                       AS bucket
+              FROM d)
+            SELECT sample, CAST(p AS BIGINT) AS depth_pct,
+                   CAST(count(DISTINCT CASE WHEN bucket < p THEN taxon END)
+                        AS BIGINT) AS richness
+            FROM b, (VALUES (10), (50), (100)) v(p)
+            GROUP BY sample, p
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,

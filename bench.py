@@ -79,6 +79,9 @@ HEADLINE = [
     "label_centroids",   # posexplode partial-agg embedding centroids
     "profile_table",     # one-scan column profile audit
     "ngram_containment", # asymmetric inclusion detector (shared overlap core)
+    "shannon_diversity", # per-sample H' via totals-broadcast partial agg
+    "bray_curtis",       # sample-grain pairwise dissimilarity
+    "rarefaction",       # one-scan nested hash-subsample richness
 ]
 
 

@@ -410,3 +410,44 @@ def test_ngram_containment_asymmetry(spark):
     assert r.containment_b == 1.0 and r.containment_a < 0.25
     jac = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=4).collect()
     assert jac[0].jaccard < 0.25  # Jaccard can't see the inclusion
+
+
+def test_shannon_diversity_hand_computed(spark):
+    import math
+    from glamr_omics_pipelines_spark.operators.diversity import shannon_diversity
+    # sample s1: counts 1,1,2 -> p = .25,.25,.5 -> H = 1.5*ln2; s2: single taxon
+    df = spark.createDataFrame(
+        [("s1", "t1", 1.0), ("s1", "t2", 1.0), ("s1", "t3", 2.0),
+         ("s2", "t1", 7.0)],
+        "sample string, taxon string, cnt double")
+    out = {r.sample: r for r in shannon_diversity(df, "sample", "cnt").collect()}
+    assert abs(out["s1"].shannon - 1.5 * math.log(2)) < 1e-9
+    assert out["s1"].richness == 3
+    assert abs(out["s1"].evenness - 1.5 * math.log(2) / math.log(3)) < 1e-9
+    assert out["s2"].shannon == 0.0 and out["s2"].evenness is None
+
+
+def test_bray_curtis_hand_computed(spark):
+    from glamr_omics_pipelines_spark.operators.diversity import bray_curtis_pairs
+    # a: {t1:6, t2:4}; b: {t1:2, t3:8} -> minsum=2, totals 10+10
+    # BC = 1 - 2*2/20 = 0.8 ; identical samples -> 0
+    df = spark.createDataFrame(
+        [("a", "t1", 6.0), ("a", "t2", 4.0),
+         ("b", "t1", 2.0), ("b", "t3", 8.0),
+         ("c", "t1", 6.0), ("c", "t2", 4.0)],
+        "sample string, taxon string, cnt double")
+    out = {(r.sample_a, r.sample_b): r.bray_curtis
+           for r in bray_curtis_pairs(df, "sample", "taxon", "cnt").collect()}
+    assert abs(out[("a", "b")] - 0.8) < 1e-9
+    assert abs(out[("a", "c")] - 0.0) < 1e-9
+
+
+def test_rarefaction_monotone_in_depth(spark):
+    from glamr_omics_pipelines_spark.operators.diversity import rarefaction_counts
+    rows = [("s", f"t{i % 37}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "sample string, taxon string, read_id long")
+    out = {r.depth_pct: r.richness
+           for r in rarefaction_counts(df, "sample", "taxon", "read_id",
+                                       [10, 50, 100]).collect()}
+    # nested subsamples: richness must be monotone, full depth sees all taxa
+    assert out[10] <= out[50] <= out[100] == 37
