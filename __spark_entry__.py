@@ -1432,6 +1432,19 @@ def q_rarefaction(spark, sf_dir):
                       F.col("richness").cast("bigint").alias("richness"))
 
 
+def q_chao1(spark, sf_dir):
+    """Chao1 estimated total richness per sample (bias-corrected singleton/
+    doubleton estimator — the 'how many taxa did we miss' companion of the
+    rarefaction curve) over row-count abundances."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (li.groupBy(F.col("l_returnflag").alias("sample"),
+                         F.col("l_partkey").alias("taxon"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    out = diversity.chao1_richness(counts, "sample", "cnt")
+    return out.select("sample", "s_obs", "f1", "f2",
+                      _r4("chao1").alias("chao1"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -1456,7 +1469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
         "interval_overlap": q_interval_overlap,
-        "multimodal_features": q_multimodal_features,
         "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_multi": q_lsh_ann_multi,
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shannon_diversity": q_shannon_diversity,
         "bray_curtis": q_bray_curtis,
         "rarefaction": q_rarefaction,
+        "chao1": q_chao1,
         "cosine_topk": q_cosine_topk,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1512,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpm": q_tpm,
         "top1_per_group": q_top1_per_group,
         "kingdom_priority_lca": q_kingdom_priority_lca,
+        "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
         "anvio_stacked": q_anvio_stacked,
@@ -2496,6 +2510,22 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "chao1": """
+            WITH c AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            agg AS (
+              SELECT sample, count(*) AS s_obs,
+                     CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                     CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2
+              FROM c GROUP BY sample)
+            SELECT sample, s_obs, f1, f2,
+                   round(s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 4) AS chao1
+            FROM agg
         """,
         "shannon_diversity": """
             WITH c AS (

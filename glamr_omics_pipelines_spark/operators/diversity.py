@@ -102,3 +102,23 @@ def rarefaction_counts(df: DataFrame, sample_col: str, taxon_col: str,
     return wide.selectExpr(
         sample_col,
         f"stack({len(depths_pct)}, {parts}) as (depth_pct, richness)")
+
+
+def chao1_richness(df: DataFrame, sample_col: str, count_col: str) -> DataFrame:
+    """Chao1 estimated total richness per sample (bias-corrected):
+    S_obs + F1·(F1−1) / (2·(F2+1)), where F1/F2 are the singleton and
+    doubleton taxon counts — the standard "how many taxa did we MISS"
+    estimator reported next to rarefaction curves. Input grain: one row per
+    (sample, taxon) with an integer observation count.
+
+    One partial-aggregated groupBy per sample; the estimator is row-local
+    arithmetic on three per-sample longs.
+    """
+    d = df.filter(F.col(count_col) > 0)
+    agg = (d.groupBy(sample_col)
+           .agg(F.count(F.lit(1)).alias("s_obs"),
+                F.sum((F.col(count_col) == 1).cast("long")).alias("f1"),
+                F.sum((F.col(count_col) == 2).cast("long")).alias("f2")))
+    est = (F.col("s_obs")
+           + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)))
+    return agg.withColumn("chao1", est)

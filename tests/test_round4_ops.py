@@ -451,3 +451,18 @@ def test_rarefaction_monotone_in_depth(spark):
                                        [10, 50, 100]).collect()}
     # nested subsamples: richness must be monotone, full depth sees all taxa
     assert out[10] <= out[50] <= out[100] == 37
+
+
+def test_chao1_hand_computed(spark):
+    from glamr_omics_pipelines_spark.operators.diversity import chao1_richness
+    # s1: 3 observed taxa, 2 singletons, 1 doubleton ->
+    # chao1 = 3 + 2*1/(2*2) = 3.5
+    df = spark.createDataFrame(
+        [("s1", "t1", 1), ("s1", "t2", 1), ("s1", "t3", 2),
+         ("s2", "t1", 5)],
+        "sample string, taxon string, cnt long")
+    out = {r.sample: r for r in chao1_richness(df, "sample", "cnt").collect()}
+    assert out["s1"].s_obs == 3 and out["s1"].f1 == 2 and out["s1"].f2 == 1
+    assert abs(out["s1"].chao1 - 3.5) < 1e-9
+    # no singletons -> estimator equals observed richness
+    assert out["s2"].chao1 == 1.0
