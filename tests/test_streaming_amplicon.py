@@ -167,3 +167,45 @@ def test_session_window_counts_batch_matches_semantics(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     out = session_window_counts(df, gap="30 minutes").collect()
     assert len(out) == 1 and out[0].n_events == 2 and out[0].sum_value == 3.0
+
+
+@pytest.mark.timeout(300)
+def test_stream_foreachbatch_warehouse_merge(spark, tmp_path):
+    """The full streaming Layer-C path: file stream -> foreachBatch ->
+    warehouse incremental MERGE. The checkpoint makes file discovery
+    exactly-once and the anti-join MERGE makes re-delivered samples
+    idempotent — together they replace the reference's 'new files since
+    last load' ledger (postgres.Rmd:239-292) end to end."""
+    from glamr_omics_pipelines_spark.sources.warehouse import Warehouse
+    wh = Warehouse(str(tmp_path / "wh"))
+    src = tmp_path / "stream_in"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import csv
+        with open(src / name, "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(["sample", "reads"])
+            w.writerows(rows)
+
+    def run_once():
+        stream = (spark.readStream.format("csv")
+                  .schema("sample string, reads long")
+                  .option("sep", "\t").option("header", True)
+                  .load(str(src)))
+        q = (stream.writeStream
+             .foreachBatch(lambda batch, _id:
+                           wh.incremental_append(batch, "read_count", "sample"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    write_file("a.csv", [("s1", 100), ("s2", 200)])
+    run_once()
+    # second delivery: one duplicate sample (s2, new value) + one new sample
+    write_file("b.csv", [("s2", 999), ("s3", 300)])
+    run_once()
+    got = {r.sample: r.reads
+           for r in wh.read(spark, "read_count").collect()}
+    # s2's re-delivery was anti-joined away: first-load value retained
+    assert got == {"s1": 100, "s2": 200, "s3": 300}
