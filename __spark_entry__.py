@@ -1044,6 +1044,24 @@ def q_ngram_containment(spark, sf_dir):
                         _r4("containment_b").alias("containment_b"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Inter-document line-level dedup (C4/RefinedWeb boilerplate removal):
+    a footer planted into every third document is detected as a cross-doc
+    repeated line (>= 5 distinct docs) and stripped; every other line
+    survives in original order. Docs reduced to nothing come back as ''."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    footer = "Subscribe to our newsletter\nCopyright 2026 Example Corp"
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws("\n", F.col("text"), F.lit(footer)))
+        .otherwise(F.col("text")))
+    out = dedup.line_dedup(planted, "doc_id", "text", min_docs=5)
+    return out.select("doc_id", "clean_text",
+                      F.length("clean_text").cast("bigint")
+                      .alias("n_clean_chars"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table
     (zip_with/aggregate dot products — JVM-side, no UDF)."""
@@ -1476,7 +1494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
-        "dup_clusters_star": q_dup_clusters_star,
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
         "normalize_text": q_normalize_text,
@@ -1497,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "line_dedup": q_line_dedup,
         "shannon_diversity": q_shannon_diversity,
         "bray_curtis": q_bray_curtis,
         "rarefaction": q_rarefaction,
@@ -1566,6 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bands": q_quality_bands,
         "distinct_catalog": q_distinct_catalog,
         "na_handling": q_na_handling,
+        # identical oracle + machinery as dup_clusters (in the window above);
+        # additionally property-tested vs union-find in test_round4_ops.py
+        "dup_clusters_star": q_dup_clusters_star,
     }
 
 
@@ -2969,5 +2990,32 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 4) AS q3,
                    max(n_chars) AS max_len
             FROM documents GROUP BY source
+        """,
+        "line_dedup": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || chr(10) || 'Subscribe to our newsletter'
+                                    || chr(10) || 'Copyright 2026 Example Corp'
+                          ELSE text END AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM planted),
+            common AS (
+              SELECT line FROM l WHERE length(line) >= 1
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+            kept AS (
+              SELECT doc_id, pos, line FROM l
+              WHERE line NOT IN (SELECT line FROM common)),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   length(coalesce(r.clean_text, '')) AS n_clean_chars
+            FROM planted p LEFT JOIN rebuilt r USING (doc_id)
         """,
     }

@@ -483,3 +483,52 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
         .select(F.col("u").alias("id"), F.col("v").alias("label"))
     return (nodes.join(stars, "id", "left")
             .select("id", F.coalesce("label", F.col("id")).alias("label")))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_docs: int = 2, min_line_chars: int = 1,
+               out: str = "clean_text") -> DataFrame:
+    """Inter-document line-level deduplication (C4 / RefinedWeb-style
+    boilerplate removal): delete every line whose exact content occurs in at
+    least ``min_docs`` DISTINCT documents (nav bars, cookie banners, footer
+    boilerplate), then reassemble each document's surviving lines in their
+    original order. Documents whose every line is boilerplate come back as
+    the empty string, never dropped.
+
+    Eligibility is purely content-based: lines shorter than
+    ``min_line_chars`` are never counted and never removed (blank/trivial
+    lines are formatting, not boilerplate evidence). Because the predicate
+    depends only on the line text, the boilerplate set can be anti-joined
+    against ALL lines without re-checking eligibility.
+
+    Scale shape: one posexplode scan; a line-grain count-distinct partial
+    agg whose output is the boilerplate set (<< corpus — broadcastable for
+    the anti join); per-doc ordered reassembly via a map-side
+    sort_array(collect_list(struct(pos, line))). Three shuffles total (the
+    count-distinct aggregates in two phases — (line, doc) then line — and
+    reassembly exchanges on doc), no windows, no Python. The anti join carries the
+    line text for byte-exact oracle parity; at petabyte scale key it on
+    xxhash64(line) so the exchange carries 8-byte hashes.
+
+    Beyond-reference training-data operator (SURVEY §8); no direct reference
+    analog — nearest precedent is the exact read dedup family
+    (Snakefile:429-473) applied at sub-document grain.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    common = (lines
+              .filter(F.length("line") >= min_line_chars)
+              .groupBy("line")
+              .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_docs)
+              .select("line"))
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                       lambda s: s["line"]),
+                   "\n").alias(out)))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(""))))

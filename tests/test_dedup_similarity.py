@@ -195,3 +195,34 @@ def test_dup_clusters_raises_on_nonconvergence(spark):
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.dup_clusters(df, max_iter=2)
+
+
+def test_line_dedup_strips_cross_doc_boilerplate(spark):
+    df = spark.createDataFrame([
+        (1, "unique alpha\nCOOKIE BANNER\nunique beta"),
+        (2, "COOKIE BANNER\nother content"),
+        (3, "more text\nCOOKIE BANNER"),
+        (4, "COOKIE BANNER"),                  # reduces to empty, not dropped
+        (5, "standalone doc\n\nwith a blank line"),
+    ], ["doc_id", "text"])
+    out = dedup.line_dedup(df, "doc_id", "text", min_docs=3)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got[1] == "unique alpha\nunique beta"      # order preserved
+    assert got[2] == "other content"
+    assert got[3] == "more text"
+    assert got[4] == ""                               # all-boilerplate doc kept
+    assert got[5] == "standalone doc\n\nwith a blank line"
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_line_dedup_short_lines_never_removed(spark):
+    # blank lines repeat across every doc but are below min_line_chars,
+    # so they are neither counted nor removed.
+    df = spark.createDataFrame([
+        (1, "a line\n\ntail one"),
+        (2, "b line\n\ntail two"),
+        (3, "c line\n\ntail three"),
+    ], ["doc_id", "text"])
+    out = dedup.line_dedup(df, "doc_id", "text", min_docs=2, min_line_chars=1)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got[1] == "a line\n\ntail one"
