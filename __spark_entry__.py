@@ -1062,6 +1062,26 @@ def q_line_dedup(spark, sf_dir):
                       .alias("n_clean_chars"))
 
 
+def q_geo_neighbors(spark, sf_dir):
+    """Spatial proximity self-join over georeferenced samples (every GLAMR
+    sample carries lat/lon, postgres.Rmd:65): all sample pairs within 3 km,
+    grid-cell binned so the join is an equi join — never a cross product.
+    Coordinates synthesized deterministically onto a Great-Lakes-ish
+    lattice from customer keys; both engines derive identical doubles."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("sample_id"),
+        (F.lit(41.0)
+         + ((F.col("c_custkey") * 2654435761) % 600000) / F.lit(100000.0))
+        .alias("lat"),
+        (F.lit(-87.0)
+         + ((F.col("c_custkey") * 2246822519) % 700000) / F.lit(100000.0))
+        .alias("lon"))
+    out = joins.geo_neighbor_pairs(pts, "sample_id", radius_km=3.0,
+                                   max_abs_lat=50.0)
+    return out.select("id_a", "id_b", _r4("dist_km").alias("dist_km"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table
     (zip_with/aggregate dot products — JVM-side, no UDF)."""
@@ -1491,7 +1511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "lsh_ann_multi": q_lsh_ann_multi,
         "ivf_ann": q_ivf_ann,
-        "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1515,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "line_dedup": q_line_dedup,
+        "geo_neighbors": q_geo_neighbors,
         "shannon_diversity": q_shannon_diversity,
         "bray_curtis": q_bray_curtis,
         "rarefaction": q_rarefaction,
@@ -1587,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical oracle + machinery as dup_clusters (in the window above);
         # additionally property-tested vs union-find in test_round4_ops.py
         "dup_clusters_star": q_dup_clusters_star,
+        # driver-green in rounds 1 and 3; also composed into curation_pipeline
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -3017,5 +3039,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.clean_text, '') AS clean_text,
                    length(coalesce(r.clean_text, '')) AS n_clean_chars
             FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "geo_neighbors": """
+            WITH pts AS (
+              SELECT c_custkey AS sample_id,
+                     41.0 + ((c_custkey * 2654435761) % 600000) / 100000.0 AS lat,
+                     -87.0 + ((c_custkey * 2246822519) % 700000) / 100000.0 AS lon
+              FROM customer),
+            pairs AS (
+              SELECT a.sample_id AS id_a, b.sample_id AS id_b,
+                     2 * 6371.0088 * asin(sqrt(
+                       sin(radians(b.lat - a.lat)/2)
+                         * sin(radians(b.lat - a.lat)/2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * sin(radians(b.lon - a.lon)/2)
+                         * sin(radians(b.lon - a.lon)/2))) AS dist_km
+              FROM pts a JOIN pts b ON a.sample_id < b.sample_id)
+            SELECT id_a, id_b, round(dist_km, 4) AS dist_km
+            FROM pairs WHERE dist_km <= 3.0
         """,
     }

@@ -34,6 +34,8 @@ Spark-first designs used here:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,3 +161,68 @@ def interval_join_binned(left: DataFrame, right: DataFrame, keys: list[str],
         F.floor(F.col(r_start).cast("long") / F.lit(bin_width)))
     return lb.join(rb, keys + ["_bin"]).filter(overlap & first_shared) \
         .drop("_bin")
+
+
+def haversine_km(lat_a: Column, lon_a: Column, lat_b: Column,
+                 lon_b: Column) -> Column:
+    """Great-circle distance in km (haversine, mean Earth radius 6371.0088).
+    Pure builtin trig — codegen'd, byte-identical formula to the SQL oracle."""
+    dlat = F.radians(lat_b - lat_a) / 2
+    dlon = F.radians(lon_b - lon_a) / 2
+    a = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(F.radians(lat_a)) * F.cos(F.radians(lat_b))
+         * F.sin(dlon) * F.sin(dlon))
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def geo_neighbor_pairs(df: DataFrame, id_col: str, lat_col: str = "lat",
+                       lon_col: str = "lon", radius_km: float = 10.0,
+                       max_abs_lat: float = 60.0) -> DataFrame:
+    """All pairs of rows within ``radius_km`` great-circle km of each other —
+    the sample-proximity question over the reference's georeferenced sample
+    table (every GLAMR sample carries lat/lon, postgres.Rmd:65; the atlas UI
+    is a sample map). A naive formulation is an all-pairs cross join that
+    Spark executes as BroadcastNestedLoop — O(n²) at any scale.
+
+    Spark-first design (grid-cell binning, the spatial twin of
+    ``range_join_binned``): each row lands in ONE lat/lon grid cell sized so
+    that any two points within ``radius_km`` differ by at most one cell
+    index per axis (lat cell = radius/111.0°; lon cell widened by
+    1/cos(max_abs_lat) so it stays wide enough at the highest usable
+    latitude). One side explodes to its 3×3 neighbor cells (bounded ×9
+    fan-out); the join is then a plain EQUI join on the cell id followed by
+    the exact haversine predicate. Each unordered pair meets exactly once
+    (in the left row's own cell), so no distinct/dedup shuffle is needed;
+    ``id_a < id_b`` removes the mirror. Scale: shuffle is O(9n) small rows,
+    join work is confined to co-located cells — no cross product at any n.
+
+    Caveats (documented, acceptable for the inland/limnology use case):
+    rows with |lat| > ``max_abs_lat`` would need wider lon cells (raise the
+    parameter); pairs straddling the ±180° antimeridian are not matched.
+    """
+    lat_cell = radius_km / 111.0
+    lon_cell = radius_km / (111.0 * math.cos(math.radians(max_abs_lat)))
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"), F.col(lon_col).alias("lon_a"),
+        F.floor(F.col(lat_col) / F.lit(lat_cell)).alias("_clat"),
+        F.floor(F.col(lon_col) / F.lit(lon_cell)).alias("_clon"))
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("_off")
+    right = (df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"), F.col(lon_col).alias("lon_b"),
+        F.floor(F.col(lat_col) / F.lit(lat_cell)).alias("_blat"),
+        F.floor(F.col(lon_col) / F.lit(lon_cell)).alias("_blon"))
+        .select("*", offs)
+        .select("id_b", "lat_b", "lon_b",
+                (F.col("_blat") + F.col("_off.di")).alias("_clat"),
+                (F.col("_blon") + F.col("_off.dj")).alias("_clon")))
+    dist = haversine_km(F.col("lat_a"), F.col("lon_a"),
+                        F.col("lat_b"), F.col("lon_b"))
+    return (left.join(right, ["_clat", "_clon"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("dist_km", dist)
+            .filter(F.col("dist_km") <= F.lit(radius_km))
+            .select("id_a", "id_b", "dist_km"))

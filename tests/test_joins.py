@@ -203,3 +203,30 @@ def test_interval_join_binned_overlaps(spark):
                                      bin_width=64)
     got = sorted((r["lid"], r["rid"]) for r in out.collect())
     assert got == [(1, 1), (1, 2), (3, 1), (3, 2), (3, 3)]
+
+
+def test_geo_neighbor_pairs_basic(spark):
+    from glamr_omics_pipelines_spark.operators.joins import geo_neighbor_pairs
+    # Hancock-ish cluster: b is ~1.1 km east of a; c is ~157 km away.
+    df = spark.createDataFrame([
+        (1, 47.0, -88.50),
+        (2, 47.0, -88.4855),   # ~1.1 km from 1
+        (3, 47.0, -86.43),     # far
+    ], ["sample_id", "lat", "lon"])
+    out = geo_neighbor_pairs(df, "sample_id", radius_km=2.0).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dist_km"] for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert 1.0 < pairs[(1, 2)] < 1.3
+
+
+def test_geo_neighbor_pairs_cross_cell_no_dups(spark):
+    from glamr_omics_pipelines_spark.operators.joins import geo_neighbor_pairs
+    # radius 5 km -> lat cell 0.045°; points straddle a cell boundary and
+    # must still pair, exactly once.
+    df = spark.createDataFrame([
+        (1, 44.9999, -85.0),
+        (2, 45.0001, -85.0),   # ~22 m apart, adjacent lat cells
+    ], ["sample_id", "lat", "lon"])
+    out = geo_neighbor_pairs(df, "sample_id", radius_km=5.0).collect()
+    assert len(out) == 1
+    assert out[0]["dist_km"] < 0.1
