@@ -164,3 +164,21 @@ def test_snapshot_diff_join_carries_hashes_not_bodies(spark):
     exchange_lines = [i for i, ln in enumerate(lines) if "Exchange" in ln]
     assert md5_lines and all(any(e < m for e in exchange_lines)
                              for m in md5_lines)
+
+
+def test_line_dedup_broadcast_anti_join_no_python(spark):
+    """The boilerplate set must broadcast into the anti join; an accidental
+    shuffled anti join re-exchanges every exploded line, and any Python eval
+    would put the whole corpus through a Python worker."""
+    plan = _plan(spark, "line_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_geo_neighbors_equi_join_not_cross_product(spark):
+    """The spatial join must be an equi join on the grid cell — a naive
+    distance-predicate join would plan as BroadcastNestedLoop (O(n^2))."""
+    plan = _plan(spark, "geo_neighbors")
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
