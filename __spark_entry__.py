@@ -1062,6 +1062,21 @@ def q_line_dedup(spark, sf_dir):
                       .alias("n_clean_chars"))
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span removal (ExactSubstr dedup, Lee et al. 2022, token
+    grain): prefix fragments planted alongside their source docs share long
+    token runs; every 6-token window seen in >= 2 distinct docs marks its
+    positions for removal, overlapping windows merging into maximal spans.
+    Unique tails survive; fully-duplicated fragments reduce to ''."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40) \
+        .select("doc_id", "text")
+    frags = d.select((F.col("doc_id") + 5000).alias("doc_id"),
+                     F.substring("text", 1, 120).alias("text"))
+    corpus = d.unionByName(frags)
+    out = dedup.span_dedup(corpus, "doc_id", "text", w=6, min_docs=2)
+    return out.select("doc_id", "clean_text", "n_removed_tokens")
+
+
 def q_geo_neighbors(spark, sf_dir):
     """Spatial proximity self-join over georeferenced samples (every GLAMR
     sample carries lat/lon, postgres.Rmd:65): all sample pairs within 3 km,
@@ -1507,7 +1522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
         "interval_overlap": q_interval_overlap,
-        "embedding_dups": q_embedding_dups,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_multi": q_lsh_ann_multi,
         "ivf_ann": q_ivf_ann,
@@ -1534,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "geo_neighbors": q_geo_neighbors,
         "shannon_diversity": q_shannon_diversity,
         "bray_curtis": q_bray_curtis,
@@ -1609,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": q_dup_clusters_star,
         # driver-green in rounds 1 and 3; also composed into curation_pipeline
         "exact_dedup": q_exact_dedup,
+        # driver-green in rounds 1 and 3 (D rows for embedding_dups)
+        "embedding_dups": q_embedding_dups,
     }
 
 
@@ -3057,5 +3074,50 @@ def oracle_sql() -> dict[str, str]:
               FROM pts a JOIN pts b ON a.sample_id < b.sample_id)
             SELECT id_a, id_b, round(dist_km, 4) AS dist_km
             FROM pairs WHERE dist_km <= 3.0
+        """,
+        "span_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 5000 AS doc_id, substring(text, 1, 120) AS text
+              FROM documents WHERE doc_id < 40),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n]+'),
+                                 x -> x <> '') AS arr
+              FROM corpus),
+            grams AS (
+              SELECT doc_id, i AS start, array_to_string(arr[i:i+5], ' ') AS gram
+              FROM tok, unnest(CASE WHEN len(arr) >= 6
+                                    THEN range(1, len(arr) - 4)
+                                    ELSE CAST([] AS BIGINT[]) END) AS t(i)),
+            dup AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT g.doc_id, p
+              FROM grams g, unnest(range(g.start, g.start + 6)) AS u(p)
+              WHERE g.gram IN (SELECT gram FROM dup)),
+            tokrows AS (
+              SELECT doc_id,
+                     unnest(range(1, len(arr) + 1)) AS pos,
+                     unnest(arr) AS tok
+              FROM tok),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+              WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                WHERE c.doc_id = t.doc_id AND c.p = t.pos)),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (SELECT doc_id, len(arr) AS n_total FROM tok)
+            SELECT c.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_removed_tokens
+            FROM corpus c
+            JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
     }

@@ -532,3 +532,75 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
                    "\n").alias(out)))
     return (df.join(rebuilt, id_col, "left")
             .withColumn(out, F.coalesce(F.col(out), F.lit(""))))
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               w: int = 8, min_docs: int = 2,
+               out: str = "clean_text") -> DataFrame:
+    """Duplicated-span removal at token grain (the ExactSubstr dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, re-expressed as seed-gram coverage): every ``w``-token window whose
+    exact token string occurs in >= ``min_docs`` DISTINCT documents marks
+    all ``w`` of its token positions as duplicated; duplicated positions are
+    removed and each document's surviving tokens are rejoined in order.
+    Overlapping duplicated windows merge naturally into maximal spans —
+    exactly the suffix-array formulation's output for spans >= w tokens,
+    with the O(corpus log corpus) suffix array replaced by two shuffles over
+    exploded w-grams.
+
+    Output is the canonical SPACE-joined token stream (tokenization is
+    ``[ \\t\\n]+`` — an explicit class, not ``\\s``, for cross-engine regex
+    agreement); documents shorter than ``w`` tokens pass through unchanged
+    (normalized), never dropped. ``n_removed_tokens`` counts excised tokens.
+
+    Scale shape: one explode to (doc, start, gram); a gram-grain
+    count-distinct partial agg whose output (the duplicated-gram set) is
+    broadcast back; covered starts fan out ×w into covered positions
+    (bounded), and the anti join against token positions needs NO distinct
+    on the right side (anti-join semantics ignore right duplicates — one
+    shuffle saved); rebuild is a map-side sort_array(collect_list). At
+    petabyte scale key the gram agg on xxhash64(gram) so the exchange
+    carries 8-byte hashes, not w-token strings.
+    """
+    toks = F.filter(F.split(F.col(text_col), "[ \\t\\n]+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.array_size(F.col("_toks"))
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - F.lit(w - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (base
+             .select(F.col(id_col),
+                     F.explode(starts).alias("start"),
+                     F.col("_toks"))
+             .select(F.col(id_col), "start",
+                     F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start"),
+                                              w)).alias("gram")))
+    dup = (grams.groupBy("gram")
+           .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("gram"))
+    cov_pos = (grams.join(F.broadcast(dup), "gram")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("start"),
+                                            F.col("start") + F.lit(w - 1)))
+                       .alias("pos")))
+    tok_rows = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("_toks")).alias("pos0", "tok")) \
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(cov_pos, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                       lambda s: s["tok"]), " ").alias(out),
+                   F.count(F.lit(1)).alias("_n_kept")))
+    totals = base.select(F.col(id_col), n.alias("_n_total"))
+    return (df.join(rebuilt, id_col, "left")
+            .join(totals, id_col)
+            .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+            .withColumn("n_removed_tokens",
+                        (F.col("_n_total")
+                         - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                        .cast("bigint"))
+            .drop("_n_kept", "_n_total"))

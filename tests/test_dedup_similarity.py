@@ -226,3 +226,31 @@ def test_line_dedup_short_lines_never_removed(spark):
     out = dedup.line_dedup(df, "doc_id", "text", min_docs=2, min_line_chars=1)
     got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
     assert got[1] == "a line\n\ntail one"
+
+
+def test_span_dedup_marks_maximal_shared_spans(spark):
+    # docs 1 and 2 share an 8-token run; w=4 seeds must merge to cover the
+    # whole run in both docs, leaving only the unique heads/tails.
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame([
+        (1, f"alpha head {shared} tail omega"),
+        (2, f"{shared} different ending"),
+        (3, "totally unrelated text with no overlap at all"),
+    ], ["doc_id", "text"])
+    out = dedup.span_dedup(df, "doc_id", "text", w=4, min_docs=2)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in out.collect()}
+    assert got[1] == ("alpha head tail omega", 8)
+    assert got[2] == ("different ending", 8)
+    assert got[3] == ("totally unrelated text with no overlap at all", 0)
+
+
+def test_span_dedup_short_docs_pass_through(spark):
+    # below w tokens: no seeds, nothing removable, doc survives (normalized).
+    df = spark.createDataFrame([
+        (1, "tiny doc"),
+        (2, "tiny doc"),          # exact dup but only 2 tokens < w
+    ], ["doc_id", "text"])
+    out = dedup.span_dedup(df, "doc_id", "text", w=6, min_docs=2)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got == {1: "tiny doc", 2: "tiny doc"}
