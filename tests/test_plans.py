@@ -182,3 +182,12 @@ def test_geo_neighbors_equi_join_not_cross_product(spark):
     plan = _plan(spark, "geo_neighbors")
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_span_dedup_broadcast_gram_join_no_python(spark):
+    """The duplicated-gram set must broadcast back onto the gram explode;
+    no Python eval anywhere, no cross product."""
+    plan = _plan(spark, "span_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
