@@ -1062,6 +1062,14 @@ def q_line_dedup(spark, sf_dir):
                       .alias("n_clean_chars"))
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI over the corpus (Church & Hanks):
+    consecutive-pair explode, vocab-grain partial aggs, broadcast unigram
+    attachments — the multi-word-expression detector for corpus analysis."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    return text.pmi_collocations(d, "text", min_count=5, top_k=50)
+
+
 def q_span_dedup(spark, sf_dir):
     """Duplicated-span removal (ExactSubstr dedup, Lee et al. 2022, token
     grain): prefix fragments planted alongside their source docs share long
@@ -1522,7 +1530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # identical DuckDB oracle via tools/check.py — get driver rows too.
     return {
         "interval_overlap": q_interval_overlap,
-        "lsh_ann": q_lsh_ann,
         "lsh_ann_multi": q_lsh_ann_multi,
         "ivf_ann": q_ivf_ann,
         "minhash_dedup": q_minhash_dedup,
@@ -1549,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
+        "pmi_collocations": q_pmi_collocations,
         "geo_neighbors": q_geo_neighbors,
         "shannon_diversity": q_shannon_diversity,
         "bray_curtis": q_bray_curtis,
@@ -1626,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         # driver-green in rounds 1 and 3 (D rows for embedding_dups)
         "embedding_dups": q_embedding_dups,
+        # driver-green in rounds 1 and 3; lsh_ann_multi (same machinery,
+        # OR-amplified) holds the window slot
+        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -3119,5 +3130,29 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c
             JOIN totals t USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "pmi_collocations": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> ''),
+                       t -> lower(t)) AS arr
+              FROM documents),
+            pairs AS (
+              SELECT arr[i] AS a, arr[i+1] AS b
+              FROM tok, unnest(CASE WHEN len(arr) >= 2
+                                    THEN range(1, len(arr))
+                                    ELSE CAST([] AS BIGINT[]) END) AS t(i)),
+            big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+            lu AS (SELECT a, sum(c_ab) AS c_a FROM big GROUP BY a),
+            ru AS (SELECT b, sum(c_ab) AS c_b FROM big GROUP BY b),
+            tot AS (SELECT sum(c_ab) AS n_big FROM big)
+            SELECT big.a, big.b, c_ab,
+                   round(ln(n_big * c_ab / (c_a * c_b)), 6) AS pmi
+            FROM big JOIN lu USING (a) JOIN ru USING (b) CROSS JOIN tot
+            WHERE c_ab >= 5
+            ORDER BY pmi DESC, a ASC, b ASC
+            LIMIT 50
         """,
     }

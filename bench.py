@@ -82,6 +82,7 @@ HEADLINE = [
     "line_dedup",        # C4-style cross-doc line boilerplate removal
     "geo_neighbors",     # grid-binned haversine proximity join
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
+    "pmi_collocations",  # consecutive-bigram PMI collocation ranking
     "shannon_diversity", # per-sample H' via totals-broadcast partial agg
     "bray_curtis",       # sample-grain pairwise dissimilarity
     "rarefaction",       # one-scan nested hash-subsample richness

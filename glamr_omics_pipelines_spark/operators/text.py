@@ -318,3 +318,49 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
          .orderBy(rank_key.desc(), F.col("term").asc()))
     return (scored.withColumn("term_rank", F.row_number().over(w))
             .filter(F.col("term_rank") <= top_terms))
+
+
+def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
+                     top_k: int = 50, pmi_round: int = 6) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information: PMI(a,b) = ln(N · c(a,b) / (c(a)·c(b))) over CONSECUTIVE
+    lowercase token pairs, where N is the total bigram count and the
+    unigram counts c(·) are taken over bigram slots (first-token counts),
+    so the probabilities share one sample space. The standard
+    collocation/multi-word-expression detector (Church & Hanks 1990);
+    ``min_count`` suppresses the low-frequency PMI explosion.
+
+    Scale shape: consecutive pairs only — the explode is O(tokens), never
+    the O(tokens²) all-pairs blowup; bigram and unigram counts are
+    vocabulary-sized partial aggs (map-side combine collapses each
+    partition to its distinct grams before any exchange); the two
+    unigram-count attachments are broadcast joins; final ranking is one
+    TakeOrdered over round(pmi, 6) (bigram asc tiebreak) so float ulps
+    can't flip the cut. No windows, no Python, no corpus-sized shuffle.
+    """
+    toks = F.transform(tokens(text_col), F.lower)
+    n = F.array_size(toks)
+    pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = df.select(
+        F.explode(F.transform(pair_idx,
+                              lambda i: F.struct(
+                                  F.element_at(toks, i).alias("a"),
+                                  F.element_at(toks, i + 1).alias("b"))))
+        .alias("_p")).select("_p.a", "_p.b")
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    left_u = big.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    right_u = big.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    total = big.select(F.sum("c_ab").alias("_n_big"))
+    scored = (big.filter(F.col("c_ab") >= min_count)
+              .join(F.broadcast(left_u), "a")
+              .join(F.broadcast(right_u), "b")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "pmi",
+                  F.round(F.log(F.col("_n_big") * F.col("c_ab")
+                                / (F.col("c_a") * F.col("c_b"))), pmi_round))
+              .drop("_n_big"))
+    return (scored.select("a", "b", "c_ab", "pmi")
+            .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(top_k))

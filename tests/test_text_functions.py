@@ -168,3 +168,26 @@ def test_scrub_pii_counts_reconcile_with_placeholders(spark):
     r = T.scrub_pii(df, "text").collect()[0]
     assert (r["n_urls"], r["n_phones"], r["n_emails"]) == (1, 0, 0)
     assert r["clean_text"] == "see <URL> now"
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    import math
+    # one doc, bigrams: (new,york) x3, (york,new) x2; N=5 bigram slots.
+    # first-token counts: new=3, york=2; second-token: york=3, new=2.
+    df = spark.createDataFrame([("new york new york new york",)], ["text"])
+    out = T.pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    got = {(r["a"], r["b"]): (r["c_ab"], r["pmi"]) for r in out}
+    assert got[("new", "york")][0] == 3
+    assert got[("york", "new")][0] == 2
+    assert math.isclose(got[("new", "york")][1],
+                        round(math.log(5 * 3 / (3 * 3)), 6), abs_tol=1e-6)
+    assert math.isclose(got[("york", "new")][1],
+                        round(math.log(5 * 2 / (2 * 2)), 6), abs_tol=1e-6)
+
+
+def test_pmi_collocations_min_count_gate(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([("a b a b", ), ("c d",)], ["text"])
+    out = T.pmi_collocations(df, "text", min_count=2, top_k=10).collect()
+    assert {(r["a"], r["b"]) for r in out} == {("a", "b")}  # (c,d) count 1 gated
