@@ -142,3 +142,87 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
                 if ru == u and rt <= t]
         expect = max(cand)[1] if cand else None
         assert got[i] == expect, (i, u, t, cand)
+
+
+_line = st.sampled_from(["COOKIE BANNER", "alpha text", "beta words",
+                         "gamma run", "", "tail bit"])
+_docs_lines = st.lists(
+    st.lists(_line, min_size=1, max_size=5), min_size=2, max_size=8)
+
+
+@settings(**SETTINGS)
+@given(_docs_lines)
+def test_line_dedup_idempotent_and_subsequence(spark, docs):
+    from glamr_omics_pipelines_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        ["doc_id", "text"])
+    once = dedup.line_dedup(df, "doc_id", "text", min_docs=2)
+    got = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    # surviving lines are an ordered subsequence of the input lines
+    for i, lines in enumerate(docs):
+        kept = got[i].split("\n") if got[i] != "" else []
+        it = iter(lines)
+        assert all(any(l == k for l in it) for k in kept), (lines, kept)
+    # idempotent: surviving lines' doc-counts are unchanged by the removal,
+    # so a second pass removes nothing
+    again = dedup.line_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id", "text", min_docs=2)
+    got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert got2 == got
+
+
+_tok = st.sampled_from(["one", "two", "three", "four", "xx", "yy"])
+_docs_toks = st.lists(
+    st.lists(_tok, min_size=1, max_size=10), min_size=2, max_size=6)
+
+
+@settings(**SETTINGS)
+@given(_docs_toks)
+def test_span_dedup_token_conservation(spark, docs):
+    from glamr_omics_pipelines_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"])
+    out = dedup.span_dedup(df, "doc_id", "text", w=3, min_docs=2).collect()
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in out}
+    for i, toks in enumerate(docs):
+        kept = got[i][0].split(" ") if got[i][0] != "" else []
+        # kept + removed partitions the token stream
+        assert len(kept) + got[i][1] == len(toks)
+        # kept tokens are an ordered subsequence of the input
+        it = iter(toks)
+        assert all(any(t == k for t in it) for k in kept)
+
+
+_pts = st.lists(
+    st.tuples(st.floats(min_value=44.0, max_value=46.0,
+                        allow_nan=False, allow_infinity=False),
+              st.floats(min_value=-86.0, max_value=-84.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=2, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(_pts)
+def test_geo_neighbors_matches_bruteforce(spark, pts):
+    from glamr_omics_pipelines_spark.operators.joins import (
+        geo_neighbor_pairs, haversine_km)
+    df = spark.createDataFrame(
+        [(i, lat, lon) for i, (lat, lon) in enumerate(pts)],
+        ["sample_id", "lat", "lon"])
+    fast = {(r["id_a"], r["id_b"])
+            for r in geo_neighbor_pairs(df, "sample_id",
+                                        radius_km=40.0).collect()}
+    a = df.select(F.col("sample_id").alias("id_a"),
+                  F.col("lat").alias("la"), F.col("lon").alias("lo"))
+    b = df.select(F.col("sample_id").alias("id_b"),
+                  F.col("lat").alias("lb"), F.col("lon").alias("lb2"))
+    brute = {(r["id_a"], r["id_b"]) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("d", haversine_km(F.col("la"), F.col("lo"),
+                                           F.col("lb"), F.col("lb2")))
+             .filter(F.col("d") <= 40.0).collect()}
+    assert fast == brute
