@@ -487,7 +487,7 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
 
 def line_dedup(df: DataFrame, id_col: str, text_col: str,
                min_docs: int = 2, min_line_chars: int = 1,
-               out: str = "clean_text") -> DataFrame:
+               out: str = "clean_text", hash_keys: bool = False) -> DataFrame:
     """Inter-document line-level deduplication (C4 / RefinedWeb-style
     boilerplate removal): delete every line whose exact content occurs in at
     least ``min_docs`` DISTINCT documents (nav bars, cookie banners, footer
@@ -506,24 +506,30 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     the anti join); per-doc ordered reassembly via a map-side
     sort_array(collect_list(struct(pos, line))). Three shuffles total (the
     count-distinct aggregates in two phases — (line, doc) then line — and
-    reassembly exchanges on doc), no windows, no Python. The anti join carries the
-    line text for byte-exact oracle parity; at petabyte scale key it on
-    xxhash64(line) so the exchange carries 8-byte hashes.
+    reassembly exchanges on doc), no windows, no Python. With the default
+    ``hash_keys=False`` the agg/anti-join key is the line text itself
+    (byte-exact, oracle-mirrorable); ``hash_keys=True`` keys both on
+    xxhash64(line) so the exchanges carry 8-byte hashes instead of line
+    bodies — the petabyte-scale form (a 64-bit collision wrongly removes a
+    unique line with probability ~n_lines²/2⁶⁵; acceptable for curation,
+    not for the oracle).
 
     Beyond-reference training-data operator (SURVEY §8); no direct reference
     analog — nearest precedent is the exact read dedup family
     (Snakefile:429-473) applied at sub-document grain.
     """
+    key = (lambda c: F.xxhash64(c)) if hash_keys else (lambda c: c)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")) \
+        .withColumn("_k", key(F.col("line")))
     common = (lines
               .filter(F.length("line") >= min_line_chars)
-              .groupBy("line")
+              .groupBy("_k")
               .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
               .filter(F.col("n_docs") >= min_docs)
-              .select("line"))
-    kept = lines.join(F.broadcast(common), "line", "left_anti")
+              .select("_k"))
+    kept = lines.join(F.broadcast(common), "_k", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                    F.transform(
@@ -536,7 +542,7 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def span_dedup(df: DataFrame, id_col: str, text_col: str,
                w: int = 8, min_docs: int = 2,
-               out: str = "clean_text") -> DataFrame:
+               out: str = "clean_text", hash_keys: bool = False) -> DataFrame:
     """Duplicated-span removal at token grain (the ExactSubstr dedup of
     "Deduplicating Training Data Makes Language Models Better", Lee et al.
     2022, re-expressed as seed-gram coverage): every ``w``-token window whose
@@ -558,10 +564,14 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     broadcast back; covered starts fan out ×w into covered positions
     (bounded), and the anti join against token positions needs NO distinct
     on the right side (anti-join semantics ignore right duplicates — one
-    shuffle saved); rebuild is a map-side sort_array(collect_list). At
-    petabyte scale key the gram agg on xxhash64(gram) so the exchange
-    carries 8-byte hashes, not w-token strings.
+    shuffle saved); rebuild is a map-side sort_array(collect_list). With the
+    default ``hash_keys=False`` the gram agg/join key is the w-token string
+    (byte-exact, oracle-mirrorable); ``hash_keys=True`` keys both on
+    xxhash64(gram) so the exchanges carry 8-byte hashes, not w-token
+    strings — the petabyte-scale form (a collision wrongly excises one
+    unique span; acceptable for curation, not for the oracle).
     """
+    key = (lambda c: F.xxhash64(c)) if hash_keys else (lambda c: c)
     toks = F.filter(F.split(F.col(text_col), "[ \\t\\n]+"),
                     lambda t: t != "")
     base = df.select(F.col(id_col), toks.alias("_toks"))
@@ -573,8 +583,9 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
                      F.explode(starts).alias("start"),
                      F.col("_toks"))
              .select(F.col(id_col), "start",
-                     F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start"),
-                                              w)).alias("gram")))
+                     key(F.concat_ws(" ", F.slice(F.col("_toks"),
+                                                  F.col("start"), w)))
+                     .alias("gram")))
     dup = (grams.groupBy("gram")
            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
            .filter(F.col("n_docs") >= min_docs)

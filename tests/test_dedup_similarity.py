@@ -254,3 +254,19 @@ def test_span_dedup_short_docs_pass_through(spark):
     out = dedup.span_dedup(df, "doc_id", "text", w=6, min_docs=2)
     got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
     assert got == {1: "tiny doc", 2: "tiny doc"}
+
+
+def test_hash_keyed_variants_match_string_keyed(spark):
+    # hash_keys=True is the petabyte-scale form: identical output on
+    # collision-free inputs, narrower shuffles.
+    df = spark.createDataFrame([
+        (1, "unique alpha\nCOOKIE BANNER\nshared one two three four tail"),
+        (2, "COOKIE BANNER\nshared one two three four other"),
+        (3, "more text\nCOOKIE BANNER"),
+    ], ["doc_id", "text"])
+    for fn, kw in ((dedup.line_dedup, dict(min_docs=3)),
+                   (dedup.span_dedup, dict(w=4, min_docs=2))):
+        a = {tuple(r) for r in fn(df, "doc_id", "text", **kw).collect()}
+        b = {tuple(r) for r in
+             fn(df, "doc_id", "text", hash_keys=True, **kw).collect()}
+        assert a == b, fn.__name__
