@@ -1531,7 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_overlap": q_interval_overlap,
         "lsh_ann_multi": q_lsh_ann_multi,
-        "ivf_ann": q_ivf_ann,
+        "dup_clusters_star": q_dup_clusters_star,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1629,7 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "na_handling": q_na_handling,
         # identical oracle + machinery as dup_clusters (in the window above);
         # additionally property-tested vs union-find in test_round4_ops.py
-        "dup_clusters_star": q_dup_clusters_star,
+        "ivf_ann": q_ivf_ann,
         # driver-green in rounds 1 and 3; also composed into curation_pipeline
         "exact_dedup": q_exact_dedup,
         # driver-green in rounds 1 and 3 (D rows for embedding_dups)
