@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
-from glamr_omics_pipelines_spark.operators import diversity
+from glamr_omics_pipelines_spark.operators import diversity, intervals
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -436,6 +436,53 @@ def q_interval_overlap(spark, sf_dir):
     return (hits.groupBy("error_id")
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.min("purchase_id").alias("first_purchase_id")))
+
+
+def q_interval_merge(spark, sf_dir):
+    """bedtools-merge islands (operators/intervals.py:38): each user's
+    purchase windows flattened to maximal overlapping+book-ended spans —
+    a running-max window marks island starts, one groupBy emits them.
+    Companion to the reference's contig-span joins (postgres.Rmd contig
+    views); one shuffle on the group key."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
+    win = 300 * 1_000_000
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts_us").alias("iv_start"),
+                     (F.col("ts_us") + win).alias("iv_end")))
+    return intervals.merge_intervals(purch, ["user_id"], "iv_start", "iv_end")
+
+
+def q_genome_coverage(spark, sf_dir):
+    """bedtools-genomecov histogram (operators/intervals.py:66,97): depth
+    distribution of overlapping 10-minute event windows per event type —
+    sweep-line ±1 deltas + cumulative-sum window; a span costs 2 rows, not
+    per-base explode. Mirrors the coverM per-base depth the reference's
+    read-mapping rules compute (Snakefile coverage rules)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
+    win = 600 * 1_000_000
+    iv = ev.select(F.col("event_type").alias("contig"),
+                   F.col("ts_us").alias("iv_start"),
+                   (F.col("ts_us") + win).alias("iv_end"))
+    hist = intervals.coverage_histogram(iv, ["contig"], "iv_start", "iv_end")
+    return hist.select("contig", "depth",
+                       F.col("bases").cast("bigint").alias("bases"))
+
+
+def q_nearest_feature(spark, sf_dir):
+    """bedtools-closest (operators/intervals.py:113): nearest purchase to
+    every error event per user, two-sided, via the union-merge pattern —
+    ONE shuffle of points ∪ features, prev/next ordered windows, no
+    per-point probe join; deterministic tie rules (min feature id)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("event_id").alias("error_id"),
+                    F.col("ts_us").alias("pos")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("ts_us").alias("fpos")))
+    out = intervals.nearest_feature(errs, purch, ["user_id"],
+                                    "error_id", "pos", "purchase_id", "fpos")
+    return out.select("user_id", "error_id", "nearest_id", "distance")
 
 
 def q_threshold_filter(spark, sf_dir):
@@ -1579,8 +1626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         "split_contamination": q_split_contamination,
         "temperature_sample": q_temperature_sample,
-        # --- banked in rounds 1-3 (green driver CORRECTNESS rows); rotated
-        # --- past the 50-entry window. tools/check.py still covers them.
+        # --- banked in rounds 1-3 (green driver CORRECTNESS rows) or added
+        # --- after the 50-entry window filled. tools/check.py covers them.
+        "interval_merge": q_interval_merge,
+        "genome_coverage": q_genome_coverage,
+        "nearest_feature": q_nearest_feature,
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
         "tpm": q_tpm,
@@ -2040,6 +2090,61 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "interval_merge": """
+            WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+                               epoch_us(ts::TIMESTAMP) + 300000000 AS e
+                        FROM events WHERE event_type = 'purchase'),
+            m AS (SELECT user_id, s, e,
+                         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pm
+                  FROM iv),
+            isl AS (SELECT user_id, s, e,
+                           sum(CASE WHEN pm IS NULL OR s > pm
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+                    FROM m)
+            SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
+                   count(*)::BIGINT AS n_merged
+            FROM isl GROUP BY user_id, island
+        """,
+        "genome_coverage": """
+            WITH iv AS (SELECT event_type AS contig,
+                               epoch_us(ts::TIMESTAMP) AS s,
+                               epoch_us(ts::TIMESTAMP) + 600000000 AS e
+                        FROM events),
+            d AS (SELECT contig, s AS pos, 1 AS delta FROM iv
+                  UNION ALL SELECT contig, e, -1 FROM iv),
+            c AS (SELECT contig, pos, sum(delta) AS delta
+                  FROM d GROUP BY 1, 2),
+            sw AS (SELECT contig, pos,
+                          sum(delta) OVER (PARTITION BY contig ORDER BY pos
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS depth,
+                          lead(pos) OVER (PARTITION BY contig
+                                          ORDER BY pos) AS seg_end
+                   FROM c)
+            SELECT contig, depth::BIGINT AS depth,
+                   sum(seg_end - pos)::BIGINT AS bases
+            FROM sw WHERE depth > 0 AND seg_end IS NOT NULL
+            GROUP BY contig, depth
+        """,
+        "nearest_feature": """
+            WITH p AS (SELECT user_id, event_id AS error_id,
+                              epoch_us(ts::TIMESTAMP) AS pos
+                       FROM events WHERE event_type = 'error'),
+            f AS (SELECT user_id, event_id AS fid,
+                         epoch_us(ts::TIMESTAMP) AS fpos
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id, p.error_id, n.fid AS nearest_id,
+                   n.dist AS distance
+            FROM p, LATERAL (
+              SELECT f.fid, abs(f.fpos - p.pos)::BIGINT AS dist
+              FROM f WHERE f.user_id = p.user_id
+              ORDER BY abs(f.fpos - p.pos), f.fid LIMIT 1) n
         """,
         "doc_lm_score": """
             WITH toks AS (

@@ -83,6 +83,9 @@ HEADLINE = [
     "geo_neighbors",     # grid-binned haversine proximity join
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
+    "interval_merge",    # bedtools-merge islands (running-max window)
+    "genome_coverage",   # genomecov sweep-line depth histogram
+    "nearest_feature",   # bedtools-closest via union-merge, one shuffle
     "shannon_diversity", # per-sample H' via totals-broadcast partial agg
     "bray_curtis",       # sample-grain pairwise dissimilarity
     "rarefaction",       # one-scan nested hash-subsample richness
