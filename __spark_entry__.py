@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
-from glamr_omics_pipelines_spark.operators import diversity, intervals
+from glamr_omics_pipelines_spark.operators import diversity, entity, intervals
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -436,6 +436,35 @@ def q_interval_overlap(spark, sf_dir):
     return (hits.groupBy("error_id")
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.min("purchase_id").alias("first_purchase_id")))
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """SymSpell-style fuzzy matching (operators/entity.py:41): all supplier
+    name pairs within Levenshtein distance 1 — deletion-neighborhood
+    blocking (equi join on exploded variants, JVM HOFs) + exact
+    ``levenshtein`` verify on candidates only; never an all-pairs distance
+    scan. The scalable form of the reference's free-text sample-name
+    reconciliation (pypelib/omics.py sample-to-path matching)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"), F.col("s_name").alias("name"))
+    out = entity.fuzzy_pairs_edit1(sup, "sid", "name")
+    return out.select("id_a", "id_b", "text_a", "text_b",
+                      F.col("dist").cast("int").alias("dist"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py): 20 lineitems per return flag, probability
+    proportional to quantity, deterministic via md5-derived exponential
+    keys — reproducible across runs/engines/partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_returnflag").alias("grp"),
+                  (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .alias("id"),
+                  F.col("l_quantity").cast("double").alias("w"))
+    out = sampling.weighted_sample(d, ["grp"], "id", "w", 20)
+    return out.select("grp", "id", _r4("w").alias("weight"),
+                      _r4("es_score").alias("es_score"))
 
 
 def q_interval_merge(spark, sf_dir):
@@ -1631,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "genome_coverage": q_genome_coverage,
         "nearest_feature": q_nearest_feature,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "weighted_sample": q_weighted_sample,
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
         "tpm": q_tpm,
@@ -2090,6 +2121,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   a.s_name AS text_a, b.s_name AS text_b,
+                   levenshtein(a.s_name, b.s_name)::INT AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "weighted_sample": """
+            WITH d AS (SELECT l_returnflag AS grp,
+                              l_orderkey * 8 + l_linenumber AS id,
+                              CAST(l_quantity AS DOUBLE) AS w
+                       FROM lineitem WHERE l_quantity > 0),
+            s AS (SELECT grp, id, w,
+                         -ln((CAST(concat('0x', substr(md5(concat('wsample:',
+                             CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
+                             % 1048576 + 0.5) / 1048576.0) / w AS es
+                  FROM d),
+            r AS (SELECT grp, id, w, es,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY es, id) AS rn
+                  FROM s)
+            SELECT grp, id, round(w, 4) AS weight, round(es, 4) AS es_score
+            FROM r WHERE rn <= 20
         """,
         "interval_merge": """
             WITH iv AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,

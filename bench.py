@@ -83,6 +83,8 @@ HEADLINE = [
     "geo_neighbors",     # grid-binned haversine proximity join
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
+    "fuzzy_name_pairs",  # deletion-neighborhood blocking + levenshtein verify
+    "weighted_sample",   # Efraimidis-Spirakis deterministic weighted top-k
     "interval_merge",    # bedtools-merge islands (running-max window)
     "genome_coverage",   # genomecov sweep-line depth histogram
     "nearest_feature",   # bedtools-closest via union-merge, one shuffle

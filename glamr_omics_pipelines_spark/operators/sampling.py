@@ -113,6 +113,35 @@ def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
         .when(b < train_pct + val_pct, "val").otherwise("test"))
 
 
+def weighted_sample(df: DataFrame, group_cols: list[str], key: str,
+                    weight_col: str, k: int,
+                    salt: str = "wsample") -> DataFrame:
+    """Weighted sampling without replacement, k rows per group, by the
+    Efraimidis–Spirakis exponential-key method made deterministic: each
+    row draws u from its md5 key hash (engine-portable, layout-independent)
+    and scores ``-ln(u) / w`` — an Exp(w) variate — and the k SMALLEST
+    scores win, which samples without replacement with probability
+    proportional to weight. The standard way to up-weight high-quality /
+    rare-domain documents in a corpus sample while staying reproducible
+    (same rows on every run, engine, and partitioning; rows keep their
+    score as the corpus grows, so incremental re-samples are stable).
+
+    Rows with non-positive weight are excluded (zero weight = never
+    sampled; the Exp(w) key is undefined at w <= 0). One window over
+    (group, score) — the same shuffle a per-group top-k pays; the score
+    itself is row-local scan-stage arithmetic.
+    """
+    m = 1 << 20
+    u = (hash_bucket(key, m, salt) + F.lit(0.5)) / F.lit(float(m))
+    score = -F.log(u) / F.col(weight_col)
+    d = (df.filter(F.col(weight_col) > 0)
+         .withColumn("es_score", score))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("es_score").asc(), F.col(key).asc())
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
 def quantile_gate(df: DataFrame, group_cols: list[str], score_col: str,
                   q: float = 0.25, keep: str = "ge") -> DataFrame:
     """Adaptive per-group quantile threshold filter: keep rows whose
