@@ -438,6 +438,43 @@ def q_interval_overlap(spark, sf_dir):
                  F.min("purchase_id").alias("first_purchase_id")))
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 history compression (operators/windows.py:scd2_compress): each
+    customer's order-status runs collapsed to validity intervals
+    (valid_from/valid_to, null = current) — the historical counterpart of
+    the warehouse incremental MERGE (sources/warehouse.py:52, reference
+    postgres.Rmd UPSERT blocks keep latest; SCD2 keeps when each state
+    held). One key-partitioned window + one groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    out = windows.scd2_compress(o, ["o_custkey"], "o_orderdate",
+                                ["o_orderstatus"], ["o_orderkey"])
+    return out.select("o_custkey", F.col("version").cast("bigint").alias("version"),
+                      "o_orderstatus", "valid_from", "valid_to",
+                      F.col("n_events").cast("bigint").alias("n_events"))
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams
+    (operators/timeseries.py:transition_counts): consecutive event-type
+    bigrams per user with per-origin probabilities — one lead window on
+    the user key, count grid is state × state (tiny)."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.transition_counts(ev, ["user_id"], "ts",
+                                       "event_type", ["event_id"])
+    return out.select("state_from", "state_to",
+                      F.col("n").cast("bigint").alias("n"),
+                      _r4("prob").alias("prob"))
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (operators/text.py:chunk_tokens):
+    16-token windows every 8 tokens over the documents table — the
+    context-length chunking step before packing/embedding; pure JVM HOFs
+    (sequence → posexplode → slice → array_join), row-local, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, "doc_id", "text", 16, 8)
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """SymSpell-style fuzzy matching (operators/entity.py:41): all supplier
     name pairs within Levenshtein distance 1 — deletion-neighborhood
@@ -1662,6 +1699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_feature": q_nearest_feature,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
+        "scd2_history": q_scd2_history,
+        "event_transitions": q_event_transitions,
+        "chunk_documents": q_chunk_documents,
         "rel_abund": q_rel_abund,
         "rpkm": q_rpkm,
         "tpm": q_tpm,
@@ -2121,6 +2161,61 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "scd2_history": """
+            WITH l AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderstatus IS DISTINCT FROM
+                               lag(o_orderstatus) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                          THEN 1 ELSE 0 END AS chg
+              FROM orders),
+            v AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate,
+                     sum(chg) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS version
+              FROM l),
+            runs AS (
+              SELECT o_custkey, version, o_orderstatus,
+                     min(o_orderdate) AS valid_from,
+                     count(*)::BIGINT AS n_events
+              FROM v GROUP BY 1, 2, 3)
+            SELECT o_custkey, version::BIGINT AS version, o_orderstatus,
+                   valid_from,
+                   lead(valid_from) OVER (PARTITION BY o_custkey
+                                          ORDER BY version) AS valid_to,
+                   n_events
+            FROM runs
+        """,
+        "event_transitions": """
+            WITH l AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            c AS (SELECT event_type AS state_from, nxt AS state_to,
+                         count(*)::BIGINT AS n
+                  FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT state_from, state_to, n,
+                   round(n::DOUBLE / sum(n) OVER (PARTITION BY state_from), 4)
+                     AS prob
+            FROM c
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            st AS (SELECT doc_id, t,
+                          unnest(range(0, greatest(len(t), 1), 8)) AS s
+                   FROM toks WHERE len(t) > 0)
+            SELECT doc_id, (s / 8)::BIGINT AS chunk_id,
+                   array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text,
+                   least(16, len(t) - s)::BIGINT AS n_tokens
+            FROM st
         """,
         "fuzzy_name_pairs": """
             SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

@@ -83,6 +83,9 @@ HEADLINE = [
     "geo_neighbors",     # grid-binned haversine proximity join
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
+    "scd2_history",      # SCD2 run compression (one key window + groupBy)
+    "event_transitions", # Markov bigram matrix via lead window
+    "chunk_documents",   # sliding-window token chunking, row-local HOFs
     "fuzzy_name_pairs",  # deletion-neighborhood blocking + levenshtein verify
     "weighted_sample",   # Efraimidis-Spirakis deterministic weighted top-k
     "interval_merge",    # bedtools-merge islands (running-max window)

@@ -364,3 +364,33 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
     return (scored.select("a", "b", "c_ab", "pmi")
             .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(top_k))
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 size: int = 256, stride: int = 128) -> DataFrame:
+    """Sliding-window document chunking for context-length-bounded training:
+    whitespace tokens windowed into chunks of ``size`` tokens every
+    ``stride`` tokens (overlap = size − stride), the standard chunking step
+    before packing/embedding in an LLM data pipeline.
+
+    Pure JVM higher-order functions — sequence of window starts,
+    posexplode, slice, array_join; no Python, no shuffle (chunking is
+    row-local; a document's chunks stay on its partition). Empty documents
+    produce no chunks; the final partial window is kept (standard sliding
+    semantics).
+
+    Output: id col + ``chunk_id`` (0-based), ``chunk_text``, ``n_tokens``.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    d = df.withColumn("_toks", tokens(text_col))
+    d = d.filter(F.array_size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.array_size("_toks") - 1, F.lit(stride))
+    d = d.select(F.col(id_col), "_toks",
+                 F.posexplode(starts).alias("chunk_id", "_start"))
+    chunk = F.slice("_toks", F.col("_start") + 1, size)
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.array_size(chunk).cast("bigint").alias("n_tokens"))

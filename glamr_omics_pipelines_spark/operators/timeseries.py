@@ -98,3 +98,27 @@ def funnel_stages(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                      for i, c in enumerate(ts_cols)])
            .distinct())
     return out
+
+
+def transition_counts(df: DataFrame, key_cols: list[str], ts_col: str,
+                      state_col: str,
+                      tiebreak_cols: list[str] = ()) -> DataFrame:
+    """First-order state-transition (Markov bigram) counts: for each entity
+    ordered by time, count consecutive (state → next state) pairs across
+    all entities, with each origin state's transition probability. The
+    sequence-mining companion to sessionization (user journeys, sample
+    processing-state ladders).
+
+    One shuffle on the entity key for the lead window (deterministic under
+    timestamp ties via ``tiebreak_cols``); the bigram count is a partial
+    agg over the tiny state × state grid, and the per-origin probability
+    is a window over that grid — no second data-grain shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    d = (df.withColumn("_next", F.lead(state_col).over(w))
+         .filter(F.col("_next").isNotNull()))
+    counts = (d.groupBy(F.col(state_col).alias("state_from"),
+                        F.col("_next").alias("state_to"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("state_from")
+    return counts.withColumn("prob", F.col("n") / F.sum("n").over(tot))

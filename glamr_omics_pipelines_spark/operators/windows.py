@@ -232,3 +232,34 @@ def percent_rank_norm(df: DataFrame, group_cols: list[str], score_col: str,
     """
     w = Window.partitionBy(*group_cols).orderBy(score_col)
     return df.withColumn(out, F.percent_rank().over(w))
+
+
+def scd2_compress(df: DataFrame, key_cols: list[str], ts_col: str,
+                  attr_cols: list[str],
+                  tiebreak_cols: list[str] = ()) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history compression: collapse an
+    event log into attribute validity intervals — one row per run of
+    unchanged attributes per key, with ``valid_from`` / ``valid_to``
+    (null = current) and a per-key ``version`` number. The historical
+    counterpart of the warehouse's incremental MERGE (sources/warehouse.py):
+    MERGE keeps latest state, SCD2 keeps when each state held.
+
+    Change detection is a null-safe struct compare against the previous
+    row (one lead/lag window on the key — the same single shuffle the
+    MERGE dedup pays); runs are numbered with a running sum of change
+    flags, so the groupBy that emits intervals is deterministic under any
+    partition layout (supply ``tiebreak_cols`` to fix timestamp ties).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    attr = F.struct(*[F.col(c) for c in attr_cols])
+    changed = ~attr.eqNullSafe(F.lag(attr).over(w))
+    version = F.sum(changed.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (df.withColumn("_ver", version)
+            .groupBy(*key_cols, "_ver", *attr_cols)
+            .agg(F.min(ts_col).alias("valid_from"),
+                 F.count(F.lit(1)).alias("n_events")))
+    w2 = Window.partitionBy(*key_cols).orderBy("_ver")
+    return (runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumnRenamed("_ver", "version"))
