@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
-from glamr_omics_pipelines_spark.operators import diversity, entity, intervals
+from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -436,6 +436,21 @@ def q_interval_overlap(spark, sf_dir):
     return (hits.groupBy("error_id")
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.min("purchase_id").alias("first_purchase_id")))
+
+
+def q_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py:71) over the part co-purchase
+    graph — 10 fixed iterations of the Pregel recipe in DataFrames
+    (edges ⨝ ranks → partial-agg contributions → damping base), lineage
+    truncated per iteration with eager localCheckpoints; completes the
+    iterative-graph family next to star-contraction CC
+    (operators/dedup.py). Oracle: the identical recurrence unrolled into
+    10 SQL CTEs."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                     max_group_size=50)
+    ranks = graph.pagerank(edges, iterations=10)
+    return ranks.select("node", _r4("rank").alias("pr"))
 
 
 def q_scd2_history(spark, sf_dir):
@@ -1699,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_feature": q_nearest_feature,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
         "scd2_history": q_scd2_history,
         "event_transitions": q_event_transitions,
         "chunk_documents": q_chunk_documents,
@@ -1921,6 +1937,41 @@ def _lsh_ann_sql(num_planes: int = 8, dim: int = 64, seed: int = 42,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """The pagerank recurrence unrolled into ``iters`` chained CTEs —
+    term-for-term identical to operators/graph.py:pagerank (same damping
+    base ``(1.0 - 0.85) / N``, same precomputed edge rate w/wout, same
+    left-join-with-zero for rankless nodes)."""
+    iter_ctes = ",\n".join(f"""
+            r{i} AS (
+              SELECT n.node, (1.0 - 0.85) / nn.c
+                     + 0.85 * coalesce(s.c, 0) AS rank
+              FROM n CROSS JOIN nn
+              LEFT JOIN (SELECT rt.dst AS node,
+                                sum(r{i - 1}.rank * rt.rate) AS c
+                         FROM rt JOIN r{i - 1} ON rt.src = r{i - 1}.node
+                         GROUP BY rt.dst) s ON s.node = n.node)"""
+                          for i in range(1, iters + 1))
+    return f"""
+            WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+                        FROM lineitem),
+            gs AS (SELECT g FROM li GROUP BY g HAVING count(*) <= 50),
+            d AS (SELECT li.g, li.item FROM li JOIN gs USING (g)),
+            e AS (SELECT a.item AS src, b.item AS dst,
+                         count(*)::DOUBLE AS w
+                  FROM d a JOIN d b ON a.g = b.g AND a.item != b.item
+                  GROUP BY 1, 2),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*)::DOUBLE AS c FROM n),
+            od AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+            rt AS (SELECT e.src, e.dst, e.w / od.wout AS rate
+                   FROM e JOIN od USING (src)),
+            r0 AS (SELECT node, 1.0 / nn.c AS rank FROM n CROSS JOIN nn),
+            {iter_ctes}
+            SELECT node, round(rank, 4) AS pr FROM r{iters}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2162,6 +2213,7 @@ def oracle_sql() -> dict[str, str]:
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
         """,
+        "pagerank": _pagerank_sql(10),
         "scd2_history": """
             WITH l AS (
               SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,

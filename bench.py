@@ -83,6 +83,7 @@ HEADLINE = [
     "geo_neighbors",     # grid-binned haversine proximity join
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
+    "pagerank",          # 10-iteration Pregel loop, edge partitioning reused
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs

@@ -1,0 +1,123 @@
+"""Graph analytics over edge DataFrames: co-occurrence graphs + PageRank.
+
+The reference's taxonomy/abundance layers are tree/graph-shaped (lineage
+closures, operators/taxonomy.py; bin-to-contig membership graphs), and its
+near-dup clustering already uses star-contraction connected components
+(operators/dedup.py:star contraction). PageRank completes the iterative-
+graph family: relevance/centrality scoring over co-occurrence graphs —
+e.g. which taxa (or parts, or documents) sit centrally in the
+co-observation network.
+
+Spark-first iterative design (the GraphX/Pregel recipe expressed in
+DataFrames):
+  - ranks live in a (node, rank) DataFrame; one iteration is
+    edges ⨝ ranks on src → groupBy dst (partial-aggregated contribution
+    sums) → left join back onto the node list for the damping base.
+  - each iteration ``localCheckpoint(eager=True)``s the new ranks —
+    truncating lineage exactly like the star-contraction loop, keeping
+    plan analysis O(1) per iteration instead of O(iterations).
+  - node count enters as a broadcast one-row aggregate (crossJoin), not a
+    driver-side collect, so the whole loop stays declarative.
+
+Scale: the per-iteration shuffle is (edges by src) + (contribs by dst) —
+the minimum any message-passing PageRank pays; weights/outdegree are
+precomputed once. Convergence is fixed-iteration (the form every
+SQL-expressible oracle can replicate), not epsilon-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                       max_group_size: int | None = None) -> DataFrame:
+    """Weighted undirected co-occurrence edges: items sharing a group get
+    an edge weighted by the number of shared groups; emitted in BOTH
+    directions (src, dst, weight) so downstream message-passing treats the
+    graph as symmetric. Items are de-duplicated within a group first.
+
+    ``max_group_size`` guards the quadratic within-group pair fan-out
+    (a group of size g emits g·(g−1) directed pairs) — at 100 TB a single
+    degenerate mega-group (a "the" token, a default-valued key) would
+    dominate the shuffle; cap and drop such groups explicitly rather than
+    letting one key produce 10^12 pairs.
+    """
+    d = df.select(group_col, item_col).distinct()
+    if max_group_size is not None:
+        sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gs"))
+        d = (d.join(F.broadcast(sizes.filter(F.col("_gs") <= max_group_size)),
+                    group_col))
+        d = d.select(group_col, item_col)
+    a = d.select(F.col(group_col).alias("_g"), F.col(item_col).alias("src"))
+    b = d.select(F.col(group_col).alias("_g"), F.col(item_col).alias("dst"))
+    return (a.join(b, "_g")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight")))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight_col: str | None = "weight", iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed ``iterations``:
+
+        rank ← (1−d)/N + d · Σ_in rank_src · w / wout_src
+
+    Nodes are everything appearing as src or dst. Dangling mass (nodes
+    with no out-edges) is dropped, not redistributed — the convention that
+    keeps each iteration a pure join+agg (and what an unrolled SQL oracle
+    can replicate term for term); on symmetric edge lists (the
+    co-occurrence builder) there are no dangling nodes and total rank is
+    conserved.
+
+    Output: (node, rank). One shuffle pair per iteration; lineage is
+    truncated per-iteration with eager localCheckpoints.
+    """
+    w = (F.col(weight_col).cast("double") if weight_col is not None
+         else F.lit(1.0))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     w.alias("_w"))
+    # Pre-partition the iteration-invariant frames ONCE: rated edges by
+    # _src and the node list by node. localCheckpoint preserves the
+    # physical partitioning, so every iteration's joins find the big edge
+    # side already clustered — only the (small) rank frame and the partial-
+    # aggregated contributions move per superstep, never the edges. This is
+    # the Pregel edge-partition-reuse layout; without it each iteration
+    # re-shuffles the full edge table.
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct()
+             .repartition(F.col("node"))
+             .localCheckpoint(eager=True))
+    n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    outdeg = e.groupBy("_src").agg(F.sum("_w").alias("_wout"))
+    # contribution rate per edge is iteration-invariant: precompute w/wout
+    rated = (e.repartition(F.col("_src"))
+             .join(outdeg, "_src")
+             .select("_src", "_dst", (F.col("_w") / F.col("_wout"))
+                     .alias("_rate"))
+             .localCheckpoint(eager=True))
+    # the damping base (1−d)/N per node is iteration-invariant: compute the
+    # (node, base) frame once, checkpointed on the node partitioning
+    base = (nodes.crossJoin(n_total)
+            .select("node",
+                    (F.lit(1.0 - damping) / F.col("_n")).alias("_base"),
+                    (F.lit(1.0) / F.col("_n")).alias("_init"))
+            .localCheckpoint(eager=True))
+    ranks = base.select("node", F.col("_init").alias("rank"))
+    for _ in range(iterations):
+        contribs = (rated.join(ranks, rated["_src"] == ranks["node"])
+                    .groupBy("_dst")
+                    .agg(F.sum(F.col("rank") * F.col("_rate")).alias("_c")))
+        prev = ranks
+        ranks = (base
+                 .join(contribs, base["node"] == contribs["_dst"], "left")
+                 .select("node",
+                         (F.col("_base")
+                          + damping * F.coalesce(F.col("_c"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+        prev.unpersist()
+    return ranks

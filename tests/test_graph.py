@@ -1,0 +1,71 @@
+"""Graph operator fixtures: co-occurrence edges + PageRank."""
+
+import math
+
+from pyspark.sql import Row
+
+from glamr_omics_pipelines_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=s, dst=d, weight=float(w)) for s, d, w in pairs])
+
+
+def test_cooccurrence_edges_weights_and_symmetry(spark):
+    df = spark.createDataFrame([
+        Row(g=1, item="a"), Row(g=1, item="b"), Row(g=1, item="b"),  # dup row
+        Row(g=2, item="a"), Row(g=2, item="b"), Row(g=2, item="c"),
+    ])
+    out = {(r.src, r.dst): r.weight
+           for r in graph.cooccurrence_edges(df, "g", "item").collect()}
+    assert out[("a", "b")] == 2.0 and out[("b", "a")] == 2.0  # shared groups
+    assert out[("a", "c")] == 1.0 and out[("b", "c")] == 1.0
+    assert ("a", "a") not in out
+
+
+def test_cooccurrence_edges_mega_group_guard(spark):
+    rows = [Row(g=1, item=f"i{i}") for i in range(10)]  # size 10 > cap
+    rows += [Row(g=2, item="x"), Row(g=2, item="y")]
+    df = spark.createDataFrame(rows)
+    out = graph.cooccurrence_edges(df, "g", "item", max_group_size=5).collect()
+    assert {(r.src, r.dst) for r in out} == {("x", "y"), ("y", "x")}
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+    out = {r.node: r.rank for r in graph.pagerank(e, iterations=5).collect()}
+    assert math.isclose(out["a"], 0.5, rel_tol=1e-12)
+    assert math.isclose(out["b"], 0.5, rel_tol=1e-12)
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # path a - b - c (symmetric, unit weights); after 1 iteration:
+    # contrib(b) = 1/3 + 1/3 = 2/3; contrib(a) = contrib(c) = (1/3) / 2
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1),
+                       ("b", "c", 1), ("c", "b", 1)])
+    out = {r.node: r.rank for r in graph.pagerank(e, iterations=1).collect()}
+    assert math.isclose(out["b"], 0.15 / 3 + 0.85 * 2 / 3, rel_tol=1e-12)
+    assert math.isclose(out["a"], 0.15 / 3 + 0.85 / 6, rel_tol=1e-12)
+    assert math.isclose(out["a"], out["c"], rel_tol=1e-12)
+
+
+def test_pagerank_conserves_mass_and_ranks_hub_highest(spark):
+    # star: hub h connected to 3 leaves, symmetric
+    pairs = []
+    for leaf in ("x", "y", "z"):
+        pairs += [("h", leaf, 1), (leaf, "h", 1)]
+    out = {r.node: r.rank
+           for r in graph.pagerank(_edges(spark, pairs),
+                                   iterations=10).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    assert out["h"] > out["x"] > 0
+    assert math.isclose(out["x"], out["y"], rel_tol=1e-12)
+
+
+def test_pagerank_weight_bias(spark):
+    # b receives a heavier share of a's rank than c does
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1),
+                       ("b", "a", 1), ("c", "a", 1)])
+    out = {r.node: r.rank for r in graph.pagerank(e, iterations=10).collect()}
+    assert out["b"] > out["c"]
