@@ -20,6 +20,7 @@ from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
 from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
+from glamr_omics_pipelines_spark.operators import validate
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -436,6 +437,36 @@ def q_interval_overlap(spark, sf_dir):
     return (hits.groupBy("error_id")
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.min("purchase_id").alias("first_purchase_id")))
+
+
+def q_data_quality(spark, sf_dir):
+    """Declarative expectations suite (operators/validate.py): the
+    engine-level form of the reference's scattered import assertions
+    (postgres.Rmd stopifnot/duplicated/NA guards) — per-table rules
+    compile into ONE aggregate scan each, plus FK orphan anti-joins,
+    emitting a (check, violations, passed) report frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    rep_o = validate.expectations_report(o, "orders", [
+        validate.not_null("o_custkey"),
+        validate.unique("o_orderkey"),
+        validate.accepted("o_orderstatus", ["O", "F", "P"]),
+        validate.in_range("o_totalprice", 0, 1_000_000_000)])
+    rep_li = validate.expectations_report(li, "lineitem", [
+        validate.not_null("l_orderkey"),
+        validate.in_range("l_discount", 0.0, 1.0),
+        validate.in_range("l_quantity", 1, 50)])
+    ref_oc = validate.referential_report(
+        o.select(F.col("o_custkey").alias("custkey")),
+        c.select(F.col("c_custkey").alias("custkey")),
+        ["custkey"], "orders->customer.referential")
+    ref_lo = validate.referential_report(
+        li.select(F.col("l_orderkey").alias("orderkey")),
+        o.select(F.col("o_orderkey").alias("orderkey")),
+        ["orderkey"], "lineitem->orders.referential",
+        broadcast_parent=False)
+    return rep_o.unionByName(rep_li).unionByName(ref_oc).unionByName(ref_lo)
 
 
 def q_pagerank(spark, sf_dir):
@@ -1714,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_feature": q_nearest_feature,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
+        "data_quality": q_data_quality,
         "pagerank": q_pagerank,
         "scd2_history": q_scd2_history,
         "event_transitions": q_event_transitions,
@@ -2212,6 +2244,53 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "data_quality": """
+            WITH r AS (
+              SELECT 'orders.o_custkey.not_null' AS chk,
+                     count(CASE WHEN o_custkey IS NULL THEN 1 END)::BIGINT
+                       AS violations FROM orders
+              UNION ALL
+              SELECT 'orders.o_orderkey.unique',
+                     (count(o_orderkey)
+                      - count(DISTINCT o_orderkey))::BIGINT FROM orders
+              UNION ALL
+              SELECT 'orders.o_orderstatus.accepted',
+                     count(CASE WHEN o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 END)::BIGINT FROM orders
+              UNION ALL
+              SELECT 'orders.o_totalprice.in_range',
+                     count(CASE WHEN o_totalprice < 0
+                                OR o_totalprice > 1000000000
+                           THEN 1 END)::BIGINT FROM orders
+              UNION ALL
+              SELECT 'lineitem.l_orderkey.not_null',
+                     count(CASE WHEN l_orderkey IS NULL THEN 1 END)::BIGINT
+                FROM lineitem
+              UNION ALL
+              SELECT 'lineitem.l_discount.in_range',
+                     count(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                           THEN 1 END)::BIGINT FROM lineitem
+              UNION ALL
+              SELECT 'lineitem.l_quantity.in_range',
+                     count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 END)::BIGINT FROM lineitem
+              UNION ALL
+              SELECT 'orders->customer.referential',
+                     count(*)::BIGINT FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)
+              UNION ALL
+              SELECT 'lineitem->orders.referential',
+                     count(*)::BIGINT FROM lineitem l
+               WHERE l.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+            SELECT chk AS "check", violations,
+                   violations = 0 AS passed
+            FROM r
         """,
         "pagerank": _pagerank_sql(10),
         "scd2_history": """

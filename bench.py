@@ -84,6 +84,7 @@ HEADLINE = [
     "span_dedup",        # ExactSubstr duplicated-span removal (w-gram seeds)
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
     "pagerank",          # 10-iteration Pregel loop, edge partitioning reused
+    "data_quality",      # expectations suite: one agg scan/table + FK anti-joins
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs

@@ -1,0 +1,116 @@
+"""Declarative data-quality expectations, compiled to single-scan aggregates.
+
+The reference guards its warehouse with ad-hoc assertions sprinkled through
+the import Rmds — `stopifnot(!any(duplicated(...)))` before UPSERTs,
+NA checks on key columns, accepted-value checks on enum-ish fields
+(postgres.Rmd import blocks) — and its pipeline breaks silently when they
+are skipped. This module is the engine-level form (the dbt-tests /
+Great-Expectations pattern): a table's expectations compile into ONE
+aggregate pass over the data, emitting a small (check, violations, passed)
+report frame instead of a driver-side assertion.
+
+Scale: every column rule is a conditional-count expression in a single
+partial-aggregated scan — adding a rule adds zero passes. ``unique`` adds
+an exact count-distinct (one shuffle of the key column only);
+``referential`` is a separate anti-join per relation (shuffle on the key,
+broadcast when the parent is a dimension). Nothing collects; compose the
+report frames with unionByName and sink them like any table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation: ``kind`` ∈ {not_null, unique, accepted, in_range,
+    matches}; ``col`` the column; ``arg`` the kind-specific payload."""
+    kind: str
+    col: str
+    arg: object = None
+
+    @property
+    def name(self) -> str:
+        return f"{self.col}.{self.kind}"
+
+
+def not_null(col: str) -> Rule:
+    return Rule("not_null", col)
+
+
+def unique(col: str) -> Rule:
+    return Rule("unique", col)
+
+
+def accepted(col: str, values: Sequence) -> Rule:
+    return Rule("accepted", col, tuple(values))
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule("in_range", col, (lo, hi))
+
+
+def matches(col: str, regex: str) -> Rule:
+    return Rule("matches", col, regex)
+
+
+def _violations(rule: Rule) -> F.Column:
+    c = F.col(rule.col)
+    if rule.kind == "not_null":
+        return F.sum(c.isNull().cast("long"))
+    if rule.kind == "unique":
+        # duplicated rows = non-null rows minus distinct non-null values
+        return F.count(c) - F.count_distinct(c)
+    if rule.kind == "accepted":
+        bad = c.isNotNull() & ~c.isin(list(rule.arg))
+        return F.sum(bad.cast("long"))
+    if rule.kind == "in_range":
+        lo, hi = rule.arg
+        bad = c.isNotNull() & ((c < lo) | (c > hi))
+        return F.sum(bad.cast("long"))
+    if rule.kind == "matches":
+        bad = c.isNotNull() & ~c.rlike(rule.arg)
+        return F.sum(bad.cast("long"))
+    raise ValueError(f"unknown rule kind: {rule.kind!r}")
+
+
+def expectations_report(df: DataFrame, table: str,
+                        rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate all ``rules`` in ONE aggregate scan; returns the long-form
+    report (check, violations, passed) with checks named
+    ``table.column.kind``."""
+    if not rules:
+        raise ValueError("expectations_report needs at least one rule")
+    aggs = [F.coalesce(_violations(r), F.lit(0)).cast("long")
+            .alias(f"_v{i}") for i, r in enumerate(rules)]
+    wide = df.agg(*aggs)
+    parts = ", ".join(f"'{table}.{r.name}', _v{i}"
+                      for i, r in enumerate(rules))
+    long = wide.selectExpr(
+        f"stack({len(rules)}, {parts}) as (check, violations)")
+    return long.withColumn("passed", F.col("violations") == 0)
+
+
+def referential_report(child: DataFrame, parent: DataFrame,
+                       keys: Sequence[str], name: str,
+                       broadcast_parent: bool = True) -> DataFrame:
+    """Orphan check: child rows whose ``keys`` have no match in parent
+    (null keys are not orphans — SQL FK semantics). One anti join; the
+    parent side ships only its key columns and broadcasts when it is a
+    dimension table."""
+    pk = parent.select(*keys).distinct()
+    if broadcast_parent:
+        pk = F.broadcast(pk)
+    nonnull = child
+    for k in keys:
+        nonnull = nonnull.filter(F.col(k).isNotNull())
+    orphans = nonnull.join(pk, list(keys), "left_anti")
+    return (orphans.agg(F.count(F.lit(1)).alias("violations"))
+            .select(F.lit(name).alias("check"),
+                    F.col("violations").cast("long").alias("violations"))
+            .withColumn("passed", F.col("violations") == 0))
