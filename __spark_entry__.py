@@ -31,7 +31,7 @@ from glamr_omics_pipelines_spark.sources.warehouse import (
     profile_table as warehouse_profile_table,
     snapshot_diff as warehouse_snapshot_diff)
 from glamr_omics_pipelines_spark.streaming.ingest import (
-    session_window_counts, windowed_event_counts)
+    session_window_counts, stream_interval_join, windowed_event_counts)
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
@@ -437,6 +437,30 @@ def q_interval_overlap(spark, sf_dir):
     return (hits.groupBy("error_id")
             .agg(F.count(F.lit(1)).alias("n_overlaps"),
                  F.min("purchase_id").alias("first_purchase_id")))
+
+
+def q_attribution_join(spark, sf_dir):
+    """Event-time-bounded attribution join (streaming/ingest.py:
+    stream_interval_join, the stream-stream join shape with state-expiry
+    bounds): each purchase joins the user's views within the prior 30
+    minutes; last-touch attribution picks the latest view (ties → larger
+    view id) via a map-side-combinable struct-max — no window sort."""
+    ev = _events(spark, sf_dir)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("imp_ts")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("conv_ts")))
+    j = stream_interval_join(views, purch, "user_id", "imp_ts", "conv_ts",
+                             max_delay_seconds=1800)
+    out = (j.groupBy("purchase_id")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.max(F.struct("imp_ts", "view_id")).alias("_best")))
+    return out.select("purchase_id",
+                      F.col("_best.view_id").alias("view_id"),
+                      F.col("n_candidates").cast("bigint")
+                      .alias("n_candidates"))
 
 
 def q_data_quality(spark, sf_dir):
@@ -1745,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_feature": q_nearest_feature,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
+        "attribution_join": q_attribution_join,
         "data_quality": q_data_quality,
         "pagerank": q_pagerank,
         "scd2_history": q_scd2_history,
@@ -2244,6 +2269,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "attribution_join": """
+            WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
+                       FROM events WHERE event_type = 'view'),
+            p AS (SELECT user_id, event_id AS purchase_id, ts AS conv_ts
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT p.purchase_id, v.view_id, v.imp_ts
+                  FROM v JOIN p ON v.user_id = p.user_id
+                   AND v.imp_ts <= p.conv_ts
+                   AND v.imp_ts >= p.conv_ts - INTERVAL 1800 SECONDS)
+            SELECT purchase_id, view_id, n_candidates FROM (
+              SELECT purchase_id, view_id,
+                     count(*) OVER (PARTITION BY purchase_id)::BIGINT
+                       AS n_candidates,
+                     row_number() OVER (PARTITION BY purchase_id
+                                        ORDER BY imp_ts DESC, view_id DESC)
+                       AS rn
+              FROM j) t WHERE rn = 1
         """,
         "data_quality": """
             WITH r AS (

@@ -85,6 +85,7 @@ HEADLINE = [
     "pmi_collocations",  # consecutive-bigram PMI collocation ranking
     "pagerank",          # 10-iteration Pregel loop, edge partitioning reused
     "data_quality",      # expectations suite: one agg scan/table + FK anti-joins
+    "attribution_join",  # event-time-bounded stream-stream join shape
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs

@@ -161,3 +161,34 @@ def session_window_counts(events: DataFrame, user_col: str = "user_id",
                     F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+def stream_interval_join(impressions: DataFrame, conversions: DataFrame,
+                         key_col: str = "user_id",
+                         imp_ts: str = "imp_ts", conv_ts: str = "conv_ts",
+                         max_delay_seconds: int = 1800,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join within an event-time bound (the ad-tech
+    click/impression attribution shape): each conversion joins impressions
+    with the same key whose timestamp lies in
+    ``[conv_ts − max_delay, conv_ts]``.
+
+    One code path for batch AND streaming. In streaming mode BOTH sides
+    carry watermarks and the join condition contains the event-time bound —
+    exactly what Structured Streaming requires to expire join state (an
+    impression older than conv watermark + max_delay can never match
+    again, so state is O(events per delay window), not O(stream)). In
+    batch mode the identical condition runs as a plain interval join,
+    which is what the DuckDB oracle checks.
+    """
+    imp = impressions
+    conv = conversions
+    if imp.isStreaming:
+        imp = imp.withWatermark(imp_ts, watermark)
+    if conv.isStreaming:
+        conv = conv.withWatermark(conv_ts, watermark)
+    delay = F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+    cond = ((imp[key_col] == conv[key_col])
+            & (imp[imp_ts] <= conv[conv_ts])
+            & (imp[imp_ts] >= conv[conv_ts] - delay))
+    return imp.join(conv, cond).drop(conv[key_col])

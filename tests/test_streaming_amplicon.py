@@ -1,6 +1,7 @@
 """Streaming stateful sessionization, ASV denoise grouped-map, contig rename,
 coverage slice export."""
 
+import datetime as dt
 import time
 
 import pytest
@@ -209,3 +210,52 @@ def test_stream_foreachbatch_warehouse_merge(spark, tmp_path):
            for r in wh.read(spark, "read_count").collect()}
     # s2's re-delivery was anti-joined away: first-load value retained
     assert got == {"s1": 100, "s2": 200, "s3": 300}
+
+
+@pytest.mark.timeout(300)
+def test_stream_interval_join_streaming_and_batch(spark, tmp_path):
+    """Stream-stream event-time-bounded join: two file streams join within
+    the delay bound; the identical code path on batch frames matches the
+    attribution_join oracle shape."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        stream_interval_join)
+    import csv
+    imp_dir, conv_dir = tmp_path / "imp", tmp_path / "conv"
+    imp_dir.mkdir(); conv_dir.mkdir()
+    with open(imp_dir / "i.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["user_id", "view_id", "imp_ts"])
+        w.writerows([(1, 10, "2024-01-01 00:00:00"),
+                     (1, 11, "2024-01-01 00:20:00"),
+                     (2, 12, "2024-01-01 00:00:00")])
+    with open(conv_dir / "c.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["user_id", "purchase_id", "conv_ts"])
+        # u1 converts 00:25 -> views at 00:00 (25m ago, in) and 00:20 (in)
+        # u2 converts 01:00 -> view at 00:00 is 60m ago, OUT of 30m bound
+        w.writerows([(1, 100, "2024-01-01 00:25:00"),
+                     (2, 101, "2024-01-01 01:00:00")])
+    imp = (spark.readStream.format("csv")
+           .schema("user_id long, view_id long, imp_ts timestamp")
+           .option("sep", "\t").option("header", True).load(str(imp_dir)))
+    conv = (spark.readStream.format("csv")
+            .schema("user_id long, purchase_id long, conv_ts timestamp")
+            .option("sep", "\t").option("header", True).load(str(conv_dir)))
+    j = stream_interval_join(imp, conv, "user_id", "imp_ts", "conv_ts",
+                             max_delay_seconds=1800, watermark="10 minutes")
+    q = (j.writeStream.format("memory").queryName("attr_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got = {(r.purchase_id, r.view_id) for r in spark.table("attr_out").collect()}
+    assert got == {(100, 10), (100, 11)}
+    # batch path: same operator, same condition, no watermark branch
+    bi = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 0, 0))],
+        "user_id long, view_id long, imp_ts timestamp")
+    bc = spark.createDataFrame(
+        [(1, 100, dt.datetime(2024, 1, 1, 0, 25)),
+         (1, 101, dt.datetime(2024, 1, 1, 1, 25))],
+        "user_id long, purchase_id long, conv_ts timestamp")
+    bj = stream_interval_join(bi, bc, "user_id", "imp_ts", "conv_ts",
+                              max_delay_seconds=1800)
+    assert {r.purchase_id for r in bj.collect()} == {100}
