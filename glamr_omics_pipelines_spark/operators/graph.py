@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from glamr_omics_pipelines_spark.operators import _cache
+
 
 def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
                        max_group_size: int | None = None) -> DataFrame:
@@ -60,7 +62,8 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight_col: str | None = "weight", iterations: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             num_partitions: int | None = None) -> DataFrame:
     """Weighted PageRank over a directed edge list, fixed ``iterations``:
 
         rank ← (1−d)/N + d · Σ_in rank_src · w / wout_src
@@ -80,32 +83,45 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
                      w.alias("_w"))
     # Pre-partition the iteration-invariant frames ONCE: rated edges by
-    # _src and the node list by node. localCheckpoint preserves the
-    # physical partitioning, so every iteration's joins find the big edge
-    # side already clustered — only the (small) rank frame and the partial-
-    # aggregated contributions move per superstep, never the edges. This is
-    # the Pregel edge-partition-reuse layout; without it each iteration
-    # re-shuffles the full edge table.
-    nodes = (e.select(F.col("_src").alias("node"))
-             .union(e.select(F.col("_dst").alias("node")))
-             .distinct()
-             .repartition(F.col("node"))
-             .localCheckpoint(eager=True))
+    # _src and the damping base by node, then persist() them. Two traps
+    # this sidesteps, both verified by tests/test_plans.py:
+    #   - persist, NOT localCheckpoint: a checkpoint scan reports
+    #     UnknownPartitioning and would force a full edge re-shuffle every
+    #     superstep; persist keeps the repartition in the cached plan.
+    #   - an EXPLICIT partition count: repartition(col) alone is
+    #     AQE-coalescible (REPARTITION_BY_COL), and a coalesced cached
+    #     partitioning no longer satisfies the join's requirement — the
+    #     numbered form (REPARTITION_BY_NUM) is exempt from coalescing.
+    # Result: every iteration's joins find the big edge side already
+    # clustered; only the (small) rank frame and the partial-aggregated
+    # contributions move per superstep, never the edges — the Pregel
+    # edge-partition-reuse layout. Caches are registered for release via
+    # _cache.release_caches().
+    if num_partitions is None:
+        num_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nodes = _cache.register(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct())
     n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     outdeg = e.groupBy("_src").agg(F.sum("_w").alias("_wout"))
     # contribution rate per edge is iteration-invariant: precompute w/wout
-    rated = (e.repartition(F.col("_src"))
-             .join(outdeg, "_src")
-             .select("_src", "_dst", (F.col("_w") / F.col("_wout"))
-                     .alias("_rate"))
-             .localCheckpoint(eager=True))
+    rated = _cache.register(
+        e.repartition(num_partitions, F.col("_src"))
+        .join(outdeg, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_wout"))
+                .alias("_rate")))
+    rated.count()  # materialize once, before the loop references it 10x
     # the damping base (1−d)/N per node is iteration-invariant: compute the
-    # (node, base) frame once, checkpointed on the node partitioning
-    base = (nodes.crossJoin(n_total)
-            .select("node",
-                    (F.lit(1.0 - damping) / F.col("_n")).alias("_base"),
-                    (F.lit(1.0) / F.col("_n")).alias("_init"))
-            .localCheckpoint(eager=True))
+    # (node, base) frame once, persisted on the node partitioning
+    base = _cache.register(
+        nodes.crossJoin(n_total)
+        .repartition(num_partitions, F.col("node"))
+        .select("node",
+                (F.lit(1.0 - damping) / F.col("_n")).alias("_base"),
+                (F.lit(1.0) / F.col("_n")).alias("_init")))
+    base.count()
     ranks = base.select("node", F.col("_init").alias("rank"))
     for _ in range(iterations):
         contribs = (rated.join(ranks, rated["_src"] == ranks["node"])

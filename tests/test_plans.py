@@ -191,3 +191,106 @@ def test_span_dedup_broadcast_gram_join_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_toolkit_no_python_no_cartesian(spark):
+    """Interval merge/coverage are window+agg only; nearest_feature is the
+    union-merge (ONE shuffle), never a per-point probe join."""
+    for q in ["interval_merge", "genome_coverage", "nearest_feature"]:
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    # nearest_feature must not contain ANY join operator — the union-merge
+    # pattern replaces the join with two ordered windows
+    nf = _plan(spark, "nearest_feature")
+    assert "Join" not in nf
+
+
+def test_fuzzy_pairs_blocking_is_equi_join(spark):
+    """Deletion-neighborhood blocking joins on the variant key — a
+    levenshtein theta-join (BroadcastNestedLoop/Cartesian) is the quadratic
+    failure mode this operator exists to avoid."""
+    plan = _plan(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan
+
+
+def test_weighted_sample_scoring_is_scan_stage(spark):
+    """The E-S score is row-local arithmetic; the only exchange is the
+    per-group top-k window."""
+    plan = _plan(spark, "weighted_sample")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_and_transitions_single_key_shuffle(spark):
+    """Run detection + interval emission reuse ONE key partitioning; the
+    transition grid agg adds only the (tiny) bigram exchange."""
+    scd = _plan(spark, "scd2_history")
+    assert "ArrowEvalPython" not in scd and "BatchEvalPython" not in scd
+    tr = _plan(spark, "event_transitions")
+    assert "CartesianProduct" not in tr
+
+
+def test_chunk_documents_row_local(spark):
+    """Chunking is sequence/posexplode/slice HOFs: no shuffle, no Python."""
+    plan = _plan(spark, "chunk_documents")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_join_broadcast_interval(spark):
+    """The event-time-bounded join keys on user_id (equi) with the time
+    bound as residual — never a pure theta/cartesian join."""
+    plan = _plan(spark, "attribution_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_data_quality_single_scan_per_table(spark):
+    """Rule compilation promises ONE aggregate pass per expectations table:
+    orders appears in 1 rule-scan + 2 FK sides, lineitem in 1 + 1."""
+    plan = _plan(spark, "data_quality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") <= 6  # 2 rule + 4 FK-side scans
+
+
+def test_pagerank_iteration_reuses_edge_partitioning(spark):
+    """Build ONE pagerank iteration by hand on a pre-partitioned edge frame:
+    the rated-edge side must NOT re-exchange when joined on its partition
+    key (the Pregel edge-reuse property pagerank's loop relies on)."""
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import graph
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 50, 1.0) for i in range(50)],
+        "src long, dst long, weight double")
+    ranks = graph.pagerank(e, iterations=2)
+    assert abs(sum(r.rank for r in ranks.collect()) - 1.0) < 1e-9
+    # reproduce one iteration's join on a persisted pre-partitioned edge
+    # frame with broadcast off: the persisted side must NOT re-exchange
+    # (persist keeps the repartition in-plan; localCheckpoint would not)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rated = e.repartition(n_part, F.col("src")).persist()
+    rated.count()
+    small = spark.createDataFrame([(i, 0.02) for i in range(50)],
+                                  "node long, rank double")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = rated.join(small, rated["src"] == small["node"])
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        # the one-time REPARTITION_BY_NUM lives INSIDE the cached build plan
+        # (below InMemoryRelation); the reuse property is that nothing above
+        # the cache scan re-exchanges on src
+        above_cache = plan.split("InMemoryRelation")[0]
+        import re as _re
+        rated_side_exchanges = _re.findall(
+            r"Exchange hashpartitioning\(src", above_cache)
+        assert not rated_side_exchanges, plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        rated.unpersist()
