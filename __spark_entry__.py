@@ -439,6 +439,27 @@ def q_interval_overlap(spark, sf_dir):
                  F.min("purchase_id").alias("first_purchase_id")))
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Sample covariance matrix of the embedding corpus, long-form
+    (operators/similarity.py:gram_matrix): nested posexplode (row-local,
+    no self-join), map-side partial agg so the shuffle carries ≤ d² rows
+    per partition at any corpus size; the PCA/whitening statistic whose
+    eigen loop then runs driver-side (top_principal_component)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.gram_matrix(emb, "embedding", centered=True,
+                                 sample_covariance=True)
+    return out.select("i", "j", _r4("value").alias("cov"))
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-dimension min-max int8 quantization of embeddings, long form
+    (operators/similarity.py:quantize_embeddings): d-row bounds broadcast
+    back onto a row-local rescale — the storage-compression step before
+    product quantization in a vector pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
 def q_attribution_join(spark, sf_dir):
     """Event-time-bounded attribution join (streaming/ingest.py:
     stream_interval_join, the stream-stream join shape with state-expiry
@@ -1770,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
+        "embedding_covariance": q_embedding_covariance,
+        "quantize_embeddings": q_quantize_embeddings,
         "data_quality": q_data_quality,
         "pagerank": q_pagerank,
         "scd2_history": q_scd2_history,
@@ -2269,6 +2292,31 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN p ON e.user_id = p.user_id
                          AND e.e_start <= p.p_end AND p.p_start <= e.e_end
             GROUP BY e.error_id
+        """,
+        "embedding_covariance": """
+            WITH x AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                              generate_subscripts(embedding, 1) - 1 AS dim
+                       FROM embeddings),
+            m AS (SELECT dim, avg(v) AS mu FROM x GROUP BY dim),
+            c AS (SELECT x.vec_id, x.dim, x.v - m.mu AS cv
+                  FROM x JOIN m USING (dim)),
+            n AS (SELECT count(*)::DOUBLE AS cnt FROM embeddings)
+            SELECT a.dim::BIGINT AS i, b.dim::BIGINT AS j,
+                   round(sum(a.cv * b.cv) / (n.cnt - 1), 4) AS cov
+            FROM c a JOIN c b ON a.vec_id = b.vec_id CROSS JOIN n
+            GROUP BY a.dim, b.dim, n.cnt
+        """,
+        "quantize_embeddings": """
+            WITH x AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                              generate_subscripts(embedding, 1) - 1 AS dim
+                       FROM embeddings),
+            mm AS (SELECT dim, min(v) AS lo, max(v) AS hi
+                   FROM x GROUP BY dim)
+            SELECT x.vec_id, x.dim::BIGINT AS dim,
+                   (CASE WHEN mm.hi = mm.lo THEN 0
+                         ELSE round((x.v - mm.lo) / (mm.hi - mm.lo) * 255)
+                    END)::BIGINT AS q
+            FROM x JOIN mm USING (dim)
         """,
         "attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts

@@ -86,6 +86,8 @@ HEADLINE = [
     "pagerank",          # 10-iteration Pregel loop, edge partitioning reused
     "data_quality",      # expectations suite: one agg scan/table + FK anti-joins
     "attribution_join",  # event-time-bounded stream-stream join shape
+    "embedding_covariance",  # nested-posexplode partial-agg d^2 statistic
+    "quantize_embeddings",   # d-row bounds broadcast + row-local rescale
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs

@@ -281,3 +281,100 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     return (ex.groupBy(label_col, "dim")
             .agg(F.avg("val").alias("mean_val"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def gram_matrix(df: DataFrame, vec_col: str, centered: bool = False,
+                sample_covariance: bool = False) -> DataFrame:
+    """Long-form Gramian XᵀX over an embedding column — (i, j, value) for
+    every dimension pair — or the sample covariance matrix with
+    ``centered=True, sample_covariance=True`` (divides by n−1). The
+    one-pass statistic behind PCA/whitening of an embedding corpus; a
+    d-dim top eigenvector then costs a driver-side power iteration over
+    the d×d result (metadata-scale), never a second corpus scan.
+
+    Shape: nested posexplode (row-local, no self-join on a row id) fans
+    each vector to its d² dimension pairs, and the groupBy(i, j) partial-
+    aggregates map-side — the shuffle carries at most d² rows PER
+    PARTITION regardless of corpus size. Dimension means for centering are
+    a d-row broadcast.
+    """
+    d = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    first = d.select(F.posexplode("_v").alias("i", "_xi"), F.col("_v"))
+    second = first.select("i", "_xi", F.posexplode("_v").alias("j", "_xj"))
+    if centered:
+        means = (d.select(F.posexplode("_v").alias("dim", "_x"))
+                 .groupBy("dim").agg(F.avg("_x").alias("_mu")))
+        second = (second
+                  .join(F.broadcast(means.select(F.col("dim").alias("i"),
+                                                 F.col("_mu").alias("_mi"))),
+                        "i")
+                  .join(F.broadcast(means.select(F.col("dim").alias("j"),
+                                                 F.col("_mu").alias("_mj"))),
+                        "j")
+                  .withColumn("_xi", F.col("_xi") - F.col("_mi"))
+                  .withColumn("_xj", F.col("_xj") - F.col("_mj")))
+    out = (second.groupBy("i", "j")
+           .agg(F.sum(F.col("_xi") * F.col("_xj")).alias("value"),
+                F.count(F.lit(1)).alias("_n")))
+    if sample_covariance:
+        if not centered:
+            raise ValueError("sample_covariance requires centered=True")
+        out = out.withColumn("value",
+                             F.col("value") / (F.col("_n") - 1))
+    return out.select(F.col("i").cast("bigint").alias("i"),
+                      F.col("j").cast("bigint").alias("j"), "value")
+
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str,
+                        levels: int = 256) -> DataFrame:
+    """Per-dimension min-max int8-style quantization of an embedding
+    column, long-form output (id, dim, q) with q ∈ [0, levels−1] — the
+    storage-compression step of a vector pipeline (a 64-dim float corpus
+    drops 4× before any product quantization).
+
+    Per-dim (lo, hi) bounds are one exploded partial-agg (d rows,
+    broadcast back); the quantization itself is row-local arithmetic.
+    Constant dimensions (hi == lo) quantize to 0 rather than dividing by
+    zero.
+    """
+    x = df.select(F.col(id_col),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("dim", "_x"))
+    mm = (x.groupBy("dim")
+          .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi")))
+    q = (F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+         .otherwise(F.round((F.col("_x") - F.col("_lo"))
+                            / (F.col("_hi") - F.col("_lo"))
+                            * (levels - 1))))
+    return (x.join(F.broadcast(mm), "dim")
+            .select(id_col, F.col("dim").cast("bigint").alias("dim"),
+                    q.cast("bigint").alias("q")))
+
+
+def top_principal_component(df: DataFrame, vec_col: str,
+                            iterations: int = 50) -> list[float]:
+    """First principal component via power iteration on the COLLECTED d×d
+    covariance matrix (d = embedding width, metadata-scale): one
+    distributed pass builds the covariance (gram_matrix), then the
+    eigenvector loop is pure driver-side arithmetic — the hybrid shape for
+    any spectral statistic whose matrix is small even when the corpus is
+    100 TB. Sign convention: the component's largest-magnitude entry is
+    made positive. Returns a python list of length d.
+    """
+    rows = gram_matrix(df, vec_col, centered=True,
+                       sample_covariance=True).collect()
+    d = max(r.i for r in rows) + 1
+    cov = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        cov[r.i][r.j] = r.value
+    v = [1.0 / (d ** 0.5)] * d
+    for _ in range(iterations):
+        w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            return v
+        v = [x / norm for x in w]
+    pivot = max(range(d), key=lambda i: abs(v[i]))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    return v

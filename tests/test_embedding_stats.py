@@ -1,0 +1,69 @@
+"""Embedding statistics fixtures: Gramian/covariance, quantization, PC1."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from glamr_omics_pipelines_spark.operators import similarity
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+
+
+def test_gram_matrix_hand_computed(spark):
+    df = _emb(spark, [[1.0, 2.0], [3.0, 4.0]])
+    g = {(r.i, r.j): r.value
+         for r in similarity.gram_matrix(df, "embedding").collect()}
+    # XtX = [[1+9, 2+12], [2+12, 4+16]]
+    assert g == {(0, 0): 10.0, (0, 1): 14.0, (1, 0): 14.0, (1, 1): 20.0}
+
+
+def test_covariance_matches_definition(spark):
+    vecs = [[1.0, 10.0], [2.0, 20.0], [3.0, 33.0]]
+    df = _emb(spark, vecs)
+    got = {(r.i, r.j): r.value
+           for r in similarity.gram_matrix(
+               df, "embedding", centered=True,
+               sample_covariance=True).collect()}
+    import statistics
+    c0 = statistics.variance([v[0] for v in vecs])
+    c1 = statistics.variance([v[1] for v in vecs])
+    m0 = sum(v[0] for v in vecs) / 3
+    m1 = sum(v[1] for v in vecs) / 3
+    c01 = sum((v[0] - m0) * (v[1] - m1) for v in vecs) / 2
+    assert math.isclose(got[(0, 0)], c0, rel_tol=1e-12)
+    assert math.isclose(got[(1, 1)], c1, rel_tol=1e-12)
+    assert math.isclose(got[(0, 1)], c01, rel_tol=1e-12)
+    assert math.isclose(got[(0, 1)], got[(1, 0)], rel_tol=1e-12)
+
+
+def test_sample_covariance_requires_centering(spark):
+    df = _emb(spark, [[1.0], [2.0]])
+    with pytest.raises(ValueError):
+        similarity.gram_matrix(df, "embedding", centered=False,
+                               sample_covariance=True)
+
+
+def test_quantize_embeddings_bounds_and_constant_dim(spark):
+    df = _emb(spark, [[0.0, 7.0], [5.0, 7.0], [10.0, 7.0]])
+    q = {(r.vec_id, r.dim): r.q
+         for r in similarity.quantize_embeddings(
+             df, "vec_id", "embedding").collect()}
+    assert q[(0, 0)] == 0 and q[(2, 0)] == 255  # min->0, max->levels-1
+    assert q[(1, 0)] == 128                      # midpoint rounds to 128
+    assert q[(0, 1)] == q[(1, 1)] == q[(2, 1)] == 0  # constant dim -> 0
+
+
+def test_top_principal_component_dominant_axis(spark):
+    # variance overwhelmingly along dim 0 (+ slight dim-1 noise)
+    vecs = [[x, 0.01 * (x % 2)] for x in range(-5, 6)]
+    df = _emb(spark, vecs)
+    v = similarity.top_principal_component(df, "embedding", iterations=100)
+    assert len(v) == 2
+    assert abs(v[0]) > 0.99            # PC1 ~ the x axis
+    assert v[0] > 0                    # sign convention: pivot positive
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
