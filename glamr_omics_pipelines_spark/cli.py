@@ -141,6 +141,43 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Run a data-quality expectations suite against a parquet table from a
+    compact rule spec: ``--rule not_null:col``, ``--rule unique:col``,
+    ``--rule accepted:col:v1|v2``, ``--rule in_range:col:lo:hi``,
+    ``--rule matches:col:regex``. All rules compile into ONE aggregate
+    scan; exits 1 if any check fails (cron-gate friendly)."""
+    from glamr_omics_pipelines_spark.operators import validate as V
+    spark = _spark(args)
+    df = spark.read.parquet(args.path)
+    table = os.path.basename(args.path.rstrip("/")).replace(".parquet", "")
+    rules = []
+    for spec in args.rule:
+        kind, _, rest = spec.partition(":")
+        if kind == "not_null":
+            rules.append(V.not_null(rest))
+        elif kind == "unique":
+            rules.append(V.unique(rest))
+        elif kind == "accepted":
+            col, _, vals = rest.partition(":")
+            rules.append(V.accepted(col, vals.split("|")))
+        elif kind == "in_range":
+            col, lo, hi = rest.split(":")
+            rules.append(V.in_range(col, float(lo), float(hi)))
+        elif kind == "matches":
+            col, _, rx = rest.partition(":")
+            rules.append(V.matches(col, rx))
+        else:
+            raise SystemExit(f"unknown rule kind {kind!r} in {spec!r}")
+    report = V.expectations_report(df, table, rules).collect()
+    failed = 0
+    for r in report:
+        print(f"{'PASS' if r.passed else 'FAIL'}\t{r.check}\t"
+              f"violations={r.violations}")
+        failed += 0 if r.passed else 1
+    return 1 if failed else 0
+
+
 def cmd_list_queries(args) -> int:
     mod = _load_entry(args.entry)
     oracles = mod.oracle_sql()
@@ -191,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("path")
     p.add_argument("--columns", help="comma-separated subset (default: all)")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("validate",
+                       help="expectations suite over a parquet table")
+    p.add_argument("path")
+    p.add_argument("--rule", action="append", required=True,
+                   help="kind:col[:args] — not_null/unique/accepted/"
+                        "in_range/matches; repeatable")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("list-queries", help="list catalog queries")
     p.add_argument("--entry", help="path to __spark_entry__.py")

@@ -338,15 +338,20 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
     TakeOrdered over round(pmi, 6) (bigram asc tiebreak) so float ulps
     can't flip the cut. No windows, no Python, no corpus-sized shuffle.
     """
-    toks = F.transform(tokens(text_col), F.lower)
-    n = F.array_size(toks)
+    # materialize the token array BEFORE the pairing lambda: a HOF lambda
+    # inlines whatever tree it references and evaluates it interpreted, so
+    # an unpinned `toks` would re-run the full tokenization for EVERY
+    # element_at probe — O(tokens²) per document (measured ~10x on the
+    # sf0.1 bench; same trap as sliding_window_trim's _p/_f pinning)
+    d = df.select(F.transform(tokens(text_col), F.lower).alias("_toks"))
+    n = F.array_size(F.col("_toks"))
     pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
         .otherwise(F.array().cast("array<int>"))
-    pairs = df.select(
+    pairs = d.select(
         F.explode(F.transform(pair_idx,
                               lambda i: F.struct(
-                                  F.element_at(toks, i).alias("a"),
-                                  F.element_at(toks, i + 1).alias("b"))))
+                                  F.element_at("_toks", i).alias("a"),
+                                  F.element_at("_toks", i + 1).alias("b"))))
         .alias("_p")).select("_p.a", "_p.b")
     big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     left_u = big.groupBy("a").agg(F.sum("c_ab").alias("c_a"))

@@ -60,3 +60,24 @@ def test_profile_cli_unknown_column(spark):
     with _pytest.raises(SystemExit):
         main(["profile", "/root/testdata/sf0.001/region.parquet",
               "--columns", "nope"])
+
+
+def test_validate_cli_pass_and_fail(spark, tmp_path, capsys):
+    assert main(["validate", "/root/testdata/sf0.001/orders.parquet",
+                 "--rule", "not_null:o_custkey",
+                 "--rule", "unique:o_orderkey",
+                 "--rule", "accepted:o_orderstatus:O|F|P"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("PASS") == 3 and "FAIL" not in out
+    # a failing rule flips the exit code (cron-gate semantics)
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,), (1,)], ["k"]).write.parquet(bad)
+    assert main(["validate", bad, "--rule", "unique:k"]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_validate_cli_rejects_unknown_rule(spark):
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["validate", "/root/testdata/sf0.001/orders.parquet",
+              "--rule", "bogus:o_custkey"])
