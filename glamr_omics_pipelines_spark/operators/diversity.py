@@ -90,14 +90,19 @@ def rarefaction_counts(df: DataFrame, sample_col: str, taxon_col: str,
     ``key_col`` falls below p — the engine-portable rarefaction curve
     (depths nest: the 10% subset ⊆ the 50% subset ⊆ all).
 
-    ONE scan computes every depth via conditional count-distincts (Catalyst
-    expands multi-distinct; depth count is small). Output long-form:
-    (sample, depth_pct, richness).
+    A taxon is observed at depth p iff its MINIMUM key bucket within the
+    sample is < p, so the scan reduces to one (sample, taxon) min-bucket
+    partial agg followed by plain conditional sums — no count-distinct, no
+    Catalyst expand (the multi-distinct form shuffled the exploded input
+    once PER DEPTH; this shape shuffles the taxon grain once, then a
+    sample-grain rollup). Output long-form: (sample, depth_pct, richness).
     """
     b = hash_bucket(key_col, 100, salt)
-    aggs = [F.count_distinct(F.when(b < p, F.col(taxon_col)))
-            .alias(f"_d{p}") for p in depths_pct]
-    wide = df.groupBy(sample_col).agg(*aggs)
+    minb = (df.groupBy(sample_col, taxon_col)
+            .agg(F.min(b).alias("_minb")))
+    aggs = [F.sum((F.col("_minb") < p).cast("long")).alias(f"_d{p}")
+            for p in depths_pct]
+    wide = minb.groupBy(sample_col).agg(*aggs)
     parts = ", ".join(f"{p}, _d{p}" for p in depths_pct)
     return wide.selectExpr(
         sample_col,
