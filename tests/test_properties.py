@@ -226,3 +226,105 @@ def test_geo_neighbors_matches_bruteforce(spark, pts):
                                            F.col("lb"), F.col("lb2")))
              .filter(F.col("d") <= 40.0).collect()}
     assert fast == brute
+
+
+# --- interval toolkit invariants -------------------------------------------
+
+iv_lists = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(1, 25)),  # (start, length)
+    min_size=1, max_size=14)
+
+
+@settings(**SETTINGS)
+@given(iv_lists)
+def test_merge_equals_covered_bases(spark, ivs):
+    """Duality: the merged islands' total length equals the bases covered
+    at depth >= 1 by the sweep — two independent operators, one measure."""
+    from glamr_omics_pipelines_spark.operators import intervals
+    df = spark.createDataFrame([("g", s, s + ln) for s, ln in ivs],
+                               "g string, s long, e long")
+    merged = intervals.merge_intervals(df, ["g"], "s", "e").collect()
+    merged_len = sum(r.merged_end - r.merged_start for r in merged)
+    hist = intervals.coverage_histogram(df, ["g"], "s", "e").collect()
+    covered = sum(r.bases for r in hist)
+    assert merged_len == covered
+    # islands are disjoint and sorted-separated
+    spans = sorted((r.merged_start, r.merged_end) for r in merged)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2  # book-ended islands would have merged
+
+
+@settings(**SETTINGS)
+@given(iv_lists)
+def test_coverage_mass_conservation(spark, ivs):
+    """Σ depth·seg_len over the sweep == Σ interval lengths (every base of
+    every interval is accounted for exactly once)."""
+    from glamr_omics_pipelines_spark.operators import intervals
+    df = spark.createDataFrame([("g", s, s + ln) for s, ln in ivs],
+                               "g string, s long, e long")
+    segs = intervals.coverage_depth(df, ["g"], "s", "e").collect()
+    swept = sum(r.depth * (r.seg_end - r.seg_start) for r in segs)
+    assert swept == sum(ln for _, ln in ivs)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 100), min_size=1, max_size=10),
+       st.lists(st.integers(0, 100), min_size=1, max_size=10))
+def test_nearest_feature_matches_brute_force(spark, ppos, fpos):
+    from glamr_omics_pipelines_spark.operators import intervals
+    pts = spark.createDataFrame(
+        [("g", i, p) for i, p in enumerate(ppos)],
+        "g string, pid long, pos long")
+    feats = spark.createDataFrame(
+        [("g", 1000 + i, p) for i, p in enumerate(fpos)],
+        "g string, fid long, fpos long")
+    got = {r.pid: (r.nearest_id, r.distance)
+           for r in intervals.nearest_feature(
+               pts, feats, ["g"], "pid", "pos", "fid", "fpos").collect()}
+    for i, p in enumerate(ppos):
+        best = min((abs(fp - p), 1000 + j) for j, fp in enumerate(fpos))
+        # brute force: min distance, then min fid — but equal positions
+        # collapse to min fid first, which the (dist, fid) min reproduces
+        assert got[i] == (best[1], best[0]), (p, fpos)
+
+
+# --- SCD2 / chunking invariants --------------------------------------------
+
+scd_runs = st.lists(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=12)
+
+
+@settings(**SETTINGS)
+@given(scd_runs)
+def test_scd2_conserves_events_and_tiles_time(spark, states):
+    import datetime as _dt
+    from glamr_omics_pipelines_spark.operators import windows as W
+    rows = [("k", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i), i, s)
+            for i, s in enumerate(states)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, ord long, st string")
+    out = sorted(W.scd2_compress(df, ["k"], "ts", ["st"], ["ord"]).collect(),
+                 key=lambda r: r.version)
+    assert sum(r.n_events for r in out) == len(states)
+    # versions are 1..n_runs; intervals tile: valid_to == next valid_from
+    assert [r.version for r in out] == list(range(1, len(out) + 1))
+    for a, b in zip(out, out[1:]):
+        assert a.valid_to == b.valid_from
+    assert out[-1].valid_to is None
+    # run compression matches an independent itertools groupby
+    import itertools
+    runs = [(k, len(list(g))) for k, g in itertools.groupby(states)]
+    assert [(r.st, r.n_events) for r in out] == runs
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from(["tok%d" % i for i in range(9)]),
+                min_size=1, max_size=30),
+       st.integers(1, 8))
+def test_chunk_tokens_exact_cover_when_stride_equals_size(spark, toks, size):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(T.chunk_tokens(df, "doc_id", "text", size, size).collect(),
+                 key=lambda r: r.chunk_id)
+    # non-overlapping chunks reconstruct the document exactly
+    rebuilt = " ".join(r.chunk_text for r in out)
+    assert rebuilt == " ".join(toks)
+    assert sum(r.n_tokens for r in out) == len(toks)
