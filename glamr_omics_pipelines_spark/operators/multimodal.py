@@ -131,3 +131,54 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))
     return (df.filter(F.col("media_type") == "video")
             .select("media_id", F.explode(frames).alias("frame_ts_ms")))
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("window_idx", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("decode_ok", StringType()),
+])
+
+
+def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
+                          stub: bool = True) -> DataFrame:
+    """binary audio content → per-window features via Arrow-batched
+    ``mapInPandas`` — the audio twin of ``extract_image_features``, with a
+    row EXPLOSION inside the kernel (one input blob yields one row per
+    window), exercising the 1→N batch shape a real frame/window extractor
+    needs. STUB kernel: RMS of raw bytes per fixed-size window,
+    deterministic in content (exact integer arithmetic until one final
+    sqrt); a deployment swaps in librosa/ffmpeg decode + hop windows.
+
+    Scale: same constant-memory batch streaming as the image path; window
+    rows are emitted per batch, so a long recording never materializes as
+    one python list across batches.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not stub:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg — "
+                    "not in this container")
+            ids, widx, rms, oks = [], [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    ids.append(mid); widx.append(0)
+                    rms.append(None); oks.append("null_content")
+                    continue
+                b = bytes(buf)
+                for w in range(0, max(len(b), 1), window_bytes):
+                    win = b[w:w + window_bytes]
+                    if not win:
+                        continue
+                    ids.append(mid)
+                    widx.append(w // window_bytes)
+                    rms.append((sum(x * x for x in win) / len(win)) ** 0.5)
+                    oks.append("ok")
+            yield pd.DataFrame({"media_id": ids, "window_idx": widx,
+                                "rms": rms, "decode_ok": oks})
+
+    return (df.filter(F.col("media_type") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(kernel, AUDIO_FEATURES_SCHEMA))

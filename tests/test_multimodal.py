@@ -51,3 +51,25 @@ def test_resize_images_stub_batch_shape(spark):
     assert out[1].width == 4 and out[1].height == 2
     assert out[2].content is None and out[2].resize_ok == "null_content"
     assert out[3].content == b"x" * 8      # short blob cycled to target size
+
+
+def test_extract_audio_windows_explodes_and_computes_rms(spark):
+    rows = [
+        Row(media_id=10, media_type="audio", content=bytes([3] * 5),
+            meta=Row(width=None, height=None, duration_ms=5000, codec="wav")),
+        Row(media_id=11, media_type="audio", content=None,
+            meta=Row(width=None, height=None, duration_ms=0, codec="wav")),
+        Row(media_id=12, media_type="image", content=bytes([1]),
+            meta=Row(width=1, height=1, duration_ms=None, codec="png")),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_audio_windows(df, window_bytes=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.media_id, []).append(r)
+    # 5 bytes / window 2 -> windows 0,1,2 (sizes 2,2,1); constant byte 3 -> rms 3
+    w10 = sorted(by[10], key=lambda r: r.window_idx)
+    assert [r.window_idx for r in w10] == [0, 1, 2]
+    assert all(abs(r.rms - 3.0) < 1e-12 for r in w10)
+    assert by[11][0].decode_ok == "null_content" and by[11][0].rms is None
+    assert 12 not in by  # non-audio rows filtered out
