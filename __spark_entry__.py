@@ -566,6 +566,22 @@ def q_chunk_documents(spark, sf_dir):
     return text.chunk_tokens(docs, "doc_id", "text", 16, 8)
 
 
+def q_interval_subtract(spark, sf_dir):
+    """bedtools-subtract (operators/intervals.py:subtract_intervals): each
+    user's purchase windows minus their error windows — one signed
+    sweep-line pass (A:±1→depth_a, B:±1→depth_b, survivors depth_a>0 ∧
+    depth_b=0, re-merged to maximal spans); B is never probed per-A-row."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", windows.epoch_us("ts"))
+    a = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts_us").alias("iv_start"),
+                 (F.col("ts_us") + 300 * 1_000_000).alias("iv_end")))
+    b = (ev.filter(F.col("event_type") == "error")
+         .select("user_id", F.col("ts_us").alias("iv_start"),
+                 (F.col("ts_us") + 600 * 1_000_000).alias("iv_end")))
+    return intervals.subtract_intervals(a, b, ["user_id"],
+                                        "iv_start", "iv_end")
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """SymSpell-style fuzzy matching (operators/entity.py:41): all supplier
     name pairs within Levenshtein distance 1 — deletion-neighborhood
@@ -1788,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "genome_coverage": q_genome_coverage,
         "nearest_feature": q_nearest_feature,
+        "interval_subtract": q_interval_subtract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
@@ -2438,6 +2455,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text,
                    least(16, len(t) - s)::BIGINT AS n_tokens
             FROM st
+        """,
+        "interval_subtract": """
+            WITH a AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+                              epoch_us(ts::TIMESTAMP) + 300000000 AS e
+                       FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+                         epoch_us(ts::TIMESTAMP) + 600000000 AS e
+                  FROM events WHERE event_type = 'error'),
+            d AS (SELECT user_id, s AS pos, 1 AS da, 0 AS db FROM a
+                  UNION ALL SELECT user_id, e, -1, 0 FROM a
+                  UNION ALL SELECT user_id, s, 0, 1 FROM b
+                  UNION ALL SELECT user_id, e, 0, -1 FROM b),
+            c AS (SELECT user_id, pos, sum(da) AS da, sum(db) AS db
+                  FROM d GROUP BY 1, 2),
+            sw AS (SELECT user_id, pos,
+                          sum(da) OVER w AS depth_a,
+                          sum(db) OVER w AS depth_b,
+                          lead(pos) OVER (PARTITION BY user_id
+                                          ORDER BY pos) AS seg_end
+                   FROM c
+                   WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)),
+            f AS (SELECT user_id, pos, seg_end,
+                         (depth_a > 0 AND depth_b = 0) AS live
+                  FROM sw WHERE seg_end IS NOT NULL),
+            g AS (SELECT user_id, pos, seg_end, live,
+                         CASE WHEN live AND NOT coalesce(
+                                lag(live) OVER (PARTITION BY user_id
+                                                ORDER BY pos), FALSE)
+                              THEN 1 ELSE 0 END AS new
+                  FROM f),
+            h AS (SELECT user_id, pos, seg_end, live,
+                         sum(new) OVER (PARTITION BY user_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS span
+                  FROM g)
+            SELECT user_id, min(pos) AS sub_start, max(seg_end) AS sub_end
+            FROM h WHERE live GROUP BY user_id, span
         """,
         "fuzzy_name_pairs": """
             SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

@@ -159,3 +159,57 @@ def nearest_feature(points: DataFrame, features: DataFrame,
             .select(*group_cols, F.col("_pid").alias(point_id),
                     nearest_id.alias("nearest_id"),
                     distance.cast("long").alias("distance")))
+
+
+def subtract_intervals(a: DataFrame, b: DataFrame, group_cols: list[str],
+                       start_col: str, end_col: str) -> DataFrame:
+    """bedtools-subtract: the parts of A's intervals not covered by any B
+    interval, per group — same sweep-line core as :func:`coverage_depth`
+    but with SIGNED sources: A contributes ±1 to ``depth_a``, B to
+    ``depth_b``, and surviving segments are those with depth_a > 0 and
+    depth_b == 0 (adjacent survivors are re-merged so output is maximal
+    spans, matching bedtools' merged-complement semantics).
+
+    One union + one per-group ordered window pass — B is never probed
+    per-A-interval; cost is O((|A|+|B|) log) within each group.
+    """
+    def deltas(df: DataFrame, tag: int) -> DataFrame:
+        d = df.select(
+            *group_cols,
+            F.explode(F.array(
+                F.struct(F.col(start_col).cast("long").alias("pos"),
+                         F.lit(1).alias("d")),
+                F.struct(F.col(end_col).cast("long").alias("pos"),
+                         F.lit(-1).alias("d")))).alias("_e"))
+        return d.select(*group_cols, "_e.pos",
+                        (F.col("_e.d") * F.lit(1)).alias("da") if tag == 0
+                        else F.lit(0).alias("da"),
+                        F.lit(0).alias("db") if tag == 0
+                        else F.col("_e.d").alias("db"))
+
+    u = deltas(a, 0).unionByName(deltas(b, 1))
+    collapsed = (u.groupBy(*group_cols, "pos")
+                 .agg(F.sum("da").alias("da"), F.sum("db").alias("db")))
+    w = Window.partitionBy(*group_cols).orderBy("pos")
+    run = Window.partitionBy(*group_cols).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0)
+    swept = (collapsed
+             .withColumn("depth_a", F.sum("da").over(run))
+             .withColumn("depth_b", F.sum("db").over(run))
+             .withColumn("seg_end", F.lead("pos").over(w))
+             .filter(F.col("seg_end").isNotNull()))
+    live = (F.col("depth_a") > 0) & (F.col("depth_b") == 0)
+    # merge adjacent surviving segments: a survivor starts a new span when
+    # the previous row (by pos) was not a survivor
+    prev_live = F.lag(live.cast("int")).over(w)
+    seg = (swept
+           .withColumn("_live", live)
+           .withColumn("_new", ((~F.coalesce(prev_live.cast("boolean"),
+                                             F.lit(False)))
+                                & F.col("_live")).cast("int"))
+           .withColumn("_span", F.sum("_new").over(run))
+           .filter(F.col("_live")))
+    return (seg.groupBy(*group_cols, "_span")
+            .agg(F.min("pos").alias("sub_start"),
+                 F.max("seg_end").alias("sub_end"))
+            .drop("_span"))

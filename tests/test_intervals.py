@@ -93,3 +93,27 @@ def test_nearest_feature_colocated_distance_zero(spark):
     r = intervals.nearest_feature(pts, feats, ["g"], "pid", "pos",
                                   "fid", "fpos").collect()[0]
     assert (r.nearest_id, r.distance) == (8, 0)
+
+
+def test_subtract_intervals_hand_computed(spark):
+    a = spark.createDataFrame([Row(g="c", s=0, e=20), Row(g="c", s=30, e=40)])
+    b = spark.createDataFrame([Row(g="c", s=5, e=10), Row(g="c", s=18, e=35)])
+    out = sorted((r.sub_start, r.sub_end)
+                 for r in intervals.subtract_intervals(
+                     a, b, ["g"], "s", "e").collect())
+    # [0,20) minus [5,10) and [18,35): [0,5), [10,18); [30,40) minus -> [35,40)
+    assert out == [(0, 5), (10, 18), (35, 40)]
+
+
+def test_subtract_intervals_no_b_returns_merged_a(spark):
+    a = spark.createDataFrame([Row(g="c", s=0, e=5), Row(g="c", s=3, e=9)])
+    b = spark.createDataFrame([], "g string, s long, e long")
+    out = [(r.sub_start, r.sub_end)
+           for r in intervals.subtract_intervals(a, b, ["g"], "s", "e").collect()]
+    assert out == [(0, 9)]  # overlapping A re-merges into one maximal span
+
+
+def test_subtract_intervals_total_cover_empty(spark):
+    a = spark.createDataFrame([Row(g="c", s=2, e=8)])
+    b = spark.createDataFrame([Row(g="c", s=0, e=10)])
+    assert intervals.subtract_intervals(a, b, ["g"], "s", "e").count() == 0
