@@ -28,6 +28,7 @@ from glamr_omics_pipelines_spark.operators.reshape import (
 from glamr_omics_pipelines_spark.functions import bio
 from glamr_omics_pipelines_spark.sources import sequences
 from glamr_omics_pipelines_spark.sources.warehouse import (
+    agg_snapshot, merge_agg_snapshots,
     profile_table as warehouse_profile_table,
     snapshot_diff as warehouse_snapshot_diff)
 from glamr_omics_pipelines_spark.streaming.ingest import (
@@ -564,6 +565,30 @@ def q_chunk_documents(spark, sf_dir):
     (sequence → posexplode → slice → array_join), row-local, no shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return text.chunk_tokens(docs, "doc_id", "text", 16, 8)
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental rollup refresh (sources/warehouse.py:agg_snapshot /
+    merge_agg_snapshots): lineitem split into two simulated ingest batches
+    by hash, each snapshotted to mergeable (n, sum, min, max) state, then
+    MERGED — snapshot-grain rows only; the oracle is the direct full-table
+    aggregate, proving merge ≡ re-scan. Mean derives at read time."""
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal sums: merge order then provably cannot perturb the total (a
+    # float sum reassociated across batches drifts past the 4-dp grid)
+    d = li.select(F.col("l_returnflag").alias("grp"),
+                  F.col("l_extendedprice").cast("decimal(18,4)").alias("v"),
+                  (F.xxhash64("l_orderkey", "l_linenumber") % 2 == 0)
+                  .alias("_half"))
+    s1 = agg_snapshot(d.filter(F.col("_half")).drop("_half"), ["grp"], "v")
+    s2 = agg_snapshot(d.filter(~F.col("_half")).drop("_half"), ["grp"], "v")
+    m = merge_agg_snapshots(s1, s2)
+    total = F.col("agg_sum").cast("double")
+    return m.select("grp", F.col("agg_n").cast("bigint").alias("n"),
+                    _r4(total).alias("total"),
+                    _r4(F.col("agg_min").cast("double")).alias("min_v"),
+                    _r4(F.col("agg_max").cast("double")).alias("max_v"),
+                    _r4(total / F.col("agg_n")).alias("mean_v"))
 
 
 def q_interval_subtract(spark, sf_dir):
@@ -1804,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "genome_coverage": q_genome_coverage,
         "nearest_feature": q_nearest_feature,
+        "incremental_agg": q_incremental_agg,
         "interval_subtract": q_interval_subtract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
@@ -2455,6 +2481,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text,
                    least(16, len(t) - s)::BIGINT AS n_tokens
             FROM st
+        """,
+        "incremental_agg": """
+            WITH d AS (SELECT l_returnflag AS grp,
+                              CAST(l_extendedprice AS DECIMAL(18,4)) AS v
+                       FROM lineitem)
+            SELECT grp, count(v)::BIGINT AS n,
+                   round(CAST(sum(v) AS DOUBLE), 4) AS total,
+                   round(CAST(min(v) AS DOUBLE), 4) AS min_v,
+                   round(CAST(max(v) AS DOUBLE), 4) AS max_v,
+                   round(CAST(sum(v) AS DOUBLE) / count(v), 4) AS mean_v
+            FROM d GROUP BY grp
         """,
         "interval_subtract": """
             WITH a AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,

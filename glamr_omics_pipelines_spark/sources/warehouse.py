@@ -166,3 +166,41 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.selectExpr(
         f"stack({len(cols)}, {parts}) as "
         "(column, n_nulls, n_distinct, min_val, max_val)")
+
+
+def agg_snapshot(df: DataFrame, group_cols: list[str],
+                 value_col: str) -> DataFrame:
+    """Mergeable aggregate state per group: (n, sum, min, max) — the
+    partial-aggregation algebra materialized as a table. The incremental-
+    refresh pattern for warehouse rollups: snapshot each ingest batch once,
+    and refreshing the rollup MERGES snapshots (associative + commutative)
+    instead of re-scanning all history — the aggregate analog of
+    Warehouse.incremental_append, and the same idea the HLL sketch column
+    (operators/sketches.py) applies to count-distinct.
+
+    Derived statistics (mean = sum/n) are computed at READ time from merged
+    state, never stored — storing them would break mergeability.
+    """
+    return (df.groupBy(*group_cols)
+            .agg(F.count(value_col).alias("agg_n"),
+                 F.sum(value_col).alias("agg_sum"),
+                 F.min(value_col).alias("agg_min"),
+                 F.max(value_col).alias("agg_max")))
+
+
+def merge_agg_snapshots(*snapshots: DataFrame) -> DataFrame:
+    """Merge any number of agg_snapshot frames (e.g. one per ingested
+    batch/day) into the combined state — a union + one re-aggregation of
+    SNAPSHOT-grain rows (groups × batches, never fact-grain)."""
+    if not snapshots:
+        raise ValueError("merge_agg_snapshots needs at least one snapshot")
+    u = snapshots[0]
+    for s in snapshots[1:]:
+        u = u.unionByName(s)
+    group_cols = [c for c in u.columns
+                  if c not in ("agg_n", "agg_sum", "agg_min", "agg_max")]
+    return (u.groupBy(*group_cols)
+            .agg(F.sum("agg_n").alias("agg_n"),
+                 F.sum("agg_sum").alias("agg_sum"),
+                 F.min("agg_min").alias("agg_min"),
+                 F.max("agg_max").alias("agg_max")))

@@ -77,3 +77,36 @@ def test_schema_contract_enforced(spark, tmp_path):
     import os
     pinned = os.listdir(f"{root}/_schemas")
     assert "tax_info.schema.json" in pinned and "tpm2.schema.json" in pinned
+
+
+def test_agg_snapshot_merge_equals_rescan(spark):
+    """Merging per-batch snapshots must equal the direct full aggregate —
+    the invariant that makes incremental rollup refresh sound."""
+    from pyspark.sql import Row, functions as F
+    from glamr_omics_pipelines_spark.sources.warehouse import (
+        agg_snapshot, merge_agg_snapshots)
+    rows = [Row(g="a", v=float(i)) for i in range(20)] + \
+           [Row(g="b", v=float(100 + i)) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    batches = [df.filter(F.col("v") % 3 == k) for k in range(3)]
+    merged = merge_agg_snapshots(
+        *[agg_snapshot(b, ["g"], "v") for b in batches])
+    direct = agg_snapshot(df, ["g"], "v")
+    m = {r.g: (r.agg_n, r.agg_sum, r.agg_min, r.agg_max)
+         for r in merged.collect()}
+    d = {r.g: (r.agg_n, r.agg_sum, r.agg_min, r.agg_max)
+         for r in direct.collect()}
+    assert m == d
+    # empty-batch merge is the identity
+    empty = agg_snapshot(df.filter(F.lit(False)), ["g"], "v")
+    m2 = {r.g: (r.agg_n, r.agg_sum, r.agg_min, r.agg_max)
+          for r in merge_agg_snapshots(direct, empty).collect()}
+    assert m2 == d
+
+
+def test_merge_agg_snapshots_requires_input(spark):
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.sources.warehouse import (
+        merge_agg_snapshots)
+    with _pytest.raises(ValueError):
+        merge_agg_snapshots()
