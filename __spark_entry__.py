@@ -567,6 +567,58 @@ def q_chunk_documents(spark, sf_dir):
     return text.chunk_tokens(docs, "doc_id", "text", 16, 8)
 
 
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands over order dates per customer (the classic
+    consecutive-run detector): island id = date − row_number() days, one
+    customer-partitioned window + groupBy; runs of ≥2 consecutive days."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.select("o_custkey", F.to_date("o_orderdate").alias("d"))
+         .distinct())
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    runs = (d.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_isl", F.date_sub(F.col("d"), F.col("_rn")))
+            .groupBy("o_custkey", "_isl")
+            .agg(F.min("d").alias("run_start"), F.max("d").alias("run_end"),
+                 F.count(F.lit(1)).alias("n_days"))
+            .filter(F.col("n_days") >= 2))
+    return runs.select("o_custkey", "run_start", "run_end",
+                       F.col("n_days").cast("bigint").alias("n_days"))
+
+
+def q_ntile_buckets(spark, sf_dir):
+    """NTILE quartile banding of order value per status (§2.5 window
+    parity): per-bucket count/min/max — deterministic under ties via the
+    orderkey tiebreak; one window + one tiny rollup."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice",
+                                                   "o_orderkey")
+    return (o.withColumn("bucket", F.ntile(4).over(w))
+            .groupBy("o_orderstatus", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r4(F.min("o_totalprice")).alias("lo"),
+                 _r4(F.max("o_totalprice")).alias("hi"))
+            .select("o_orderstatus", F.col("bucket").cast("bigint")
+                    .alias("bucket"),
+                    F.col("n").cast("bigint").alias("n"), "lo", "hi"))
+
+
+def q_group_percentiles(spark, sf_dir):
+    """Exact per-group percentile ladder (PERCENTILE_CONT parity, the
+    reference's quantile-heavy summaries — summarize_hmmscan medians):
+    p25/p50/p75 of order value per status in ONE percentile aggregate
+    (array form), exploded to long rows."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25d, 0.5d, 0.75d))")
+        .alias("_ps"))
+    return (agg.select("o_orderstatus",
+                       F.posexplode("_ps").alias("_i", "_v"))
+            .select("o_orderstatus",
+                    F.element_at(F.array(F.lit(25), F.lit(50), F.lit(75)),
+                                 F.col("_i") + 1).cast("bigint").alias("pct"),
+                    _r4("_v").alias("value")))
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental rollup refresh (sources/warehouse.py:agg_snapshot /
     merge_agg_snapshots): lineitem split into two simulated ingest batches
@@ -1829,6 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "genome_coverage": q_genome_coverage,
         "nearest_feature": q_nearest_feature,
+        "gaps_islands": q_gaps_islands,
+        "ntile_buckets": q_ntile_buckets,
+        "group_percentiles": q_group_percentiles,
         "incremental_agg": q_incremental_agg,
         "interval_subtract": q_interval_subtract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
@@ -2481,6 +2536,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s + 1 : s + 16], ' ') AS chunk_text,
                    least(16, len(t) - s)::BIGINT AS n_tokens
             FROM st
+        """,
+        "gaps_islands": """
+            WITH d AS (SELECT DISTINCT o_custkey,
+                              CAST(o_orderdate AS DATE) AS d
+                       FROM orders),
+            r AS (SELECT o_custkey, d,
+                         d - CAST(row_number() OVER (PARTITION BY o_custkey
+                                                     ORDER BY d) AS INTEGER)
+                           AS isl
+                  FROM d)
+            SELECT o_custkey, min(d) AS run_start, max(d) AS run_end,
+                   count(*)::BIGINT AS n_days
+            FROM r GROUP BY o_custkey, isl
+            HAVING count(*) >= 2
+        """,
+        "ntile_buckets": """
+            WITH b AS (SELECT o_orderstatus, o_totalprice,
+                              ntile(4) OVER (PARTITION BY o_orderstatus
+                                             ORDER BY o_totalprice,
+                                                      o_orderkey) AS bucket
+                       FROM orders)
+            SELECT o_orderstatus, bucket::BIGINT AS bucket,
+                   count(*)::BIGINT AS n,
+                   round(min(o_totalprice), 4) AS lo,
+                   round(max(o_totalprice), 4) AS hi
+            FROM b GROUP BY 1, 2
+        """,
+        "group_percentiles": """
+            WITH q AS (SELECT o_orderstatus,
+                              quantile_cont(o_totalprice, 0.25) AS p25,
+                              quantile_cont(o_totalprice, 0.50) AS p50,
+                              quantile_cont(o_totalprice, 0.75) AS p75
+                       FROM orders GROUP BY o_orderstatus)
+            SELECT o_orderstatus, 25::BIGINT AS pct,
+                   round(p25, 4) AS value FROM q
+            UNION ALL
+            SELECT o_orderstatus, 50, round(p50, 4) FROM q
+            UNION ALL
+            SELECT o_orderstatus, 75, round(p75, 4) FROM q
         """,
         "incremental_agg": """
             WITH d AS (SELECT l_returnflag AS grp,

@@ -88,6 +88,10 @@ HEADLINE = [
     "attribution_join",  # event-time-bounded stream-stream join shape
     "embedding_covariance",  # nested-posexplode partial-agg d^2 statistic
     "quantize_embeddings",   # d-row bounds broadcast + row-local rescale
+    "interval_subtract", # signed sweep-line A-minus-B with span re-merge
+    "incremental_agg",   # snapshot-grain mergeable rollup refresh
+    "gaps_islands",      # consecutive-run detection (date - row_number)
+    "group_percentiles", # exact percentile ladder, one array aggregate
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs
