@@ -673,6 +673,23 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_fuzzy_resolve(spark, sf_dir):
+    """Canonical fuzzy resolve (operators/entity.py:fuzzy_resolve_edit1):
+    truncated supplier names (a deterministic 1-char typo) resolved back
+    against the canonical vocabulary within one edit — broadcast canon
+    variants, candidate-only levenshtein, deterministic (min dist, then
+    lexicographic) tie rule; the reference's sample-name reconciliation
+    made total instead of silently dropping rows."""
+    sup = _t(spark, sf_dir, "supplier")
+    data = sup.select(F.col("s_suppkey").alias("sid"),
+                      F.expr("substring(s_name, 1, length(s_name) - 1)")
+                      .alias("name"))
+    canon = sup.select(F.col("s_name").alias("c"))
+    out = entity.fuzzy_resolve_edit1(data, "sid", "name", canon, "c")
+    return out.select("sid", "name", "resolved",
+                      F.col("resolve_dist").cast("int").alias("resolve_dist"))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling without replacement
     (operators/sampling.py): 20 lineitems per return flag, probability
@@ -1887,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "interval_subtract": q_interval_subtract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "fuzzy_resolve": q_fuzzy_resolve,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2632,6 +2650,19 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "fuzzy_resolve": """
+            WITH d AS (SELECT s_suppkey AS sid,
+                              substring(s_name, 1, length(s_name) - 1)
+                                AS name
+                       FROM supplier),
+            c AS (SELECT DISTINCT s_name AS cn FROM supplier)
+            SELECT d.sid, d.name, r.cn AS resolved,
+                   r.dist::INT AS resolve_dist
+            FROM d LEFT JOIN LATERAL (
+              SELECT cn, levenshtein(d.name, cn) AS dist
+              FROM c WHERE levenshtein(d.name, cn) <= 1
+              ORDER BY dist, cn LIMIT 1) r ON TRUE
         """,
         "weighted_sample": """
             WITH d AS (SELECT l_returnflag AS grp,
