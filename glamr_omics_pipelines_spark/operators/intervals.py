@@ -117,15 +117,17 @@ def nearest_feature(points: DataFrame, features: DataFrame,
 
     Output: group cols + point id, ``nearest_id``, ``distance``.
     """
+    pid_t = points.schema[point_id].dataType
+    fid_t = features.schema[feature_id].dataType
     f1 = (features.groupBy(*group_cols, feature_pos)
           .agg(F.min(feature_id).alias("_fid"))
           .select(*group_cols, F.col(feature_pos).alias("_pos"),
                   F.lit(0).alias("_is_point"),
-                  F.lit(None).cast("long").alias("_pid"), "_fid"))
+                  F.lit(None).cast(pid_t).alias("_pid"), "_fid"))
     p1 = points.select(*group_cols, F.col(point_pos).alias("_pos"),
                        F.lit(1).alias("_is_point"),
                        F.col(point_id).alias("_pid"),
-                       F.lit(None).cast("long").alias("_fid"))
+                       F.lit(None).cast(fid_t).alias("_fid"))
     u = f1.unionByName(p1)
     # features sort before points at the same position, so a co-located
     # feature is visible to both the prev and the next scan (distance 0).
