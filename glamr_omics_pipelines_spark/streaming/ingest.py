@@ -192,3 +192,44 @@ def stream_interval_join(impressions: DataFrame, conversions: DataFrame,
             & (imp[imp_ts] <= conv[conv_ts])
             & (imp[imp_ts] >= conv[conv_ts] - delay))
     return imp.join(conv, cond).drop(conv[key_col])
+
+
+def streaming_rollup_ingest(stream: DataFrame, group_cols: list[str],
+                            value_col: str, state_dir: str,
+                            checkpoint: str) -> None:
+    """Streaming incremental rollup: each micro-batch is reduced to its
+    mergeable aggregate snapshot (sources/warehouse.py:agg_snapshot) and
+    MERGED into a parquet state table via ``foreachBatch`` — the streaming
+    twin of the batch snapshot-merge refresh, and the always-on form of
+    the reference's nightly re-aggregation cron. State stays
+    snapshot-grain (groups, never fact rows): a year of 100 TB/day
+    ingest keeps the same few-KB state table.
+
+    Exactly-once state: the write is a full atomic overwrite of the tiny
+    state table per batch (read current → union batch snapshot → re-merge
+    → overwrite), with the checkpoint making batch replays idempotent at
+    the sink level only if batches are deterministic — for at-least-once
+    sources pair this with stream_dedup upstream.
+    """
+    from glamr_omics_pipelines_spark.sources.warehouse import (
+        agg_snapshot, merge_agg_snapshots)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        snap = agg_snapshot(batch, group_cols, value_col)
+        try:
+            current = spark.read.parquet(state_dir)
+            merged = merge_agg_snapshots(current, snap)
+        except Exception:  # first batch: no state yet
+            merged = snap
+        # materialize BEFORE overwrite: the merged plan reads state_dir
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    (stream.writeStream
+     .foreachBatch(upsert)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

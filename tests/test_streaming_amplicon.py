@@ -259,3 +259,33 @@ def test_stream_interval_join_streaming_and_batch(spark, tmp_path):
     bj = stream_interval_join(bi, bc, "user_id", "imp_ts", "conv_ts",
                               max_delay_seconds=1800)
     assert {r.purchase_id for r in bj.collect()} == {100}
+
+
+@pytest.mark.timeout(300)
+def test_streaming_rollup_ingest_merges_batches(spark, tmp_path):
+    """File stream -> per-batch agg snapshot -> foreachBatch merge into a
+    parquet state table; final state equals the direct aggregate over all
+    files, with snapshot-grain state only."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        streaming_rollup_ingest)
+    import csv
+    src = tmp_path / "roll_in"; src.mkdir()
+    rows_a = [("x", 1.0), ("x", 3.0), ("y", 10.0)]
+    rows_b = [("x", 5.0), ("z", 7.0)]
+    for fname, rows in [("a.csv", rows_a), ("b.csv", rows_b)]:
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(["g", "v"]); w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("g string, v double")
+              .option("sep", "\t").option("header", True)
+              .option("maxFilesPerTrigger", 1)   # force >= 2 micro-batches
+              .load(str(src)))
+    state = str(tmp_path / "state")
+    streaming_rollup_ingest(stream, ["g"], "v", state,
+                            str(tmp_path / "ckpt"))
+    got = {r.g: (r.agg_n, r.agg_sum, r.agg_min, r.agg_max)
+           for r in spark.read.parquet(state).collect()}
+    assert got == {"x": (3, 9.0, 1.0, 5.0),
+                   "y": (1, 10.0, 10.0, 10.0),
+                   "z": (1, 7.0, 7.0, 7.0)}
