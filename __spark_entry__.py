@@ -673,6 +673,17 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Explicit corpus mixture (operators/sampling.py:mixture_sample):
+    documents down-sampled to a 40/30/30 en/zh/de mix — feasibility-scaled
+    so the binding language is kept whole; md5 membership keeps the sample
+    reproducible across runs/engines/partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(docs, "lang", "doc_id",
+                                  {"en": 0.4, "zh": 0.3, "de": 0.3})
+    return out.select("doc_id", "lang")
+
+
 def q_fuzzy_resolve(spark, sf_dir):
     """Canonical fuzzy resolve (operators/entity.py:fuzzy_resolve_edit1):
     truncated supplier names (a deterministic 1-char typo) resolved back
@@ -1905,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_subtract": q_interval_subtract,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "fuzzy_resolve": q_fuzzy_resolve,
+        "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2650,6 +2662,22 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "mixture_sample": """
+            WITH t AS (SELECT lang, tgt::DOUBLE AS tgt
+                       FROM (VALUES ('en', 0.4), ('zh', 0.3),
+                                    ('de', 0.3)) v(lang, tgt)),
+            c AS (SELECT lang, count(*)::DOUBLE AS n
+                  FROM documents GROUP BY lang),
+            j AS (SELECT c.lang, c.n, t.tgt FROM c JOIN t USING (lang)),
+            sc AS (SELECT min(n / tgt) AS cc FROM j),
+            f AS (SELECT lang, least(1.0, sc.cc * tgt / n) AS frac
+                  FROM j, sc)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f USING (lang)
+            WHERE CAST(concat('0x', substr(md5(concat('mix:',
+                    CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
+                  < round(f.frac * 1000000)
         """,
         "fuzzy_resolve": """
             WITH d AS (SELECT s_suppkey AS sid,

@@ -100,6 +100,40 @@ def temperature_sample(df: DataFrame, group_cols: list[str], key: str,
             .drop("_f"))
 
 
+def mixture_sample(df: DataFrame, group_col: str, key: str,
+                   targets: dict, salt: str = "mix") -> DataFrame:
+    """Down-sample groups to an EXPLICIT target mixture ("50% en, 30% zh,
+    20% de") — the hand-tuned companion of :func:`temperature_sample`'s
+    formulaic rebalance. Output is the largest corpus achievable by
+    down-sampling only: the binding group (smallest n_g/t_g) is kept
+    whole and every other group is thinned to match, so realized shares
+    equal the targets exactly in expectation. Groups without a target are
+    dropped (explicit mixtures are allow-lists).
+
+    Same engine-portable machinery as temperature_sample: group-grain
+    fractions (broadcast), md5 key-hash membership with a round(f·1e6)
+    integer threshold so independent float stacks agree on the cut.
+    """
+    if not targets:
+        raise ValueError("mixture_sample needs at least one target share")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(t)) for g, t in targets.items()], [group_col, "_t"])
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = counts.join(F.broadcast(tgt), group_col)
+    # feasibility scale: c = min_g n_g / t_g -> group g keeps c*t_g rows
+    c = j.agg(F.min(F.col("_n") / F.col("_t")).alias("_c"))
+    frac = (j.crossJoin(F.broadcast(c))
+            .withColumn("_f", F.least(F.lit(1.0),
+                                      F.col("_c") * F.col("_t")
+                                      / F.col("_n")))
+            .select(group_col, "_f"))
+    thresh = F.round(F.col("_f") * 1_000_000).cast("bigint")
+    return (df.join(F.broadcast(frac), group_col)
+            .filter(hash_bucket(key, 1_000_000, salt) < thresh)
+            .drop("_f"))
+
+
 def stratified_split(df: DataFrame, key: str, train_pct: int = 80,
                      val_pct: int = 10, salt: str | None = "split",
                      out: str = "split") -> DataFrame:

@@ -96,3 +96,29 @@ def test_weighted_sample_favors_heavy_rows(spark):
         + [Row(g="a", k=999, w=1e9)])
     rows = sampling.weighted_sample(df, ["g"], "k", "w", 5).collect()
     assert 999 in {r.k for r in rows}
+
+
+def test_mixture_sample_shares_and_binding_group(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [Row(g="a", k=i) for i in range(400)]
+        + [Row(g="b", k=1000 + i) for i in range(100)]
+        + [Row(g="c", k=2000 + i) for i in range(50)])
+    out = sampling.mixture_sample(df, "g", "k",
+                                  {"a": 0.5, "b": 0.5})
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by[r.g] = by.get(r.g, 0) + 1
+    assert "c" not in by            # untargeted group dropped
+    # binding group is b (100/0.5=200 < 400/0.5=800): kept whole
+    assert by["b"] == 100
+    # a thinned to ~c*t/n = 200*0.5/400 = 25% of 400 = ~100 (hash variance)
+    assert 70 <= by["a"] <= 130
+    # deterministic under repartitioning
+    again = sampling.mixture_sample(df.repartition(7), "g", "k",
+                                    {"a": 0.5, "b": 0.5}).collect()
+    assert sorted((r.g, r.k) for r in again) == sorted(
+        (r.g, r.k) for r in rows)
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(df, "g", "k", {})
