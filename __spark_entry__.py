@@ -673,6 +673,23 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_cube_report(spark, sf_dir):
+    """GROUP BY CUBE with grouping_id (§2.4 companion to rollup_ladder's
+    ROLLUP): order counts/value across every (status, priority) subset
+    combination in ONE scan — the cross-tab report form ROLLUP cannot
+    express; grouping_id disambiguates real nulls from subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 _r4(F.sum("o_totalprice")).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "gid", F.col("n").cast("bigint").alias("n"), "total"))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Explicit corpus mixture (operators/sampling.py:mixture_sample):
     documents down-sampled to a 40/30/30 en/zh/de mix — feasibility-scaled
@@ -1917,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "fuzzy_resolve": q_fuzzy_resolve,
         "mixture_sample": q_mixture_sample,
+        "cube_report": q_cube_report,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2662,6 +2680,15 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "cube_report": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "mixture_sample": """
             WITH t AS (SELECT lang, tgt::DOUBLE AS tgt
