@@ -673,6 +673,22 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_bitset_semi_join(spark, sf_dir):
+    """Broadcast-bitset semi join (operators/joins.py:
+    bitset_prune_semi_join — engine-level runtime bloom pruning): lineitems
+    of URGENT orders via a 128 KB bitset probed at the scan stage, exact
+    semi join on the survivors only; result identical to a plain semi
+    join (the oracle), shuffle carries probable matches only."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_orderkey").alias("l_orderkey")))
+    hits = joins.bitset_prune_semi_join(li, urgent, "l_orderkey")
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r4(F.sum("l_extendedprice")).alias("revenue")))
+
+
 def q_cube_report(spark, sf_dir):
     """GROUP BY CUBE with grouping_id (§2.4 companion to rollup_ladder's
     ROLLUP): order counts/value across every (status, priority) subset
@@ -1935,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_resolve": q_fuzzy_resolve,
         "mixture_sample": q_mixture_sample,
         "cube_report": q_cube_report,
+        "bitset_semi_join": q_bitset_semi_join,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2680,6 +2697,15 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "bitset_semi_join": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   round(sum(l_extendedprice), 4) AS revenue
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
         """,
         "cube_report": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -226,3 +226,42 @@ def geo_neighbor_pairs(df: DataFrame, id_col: str, lat_col: str = "lat",
             .withColumn("dist_km", dist)
             .filter(F.col("dist_km") <= F.lit(radius_km))
             .select("id_a", "id_b", "dist_km"))
+
+
+def bitset_prune_semi_join(big: DataFrame, small: DataFrame, key: str,
+                           num_bits: int = 1 << 20) -> DataFrame:
+    """Semi join with a broadcast-bitset pre-filter (the engine-level form
+    of runtime bloom pruning, which Spark only applies internally): the
+    small side's key hashes fold into a ``num_bits``-wide bitset —
+    ``num_bits/64`` longs via a bit_or partial agg — that broadcasts to
+    the big side's SCAN, where a row-local mask probe discards non-members
+    BEFORE the exact semi join.
+
+    Result is exactly ``big SEMI JOIN small ON key`` (the bitset is a
+    superset filter; the exact join removes false positives), but the
+    semi-join shuffle now carries only probable matches: with a 1%-
+    selective small side, 99% of the big side never leaves its scan
+    stage. Use when the small side's distinct keys are too many to
+    broadcast raw (a raw-key broadcast IS the degenerate bitset) yet
+    num_bits/8 bytes fit comfortably — 1M bits = 128 KB regardless of
+    key count; size num_bits ≥ ~10× distinct keys to keep false-positive
+    probing low.
+    """
+    m = num_bits
+
+    def _word_bit(col):
+        b = F.pmod(F.xxhash64(col), F.lit(m))
+        return F.shiftright(b, 6), F.pmod(b, F.lit(64)).cast("int")
+
+    sw, sb = _word_bit(F.col(key))
+    # DataFrame-API shiftleft/shiftright take a python-int shift only;
+    # the column-shift forms go through F.expr
+    bitset = (small.select(sw.alias("_word"), sb.alias("_bit"))
+              .groupBy("_word")
+              .agg(F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask")))
+    bw, bb = _word_bit(F.col(key))
+    probed = (big.withColumn("_word", bw).withColumn("_bit", bb)
+              .join(F.broadcast(bitset), "_word", "inner")
+              .filter(F.expr("(shiftright(_mask, _bit) & 1L) = 1L"))
+              .drop("_word", "_bit", "_mask"))
+    return probed.join(small.select(key).distinct(), key, "left_semi")

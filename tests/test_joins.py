@@ -230,3 +230,25 @@ def test_geo_neighbor_pairs_cross_cell_no_dups(spark):
     out = geo_neighbor_pairs(df, "sample_id", radius_km=5.0).collect()
     assert len(out) == 1
     assert out[0]["dist_km"] < 0.1
+
+
+def test_bitset_prune_semi_join_exact_and_pruning(spark):
+    """Result must equal a plain semi join for arbitrary keys (bitset is a
+    superset filter; the exact join removes false positives), including a
+    tiny bitset where collisions are guaranteed."""
+    from pyspark.sql import Row, functions as F
+    from glamr_omics_pipelines_spark.operators.joins import (
+        bitset_prune_semi_join)
+    big = spark.createDataFrame([Row(k=i, payload=f"p{i}")
+                                 for i in range(500)])
+    small = spark.createDataFrame([Row(k=i * 7) for i in range(30)])
+    expect = sorted(r.k for r in big.join(small, "k", "left_semi").collect())
+    for bits in (1 << 20, 256):   # 256 bits -> heavy collisions, still exact
+        got = sorted(r.k for r in
+                     bitset_prune_semi_join(big, small, "k", bits).collect())
+        assert got == expect, f"num_bits={bits}"
+    # pruning actually happens: with a selective small side the mask probe
+    # discards most rows before the exact join (superset, but not trivial)
+    pruned = bitset_prune_semi_join(big, small, "k", 1 << 20)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
