@@ -92,6 +92,10 @@ HEADLINE = [
     "incremental_agg",   # snapshot-grain mergeable rollup refresh
     "gaps_islands",      # consecutive-run detection (date - row_number)
     "group_percentiles", # exact percentile ladder, one array aggregate
+    "mixture_sample",    # explicit target-mixture downsample, md5 membership
+    "cube_report",       # CUBE cross-tab with grouping_id, one scan
+    "bitset_semi_join",  # broadcast-bitset scan-stage pruning + exact semi
+    "fuzzy_resolve",     # canonical typo resolution, broadcast variants
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs
