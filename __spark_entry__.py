@@ -1939,6 +1939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         # --- banked in rounds 1-3 (green driver CORRECTNESS rows) or added
         # --- after the 50-entry window filled. tools/check.py covers them.
+        # --- ROUND-5 NOTE: once CORRECTNESS_r04 banks the window above,
+        # --- rotate the round-4 additions below (interval_merge ...
+        # --- bitset_semi_join) into the first-50 window in its place.
         "interval_merge": q_interval_merge,
         "genome_coverage": q_genome_coverage,
         "nearest_feature": q_nearest_feature,
