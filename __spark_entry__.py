@@ -673,6 +673,24 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order→brand baskets
+    (operators/graph.py:association_rules): directed A→B with
+    support/confidence/lift — pair counts from the co-occurrence core
+    (within-basket fan-out, mega-group guarded), supports broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+               .select(F.col("l_orderkey").alias("basket"),
+                       F.col("p_brand").alias("item")))
+    out = graph.association_rules(baskets, "basket", "item",
+                                  min_pair_count=5)
+    return out.select("antecedent", "consequent", "pair_count",
+                      _r4("support").alias("support"),
+                      _r4("confidence").alias("confidence"),
+                      _r4("lift").alias("lift"))
+
+
 def q_bitset_semi_join(spark, sf_dir):
     """Broadcast-bitset semi join (operators/joins.py:
     bitset_prune_semi_join — engine-level runtime bloom pruning): lineitems
@@ -1955,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "cube_report": q_cube_report,
         "bitset_semi_join": q_bitset_semi_join,
+        "basket_rules": q_basket_rules,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2700,6 +2719,29 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "basket_rules": """
+            WITH bk AS (SELECT DISTINCT l_orderkey AS basket,
+                               p.p_brand AS item
+                        FROM lineitem l JOIN part p
+                          ON l.l_partkey = p.p_partkey),
+            pairs AS (SELECT a.item AS antecedent, b.item AS consequent,
+                             count(*)::DOUBLE AS w
+                      FROM bk a JOIN bk b
+                        ON a.basket = b.basket AND a.item != b.item
+                      GROUP BY 1, 2
+                      HAVING count(*) >= 5),
+            items AS (SELECT item, count(*)::DOUBLE AS cnt
+                      FROM bk GROUP BY item),
+            tot AS (SELECT count(DISTINCT basket)::DOUBLE AS n FROM bk)
+            SELECT p.antecedent, p.consequent, p.w::BIGINT AS pair_count,
+                   round(p.w / t.n, 4) AS support,
+                   round(p.w / a.cnt, 4) AS confidence,
+                   round(p.w * t.n / (a.cnt * b.cnt), 4) AS lift
+            FROM pairs p
+            JOIN items a ON a.item = p.antecedent
+            JOIN items b ON b.item = p.consequent
+            CROSS JOIN tot t
         """,
         "bitset_semi_join": """
             SELECT l_returnflag, count(*)::BIGINT AS n,

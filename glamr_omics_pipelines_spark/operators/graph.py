@@ -137,3 +137,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .localCheckpoint(eager=True))
         prev.unpersist()
     return ranks
+
+
+def association_rules(df: DataFrame, group_col: str, item_col: str,
+                      min_pair_count: int = 5,
+                      max_group_size: int | None = None) -> DataFrame:
+    """Market-basket association rules A→B over (basket, item) rows:
+    support = P(A∧B), confidence = P(B|A), lift = P(A∧B)/(P(A)·P(B)) —
+    the co-purchase/co-annotation rule miner, directed (A→B and B→A get
+    separate confidences).
+
+    Reuses :func:`cooccurrence_edges` for the pair counts (groups
+    containing both items — same dedup + mega-group guard), so the
+    expensive part is one within-group pair fan-out; item supports and the
+    basket total are broadcast one-row/dimension aggregates. min_pair_count
+    prunes the rule set BEFORE the probability arithmetic.
+    """
+    pairs = cooccurrence_edges(df, group_col, item_col,
+                               max_group_size=max_group_size)
+    pairs = pairs.filter(F.col("weight") >= min_pair_count)
+    baskets = df.select(group_col, item_col).distinct()
+    item_n = (baskets.groupBy(item_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("_cnt")))
+    total = F.broadcast(
+        baskets.select(group_col).distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_n")))
+    a_n = F.broadcast(item_n.select(F.col(item_col).alias("src"),
+                                    F.col("_cnt").alias("_ca")))
+    b_n = F.broadcast(item_n.select(F.col(item_col).alias("dst"),
+                                    F.col("_cnt").alias("_cb")))
+    return (pairs.join(a_n, "src").join(b_n, "dst").crossJoin(total)
+            .select(F.col("src").alias("antecedent"),
+                    F.col("dst").alias("consequent"),
+                    F.col("weight").cast("long").alias("pair_count"),
+                    (F.col("weight") / F.col("_n")).alias("support"),
+                    (F.col("weight") / F.col("_ca")).alias("confidence"),
+                    (F.col("weight") * F.col("_n")
+                     / (F.col("_ca") * F.col("_cb"))).alias("lift")))

@@ -69,3 +69,26 @@ def test_pagerank_weight_bias(spark):
                        ("b", "a", 1), ("c", "a", 1)])
     out = {r.node: r.rank for r in graph.pagerank(e, iterations=10).collect()}
     assert out["b"] > out["c"]
+
+
+def test_association_rules_hand_computed(spark):
+    from pyspark.sql import Row
+    # 4 baskets: {a,b} x3, {a} x1 -> rule a->b: supp 3/4, conf 3/4, lift 1
+    rows = []
+    for i in range(3):
+        rows += [Row(g=i, item="a"), Row(g=i, item="b")]
+    rows += [Row(g=99, item="a")]
+    df = spark.createDataFrame(rows)
+    out = {(r.antecedent, r.consequent): r
+           for r in graph.association_rules(df, "g", "item",
+                                            min_pair_count=1).collect()}
+    ab = out[("a", "b")]
+    assert ab.pair_count == 3
+    assert math.isclose(ab.support, 0.75, rel_tol=1e-12)
+    assert math.isclose(ab.confidence, 0.75, rel_tol=1e-12)  # 3 of 4 a-baskets
+    assert math.isclose(ab.lift, (3 * 4) / (4 * 3), rel_tol=1e-12)  # 1.0
+    ba = out[("b", "a")]
+    assert math.isclose(ba.confidence, 1.0, rel_tol=1e-12)  # every b has a
+    # min_pair_count prunes
+    assert graph.association_rules(df, "g", "item",
+                                   min_pair_count=4).count() == 0
