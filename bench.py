@@ -96,6 +96,7 @@ HEADLINE = [
     "cube_report",       # CUBE cross-tab with grouping_id, one scan
     "bitset_semi_join",  # broadcast-bitset scan-stage pruning + exact semi
     "fuzzy_resolve",     # canonical typo resolution, broadcast variants
+    "basket_rules",      # association rules on the co-occurrence core
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs
