@@ -328,3 +328,19 @@ def test_chunk_tokens_exact_cover_when_stride_equals_size(spark, toks, size):
     rebuilt = " ".join(r.chunk_text for r in out)
     assert rebuilt == " ".join(toks)
     assert sum(r.n_tokens for r in out) == len(toks)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=40, unique=True),
+       st.lists(st.integers(0, 300), min_size=0, max_size=20, unique=True))
+def test_bitset_semi_join_equals_plain_semi(spark, big_keys, small_keys):
+    from glamr_omics_pipelines_spark.operators.joins import (
+        bitset_prune_semi_join)
+    big = spark.createDataFrame([(k,) for k in big_keys], "k long")
+    small = spark.createDataFrame([(k,) for k in small_keys] or [(None,)],
+                                  "k long")
+    small = small.filter(F.col("k").isNotNull())
+    expect = sorted(r.k for r in big.join(small, "k", "left_semi").collect())
+    got = sorted(r.k for r in
+                 bitset_prune_semi_join(big, small, "k", 512).collect())
+    assert got == expect
