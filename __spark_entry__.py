@@ -673,6 +673,23 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across groups (operators/abundance.py:
+    quantile_normalize — the microarray/RNA-seq batch normalizer the
+    reference's abundance tables feed into): per-group rank window +
+    rank-grain cross-group means; id tiebreak keeps row-level output
+    engine-reproducible."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 50 == 0))
+    d = li.select(F.col("l_returnflag").alias("grp"),
+                  (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+                  .alias("id"),
+                  F.col("l_quantity").cast("double").alias("v"))
+    out = abundance.quantile_normalize(d, "grp", "v", "id")
+    return out.select("grp", "id", _r4("v").alias("v"),
+                      _r4("qnorm").alias("qnorm"))
+
+
 def q_basket_rules(spark, sf_dir):
     """Market-basket association rules over order→brand baskets
     (operators/graph.py:association_rules): directed A→B with
@@ -1974,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_report": q_cube_report,
         "bitset_semi_join": q_bitset_semi_join,
         "basket_rules": q_basket_rules,
+        "quantile_normalize": q_quantile_normalize,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2719,6 +2737,20 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "quantile_normalize": """
+            WITH d AS (SELECT l_returnflag AS grp,
+                              l_orderkey * 8 + l_linenumber AS id,
+                              CAST(l_quantity AS DOUBLE) AS v
+                       FROM lineitem WHERE l_orderkey % 50 = 0),
+            r AS (SELECT grp, id, v,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY v, id) AS rk
+                  FROM d),
+            m AS (SELECT rk, avg(v) AS qm FROM r GROUP BY rk)
+            SELECT r.grp, r.id, round(r.v, 4) AS v,
+                   round(m.qm, 4) AS qnorm
+            FROM r JOIN m USING (rk)
         """,
         "basket_rules": """
             WITH bk AS (SELECT DISTINCT l_orderkey AS basket,

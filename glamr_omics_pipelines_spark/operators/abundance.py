@@ -153,3 +153,24 @@ def mad_outliers(df: DataFrame, group_cols: list[str], value_col: str,
            .agg(F.expr("percentile(abs_dev, 0.5d)").alias("mad")))
     return (d.join(F.broadcast(mad), group_cols)
             .withColumn("is_outlier", F.col("abs_dev") > F.lit(k) * F.col("mad")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, out: str = "qnorm") -> DataFrame:
+    """Quantile normalization across groups (the microarray/RNA-seq batch
+    normalizer: force every sample's value distribution onto the common
+    per-rank mean). Each row's value is replaced by the mean, across all
+    groups, of the value at its within-group rank.
+
+    Determinism: ranks tie-break on ``id_col`` (classic QN's tie-mean
+    refinement changes only tied rows' split of the same mass; the id
+    tiebreak keeps row-level output engine-reproducible). Unequal group
+    sizes: ranks past a group's size simply average over the groups that
+    reach them. Scale: one rank window per group + a rank-grain mean
+    (ranks ≤ max group size — broadcast when groups are sample-sized) —
+    never a group × group join.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    means = ranked.groupBy("_rk").agg(F.avg(value_col).alias(out))
+    return ranked.join(means, "_rk").drop("_rk")

@@ -76,3 +76,37 @@ def test_coverage_stats_quantile_close_to_rank(spark):
     plan = A.coverage_stats_quantile(df, "contig") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_quantile_normalize_equal_groups_identical_distributions(spark):
+    """After QN, every group carries the SAME value multiset (the defining
+    property), and values are the per-rank cross-group means."""
+    from pyspark.sql import Row
+    from glamr_omics_pipelines_spark.operators.abundance import (
+        quantile_normalize)
+    df = spark.createDataFrame(
+        [Row(g="a", id=1, v=1.0), Row(g="a", id=2, v=5.0),
+         Row(g="a", id=3, v=9.0),
+         Row(g="b", id=4, v=2.0), Row(g="b", id=5, v=4.0),
+         Row(g="b", id=6, v=12.0)])
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.qnorm)
+    assert sorted(by_g["a"]) == sorted(by_g["b"]) == [1.5, 4.5, 10.5]
+    # lowest-ranked rows of each group map to the rank-1 mean
+    lows = {r.id: r.qnorm for r in out}
+    assert lows[1] == lows[4] == 1.5
+
+
+def test_quantile_normalize_unequal_groups_tail_ranks(spark):
+    from pyspark.sql import Row
+    from glamr_omics_pipelines_spark.operators.abundance import (
+        quantile_normalize)
+    df = spark.createDataFrame(
+        [Row(g="a", id=1, v=1.0), Row(g="a", id=2, v=3.0),
+         Row(g="b", id=3, v=2.0)])
+    out = {r.id: r.qnorm
+           for r in quantile_normalize(df, "g", "v", "id").collect()}
+    assert out[1] == 1.5 and out[3] == 1.5   # rank 1 mean of (1, 2)
+    assert out[2] == 3.0                     # rank 2: only group a reaches it
