@@ -673,6 +673,25 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_clr_transform(spark, sf_dir):
+    """Centered log-ratio transform (operators/abundance.py:clr_transform,
+    the Aitchison compositional normalization microbiome abundance tables
+    need): sample-grain mean-of-logs broadcast + row-local subtract."""
+    counts = _taxon_counts(spark, sf_dir)
+    out = abundance.clr_transform(counts, "sample", "cnt")
+    return out.select("sample", "taxon", _r4("clr").alias("clr"))
+
+
+def q_deseq_size_factors(spark, sf_dir):
+    """DESeq2 median-of-ratios size factors (operators/abundance.py:
+    deseq_size_factors): taxon-grain geometric means (all-sample taxa
+    only) broadcast back; per-sample exact median ratio — the depth
+    normalizer for the reference's count tables."""
+    counts = _taxon_counts(spark, sf_dir)
+    out = abundance.deseq_size_factors(counts, "sample", "taxon", "cnt")
+    return out.select("sample", _r4("size_factor").alias("size_factor"))
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Quantile normalization across groups (operators/abundance.py:
     quantile_normalize — the microarray/RNA-seq batch normalizer the
@@ -1992,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitset_semi_join": q_bitset_semi_join,
         "basket_rules": q_basket_rules,
         "quantile_normalize": q_quantile_normalize,
+        "clr_transform": q_clr_transform,
+        "deseq_size_factors": q_deseq_size_factors,
         "weighted_sample": q_weighted_sample,
         "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
@@ -2737,6 +2758,28 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "clr_transform": """
+            WITH c AS (SELECT l_returnflag AS sample, l_partkey AS taxon,
+                              CAST(sum(l_quantity) AS DOUBLE) AS cnt
+                       FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT sample, avg(ln(cnt)) AS mlog
+                  FROM c WHERE cnt > 0 GROUP BY 1)
+            SELECT c.sample, c.taxon, round(ln(cnt) - m.mlog, 4) AS clr
+            FROM c JOIN m USING (sample) WHERE c.cnt > 0
+        """,
+        "deseq_size_factors": """
+            WITH c AS (SELECT l_returnflag AS sample, l_partkey AS taxon,
+                              CAST(sum(l_quantity) AS DOUBLE) AS cnt
+                       FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT count(DISTINCT sample)::BIGINT AS ns FROM c),
+            g AS (SELECT taxon, count(*) AS n, exp(avg(ln(cnt))) AS gm
+                  FROM c WHERE cnt > 0 GROUP BY taxon),
+            p AS (SELECT g.taxon, g.gm FROM g, tot WHERE g.n = tot.ns)
+            SELECT c.sample,
+                   round(quantile_cont(c.cnt / p.gm, 0.5), 4) AS size_factor
+            FROM c JOIN p USING (taxon)
+            GROUP BY c.sample
         """,
         "quantile_normalize": """
             WITH d AS (SELECT l_returnflag AS grp,

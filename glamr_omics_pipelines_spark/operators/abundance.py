@@ -174,3 +174,50 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     ranked = df.withColumn("_rk", F.row_number().over(w))
     means = ranked.groupBy("_rk").agg(F.avg(value_col).alias(out))
     return ranked.join(means, "_rk").drop("_rk")
+
+
+def clr_transform(df: DataFrame, sample_col: str, count_col: str,
+                  out: str = "clr") -> DataFrame:
+    """Centered log-ratio transform per sample: clr(xᵢ) = ln(xᵢ) − mean ln(x)
+    over the sample's components — the compositional-data normalization
+    (Aitchison; ALDEx2/microbiome standard) that makes relative-abundance
+    tables comparable across samples. Zero/negative counts are excluded
+    (callers add pseudocounts upstream when they want them kept).
+
+    One sample-grain mean-of-logs (broadcast back) + a row-local subtract.
+    """
+    d = df.filter(F.col(count_col) > 0)
+    m = d.groupBy(sample_col).agg(F.avg(F.log(count_col)).alias("_mlog"))
+    return (d.join(F.broadcast(m), sample_col)
+            .withColumn(out, F.log(count_col) - F.col("_mlog"))
+            .drop("_mlog"))
+
+
+def deseq_size_factors(df: DataFrame, sample_col: str, taxon_col: str,
+                       count_col: str) -> DataFrame:
+    """DESeq2 median-of-ratios size factors: per taxon, the geometric mean
+    of its counts across samples (taxa with any zero drop out, as DESeq2
+    does); per sample, the MEDIAN of count/geomean ratios is its size
+    factor — the sequencing-depth normalizer for count tables.
+
+    Two narrow aggregates: a taxon-grain exp(mean(ln)) (partial-agg
+    friendly) broadcast back, then a sample-grain exact median
+    (interpolated ``percentile`` — same definition as the SQL oracle's
+    quantile_cont).
+    """
+    d = df.groupBy(sample_col, taxon_col).agg(F.sum(count_col).alias("_c"))
+    # sample count enters as a broadcast one-row aggregate, not a driver
+    # collect — the whole factor computation stays one lazy plan
+    n_samples = F.broadcast(d.select(sample_col).distinct()
+                            .agg(F.count(F.lit(1)).alias("_tot")))
+    present = (d.filter(F.col("_c") > 0)
+               .groupBy(taxon_col)
+               .agg(F.count(F.lit(1)).alias("_ns"),
+                    F.exp(F.avg(F.log("_c"))).alias("_gm"))
+               .crossJoin(n_samples)
+               .filter(F.col("_ns") == F.col("_tot"))
+               .select(taxon_col, "_gm"))
+    ratios = (d.join(F.broadcast(present), taxon_col)
+              .withColumn("_ratio", F.col("_c") / F.col("_gm")))
+    return (ratios.groupBy(sample_col)
+            .agg(F.expr("percentile(_ratio, 0.5d)").alias("size_factor")))

@@ -110,3 +110,58 @@ def test_quantile_normalize_unequal_groups_tail_ranks(spark):
            for r in quantile_normalize(df, "g", "v", "id").collect()}
     assert out[1] == 1.5 and out[3] == 1.5   # rank 1 mean of (1, 2)
     assert out[2] == 3.0                     # rank 2: only group a reaches it
+
+
+def test_clr_transform_zero_mean_per_sample(spark):
+    """Defining property: clr values sum to 0 within each sample; zero
+    counts are excluded."""
+    import math
+    from pyspark.sql import Row
+    from glamr_omics_pipelines_spark.operators.abundance import clr_transform
+    df = spark.createDataFrame(
+        [Row(s="a", t=1, c=1.0), Row(s="a", t=2, c=10.0),
+         Row(s="a", t=3, c=100.0), Row(s="a", t=4, c=0.0),
+         Row(s="b", t=1, c=5.0), Row(s="b", t=2, c=5.0)])
+    out = clr_transform(df, "s", "c").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.s, []).append(r.clr)
+    assert abs(sum(by["a"])) < 1e-12 and len(by["a"]) == 3  # zero dropped
+    assert by["b"] == [0.0, 0.0]  # equal parts -> clr 0
+    # a's clr of the middle taxon: ln(10) - mean(ln 1, ln 10, ln 100) = 0
+    mid = [r.clr for r in out if r.s == "a" and r.t == 2][0]
+    assert abs(mid) < 1e-12
+
+
+def test_deseq_size_factors_scale_recovery(spark):
+    """Samples that are exact scalar multiples of a base profile must get
+    size factors proportional to their scales (the DESeq2 guarantee)."""
+    import math
+    from pyspark.sql import Row
+    from glamr_omics_pipelines_spark.operators.abundance import (
+        deseq_size_factors)
+    base = {1: 10.0, 2: 20.0, 3: 40.0}
+    rows = []
+    for s, scale in (("a", 1.0), ("b", 2.0), ("c", 0.5)):
+        rows += [Row(s=s, t=t, c=v * scale) for t, v in base.items()]
+    df = spark.createDataFrame(rows)
+    out = {r.s: r.size_factor
+           for r in deseq_size_factors(df, "s", "t", "c").collect()}
+    assert math.isclose(out["b"] / out["a"], 2.0, rel_tol=1e-9)
+    assert math.isclose(out["c"] / out["a"], 0.5, rel_tol=1e-9)
+
+
+def test_deseq_size_factors_zero_taxon_excluded(spark):
+    from pyspark.sql import Row
+    from glamr_omics_pipelines_spark.operators.abundance import (
+        deseq_size_factors)
+    df = spark.createDataFrame(
+        [Row(s="a", t=1, c=10.0), Row(s="a", t=2, c=0.0),
+         Row(s="b", t=1, c=10.0), Row(s="b", t=2, c=99.0)])
+    out = {r.s: r.size_factor
+           for r in deseq_size_factors(df, "s", "t", "c").collect()}
+    # taxon 2 has a zero in sample a -> excluded; only taxon 1 contributes
+    # (exp(avg(ln)) round-trip leaves an ulp; compare with tolerance)
+    import math as _m
+    assert _m.isclose(out["a"], 1.0, rel_tol=1e-12)
+    assert _m.isclose(out["b"], 1.0, rel_tol=1e-12)
