@@ -97,6 +97,9 @@ HEADLINE = [
     "bitset_semi_join",  # broadcast-bitset scan-stage pruning + exact semi
     "fuzzy_resolve",     # canonical typo resolution, broadcast variants
     "basket_rules",      # association rules on the co-occurrence core
+    "quantile_normalize", # per-group rank window + rank-grain means
+    "clr_transform",     # compositional normalization, broadcast mean-logs
+    "deseq_size_factors", # median-of-ratios depth normalizer
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs
