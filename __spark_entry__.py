@@ -20,7 +20,7 @@ from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
 from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
-from glamr_omics_pipelines_spark.operators import validate
+from glamr_omics_pipelines_spark.operators import layout, validate
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -671,6 +671,22 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     out = entity.fuzzy_pairs_edit1(sup, "sid", "name")
     return out.select("id_a", "id_b", "text_a", "text_b",
                       F.col("dist").cast("int").alias("dist"))
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.py:zorder_key):
+    bit-interleaved (partkey, suppkey) — the codegen'd Column expression
+    compact_zorder sorts files by so parquet min/max skipping works on
+    BOTH filter columns; oracle is the identical shift/mask algebra."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 100 == 0)
+          .withColumn("x", F.col("l_partkey") % 1024)
+          .withColumn("y", F.col("l_suppkey") % 1024))
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        layout.zorder_key(["x", "y"], bits=10).alias("zkey"))
 
 
 def q_clr_transform(spark, sf_dir):
@@ -2011,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitset_semi_join": q_bitset_semi_join,
         "basket_rules": q_basket_rules,
         "quantile_normalize": q_quantile_normalize,
+        "zorder_key": q_zorder_key,
         "clr_transform": q_clr_transform,
         "deseq_size_factors": q_deseq_size_factors,
         "weighted_sample": q_weighted_sample,
@@ -2241,6 +2258,23 @@ def _lsh_ann_sql(num_planes: int = 8, dim: int = 64, seed: int = 42,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+def _zorder_sql(bits: int = 10) -> str:
+    """The Morton interleave unrolled to shift/mask terms — identical
+    algebra to operators/layout.py:zorder_key for 2 columns."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+            WITH d AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+                              (l_partkey % 1024)::BIGINT AS x,
+                              (l_suppkey % 1024)::BIGINT AS y
+                       FROM lineitem WHERE l_orderkey % 100 = 0)
+            SELECT id, x, y, ({z})::BIGINT AS zkey FROM d
+        """
 
 
 def _pagerank_sql(iters: int = 10) -> str:
@@ -2759,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
         """,
+        "zorder_key": _zorder_sql(10),
         "clr_transform": """
             WITH c AS (SELECT l_returnflag AS sample, l_partkey AS taxon,
                               CAST(sum(l_quantity) AS DOUBLE) AS cnt
