@@ -20,7 +20,7 @@ from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
 from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
-from glamr_omics_pipelines_spark.operators import layout, validate
+from glamr_omics_pipelines_spark.operators import layout, stats, validate
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -671,6 +671,34 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     out = entity.fuzzy_pairs_edit1(sup, "sid", "name")
     return out.select("id_a", "id_b", "text_a", "text_b",
                       F.col("dist").cast("int").alias("dist"))
+
+
+def q_rank_sum_test(spark, sf_dir):
+    """Per-feature Wilcoxon rank-sum (operators/stats.py:rank_sum_test —
+    the differential-abundance test run on exactly the reference's
+    taxon-count tables): midrank windows partitioned BY FEATURE, so a
+    million taxa test in parallel; U + normal-approx z per feature."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select((F.col("l_partkey") % 100).alias("taxon"),
+                  F.col("l_returnflag").alias("grp"),
+                  F.col("l_quantity").cast("double").alias("v"))
+    out = stats.rank_sum_test(d, "taxon", "grp", "v", "A", "R")
+    return out.select("taxon", "n1", "n2", _r4("u_stat").alias("u_stat"),
+                      _r4("z_score").alias("z_score"))
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR adjustment (operators/stats.py:bh_adjust)
+    over empirical p-values (percent_rank of error-event magnitudes) —
+    the multiple-testing correction every differential table reports;
+    feature-grain global windows (documented metadata-scale)."""
+    ev = (_events(spark, sf_dir).filter(F.col("event_type") == "error")
+          .select("event_id", "value"))
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    withp = ev.withColumn("p", F.percent_rank().over(w))
+    out = stats.bh_adjust(withp, "p", "event_id")
+    return out.select("event_id", _r4("p").alias("p"),
+                      _r4("p_adj").alias("p_adj"))
 
 
 def q_zorder_key(spark, sf_dir):
@@ -2028,6 +2056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "quantile_normalize": q_quantile_normalize,
         "zorder_key": q_zorder_key,
+        "rank_sum_test": q_rank_sum_test,
+        "bh_fdr": q_bh_fdr,
         "clr_transform": q_clr_transform,
         "deseq_size_factors": q_deseq_size_factors,
         "weighted_sample": q_weighted_sample,
@@ -2792,6 +2822,51 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "rank_sum_test": """
+            WITH d AS (SELECT l_partkey % 100 AS taxon,
+                              l_returnflag AS grp,
+                              CAST(l_quantity AS DOUBLE) AS v
+                       FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+            r AS (SELECT taxon, grp, v,
+                         rank() OVER (PARTITION BY taxon ORDER BY v) AS rk,
+                         count(*) OVER (PARTITION BY taxon, v) AS ne
+                  FROM d),
+            m AS (SELECT taxon, grp, rk + (ne - 1) / 2.0 AS mid FROM r),
+            a AS (SELECT taxon,
+                         sum(CASE WHEN grp = 'A' THEN mid END) AS r1,
+                         sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)::DOUBLE
+                           AS n1,
+                         sum(CASE WHEN grp <> 'A' THEN 1 ELSE 0 END)::DOUBLE
+                           AS n2
+                  FROM m GROUP BY taxon)
+            SELECT taxon::BIGINT AS taxon, n1::BIGINT AS n1,
+                   n2::BIGINT AS n2,
+                   round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+                   CASE WHEN n1 > 0 AND n2 > 0 THEN
+                     round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                           / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4)
+                   END AS z_score
+            FROM a
+        """,
+        "bh_fdr": """
+            WITH e AS (SELECT event_id, value FROM events
+                       WHERE event_type = 'error'),
+            p AS (SELECT event_id,
+                         percent_rank() OVER (ORDER BY value, event_id) AS p
+                  FROM e),
+            r AS (SELECT event_id, p,
+                         row_number() OVER (ORDER BY p, event_id) AS rk,
+                         count(*) OVER () AS n
+                  FROM p),
+            adj AS (SELECT event_id, p,
+                           min(p * n / rk) OVER (ORDER BY rk DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pa
+                    FROM r)
+            SELECT event_id, round(p, 4) AS p,
+                   round(least(1.0, pa), 4) AS p_adj
+            FROM adj
         """,
         "zorder_key": _zorder_sql(10),
         "clr_transform": """

@@ -1,0 +1,80 @@
+"""Statistical testing operators: rank-sum tests + multiple-testing FDR.
+
+The reference's downstream analyses are exactly this shape — differential
+abundance between sample groups over the warehouse's taxon-count tables
+(the metacoder/ALDEx2 companion analyses of its R layer). Spark-first:
+
+  - rank_sum_test: Mann-Whitney/Wilcoxon U per feature between two groups,
+    with midranks for ties and the normal-approximation z statistic —
+    rank windows partitioned BY FEATURE, so a million taxa test in
+    parallel with one shuffle (no per-taxon driver loop).
+  - bh_adjust: Benjamini-Hochberg FDR-adjusted p-values — the post-test
+    correction every differential-abundance table reports. The reverse
+    running-min needs a total order over the p-value table, which is
+    FEATURE-grain (taxa, genes), not fact-grain — the same documented
+    metadata-scale contract as windows.sequential_ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_sum_test(df: DataFrame, feature_col: str, group_col: str,
+                  value_col: str, group_a, group_b) -> DataFrame:
+    """Per-feature two-sample Wilcoxon rank-sum: U statistic for
+    ``group_a`` vs ``group_b`` and the tie-uncorrected normal-approximation
+    z score (features with an empty side yield null z).
+
+    Midranks: tied values share the average of their occupied rank
+    positions (the standard treatment), computed as
+    ``rank() + (n_equal − 1)/2`` — two windows on the SAME
+    (feature, value) ordering, one exchange total.
+    """
+    d = df.filter(F.col(group_col).isin([group_a, group_b]))
+    w_rank = Window.partitionBy(feature_col).orderBy(value_col)
+    w_tie = Window.partitionBy(feature_col, value_col)
+    mid = (F.rank().over(w_rank)
+           + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0)
+    ranked = d.withColumn("_mid", mid)
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("int")
+    agg = (ranked.groupBy(feature_col)
+           .agg(F.sum(F.when(F.col(group_col) == F.lit(group_a),
+                             F.col("_mid"))).alias("_r1"),
+                F.sum(is_a).cast("double").alias("n1"),
+                F.sum(1 - is_a).cast("double").alias("n2")))
+    u = F.col("_r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(F.col("n1") * F.col("n2")
+                   * (F.col("n1") + F.col("n2") + 1) / 12.0)
+    z = F.when(sigma > 0, (u - mu) / sigma)
+    return (agg.withColumn("u_stat", u).withColumn("z_score", z)
+            .select(feature_col, F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    "u_stat", "z_score"))
+
+
+def bh_adjust(df: DataFrame, p_col: str, id_col: str,
+              out: str = "p_adj") -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment:
+    ``p_adj(i) = min(1, min_{j ≥ i} p(j)·n/j)`` over p-values sorted
+    ascending (ties ordered by ``id_col`` for determinism; tied p-values
+    get identical adjusted values regardless, since p·n/j is evaluated at
+    each position and the reverse min smooths it).
+
+    Global ordered windows — feature-grain input (one p per taxon/gene),
+    the documented metadata-scale contract; n enters via a count window,
+    not a driver collect.
+    """
+    w_ord = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy()
+    ranked = (df.withColumn("_rk", F.row_number().over(w_ord))
+              .withColumn("_n", F.count(F.lit(1)).over(w_all)))
+    raw = F.col(p_col) * F.col("_n") / F.col("_rk")
+    w_tail = (Window.orderBy(F.col("_rk").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    return (ranked.withColumn("_raw", raw)
+            .withColumn(out, F.least(F.lit(1.0),
+                                     F.min("_raw").over(w_tail)))
+            .drop("_rk", "_n", "_raw"))
