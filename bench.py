@@ -100,6 +100,8 @@ HEADLINE = [
     "quantile_normalize", # per-group rank window + rank-grain means
     "clr_transform",     # compositional normalization, broadcast mean-logs
     "deseq_size_factors", # median-of-ratios depth normalizer
+    "rank_sum_test",     # feature-parallel Wilcoxon U + z
+    "zorder_key",        # codegen Morton interleave, scan-stage
     "scd2_history",      # SCD2 run compression (one key window + groupBy)
     "event_transitions", # Markov bigram matrix via lead window
     "chunk_documents",   # sliding-window token chunking, row-local HOFs
