@@ -294,3 +294,29 @@ def test_pagerank_iteration_reuses_edge_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         rated.unpersist()
+
+
+def test_zorder_key_is_scan_stage(spark):
+    """The Morton key is a pure codegen expression: no shuffle, no Python,
+    no window in the plan."""
+    plan = _plan(spark, "zorder_key")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rank_sum_feature_parallel(spark):
+    """Midrank + tie windows must both partition on the feature key —
+    a global window here would serialize a million-taxon test."""
+    plan = _plan(spark, "rank_sum_test")
+    # no single-partition exchange: every Exchange carries the taxon key
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_normalization_trio_broadcast_not_shuffle(spark):
+    """CLR/DESeq attach their group-grain statistics via broadcast joins;
+    the fact table must not hash-shuffle for the attach."""
+    for q in ["clr_transform", "deseq_size_factors"]:
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
