@@ -673,6 +673,26 @@ def q_fuzzy_name_pairs(spark, sf_dir):
                       F.col("dist").cast("int").alias("dist"))
 
 
+def q_enrichment_2x2(spark, sf_dir):
+    """Annotation-enrichment contingency tables (operators/stats.py:
+    enrichment_2x2 — which brands are over-represented in URGENT orders,
+    the KEGG-term-in-good-bins shape): membership dedup + group-flag
+    broadcast + one feature-grain aggregate; odds ratio + fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    membership = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                  .select(F.col("l_orderkey").alias("grp"),
+                          F.col("p_brand").alias("term")))
+    flags = o.select(F.col("o_orderkey").alias("grp"),
+                     (F.col("o_orderpriority") == "1-URGENT")
+                     .alias("flagged"))
+    out = stats.enrichment_2x2(membership, flags, "grp", "term")
+    return out.select("term", "n11", "n10", "n01", "n00",
+                      _r4("odds_ratio").alias("odds_ratio"),
+                      _r4("fold_enrichment").alias("fold_enrichment"))
+
+
 def q_rank_sum_test(spark, sf_dir):
     """Per-feature Wilcoxon rank-sum (operators/stats.py:rank_sum_test —
     the differential-abundance test run on exactly the reference's
@@ -2057,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "zorder_key": q_zorder_key,
         "rank_sum_test": q_rank_sum_test,
+        "enrichment_2x2": q_enrichment_2x2,
         "bh_fdr": q_bh_fdr,
         "clr_transform": q_clr_transform,
         "deseq_size_factors": q_deseq_size_factors,
@@ -2822,6 +2843,36 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.s_name, b.s_name)::INT AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
+        """,
+        "enrichment_2x2": """
+            WITH m AS (SELECT DISTINCT l.l_orderkey AS grp,
+                              p.p_brand AS term
+                       FROM lineitem l JOIN part p
+                         ON l.l_partkey = p.p_partkey),
+            fl AS (SELECT o_orderkey AS grp,
+                          o_orderpriority = '1-URGENT' AS flag
+                   FROM orders),
+            tot AS (SELECT count(*)::DOUBLE AS ng,
+                           sum(CASE WHEN flag THEN 1 ELSE 0 END)::DOUBLE
+                             AS nf
+                    FROM fl),
+            per AS (SELECT m.term,
+                           sum(CASE WHEN fl.flag THEN 1 ELSE 0 END)::DOUBLE
+                             AS k,
+                           count(*)::DOUBLE AS mm
+                    FROM m JOIN fl USING (grp)
+                    GROUP BY m.term)
+            SELECT term,
+                   k::BIGINT AS n11,
+                   (nf - k)::BIGINT AS n10,
+                   (mm - k)::BIGINT AS n01,
+                   (ng - nf - mm + k)::BIGINT AS n00,
+                   CASE WHEN (nf - k) * (mm - k) > 0 THEN
+                     round(k * (ng - nf - mm + k)
+                           / ((nf - k) * (mm - k)), 4) END AS odds_ratio,
+                   CASE WHEN nf > 0 AND mm > 0 THEN
+                     round((k / nf) / (mm / ng), 4) END AS fold_enrichment
+            FROM per CROSS JOIN tot
         """,
         "rank_sum_test": """
             WITH d AS (SELECT l_partkey % 100 AS taxon,

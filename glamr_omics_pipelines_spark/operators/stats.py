@@ -78,3 +78,52 @@ def bh_adjust(df: DataFrame, p_col: str, id_col: str,
             .withColumn(out, F.least(F.lit(1.0),
                                      F.min("_raw").over(w_tail)))
             .drop("_rk", "_n", "_raw"))
+
+
+def enrichment_2x2(membership: DataFrame, flags: DataFrame,
+                   group_col: str, feature_col: str,
+                   flag_col: str = "flagged") -> DataFrame:
+    """Per-feature 2×2 enrichment contingency tables: given group→feature
+    membership pairs and a boolean flag per group (the "interesting set"),
+    emit n11/n10/n01/n00, the odds ratio, and the fold enrichment — the
+    annotation-enrichment shape (which KEGG terms are over-represented in
+    high-quality bins) ready for a Fisher/chi-square test downstream.
+
+      n11 = flagged groups WITH the feature    n10 = flagged without
+      n01 = unflagged with                      n00 = unflagged without
+
+    One feature-grain aggregate over the (deduplicated) membership joined
+    with the group-grain flag (broadcast — groups ≪ memberships); totals
+    enter as a broadcast one-row aggregate. Odds ratio is null when a
+    margin cell is zero (report counts; a +0.5 Haldane correction is the
+    caller's modeling choice, not silently applied).
+    """
+    m = membership.select(group_col, feature_col).distinct()
+    fl = flags.select(group_col, F.col(flag_col).cast("boolean")
+                      .alias("_flag"))
+    tot = F.broadcast(fl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_groups"),
+        F.sum(F.col("_flag").cast("int")).cast("double").alias("_n_flag")))
+    j = m.join(F.broadcast(fl), group_col)
+    per = (j.groupBy(feature_col)
+           .agg(F.sum(F.col("_flag").cast("int")).cast("double")
+                .alias("_k"),
+                F.count(F.lit(1)).cast("double").alias("_m")))
+    out = (per.crossJoin(tot)
+           .withColumn("n11", F.col("_k"))
+           .withColumn("n10", F.col("_n_flag") - F.col("_k"))
+           .withColumn("n01", F.col("_m") - F.col("_k"))
+           .withColumn("n00", F.col("_n_groups") - F.col("_n_flag")
+                       - F.col("_m") + F.col("_k")))
+    denom = F.col("n10") * F.col("n01")
+    odds = F.when(denom > 0,
+                  (F.col("n11") * F.col("n00")) / denom)
+    fold = F.when((F.col("_n_flag") > 0) & (F.col("_m") > 0),
+                  (F.col("n11") / F.col("_n_flag"))
+                  / (F.col("_m") / F.col("_n_groups")))
+    return (out.withColumn("odds_ratio", odds)
+            .withColumn("fold_enrichment", fold)
+            .select(feature_col,
+                    *[F.col(c).cast("bigint").alias(c)
+                      for c in ("n11", "n10", "n01", "n00")],
+                    "odds_ratio", "fold_enrichment"))

@@ -65,3 +65,25 @@ def test_bh_adjust_capped_at_one_and_monotone(spark):
     assert all(adj <= 1.0 for _, adj in by_p)
     for (_, a1), (_, a2) in zip(by_p, by_p[1:]):
         assert a1 <= a2  # step-up adjustment preserves order
+
+
+def test_enrichment_2x2_hand_computed(spark):
+    # 6 groups: flagged {1,2,3}; term X in {1,2,4}; term Y in {5}
+    mem = spark.createDataFrame(
+        [Row(g=1, t="X"), Row(g=2, t="X"), Row(g=4, t="X"), Row(g=5, t="Y"),
+         Row(g=1, t="X")])  # duplicate membership row must dedup
+    flags = spark.createDataFrame(
+        [Row(g=i, flagged=i in (1, 2, 3)) for i in range(1, 7)])
+    out = {r.t: r for r in stats.enrichment_2x2(
+        mem, flags, "g", "t").collect()}
+    x = out["X"]
+    assert (x.n11, x.n10, x.n01, x.n00) == (2, 1, 1, 2)
+    assert math.isclose(x.odds_ratio, 4.0, rel_tol=1e-12)
+    # fold: (2/3) / (3/6) = 4/3
+    assert math.isclose(x.fold_enrichment, 4 / 3, rel_tol=1e-12)
+    y = out["Y"]
+    assert (y.n11, y.n10, y.n01, y.n00) == (0, 3, 1, 2)
+    assert y.odds_ratio == 0.0 or y.odds_ratio is None
+    # margins always sum to the group total
+    for r in (x, y):
+        assert r.n11 + r.n10 + r.n01 + r.n00 == 6
