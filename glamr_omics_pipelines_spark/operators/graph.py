@@ -123,6 +123,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 (F.lit(1.0) / F.col("_n")).alias("_init")))
     base.count()
     ranks = base.select("node", F.col("_init").alias("rank"))
+    # EAGER checkpoint per superstep (A/B-measured equal to a lazy chain
+    # locally): bounds failure-retry scope to one iteration and lets the
+    # previous rank frame unpersist immediately — the battle-tested
+    # iterative-algorithm shape.
     for _ in range(iterations):
         contribs = (rated.join(ranks, rated["_src"] == ranks["node"])
                     .groupBy("_dst")
