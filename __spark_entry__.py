@@ -1982,6 +1982,62 @@ def q_chao1(spark, sf_dir):
                       _r4("chao1").alias("chao1"))
 
 
+def q_nx_ladder(spark, sf_dir):
+    """Assembly Nx/Lx contiguity ladder (seqkit stats -a / QUAST N50 per
+    assembly, Snakefile:4606-4619): per-source N50/L50/N90/L90 over doc
+    lengths as stand-in contig lengths. Integer threshold arithmetic
+    (cum*100 >= tot*pct) — no float boundary."""
+    d = _t(spark, sf_dir, "documents")
+    out = bio.nx_stats(d, ["source"], "n_chars", "doc_id",
+                       fractions=(0.5, 0.9))
+    return out.select(
+        "source", "num_seqs", "total_len", "max_len", "n50",
+        F.col("l50").cast("bigint").alias("l50"), "n90",
+        F.col("l90").cast("bigint").alias("l90"))
+
+
+def q_resample_fill(spark, sf_dir):
+    """Time-series regularization: daily buckets per user with explicit
+    zero-filled gap rows between each user's first and last active day —
+    the dense-axis resample a rate model needs over sparse event data."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40)
+    out = timeseries.resample_fill(ev, "user_id", "ts", "value",
+                                   step_seconds=86400)
+    return out.select("user_id", "bucket_start",
+                      F.col("n_events").cast("bigint").alias("n_events"),
+                      _r4("total").alias("total"), "is_gap")
+
+
+def q_interpolate(spark, sf_dir):
+    """Linear interpolation of deterministically-masked missing values per
+    user over second-grain samples (pandas interpolate(limit_direction=
+    'both') semantics): two IGNORE-NULLS frames on one exchange."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    sec = F.floor(windows.epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    present = ~F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) \
+        .isin("0", "1", "2", "3")
+    d = (ev.groupBy("user_id", sec.alias("x"))
+         .agg(F.max(F.when(present, F.col("value"))).alias("v")))
+    out = timeseries.interpolate_linear(d, "user_id", "x", "v", "v_interp")
+    return out.select("user_id", "x",
+                      F.col("v").isNull().alias("was_missing"),
+                      _r4("v_interp").alias("v_interp"))
+
+
+def q_changepoint(spark, sf_dir):
+    """CUSUM level-shift detection per user: argmax |cum_i − i·mean| over
+    the time-ordered value series — Page's cumulative-sum statistic, one
+    exchange per key, engine-reproducible via rounded-|S| tiebreak."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 60)
+    sec = F.floor(windows.epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    d = ev.select("user_id", "event_id", sec.alias("sec"), "value")
+    out = stats.cusum_changepoint(d, "user_id", "sec", "value", "event_id")
+    return out.select(
+        "user_id", F.col("changepoint_at").alias("changepoint_sec"),
+        F.col("changepoint_idx").cast("bigint").alias("changepoint_idx"),
+        "max_cusum", F.col("n_points").cast("bigint").alias("n_points"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2146,6 +2202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in rounds 1 and 3; lsh_ann_multi (same machinery,
         # OR-amplified) holds the window slot
         "lsh_ann": q_lsh_ann,
+        # --- round-4 continuation additions (rotate into the window round 5)
+        "nx_ladder": q_nx_ladder,
+        "resample_fill": q_resample_fill,
+        "interpolate": q_interpolate,
+        "changepoint": q_changepoint,
     }
 
 
@@ -4211,5 +4272,113 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_ab >= 5
             ORDER BY pmi DESC, a ASC, b ASC
             LIMIT 50
+        """,
+        "nx_ladder": """
+            WITH c AS (
+              SELECT source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(n_chars) OVER (PARTITION BY source) AS tot,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS num_seqs,
+                   CAST(max(tot) AS BIGINT) AS total_len,
+                   CAST(max(n_chars) AS BIGINT) AS max_len,
+                   CAST(max(CASE WHEN cum*100 >= tot*50 THEN n_chars END)
+                        AS BIGINT) AS n50,
+                   CAST(min(CASE WHEN cum*100 >= tot*50 THEN rn END)
+                        AS BIGINT) AS l50,
+                   CAST(max(CASE WHEN cum*100 >= tot*90 THEN n_chars END)
+                        AS BIGINT) AS n90,
+                   CAST(min(CASE WHEN cum*100 >= tot*90 THEN rn END)
+                        AS BIGINT) AS l90
+            FROM c GROUP BY source
+        """,
+        "resample_fill": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS sec, value
+              FROM events WHERE user_id < 40),
+            b AS (
+              SELECT user_id,
+                     CAST(floor(sec / 86400) * 86400 AS BIGINT) AS bucket_start,
+                     count(*) AS n_events, sum(value) AS total
+              FROM e GROUP BY 1, 2),
+            s AS (SELECT user_id, min(bucket_start) AS lo,
+                         max(bucket_start) AS hi
+                  FROM b GROUP BY 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, 86400)) AS bucket_start
+              FROM s)
+            SELECT g.user_id, g.bucket_start,
+                   CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+                   round(coalesce(b.total, 0.0), 4) AS total,
+                   coalesce(b.n_events, 0) = 0 AS is_gap
+            FROM grid g
+            LEFT JOIN b ON b.user_id = g.user_id
+                       AND b.bucket_start = g.bucket_start
+        """,
+        "interpolate": """
+            WITH d AS (
+              SELECT user_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS x,
+                     max(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                              NOT IN ('0','1','2','3') THEN value END) AS v
+              FROM events WHERE user_id < 30 GROUP BY 1, 2),
+            w AS (
+              SELECT user_id, x, v,
+                     last_value(v IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN v IS NOT NULL
+                                     THEN CAST(x AS DOUBLE) END IGNORE NULLS)
+                       OVER wp AS px,
+                     first_value(v IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN v IS NOT NULL
+                                      THEN CAST(x AS DOUBLE) END IGNORE NULLS)
+                       OVER wn AS nx
+              FROM d
+              WINDOW wp AS (PARTITION BY user_id ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY x
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, x, (v IS NULL) AS was_missing,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL OR nx = px THEN pv
+                              ELSE pv + (nv - pv)
+                                   * (CAST(x AS DOUBLE) - px) / (nx - px)
+                         END, 4) AS v_interp
+            FROM w
+        """,
+        "changepoint": """
+            WITH d AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS sec, value
+              FROM events WHERE user_id < 60),
+            w AS (
+              SELECT user_id, sec,
+                     count(*) OVER (PARTITION BY user_id) AS n,
+                     sum(value) OVER (PARTITION BY user_id) AS tot,
+                     sum(value) OVER (PARTITION BY user_id
+                         ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY sec, event_id) AS i
+              FROM d),
+            s AS (SELECT user_id, sec, i, n,
+                         round(abs(cum - i * tot / n), 6) AS s_abs
+                  FROM w),
+            p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY s_abs DESC, i) AS rk
+                  FROM s)
+            SELECT user_id, CAST(sec AS BIGINT) AS changepoint_sec,
+                   CAST(i AS BIGINT) AS changepoint_idx,
+                   s_abs AS max_cusum, CAST(n AS BIGINT) AS n_points
+            FROM p WHERE rk = 1
         """,
     }

@@ -113,6 +113,10 @@ HEADLINE = [
     "shannon_diversity", # per-sample H' via totals-broadcast partial agg
     "bray_curtis",       # sample-grain pairwise dissimilarity
     "rarefaction",       # one-scan nested hash-subsample richness
+    "nx_ladder",         # N50/L50 contiguity ladder, one group exchange
+    "resample_fill",     # dense-axis gap fill via sequence()+explode grid
+    "interpolate",       # IGNORE-NULLS frames linear repair, one exchange
+    "changepoint",       # CUSUM argmax level-shift, one exchange per key
 ]
 
 

@@ -11,7 +11,7 @@ so read-level filters run at scan speed on 100 TB of sequence data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,3 +197,39 @@ def kmer_spectrum(df: DataFrame, seq_col: str = "seq", k: int = 4) -> DataFrame:
                  f"transform(sequence(1, length({seq_col}) - {k - 1}), "
                  f"i -> substring({seq_col}, i, {k}))")).alias("kmer")))
     return kmers.groupBy("kmer").agg(F.count(F.lit(1)).alias("n"))
+
+
+def nx_stats(df: DataFrame, group_cols: list[str], len_col: str,
+             id_col: str, fractions=(0.5, 0.9)) -> DataFrame:
+    """Assembly Nx/Lx ladder (seqkit stats -a / QUAST shape): per group, the
+    N50/N90-style contiguity stats the reference's assembly QC reports
+    (Snakefile:4606-4619 runs seqkit stats -a on every assembly; QUAST rules
+    report N50 per bin). Nx = length of the contig at which the cumulative
+    length of contigs sorted longest-first first reaches x% of the total;
+    Lx = how many contigs that takes.
+
+    One shuffle on the group key: the desc-ordered cumulative sum, the
+    partition total, and the row number all share a single exchange (same
+    partitioning), and the crossing point is found with conditional MAX/MIN
+    aggregates — no second pass, no driver-side sort. The x% threshold is
+    compared in exact integer arithmetic (cum*100 >= tot*pct), so there is
+    no float boundary to disagree across engines. ``id_col`` breaks length
+    ties so row numbers are deterministic.
+    """
+    w_ord = Window.partitionBy(*group_cols).orderBy(
+        F.col(len_col).desc(), F.col(id_col))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy(*group_cols)
+    d = (df.select(*group_cols, len_col, id_col)
+         .withColumn("_cum", F.sum(len_col).over(w_cum))
+         .withColumn("_tot", F.sum(len_col).over(w_tot))
+         .withColumn("_rn", F.row_number().over(w_ord)))
+    aggs = [F.count(F.lit(1)).alias("num_seqs"),
+            F.max("_tot").alias("total_len"),
+            F.max(len_col).alias("max_len")]
+    for frac in fractions:
+        pct = int(round(frac * 100))
+        cond = F.col("_cum") * 100 >= F.col("_tot") * pct
+        aggs.append(F.max(F.when(cond, F.col(len_col))).alias(f"n{pct}"))
+        aggs.append(F.min(F.when(cond, F.col("_rn"))).alias(f"l{pct}"))
+    return d.groupBy(*group_cols).agg(*aggs)

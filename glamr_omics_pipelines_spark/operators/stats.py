@@ -127,3 +127,39 @@ def enrichment_2x2(membership: DataFrame, flags: DataFrame,
                     *[F.col(c).cast("bigint").alias(c)
                       for c in ("n11", "n10", "n01", "n00")],
                     "odds_ratio", "fold_enrichment"))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, order_col: str,
+                      value_col: str, tiebreak_col: str) -> DataFrame:
+    """Single change-point detection per key via the classic CUSUM statistic:
+    S_i = (cumulative sum through row i) − i·mean, with the change point at
+    argmax |S_i| (Page's cumulative-sum test / binary-segmentation step 1).
+    The level-shift detector an environmental monitoring series needs
+    (when did this site's chemistry move?).
+
+    One exchange on the key: the partition count, partition total, ordered
+    cumulative sum, and row number all share the same hash partitioning, and
+    the argmax is a row_number pick over the same partition — no second
+    data-grain shuffle, no driver loop. |S| is rounded to 6 decimals before
+    the argmax so the (|S| desc, index asc) tiebreak is reproducible across
+    engines despite unordered-sum ulp noise; the cumulative sum itself is
+    evaluated in the deterministic (order, tiebreak) order on both engines.
+    """
+    w = Window.partitionBy(key_col)
+    w_ord = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    d = (df.withColumn("_n", F.count(F.lit(1)).over(w))
+         .withColumn("_tot", F.sum(value_col).over(w))
+         .withColumn("_cum", F.sum(value_col).over(w_cum))
+         .withColumn("_i", F.row_number().over(w_ord)))
+    s_abs = F.round(F.abs(F.col("_cum")
+                          - F.col("_i") * F.col("_tot") / F.col("_n")), 6)
+    d = d.withColumn("_s", s_abs)
+    w_pick = Window.partitionBy(key_col).orderBy(F.col("_s").desc(),
+                                                 F.col("_i"))
+    return (d.withColumn("_rk", F.row_number().over(w_pick))
+            .filter(F.col("_rk") == 1)
+            .select(key_col, F.col(order_col).alias("changepoint_at"),
+                    F.col("_i").alias("changepoint_idx"),
+                    F.col("_s").alias("max_cusum"),
+                    F.col("_n").alias("n_points")))

@@ -122,3 +122,72 @@ def transition_counts(df: DataFrame, key_cols: list[str], ts_col: str,
               .agg(F.count(F.lit(1)).alias("n")))
     tot = Window.partitionBy("state_from")
     return counts.withColumn("prob", F.col("n") / F.sum("n").over(tot))
+
+
+def resample_fill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                  step_seconds: int = 86400) -> DataFrame:
+    """Regularize an event series: bucket events into fixed ``step_seconds``
+    bins per key, then emit EVERY bin between each key's first and last
+    bucket — gaps appear as explicit zero rows (``is_gap`` = true). The
+    resample/gap-fill primitive behind rate charts and downstream window
+    models that assume a dense time axis (the reference's sample series are
+    sparse by collection_date, postgres.Rmd:74-82).
+
+    Two partial-agg shuffles on the key (bucket agg, span agg), then the
+    dense grid is generated with sequence()+explode at KEY grain — grid size
+    is span/step per key, independent of event volume — and left-joined back
+    on (key, bucket). No driver-side calendar, no cross join against a
+    global date dimension.
+    """
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    sec = F.floor(epoch_us(ts_col) / F.lit(1_000_000)).cast("long")
+    bucket = (F.floor(sec / F.lit(step_seconds)) * step_seconds).cast("long")
+    actual = (df.withColumn("_b", bucket)
+              .groupBy(key_col, "_b")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(value_col).alias("total")))
+    spans = actual.groupBy(key_col).agg(F.min("_b").alias("_lo"),
+                                        F.max("_b").alias("_hi"))
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence("_lo", "_hi", F.lit(step_seconds).cast("long")))
+        .alias("bucket_start"))
+    return (grid.join(actual.withColumnRenamed("_b", "bucket_start"),
+                      [key_col, "bucket_start"], "left")
+            .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+            .withColumn("total", F.coalesce("total", F.lit(0.0)))
+            .withColumn("is_gap", F.col("n_events") == 0))
+
+
+def interpolate_linear(df: DataFrame, key_col: str, order_col: str,
+                       value_col: str,
+                       out_col: str = "value_interp") -> DataFrame:
+    """Linear interpolation of missing (null) values per key, ordered by a
+    numeric ``order_col``: each null is replaced by the straight line
+    between its nearest non-null neighbors; leading/trailing nulls take the
+    nearest edge value (pandas ``interpolate(limit_direction='both')``
+    semantics). The sensor-series repair step a sparse environmental time
+    series needs before modeling.
+
+    Both neighbor lookups are IGNORE NULLS window frames over the SAME
+    (key, order) sort — last_value back, first_value forward — so the whole
+    operator costs one exchange and one ordered pass; no self-join against
+    the non-null subset, no per-key collect. ``order_col`` values must be
+    unique per key (caller supplies a tiebroken order); equal-order
+    neighbors are guarded to avoid a 0/0 slope.
+    """
+    w_prev = (Window.partitionBy(key_col).orderBy(order_col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(key_col).orderBy(order_col)
+              .rowsBetween(0, Window.unboundedFollowing))
+    v = F.col(value_col)
+    x = F.col(order_col).cast("double")
+    pv = F.last(v, ignorenulls=True).over(w_prev)
+    px = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(w_prev)
+    nv = F.first(v, ignorenulls=True).over(w_next)
+    nx = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(w_next)
+    interp = (F.when(v.isNotNull(), v)
+              .when(pv.isNull(), nv)
+              .when(nv.isNull() | (nx == px), pv)
+              .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
+    return df.withColumn(out_col, interp)

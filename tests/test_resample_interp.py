@@ -1,0 +1,88 @@
+"""Hand-computed fixtures for the round-4 continuation operators:
+nx_stats (assembly Nx/Lx ladder), resample_fill (dense-axis gap fill),
+interpolate_linear (per-key linear repair), cusum_changepoint (level-shift
+argmax). Values verified by hand in the docstrings below."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.functions import bio
+from glamr_omics_pipelines_spark.operators import stats, timeseries
+
+
+def test_nx_stats_hand_computed(spark):
+    # lengths sorted desc: 80, 70, 30, 10, 10 -> total 200
+    # cum: 80, 150, 180, 190, 200
+    # N50: first cum >= 100 -> 70 (L50=2); N90: first cum >= 180 -> 30 (L90=3)
+    rows = [("a", 1, 10), ("a", 2, 80), ("a", 3, 30), ("a", 4, 70),
+            ("a", 5, 10)]
+    df = spark.createDataFrame(rows, "g string, id int, len long")
+    out = bio.nx_stats(df, ["g"], "len", "id").collect()[0]
+    assert out.num_seqs == 5 and out.total_len == 200 and out.max_len == 80
+    assert out.n50 == 70 and out.l50 == 2
+    assert out.n90 == 30 and out.l90 == 3
+
+
+def test_nx_stats_single_contig(spark):
+    df = spark.createDataFrame([("a", 1, 42)], "g string, id int, len long")
+    out = bio.nx_stats(df, ["g"], "len", "id").collect()[0]
+    assert out.n50 == 42 and out.l50 == 1 and out.n90 == 42 and out.l90 == 1
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_resample_fill_gaps(spark):
+    # user 1 active on days 1 and 4 -> grid covers days 1,2,3,4 with two gaps
+    rows = [(1, _ts(1), 10.0), (1, _ts(1, 6), 2.0), (1, _ts(4), 5.0)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = {r.bucket_start: r for r in
+           timeseries.resample_fill(df, "user_id", "ts", "value",
+                                    step_seconds=86400).collect()}
+    day1 = int(_ts(1).replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert len(out) == 4
+    assert out[day1].n_events == 2 and out[day1].total == 12.0
+    assert out[day1 + 86400].is_gap and out[day1 + 86400].total == 0.0
+    assert out[day1 + 2 * 86400].is_gap
+    assert out[day1 + 3 * 86400].n_events == 1
+
+
+def test_interpolate_linear_middle_and_edges(spark):
+    # key a: x=0 v=1.0, x=2 null, x=4 v=5.0 -> interp(2) = 3.0
+    # key b: leading null takes next, trailing null takes prev
+    rows = [("a", 0, 1.0), ("a", 2, None), ("a", 4, 5.0),
+            ("b", 0, None), ("b", 1, 7.0), ("b", 2, None)]
+    df = spark.createDataFrame(rows, "k string, x long, v double")
+    out = {(r.k, r.x): r.vi for r in
+           timeseries.interpolate_linear(df, "k", "x", "v", "vi").collect()}
+    assert out[("a", 2)] == 3.0
+    assert out[("a", 0)] == 1.0 and out[("a", 4)] == 5.0
+    assert out[("b", 0)] == 7.0 and out[("b", 2)] == 7.0
+
+
+def test_interpolate_all_null_key(spark):
+    df = spark.createDataFrame([("c", 0, None), ("c", 1, None)],
+                               "k string, x long, v double")
+    out = timeseries.interpolate_linear(df, "k", "x", "v", "vi").collect()
+    assert all(r.vi is None for r in out)
+
+
+def test_cusum_changepoint_level_shift(spark):
+    # values 0,0,0,10,10,10 -> mean 5; cum-i*mean: -5,-10,-15,-10,-5,0
+    # argmax |S| at i=3 (x=2): the last point of the low regime
+    rows = [(1, i, float(0 if i < 3 else 10)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k int, x long, v double")
+    out = stats.cusum_changepoint(df, "k", "x", "v", "x").collect()[0]
+    assert out.changepoint_idx == 3 and out.changepoint_at == 2
+    assert out.max_cusum == 15.0 and out.n_points == 6
+
+
+def test_cusum_constant_series_ties_to_first(spark):
+    df = spark.createDataFrame([(1, i, 2.0) for i in range(4)],
+                               "k int, x long, v double")
+    out = stats.cusum_changepoint(df, "k", "x", "v", "x").collect()[0]
+    assert out.max_cusum == 0.0 and out.changepoint_idx == 1
