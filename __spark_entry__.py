@@ -20,7 +20,7 @@ from functools import reduce
 
 from glamr_omics_pipelines_spark.operators import abundance, dedup, external, joins, multimodal
 from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
-from glamr_omics_pipelines_spark.operators import layout, stats, validate
+from glamr_omics_pipelines_spark.operators import layout, sketches, stats, validate
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
 from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
@@ -2038,6 +2038,34 @@ def q_changepoint(spark, sf_dir):
         "max_cusum", F.col("n_points").cast("bigint").alias("n_points"))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact per-node triangle counts over the part co-order network
+    (parts co-ordered in >= 2 shared orders): degree-ordered orientation,
+    each triangle generated exactly once — network cohesion on the same
+    co-occurrence core as pagerank/basket_rules."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_orderkey").alias("g"),
+                   F.col("l_partkey").alias("i"))
+    edges = graph.cooccurrence_edges(sp, "g", "i").filter(
+        F.col("weight") >= 2)
+    out = graph.triangle_count(edges, "src", "dst")
+    return out.select(F.col("node").cast("bigint").alias("node"),
+                      F.col("triangles").cast("bigint").alias("triangles"))
+
+
+def q_mash_distance(spark, sf_dir):
+    """Mash distance (Ondov 2016) between sources from bottom-64 KMV
+    sketches of 4-shingles — the sourmash-style alignment-free distance
+    (Snakefile:2529's sketch comparisons), engine-portable via md5."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (d.select("source", F.explode(F.expr(
+        "transform(sequence(1, greatest(length(text) - 3, 1)), "
+        "i -> substring(text, i, 4))")).alias("s"))
+        .filter(F.length("s") > 0))
+    sk = sketches.bottomk_sketch(sh, "source", "s", k=64)
+    return sketches.mash_distance(sk, k=64, kmer_k=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2207,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         "interpolate": q_interpolate,
         "changepoint": q_changepoint,
+        "triangle_count": q_triangle_count,
+        "mash_distance": q_mash_distance,
     }
 
 
@@ -4380,5 +4410,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS BIGINT) AS changepoint_idx,
                    s_abs AS max_cusum, CAST(n AS BIGINT) AS n_points
             FROM p WHERE rk = 1
+        """,
+        "triangle_count": """
+            WITH sp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            pairs AS (SELECT a.i AS x, b.i AS y, count(*) AS w
+                      FROM sp a JOIN sp b ON a.g = b.g AND a.i < b.i
+                      GROUP BY 1, 2),
+            e AS (SELECT x AS a, y AS b FROM pairs WHERE w >= 2),
+            tri AS (SELECT e1.a AS p, e1.b AS q, e2.b AS r
+                    FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            n AS (SELECT p AS node FROM tri
+                  UNION ALL SELECT q FROM tri
+                  UNION ALL SELECT r FROM tri)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS triangles
+            FROM n GROUP BY node
+        """,
+        "mash_distance": """
+            WITH sh AS (
+              SELECT DISTINCT source, md5(substr(text, i, 4)) AS h
+              FROM documents, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(length(text) - 3, 1))) AS i) g
+              WHERE length(substr(text, i, 4)) > 0),
+            rk AS (SELECT source, h, row_number() OVER (
+                     PARTITION BY source ORDER BY h) AS rk FROM sh),
+            sk AS (SELECT source AS g, h FROM rk WHERE rk <= 64),
+            gl AS (SELECT DISTINCT g FROM sk),
+            pairs AS (SELECT a.g AS ga, b.g AS gb
+                      FROM gl a JOIN gl b ON a.g < b.g),
+            u AS (
+              SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk s ON s.g = p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, s.h, 0, 1
+                FROM pairs p JOIN sk s ON s.g = p.gb)
+              GROUP BY 1, 2, 3),
+            top AS (SELECT *, row_number() OVER (
+                      PARTITION BY ga, gb ORDER BY h) AS rk FROM u),
+            agg AS (SELECT ga, gb, sum(in_a * in_b) AS shared,
+                           count(*) AS union_k
+                    FROM top WHERE rk <= 64 GROUP BY 1, 2)
+            SELECT ga, gb, CAST(shared AS BIGINT) AS shared,
+                   CAST(union_k AS BIGINT) AS union_k,
+                   round(shared * 1.0 / union_k, 6) AS jaccard_est,
+                   round(CASE WHEN shared > 0 THEN
+                         -ln(2.0 * (shared * 1.0 / union_k)
+                             / (1 + shared * 1.0 / union_k)) / 4 END, 6)
+                     AS mash_dist
+            FROM agg
         """,
     }

@@ -117,6 +117,8 @@ HEADLINE = [
     "resample_fill",     # dense-axis gap fill via sequence()+explode grid
     "interpolate",       # IGNORE-NULLS frames linear repair, one exchange
     "changepoint",       # CUSUM argmax level-shift, one exchange per key
+    "triangle_count",    # degree-oriented wedge join, O(E^1.5) bound
+    "mash_distance",     # KMV bottom-k sketch pairs, group-grain
 ]
 
 

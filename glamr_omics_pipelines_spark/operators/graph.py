@@ -178,3 +178,50 @@ def association_rules(df: DataFrame, group_col: str, item_col: str,
                     (F.col("weight") / F.col("_ca")).alias("confidence"),
                     (F.col("weight") * F.col("_n")
                      / (F.col("_ca") * F.col("_cb"))).alias("lift")))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts via degree-ordered edge orientation
+    (the MapReduce-classic Suri–Vassilvitskii / Cohen scheme). Triangles =
+    cohesion of a co-occurrence network (which taxa/suppliers/documents sit
+    in tight cliques) — the local-clustering building block.
+
+    Input may be directed/duplicated; it is canonicalized to undirected
+    (a<b) first. Every edge is then oriented from its lower to its higher
+    endpoint in the total order (degree, id), so each triangle is generated
+    EXACTLY once as a wedge at its lowest-order apex closed by one oriented
+    edge — no 6× overcount, no post-hoc distinct. The orientation bounds
+    per-node oriented out-degree by O(√E), making the wedge join O(E^1.5)
+    worst-case — the known optimum for exact enumeration — instead of the
+    unbounded hub fan-out of a naive neighbor self-join. Three shuffles:
+    degree agg, wedge self-join, closing equi join.
+
+    Output: (node, triangles) for nodes in ≥1 triangle.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("v"))
+           .union(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    low_first = ((F.col("da") < F.col("db"))
+                 | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    oriented = ed.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge_lt = ((F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
+    wedges = e1.join(e2, "u").filter(wedge_lt).select("u", "x", "y")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    nodes = (tris.select(F.col("u").alias("node"))
+             .unionAll(tris.select(F.col("x").alias("node")))
+             .unionAll(tris.select(F.col("y").alias("node"))))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -51,3 +51,67 @@ def hll_rollup(sketches: DataFrame, coarse_cols: list[str],
     merged = sketches.groupBy(*coarse_cols).agg(
         F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias(sketch_col))
     return merged.withColumn(out, F.hll_sketch_estimate(F.col(sketch_col)))
+
+
+def bottomk_sketch(df: DataFrame, group_col: str, item_col: str,
+                   k: int = 64) -> DataFrame:
+    """Bottom-k (KMV) sketch per group: the k smallest md5 values over the
+    group's DISTINCT items — the MinHash variant Mash/sourmash build genome
+    sketches from. md5 (not xxhash64) so the sketch is engine-portable:
+    any SQL engine reproduces it bit-for-bit.
+
+    One distinct + one rank window on the group key; sketch size is k rows
+    per group regardless of group cardinality — the whole point at 100 TB
+    (a genome's 10^7 k-mers compress to k hashes).
+    """
+    from pyspark.sql import Window
+    hashed = (df.select(F.col(group_col).alias("g"),
+                        F.md5(F.col(item_col).cast("string")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("g").orderBy("h")
+    return (hashed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def mash_distance(sketches: DataFrame, k: int = 64,
+                  kmer_k: int = 4) -> DataFrame:
+    """Mash distance (Ondov et al. 2016) between every group pair from
+    bottom-k sketches: the union-bottom-k Jaccard estimate
+    j = |{k smallest of A∪B} ∩ A ∩ B| / k, mapped through the Mash
+    formula d = −ln(2j/(1+j)) / kmer_k (d = null when j = 0, i.e. beyond
+    the sketch's resolution). The alignment-free genome-distance estimator
+    the reference's sourmash sketches feed (Snakefile:2529).
+
+    All relational, pair grain = GROUP pairs (samples, not items): each
+    sketch row fans out to its group's pairs via two joins on the tiny
+    group list, the union's bottom-k is a rank window per pair (≤2k rows),
+    and the shared count is one agg. Never touches the original corpora.
+    """
+    from pyspark.sql import Window
+    groups = sketches.select(F.col("g")).distinct()
+    pairs = (groups.select(F.col("g").alias("ga"))
+             .join(groups.select(F.col("g").alias("gb")),
+                   F.col("ga") < F.col("gb")))
+    sa = sketches.select(F.col("g").alias("ga"), "h")
+    sb = sketches.select(F.col("g").alias("gb"), "h")
+    ua = (pairs.join(sa, "ga")
+          .select("ga", "gb", "h", F.lit(1).alias("in_a"),
+                  F.lit(0).alias("in_b")))
+    ub = (pairs.join(sb, "gb")
+          .select("ga", "gb", "h", F.lit(0).alias("in_a"),
+                  F.lit(1).alias("in_b")))
+    u = (ua.unionByName(ub)
+         .groupBy("ga", "gb", "h")
+         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    top = u.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    agg = (top.groupBy("ga", "gb")
+           .agg(F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
+                F.count(F.lit(1)).alias("union_k")))
+    j = F.col("shared") / F.col("union_k")
+    dist = F.when(j > 0, -F.log(2 * j / (1 + j)) / F.lit(float(kmer_k)))
+    return (agg.select("ga", "gb", F.col("shared").cast("bigint")
+                       .alias("shared"),
+                       F.col("union_k").cast("bigint").alias("union_k"),
+                       F.round(j, 6).alias("jaccard_est"),
+                       F.round(dist, 6).alias("mash_dist")))

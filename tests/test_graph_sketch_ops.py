@@ -1,0 +1,69 @@
+"""Hand-computed fixtures for triangle counting and Mash-distance sketches."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from glamr_omics_pipelines_spark.operators import graph, sketches
+
+
+def test_triangle_count_two_sharing_an_edge(spark):
+    # K3 {1,2,3} plus triangle {2,3,4}: nodes 2,3 in two triangles each
+    edges = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r.triangles for r in
+           graph.triangle_count(df).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_ignores_direction_dupes_and_loops(spark):
+    # same K3 given as duplicated, reversed, and self-loop rows
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r.triangles for r in
+           graph.triangle_count(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_square_has_none(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert graph.triangle_count(df).count() == 0
+
+
+def test_bottomk_sketch_is_k_smallest_md5(spark):
+    rows = [("a", str(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = sorted(r.h for r in
+                 sketches.bottomk_sketch(df, "g", "item", k=5).collect())
+    want = sorted(hashlib.md5(str(i).encode()).hexdigest()
+                  for i in range(20))[:5]
+    assert got == want
+
+
+def test_mash_distance_identical_and_disjoint(spark):
+    rows = ([("a", str(i)) for i in range(30)]
+            + [("b", str(i)) for i in range(30)]          # b == a
+            + [("c", str(i)) for i in range(100, 130)])   # c disjoint
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = sketches.bottomk_sketch(df, "g", "item", k=16)
+    out = {(r.ga, r.gb): r for r in
+           sketches.mash_distance(sk, k=16, kmer_k=4).collect()}
+    ab = out[("a", "b")]
+    assert ab.jaccard_est == 1.0 and ab.mash_dist == 0.0
+    ac = out[("a", "c")]
+    assert ac.shared == 0 and ac.mash_dist is None
+
+
+def test_mash_distance_formula(spark):
+    # a: items 0..19, d: items 10..29 -> true J = 10/30; with k larger than
+    # the union the sketch is exact
+    rows = ([("a", str(i)) for i in range(20)]
+            + [("d", str(i)) for i in range(10, 30)])
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = sketches.bottomk_sketch(df, "g", "item", k=64)
+    r = sketches.mash_distance(sk, k=64, kmer_k=4).collect()[0]
+    j = r.shared / r.union_k
+    assert r.shared == 10 and r.union_k == 30
+    assert abs(r.mash_dist - (-math.log(2 * j / (1 + j)) / 4)) < 1e-6
