@@ -2066,6 +2066,25 @@ def q_mash_distance(spark, sf_dir):
     return sketches.mash_distance(sk, k=64, kmer_k=4)
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering over embeddings with planted triplet
+    duplicates: each vec_id<50 appears 3× (cos=1 cliques → cores, clusters
+    of 3), vec_id in [50,100) are noise. Exact-pair baseline; the LSH
+    candidates= hook is the corpus-scale path."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < 100)
+    c1 = (e.filter(F.col("vec_id") < 50)
+          .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    c2 = (e.filter(F.col("vec_id") < 50)
+          .select((F.col("vec_id") + 20000).alias("vec_id"), "embedding"))
+    corpus = base.unionByName(c1).unionByName(c2)
+    out = similarity.dbscan_cosine(corpus, "vec_id", "embedding",
+                                   sim_eps=0.999, min_pts=2)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("cluster_id").cast("bigint").alias("cluster_id"),
+                      "role")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2237,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "triangle_count": q_triangle_count,
         "mash_distance": q_mash_distance,
+        "dbscan": q_dbscan,
     }
 
 
@@ -4461,5 +4481,43 @@ def oracle_sql() -> dict[str, str]:
                              / (1 + shared * 1.0 / union_k)) / 4 END, 6)
                      AS mash_dist
             FROM agg
+        """,
+        "dbscan": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 100
+              UNION ALL
+              SELECT vec_id + 10000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id < 50
+              UNION ALL
+              SELECT vec_id + 20000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id < 50),
+            pairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.999),
+            sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+            deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+            cores AS (SELECT u AS c FROM deg WHERE d >= 2),
+            ce AS (SELECT s.u, s.v FROM sym s
+                   JOIN cores a ON s.u = a.c JOIN cores b ON s.v = b.c),
+            reach(id, r) AS (
+              SELECT c, c FROM cores
+              UNION
+              SELECT e.u, reach.r FROM ce e JOIN reach ON e.v = reach.id),
+            core_labels AS (SELECT id, min(r) AS cluster_id
+                            FROM reach GROUP BY id),
+            border AS (
+              SELECT s.u AS id, min(cl.cluster_id) AS cluster_id
+              FROM sym s JOIN core_labels cl ON s.v = cl.id
+              WHERE s.u NOT IN (SELECT c FROM cores)
+              GROUP BY s.u),
+            lab AS (
+              SELECT id, cluster_id, 'core' AS role FROM core_labels
+              UNION ALL SELECT id, cluster_id, 'border' FROM border)
+            SELECT CAST(c.vec_id AS BIGINT) AS id,
+                   CAST(lab.cluster_id AS BIGINT) AS cluster_id,
+                   coalesce(lab.role, 'noise') AS role
+            FROM corpus c LEFT JOIN lab ON lab.id = c.vec_id
         """,
     }

@@ -119,6 +119,7 @@ HEADLINE = [
     "changepoint",       # CUSUM argmax level-shift, one exchange per key
     "triangle_count",    # degree-oriented wedge join, O(E^1.5) bound
     "mash_distance",     # KMV bottom-k sketch pairs, group-grain
+    "dbscan",            # density clustering on the pair-gen + CC core
 ]
 
 

@@ -378,3 +378,54 @@ def top_principal_component(df: DataFrame, vec_col: str,
     if v[pivot] < 0:
         v = [-x for x in v]
     return v
+
+
+def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
+                  sim_eps: float = 0.999, min_pts: int = 2,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Density clustering (DBSCAN, Ester et al. 1996) with cosine-similarity
+    neighborhoods over an embedding column: a point with >= ``min_pts``
+    neighbors at similarity >= ``sim_eps`` is a CORE; connected cores form a
+    cluster (label = min core id); a non-core touching a core is a BORDER
+    of that core's cluster (min label when several — the deterministic pick
+    where classic DBSCAN is order-dependent); everything else is NOISE.
+    The semantic-dedup/cluster-discovery step after embedding generation.
+
+    Built entirely on operators that already carry their own scale story:
+    the neighbor graph comes from :func:`~glamr_omics_pipelines_spark.
+    operators.dedup.embedding_cosine_dups` (brute-force exact as baseline;
+    pass ``candidates`` from :func:`lsh_cosine_buckets` to keep the pair
+    generation bucket-bounded at corpus scale), degree counting is one
+    partial agg on the pair list, and the core-core transitive closure is
+    :func:`~glamr_omics_pipelines_spark.operators.dedup.dup_clusters`
+    (min-label propagation, O(diameter) rounds). Pair lists, never a
+    distance matrix, cross every shuffle.
+    """
+    from glamr_omics_pipelines_spark.operators import dedup
+    pairs = dedup.embedding_cosine_dups(df, id_col, vec_col,
+                                        threshold=sim_eps,
+                                        candidates=candidates)
+    sym = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+           .unionAll(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    cores = deg.filter(F.col("_deg") >= min_pts).select(F.col("u").alias("_c"))
+    core_pairs = (sym.join(cores.withColumnRenamed("_c", "u"), "u")
+                  .join(cores.withColumnRenamed("_c", "v"), "v")
+                  .filter(F.col("u") < F.col("v"))
+                  .select(F.col("u").alias("id_a"), F.col("v").alias("id_b")))
+    cc = dedup.dup_clusters(core_pairs)  # (id, label) for non-isolated cores
+    core_labels = (cores.join(cc, cores["_c"] == cc["id"], "left")
+                   .select(F.col("_c").alias("id"),
+                           F.coalesce(F.col("label"), F.col("_c"))
+                           .alias("cluster_id")))
+    # border: non-core node -> min cluster label among its CORE neighbors
+    border = (sym.join(cores.withColumnRenamed("_c", "u"), "u", "left_anti")
+              .join(core_labels.withColumnRenamed("id", "v"), "v")
+              .groupBy("u").agg(F.min("cluster_id").alias("cluster_id"))
+              .select(F.col("u").alias("id"), "cluster_id"))
+    labeled = (core_labels.withColumn("role", F.lit("core"))
+               .unionByName(border.withColumn("role", F.lit("border"))))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(labeled, "id", "left")
+            .withColumn("role", F.coalesce("role", F.lit("noise"))))

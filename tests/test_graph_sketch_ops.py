@@ -67,3 +67,32 @@ def test_mash_distance_formula(spark):
     j = r.shared / r.union_k
     assert r.shared == 10 and r.union_k == 30
     assert abs(r.mash_dist - (-math.log(2 * j / (1 + j)) / 4)) < 1e-6
+
+
+def test_dbscan_core_border_noise(spark):
+    from glamr_omics_pipelines_spark.operators import similarity
+    # b = (a + c)/|..| sits between orthogonal a and c: cos(a,b)=cos(b,c)
+    # ~= 0.707, cos(a,c) = 0. eps=0.7, min_pts=2 -> b core; a, c border
+    # (cluster = b's own id since b is the only core); d far away -> noise
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.7071, 0.7071, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = {r.id: (r.cluster_id, r.role) for r in
+           similarity.dbscan_cosine(df, "id", "v", sim_eps=0.7,
+                                    min_pts=2).collect()}
+    assert out[2] == (2, "core")
+    assert out[1] == (2, "border") and out[3] == (2, "border")
+    assert out[4] == (None, "noise")
+
+
+def test_dbscan_two_cliques_merge_via_shared_core(spark):
+    from glamr_omics_pipelines_spark.operators import similarity
+    # identical triplets {1,2,3} and {10,11,12}: two clusters, min-id labels
+    rows = ([(i, [1.0, 0.0]) for i in (1, 2, 3)]
+            + [(i, [0.0, 1.0]) for i in (10, 11, 12)])
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = {r.id: (r.cluster_id, r.role) for r in
+           similarity.dbscan_cosine(df, "id", "v", sim_eps=0.999,
+                                    min_pts=2).collect()}
+    assert all(out[i] == (1, "core") for i in (1, 2, 3))
+    assert all(out[i] == (10, "core") for i in (10, 11, 12))
