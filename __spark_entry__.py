@@ -2085,6 +2085,55 @@ def q_dbscan(spark, sf_dir):
                       "role")
 
 
+def q_trend_fit(spark, sf_dir):
+    """Per-user OLS trend (slope/intercept/r²) of value over days since
+    2024-01-01 — co-moment partial aggs, one scan, a million keys in one
+    shuffle. x pre-centered to day offsets so the co-moment form stays
+    well-conditioned (operator docstring contract)."""
+    ev = _events(spark, sf_dir)
+    base = 1704067200  # 2024-01-01 UTC
+    x = F.floor((windows.epoch_us("ts") / F.lit(1_000_000.0) - base)
+                / F.lit(86400.0))
+    d = ev.select("user_id", x.alias("x"), "value")
+    out = stats.trend_fit(d, ["user_id"], "x", "value")
+    return out.select("user_id", "n",
+                      F.round("slope", 6).alias("slope"),
+                      _r4("intercept").alias("intercept"),
+                      F.round("r2", 6).alias("r2"))
+
+
+def q_chi_square(spark, sf_dir):
+    """Per-source R×C chi-square of independence between lang and a doc
+    bucket: observed-cell sums + closed-form unobserved mass — never a
+    dense grid (general-contingency companion of enrichment_2x2)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang", (F.col("doc_id") % 3).alias("bucket"))
+    out = stats.chi_square_test(d, "source", "lang", "bucket")
+    return out.select("source", "n_obs", _r4("chi2").alias("chi2"), "dof")
+
+
+def q_inverted_index(spark, sf_dir):
+    """Term → posting-list inverted index over the corpus (df >= 10 terms),
+    posting lists capped at 20 doc ids with exact df_count — the honest-cap
+    retrieval index built from the tokenize-once scan."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.inverted_index(d, "doc_id", "text", max_postings=20)
+    return (out.filter(F.col("df_count") >= 10)
+            .select("term", "df_count",
+                    F.array_join(F.transform(
+                        "postings", lambda x: x.cast("string")), ",")
+                    .alias("postings_csv")))
+
+
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic over candidate lineitem keys: top-5 heaviest
+    values per column with share and skew ratio — the pre-flight check that
+    decides salting (X19) / AQE skew handling before the shuffle runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return validate.key_skew_profile(
+        li, ["l_returnflag", "l_suppkey", "l_partkey"], top_n=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2257,6 +2306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "mash_distance": q_mash_distance,
         "dbscan": q_dbscan,
+        "trend_fit": q_trend_fit,
+        "chi_square": q_chi_square,
+        "inverted_index": q_inverted_index,
+        "key_skew": q_key_skew,
     }
 
 
@@ -4519,5 +4572,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lab.cluster_id AS BIGINT) AS cluster_id,
                    coalesce(lab.role, 'noise') AS role
             FROM corpus c LEFT JOIN lab ON lab.id = c.vec_id
+        """,
+        "trend_fit": """
+            WITH d AS (
+              SELECT user_id,
+                     floor((epoch_us(ts::TIMESTAMP) / 1000000.0 - 1704067200)
+                           / 86400.0) AS x,
+                     value AS y
+              FROM events),
+            a AS (
+              SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM d GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n * sxx - sx * sx <> 0 THEN
+                         (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+                     AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sx) / n, 4) AS intercept,
+                   round(CASE WHEN n * sxx - sx * sx <> 0
+                              AND n * syy - sy * sy <> 0 THEN
+                         ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+                     AS r2
+            FROM a
+        """,
+        "chi_square": """
+            WITH d AS (SELECT source, lang AS r, (doc_id % 3) AS c
+                       FROM documents),
+            cells AS (SELECT source, r, c, CAST(count(*) AS DOUBLE) AS o
+                      FROM d GROUP BY 1, 2, 3),
+            rm AS (SELECT source, r, sum(o) AS rt FROM cells GROUP BY 1, 2),
+            cm AS (SELECT source, c, sum(o) AS ct FROM cells GROUP BY 1, 2),
+            tt AS (SELECT source, sum(o) AS n,
+                          count(DISTINCT r) AS nr, count(DISTINCT c) AS nc
+                   FROM cells GROUP BY 1),
+            j AS (SELECT cells.source, o, rt, ct, n, nr, nc
+                  FROM cells JOIN rm USING (source, r)
+                  JOIN cm USING (source, c) JOIN tt USING (source)),
+            g AS (SELECT source,
+                         sum((o - rt * ct / n) * (o - rt * ct / n)
+                             / (rt * ct / n)) AS chi_obs,
+                         sum(rt * ct / n) AS exp_obs,
+                         first(n) AS n, first(nr) AS nr, first(nc) AS nc
+                  FROM j GROUP BY source)
+            SELECT source, CAST(n AS BIGINT) AS n_obs,
+                   round(chi_obs + (n - exp_obs), 4) AS chi2,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+            FROM g
+        """,
+        "inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT lower(t) AS term, doc_id
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t) g),
+            agg AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_count,
+                     list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS p
+              FROM pairs GROUP BY term)
+            SELECT term, df_count, array_to_string(p, ',') AS postings_csv
+            FROM agg WHERE df_count >= 10
+        """,
+        "key_skew": """
+            WITH stacked AS (
+              SELECT 'l_returnflag' AS key_col,
+                     CAST(l_returnflag AS VARCHAR) AS key_value FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+            counts AS (SELECT key_col, key_value, count(*) AS n
+                       FROM stacked GROUP BY 1, 2),
+            w AS (SELECT key_col, key_value, n,
+                         sum(n) OVER (PARTITION BY key_col) AS total,
+                         count(*) OVER (PARTITION BY key_col) AS nvals,
+                         row_number() OVER (PARTITION BY key_col
+                             ORDER BY n DESC, key_value ASC) AS rk
+                  FROM counts)
+            SELECT key_col, key_value, CAST(rk AS BIGINT) AS rank,
+                   CAST(n AS BIGINT) AS n,
+                   round(n * 1.0 / total, 6) AS share,
+                   round(n * nvals * 1.0 / total, 4) AS skew_ratio
+            FROM w WHERE rk <= 5
         """,
     }

@@ -120,6 +120,9 @@ HEADLINE = [
     "triangle_count",    # degree-oriented wedge join, O(E^1.5) bound
     "mash_distance",     # KMV bottom-k sketch pairs, group-grain
     "dbscan",            # density clustering on the pair-gen + CC core
+    "trend_fit",         # per-key OLS via co-moment partial aggs
+    "inverted_index",    # tokenize-once posting lists, honest cap
+    "key_skew",          # unpivot + value-grain top-N skew diagnostic
 ]
 
 

@@ -163,3 +163,84 @@ def cusum_changepoint(df: DataFrame, key_col: str, order_col: str,
                     F.col("_i").alias("changepoint_idx"),
                     F.col("_s").alias("max_cusum"),
                     F.col("_n").alias("n_points")))
+
+
+def trend_fit(df: DataFrame, key_cols: list[str], x_col: str,
+              y_col: str) -> DataFrame:
+    """Per-key ordinary-least-squares trend line: slope, intercept, r² and n
+    for y ~ x within each key — the 'is this site's chemistry trending'
+    question over the reference's environmental sample series
+    (collection_date vs measurement, postgres.Rmd:74-82), fit for every
+    key in one pass.
+
+    Pure co-moment partial aggregates (Σx, Σy, Σxy, Σx², Σy², n combine
+    map-side), so a million keys fit in ONE scan + one key-grain shuffle —
+    never a per-key driver loop or ML-library call. Degenerate keys
+    (constant x) yield null slope; constant y yields r² = null (0/0
+    guarded). Numerically: the co-moment form is fine for the centered-ish
+    scales of measurement data; callers with astronomically offset x should
+    pre-center (documented, not hidden).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"))
+    sxx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    syy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    sxy = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(sxx != 0, sxy / sxx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    r2 = F.when((sxx != 0) & (syy != 0), (sxy * sxy) / (sxx * syy))
+    return agg.select(*key_cols,
+                      F.col("_n").cast("bigint").alias("n"),
+                      slope.alias("slope"), intercept.alias("intercept"),
+                      r2.alias("r2"))
+
+
+def chi_square_test(df: DataFrame, feature_col: str, row_col: str,
+                    col_col: str) -> DataFrame:
+    """Per-feature R×C chi-square statistic of independence over
+    (row_var, col_var) observation pairs: χ² = Σ (obs − exp)²/exp with
+    exp = row_total·col_total/n, plus degrees of freedom (R−1)(C−1) —
+    the general-contingency companion of the fixed-2×2 enrichment tables
+    (X93), e.g. taxon-presence vs site-category grids per taxon.
+
+    Three feature-grain partial aggs (cell counts, row margins, col
+    margins) joined back at CELL grain — the χ² sum is over observed cells
+    only, with the unobserved-cell mass added in closed form
+    (n − Σ_observed exp), so nothing ever materializes the full R×C grid
+    densely. Shuffles carry (feature, category) pairs, bounded by the
+    grid's support, not the fact table.
+    """
+    cells = (df.groupBy(feature_col, row_col, col_col)
+             .agg(F.count(F.lit(1)).cast("double").alias("_o")))
+    rowm = (cells.groupBy(feature_col, row_col)
+            .agg(F.sum("_o").alias("_rt")))
+    colm = (cells.groupBy(feature_col, col_col)
+            .agg(F.sum("_o").alias("_ct")))
+    tot = (cells.groupBy(feature_col).agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct(F.col(row_col)).alias("_r"),
+        F.count_distinct(F.col(col_col)).alias("_c")))
+    j = (cells.join(rowm, [feature_col, row_col])
+         .join(colm, [feature_col, col_col])
+         .join(tot, feature_col))
+    exp = F.col("_rt") * F.col("_ct") / F.col("_n")
+    # Σ over observed cells of (o-e)²/e, plus Σ over UNOBSERVED cells of e
+    # (their (0-e)²/e = e): total expected mass is n, so unobserved mass =
+    # n − Σ_observed e — closed form, no dense grid.
+    per_feature = (j.groupBy(feature_col)
+                   .agg(F.sum((F.col("_o") - exp) * (F.col("_o") - exp)
+                              / exp).alias("_chi_obs"),
+                        F.sum(exp).alias("_exp_obs"),
+                        F.first("_n").alias("_n"),
+                        F.first("_r").alias("_r"),
+                        F.first("_c").alias("_c")))
+    chi2 = F.col("_chi_obs") + (F.col("_n") - F.col("_exp_obs"))
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    return per_feature.select(
+        feature_col, F.col("_n").cast("bigint").alias("n_obs"),
+        chi2.alias("chi2"), dof.cast("bigint").alias("dof"))

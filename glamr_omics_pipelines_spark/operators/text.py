@@ -399,3 +399,28 @@ def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.array_size(chunk).cast("bigint").alias("n_tokens"))
+
+
+def inverted_index(df: DataFrame, id_col: str, text_col: str,
+                   max_postings: int = 1000) -> DataFrame:
+    """Term → posting-list inverted index: per lowercased token, its
+    document frequency and the sorted doc-id posting list, capped at
+    ``max_postings`` ids (the cap recorded honestly via ``df_count`` vs
+    ``len(postings)``, never silently). The retrieval-side primitive a
+    corpus search / contamination-lookup service builds from the same
+    tokenize-once scan as vocab_topk.
+
+    Distinct (term, doc) pairs partial-agg map-side; the posting list is a
+    bounded slice of sort_array(collect_set(...)) — at web scale a
+    stop-word's full posting list is corpus-sized, so the cap is the
+    operator's contract, not an optimization: df_count stays exact while
+    the materialized list is the top-``max_postings`` smallest ids
+    (deterministic cut).
+    """
+    pairs = (df.select(F.explode(F.transform(tokens(text_col), F.lower))
+                       .alias("term"), F.col(id_col).alias("_id"))
+             .distinct())
+    return (pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_count"),
+                 F.slice(F.sort_array(F.collect_set("_id")), 1, max_postings)
+                 .alias("postings")))

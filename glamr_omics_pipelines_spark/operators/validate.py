@@ -114,3 +114,40 @@ def referential_report(child: DataFrame, parent: DataFrame,
             .select(F.lit(name).alias("check"),
                     F.col("violations").cast("long").alias("violations"))
             .withColumn("passed", F.col("violations") == 0))
+
+
+def key_skew_profile(df: DataFrame, cols: Sequence[str],
+                     top_n: int = 5) -> DataFrame:
+    """Join-key skew diagnostic: for each candidate key column, the top-N
+    heaviest values with count, share of rows, and the ratio of the
+    heaviest value to the mean value load — the number that predicts
+    whether a shuffle join on that key needs salting (X19) or AQE skew
+    handling BEFORE the job runs, not after the straggler.
+
+    One unpivot scan (stack → (col, value) pairs) + one partial-agg count +
+    a per-column top-N window over the value-grain counts — value-grain
+    rows cross the shuffle, never the fact table. NULLs are profiled too
+    (they hash to one reducer like any hot key); the value is reported as a
+    string column so heterogeneous key types stack.
+    """
+    from pyspark.sql import Window
+    stacked = df.select(F.expr(
+        "stack({}, {})".format(len(cols), ", ".join(
+            f"'{c}', cast(`{c}` as string)" for c in cols)))
+        .alias("key_col", "key_value"))
+    counts = (stacked.groupBy("key_col", "key_value")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w_tot = Window.partitionBy("key_col")
+    w_rank = Window.partitionBy("key_col").orderBy(
+        F.col("n").desc(), F.col("key_value").asc_nulls_last())
+    return (counts
+            .withColumn("_total", F.sum("n").over(w_tot))
+            .withColumn("_nvals", F.count(F.lit(1)).over(w_tot))
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= top_n)
+            .select("key_col", "key_value",
+                    F.col("_rk").cast("bigint").alias("rank"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+                    F.round(F.col("n") * F.col("_nvals") / F.col("_total"), 4)
+                    .alias("skew_ratio")))
