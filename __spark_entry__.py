@@ -2134,6 +2134,21 @@ def q_key_skew(spark, sf_dir):
         li, ["l_returnflag", "l_suppkey", "l_partkey"], top_n=5)
 
 
+def q_welch_t(spark, sf_dir):
+    """Per-feature Welch's t-test (O vs F line status over extended price,
+    supplier-grain features) + log2 fold change — the parametric twin of
+    rank_sum_test: one conditional-sum partial agg per feature."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_suppkey").alias("f"),
+                  F.col("l_linestatus").alias("g"),
+                  F.col("l_extendedprice").alias("x"))
+    out = stats.welch_t_test(d, "f", "g", "x", "O", "F")
+    return out.select(F.col("f").alias("l_suppkey"), "n_a", "n_b",
+                      _r4("t_stat").alias("t_stat"),
+                      _r4("welch_dof").alias("welch_dof"),
+                      F.round("log2_fc", 6).alias("log2_fc"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2310,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "inverted_index": q_inverted_index,
         "key_skew": q_key_skew,
+        "welch_t": q_welch_t,
     }
 
 
@@ -4655,5 +4671,41 @@ def oracle_sql() -> dict[str, str]:
                    round(n * 1.0 / total, 6) AS share,
                    round(n * nvals * 1.0 / total, 4) AS skew_ratio
             FROM w WHERE rk <= 5
+        """,
+        "welch_t": """
+            WITH d AS (SELECT l_suppkey AS f, l_linestatus AS g,
+                              l_extendedprice AS x
+                       FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+            a AS (
+              SELECT f,
+                     CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS na,
+                     CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS nb,
+                     sum(CASE WHEN g = 'O' THEN x END) AS sa,
+                     sum(CASE WHEN g = 'F' THEN x END) AS sb,
+                     sum(CASE WHEN g = 'O' THEN x * x END) AS qa,
+                     sum(CASE WHEN g = 'F' THEN x * x END) AS qb
+              FROM d GROUP BY f),
+            c AS (
+              SELECT f, na, nb, sa / na AS ma, sb / nb AS mb,
+                     (qa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+                     (qb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+              FROM a),
+            e AS (
+              SELECT f, na, nb, ma, mb,
+                     va / na AS sea, vb / nb AS seb,
+                     va / na + vb / nb AS se2
+              FROM c)
+            SELECT f AS l_suppkey,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+                         (ma - mb) / sqrt(se2) END, 4) AS t_stat,
+                   round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+                         (se2 * se2) / (sea * sea / (na - 1)
+                                        + seb * seb / (nb - 1)) END, 4)
+                     AS welch_dof,
+                   round(log2((ma + 1) / (mb + 1)), 6) AS log2_fc
+            FROM e
         """,
     }

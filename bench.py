@@ -123,6 +123,7 @@ HEADLINE = [
     "trend_fit",         # per-key OLS via co-moment partial aggs
     "inverted_index",    # tokenize-once posting lists, honest cap
     "key_skew",          # unpivot + value-grain top-N skew diagnostic
+    "welch_t",           # conditional-sum partial-agg t statistics
 ]
 
 

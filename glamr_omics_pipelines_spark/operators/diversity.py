@@ -127,3 +127,77 @@ def chao1_richness(df: DataFrame, sample_col: str, count_col: str) -> DataFrame:
     est = (F.col("s_obs")
            + F.col("f1") * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)))
     return agg.withColumn("chao1", est)
+
+
+def pcoa_coordinates(dist_pairs: DataFrame, sample_a: str = "sample_a",
+                     sample_b: str = "sample_b",
+                     dist_col: str = "bray_curtis",
+                     n_components: int = 2,
+                     iterations: int = 100) -> list[tuple]:
+    """Principal-coordinates analysis (classical MDS / Gower 1966) over a
+    pairwise-dissimilarity table — the ordination plot (vegan::pcoa /
+    ape::pcoa) every amplicon analysis draws from its Bray-Curtis matrix
+    (the reference's metacoder/vegan companion step).
+
+    The hybrid spectral shape (same contract as top_principal_component,
+    X74): the heavy part — computing the n×n dissimilarity table from a
+    100 TB abundance matrix — is the DISTRIBUTED bray_curtis_pairs
+    operator; this step collects that SAMPLE-grain table (n = number of
+    samples, metadata-scale by definition) and runs double-centering +
+    deflated power iteration driver-side. Returns
+    [(sample, coord_1, ..., coord_k, eig_1, ..., eig_k)] with the usual
+    sign convention (largest-|entry| positive per axis).
+
+    Negative eigenvalues (Bray-Curtis is non-Euclidean) are left to the
+    deflation loop: power iteration converges to the largest POSITIVE
+    eigenvalues, which are the plotted axes.
+    """
+    rows = dist_pairs.select(sample_a, sample_b, dist_col).collect()
+    samples = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    d2 = [[0.0] * n for _ in range(n)]
+    for r in rows:
+        i, j = idx[r[0]], idx[r[1]]
+        d2[i][j] = d2[j][i] = float(r[2]) ** 2
+    # Gower double-centering: B = -1/2 J D² J, J = I - 11ᵀ/n
+    rm = [sum(row) / n for row in d2]
+    gm = sum(rm) / n
+    b = [[-0.5 * (d2[i][j] - rm[i] - rm[j] + gm) for j in range(n)]
+         for i in range(n)]
+    coords = [[] for _ in range(n)]
+    eigs = []
+    for _ in range(n_components):
+        # NOT the uniform vector: double-centering makes every row of B sum
+        # to 0, so the all-ones direction is exactly B's null space and the
+        # iteration would stall at lambda=0. Structured starts (ramps) can
+        # also land exactly orthogonal to an eigenvector on symmetric
+        # configurations, so seed with a deterministic LCG sequence — full
+        # reproducibility, no accidental orthogonality.
+        state = 123456789 + 97 * len(eigs)
+        v = []
+        for _ in range(n):
+            state = (1103515245 * state + 12345) % (2 ** 31)
+            v.append(state / (2 ** 31) - 0.5)
+        nv = sum(x * x for x in v) ** 0.5
+        v = [x / nv for x in v]
+        lam = 0.0
+        for _ in range(iterations):
+            w = [sum(b[i][j] * v[j] for j in range(n)) for i in range(n)]
+            norm = sum(x * x for x in w) ** 0.5
+            if norm == 0.0:
+                break
+            v = [x / norm for x in w]
+            lam = sum(v[i] * sum(b[i][j] * v[j] for j in range(n))
+                      for i in range(n))
+        pivot = max(range(n), key=lambda i: abs(v[i]))
+        if v[pivot] < 0:
+            v = [-x for x in v]
+        scale = (lam ** 0.5) if lam > 0 else 0.0
+        for i in range(n):
+            coords[i].append(v[i] * scale)
+        eigs.append(lam)
+        # deflate: B ← B − λ v vᵀ
+        b = [[b[i][j] - lam * v[i] * v[j] for j in range(n)]
+             for i in range(n)]
+    return [tuple([samples[i]] + coords[i] + eigs) for i in range(n)]

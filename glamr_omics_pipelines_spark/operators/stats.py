@@ -244,3 +244,46 @@ def chi_square_test(df: DataFrame, feature_col: str, row_col: str,
     return per_feature.select(
         feature_col, F.col("_n").cast("bigint").alias("n_obs"),
         chi2.alias("chi2"), dof.cast("bigint").alias("dof"))
+
+
+def welch_t_test(df: DataFrame, feature_col: str, group_col: str,
+                 value_col: str, group_a, group_b) -> DataFrame:
+    """Per-feature Welch's unequal-variance t-test between two groups:
+    t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b) with Welch–Satterthwaite
+    degrees of freedom — the parametric twin of rank_sum_test for
+    differential-abundance tables, plus the log2 fold change (pseudocount
+    1) every such table reports.
+
+    One scan, one feature-grain partial agg (n/Σx/Σx² per side as
+    conditional sums) — a million features test in a single shuffle.
+    Features with n < 2 on either side, or zero pooled variance, yield
+    null t (guarded, not NaN).
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    x = F.col(value_col).cast("double")
+    agg = (df.filter(is_a | is_b).groupBy(feature_col).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("_nb"),
+        F.sum(F.when(is_a, x)).alias("_sa"),
+        F.sum(F.when(is_b, x)).alias("_sb"),
+        F.sum(F.when(is_a, x * x)).alias("_qa"),
+        F.sum(F.when(is_b, x * x)).alias("_qb")))
+    ma = F.col("_sa") / F.col("_na")
+    mb = F.col("_sb") / F.col("_nb")
+    va = (F.col("_qa") - F.col("_na") * ma * ma) / (F.col("_na") - 1)
+    vb = (F.col("_qb") - F.col("_nb") * mb * mb) / (F.col("_nb") - 1)
+    sea = va / F.col("_na")
+    seb = vb / F.col("_nb")
+    se2 = sea + seb
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(ok, (se2 * se2)
+                 / (sea * sea / (F.col("_na") - 1)
+                    + seb * seb / (F.col("_nb") - 1)))
+    lfc = F.log2((ma + 1) / (mb + 1))
+    return agg.select(feature_col,
+                      F.col("_na").cast("bigint").alias("n_a"),
+                      F.col("_nb").cast("bigint").alias("n_b"),
+                      t.alias("t_stat"), dof.alias("welch_dof"),
+                      lfc.alias("log2_fc"))

@@ -76,3 +76,60 @@ def test_key_skew_profile_ranks_and_ratio(spark):
     # skew ratio = n * nvals / total = 6*3/9 = 2.0
     assert abs(out[1].skew_ratio - 2.0) < 1e-9
     assert out[2].key_value == "2" and len(out) == 2
+
+
+def test_welch_t_hand_computed(spark):
+    # a: [1,2,3] (mean 2, var 1); b: [5,7] (mean 6, var 2)
+    # t = (2-6)/sqrt(1/3 + 2/2) = -4/sqrt(4/3)
+    rows = ([("f", "a", 1.0), ("f", "a", 2.0), ("f", "a", 3.0),
+             ("f", "b", 5.0), ("f", "b", 7.0)])
+    df = spark.createDataFrame(rows, "f string, g string, x double")
+    r = stats.welch_t_test(df, "f", "g", "x", "a", "b").collect()[0]
+    assert r.n_a == 3 and r.n_b == 2
+    assert abs(r.t_stat - (-4.0 / math.sqrt(4.0 / 3.0))) < 1e-9
+    se_a, se_b = 1.0 / 3.0, 2.0 / 2.0
+    want_dof = (se_a + se_b) ** 2 / (se_a ** 2 / 2 + se_b ** 2 / 1)
+    assert abs(r.welch_dof - want_dof) < 1e-9
+    assert abs(r.log2_fc - math.log2(3.0 / 7.0)) < 1e-12
+
+
+def test_welch_t_guards_small_n(spark):
+    df = spark.createDataFrame([("f", "a", 1.0), ("f", "b", 2.0),
+                                ("f", "b", 3.0)],
+                               "f string, g string, x double")
+    r = stats.welch_t_test(df, "f", "g", "x", "a", "b").collect()[0]
+    assert r.t_stat is None and r.welch_dof is None
+
+
+def test_pcoa_recovers_line(spark):
+    from glamr_omics_pipelines_spark.operators import diversity
+    # 1-D points at 0, 3, 5: PCoA axis 1 must recover centered coordinates
+    pts = {"s1": 0.0, "s2": 3.0, "s3": 5.0}
+    names = sorted(pts)
+    pairs = [(a, b, abs(pts[a] - pts[b]))
+             for i, a in enumerate(names) for b in names[i + 1:]]
+    df = spark.createDataFrame(pairs, "sample_a string, sample_b string, d double")
+    out = diversity.pcoa_coordinates(df, "sample_a", "sample_b", "d",
+                                     n_components=2)
+    got = {r[0]: r[1] for r in out}
+    mean = sum(pts.values()) / 3
+    want = {s: v - mean for s, v in pts.items()}
+    sign = 1.0 if got["s3"] * want["s3"] > 0 else -1.0
+    for s in names:
+        assert abs(sign * got[s] - want[s]) < 1e-6
+    # axis-2 eigenvalue ~ 0 for collinear points
+    assert abs(out[0][4]) < 1e-6
+
+
+def test_pcoa_square_eigenvalues(spark):
+    from glamr_omics_pipelines_spark.operators import diversity
+    # unit square: two equal positive eigenvalues (1.0 each for side 1)
+    import itertools
+    coords = {"a": (0, 0), "b": (1, 0), "c": (1, 1), "d": (0, 1)}
+    pairs = [(p, q, math.dist(coords[p], coords[q]))
+             for p, q in itertools.combinations(sorted(coords), 2)]
+    df = spark.createDataFrame(pairs, "sample_a string, sample_b string, d double")
+    out = diversity.pcoa_coordinates(df, "sample_a", "sample_b", "d",
+                                     n_components=2)
+    eig1, eig2 = out[0][3], out[0][4]
+    assert abs(eig1 - 1.0) < 1e-6 and abs(eig2 - 1.0) < 1e-6
