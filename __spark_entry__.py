@@ -2149,6 +2149,21 @@ def q_welch_t(spark, sf_dir):
                       F.round("log2_fc", 6).alias("log2_fc"))
 
 
+def q_translate_dna(spark, sf_dir):
+    """Frame-0 DNA → protein translation (standard genetic code) over the
+    acgt reads derived from documents — codon map lookup entirely in
+    whole-stage codegen, zero shuffle (the relational core of prodigal's
+    product strings)."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select("doc_id",
+                      F.upper(F.regexp_replace(F.lower("text"), "[^acgt]", ""))
+                      .alias("seq"))
+             .filter(F.length("seq") >= 3))
+    out = bio.translate_dna(reads, "seq", frame=0, out="protein")
+    return out.select("doc_id", F.length("seq").cast("bigint")
+                      .alias("seq_len"), "protein")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2326,12 +2341,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "key_skew": q_key_skew,
         "welch_t": q_welch_t,
+        "translate_dna": q_translate_dna,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles — value-identical ANSI SQL
 # ---------------------------------------------------------------------------
+
+
+def _translate_dna_sql() -> str:
+    """Oracle for q_translate_dna: codon table as a 64-row VALUES relation
+    (generated from the same bio.CODON_TABLE constant — no second hand-typed
+    table to drift), explode codons, join, ordered string_agg."""
+    values = ", ".join(f"('{c}', '{a}')"
+                       for c, a in sorted(bio.CODON_TABLE.items()))
+    return f"""
+        WITH reads AS (
+          SELECT doc_id,
+                 upper(regexp_replace(lower(text), '[^acgt]', '', 'g')) AS seq
+          FROM documents),
+        ok AS (SELECT doc_id, seq FROM reads WHERE length(seq) >= 3),
+        cod AS (
+          SELECT doc_id, i, substr(seq, i, 3) AS codon
+          FROM ok, LATERAL (SELECT unnest(generate_series(1,
+                 length(seq) - 2, 3)) AS i) g),
+        tab(codon, aa) AS (VALUES {values}),
+        j AS (SELECT doc_id, i, coalesce(aa, 'X') AS aa
+              FROM cod LEFT JOIN tab USING (codon))
+        SELECT ok.doc_id, CAST(length(ok.seq) AS BIGINT) AS seq_len,
+               coalesce(p.protein, '') AS protein
+        FROM ok LEFT JOIN (
+          SELECT doc_id, string_agg(aa, '' ORDER BY i) AS protein
+          FROM j GROUP BY doc_id) p USING (doc_id)
+    """
+
 
 _SHINGLES4 = """
     SELECT DISTINCT doc_id, substr(text, i, 4) AS s
@@ -4708,4 +4752,5 @@ def oracle_sql() -> dict[str, str]:
                    round(log2((ma + 1) / (mb + 1)), 6) AS log2_fc
             FROM e
         """,
+        "translate_dna": _translate_dna_sql(),
     }

@@ -233,3 +233,40 @@ def nx_stats(df: DataFrame, group_cols: list[str], len_col: str,
         aggs.append(F.max(F.when(cond, F.col(len_col))).alias(f"n{pct}"))
         aggs.append(F.min(F.when(cond, F.col("_rn"))).alias(f"l{pct}"))
     return d.groupBy(*group_cols).agg(*aggs)
+
+
+# Standard genetic code (NCBI table 1), generated from the canonical
+# TCAG-ordered amino-acid string so no hand-typed 64-entry table can drift.
+_BASES = "TCAG"
+_AA64 = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+CODON_TABLE: dict[str, str] = {
+    b1 + b2 + b3: _AA64[i1 * 16 + i2 * 4 + i3]
+    for i1, b1 in enumerate(_BASES)
+    for i2, b2 in enumerate(_BASES)
+    for i3, b3 in enumerate(_BASES)
+}
+
+
+def translate_dna(df: DataFrame, seq_col: str, frame: int = 0,
+                  out: str = "protein") -> DataFrame:
+    """DNA → protein translation in a reading frame (standard genetic code;
+    stops as '*', unknown/ambiguous codons as 'X') — the relational core of
+    the reference's gene-calling annotation steps (prodigal/ORF products
+    feed every downstream hmmscan table).
+
+    Pure Column expressions: codon extraction is sequence()+substring with
+    step 3 and the lookup is a 64-entry map literal resolved by
+    whole-stage codegen at scan stage — zero shuffle, zero UDF, so
+    translating 100 TB of contigs costs exactly one scan. Sequences
+    shorter than frame+3 yield ''.
+    """
+    entries = ", ".join(f"'{c}', '{a}'"
+                        for c, a in sorted(CODON_TABLE.items()))
+    expr = (
+        f"CASE WHEN length(upper({seq_col})) >= {frame + 3} THEN "
+        f"array_join(transform("
+        f"sequence({frame + 1}, length(upper({seq_col})) - 2, 3), "
+        f"i -> coalesce(element_at(map({entries}), "
+        f"substring(upper({seq_col}), i, 3)), 'X')), '') "
+        f"ELSE '' END")
+    return df.withColumn(out, F.expr(expr))

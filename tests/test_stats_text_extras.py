@@ -133,3 +133,17 @@ def test_pcoa_square_eigenvalues(spark):
                                      n_components=2)
     eig1, eig2 = out[0][3], out[0][4]
     assert abs(eig1 - 1.0) < 1e-6 and abs(eig2 - 1.0) < 1e-6
+
+
+def test_translate_dna_known_protein(spark):
+    from glamr_omics_pipelines_spark.functions import bio
+    # ATG GCC TAA -> M A *; frame 1 drops the leading base
+    df = spark.createDataFrame([(1, "ATGGCCTAA"), (2, "atgnnntaa"),
+                                (3, "AG")], "id int, seq string")
+    out = {r.id: (r.p0, r.p1) for r in bio.translate_dna(
+        bio.translate_dna(df, "seq", frame=0, out="p0"),
+        "seq", frame=1, out="p1").collect()}
+    assert out[1][0] == "MA*"
+    assert out[1][1] == "WP"     # TGG CCT -> W P (frame 1, 8 bases left -> 2 codons)
+    assert out[2][0] == "MX*"    # lowercase input, NNN -> X
+    assert out[3][0] == ""       # too short
