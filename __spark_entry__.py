@@ -2164,6 +2164,19 @@ def q_translate_dna(spark, sf_dir):
                       .alias("seq_len"), "protein")
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-week seasonal z-scores per event type: baseline = partial agg
+    over ≤ |types|·168 cells broadcast back onto the scan; z row-local.
+    The 'unusual for a Tuesday 3pm' detector."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.seasonal_anomaly(ev, "event_type", "ts", "value",
+                                      z_threshold=3.0)
+    return out.select("event_id", "event_type",
+                      F.col("hour_of_week").cast("bigint")
+                      .alias("hour_of_week"),
+                      _r4("z_score").alias("z_score"), "is_anomaly")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2342,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "welch_t": q_welch_t,
         "translate_dna": q_translate_dna,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -4753,4 +4767,28 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "translate_dna": _translate_dna_sql(),
+        "seasonal_anomaly": """
+            WITH d AS (
+              SELECT event_id, event_type, value,
+                     dayofweek(ts::TIMESTAMP) * 24
+                       + hour(ts::TIMESTAMP) AS how
+              FROM events),
+            b AS (
+              SELECT event_type, how, CAST(count(*) AS DOUBLE) AS n,
+                     sum(value) AS s, sum(value * value) AS q
+              FROM d GROUP BY 1, 2),
+            bb AS (
+              SELECT event_type, how, s / n AS m,
+                     CASE WHEN n >= 2
+                          AND (q - n * (s / n) * (s / n)) / (n - 1) > 0
+                          THEN sqrt((q - n * (s / n) * (s / n)) / (n - 1))
+                     END AS sd
+              FROM b)
+            SELECT event_id, d.event_type,
+                   CAST(d.how AS BIGINT) AS hour_of_week,
+                   round((value - m) / sd, 4) AS z_score,
+                   coalesce(abs((value - m) / sd) >= 3.0, FALSE) AS is_anomaly
+            FROM d JOIN bb ON bb.event_type = d.event_type
+                          AND bb.how = d.how
+        """,
     }

@@ -124,6 +124,8 @@ HEADLINE = [
     "inverted_index",    # tokenize-once posting lists, honest cap
     "key_skew",          # unpivot + value-grain top-N skew diagnostic
     "welch_t",           # conditional-sum partial-agg t statistics
+    "translate_dna",     # codegen codon-map translation, zero shuffle
+    "seasonal_anomaly",  # hour-of-week baseline broadcast + row-local z
 ]
 
 

@@ -191,3 +191,37 @@ def interpolate_linear(df: DataFrame, key_col: str, order_col: str,
               .when(nv.isNull() | (nx == px), pv)
               .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
     return df.withColumn(out_col, interp)
+
+
+def seasonal_anomaly(df: DataFrame, group_col: str, ts_col: str,
+                     value_col: str, z_threshold: float = 3.0) -> DataFrame:
+    """Seasonal-baseline anomaly scoring: each event's value is z-scored
+    against the mean/std of its (group, hour-of-week) cell — 'is this
+    reading unusual FOR a Tuesday 3pm', the seasonality-aware version of a
+    global z-score (which flags every rush hour as an anomaly).
+
+    The baseline table is a partial agg over at most |groups|·168 cells —
+    broadcast back onto the scan, so the whole operator is one scan + one
+    tiny-dimension broadcast join; the z computation is row-local. Cells
+    with n < 2 or zero variance yield null z (never flagged). Hour-of-week
+    uses Sunday-origin day numbering (UTC session timezone contract, see
+    windows.epoch_us).
+    """
+    how = ((F.dayofweek(ts_col) - 1) * 24 + F.hour(ts_col))
+    x = F.col(value_col).cast("double")
+    d = df.withColumn("_how", how)
+    base = (d.groupBy(group_col, "_how")
+            .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                 F.sum(x).alias("_s"), F.sum(x * x).alias("_q")))
+    m = F.col("_s") / F.col("_n")
+    var = (F.col("_q") - F.col("_n") * m * m) / (F.col("_n") - 1)
+    base = base.select(group_col, "_how", m.alias("_mean"),
+                       F.when((F.col("_n") >= 2) & (var > 0), F.sqrt(var))
+                       .alias("_std"))
+    out = (d.join(F.broadcast(base), [group_col, "_how"])
+           .withColumn("z_score", (x - F.col("_mean")) / F.col("_std"))
+           .withColumn("is_anomaly",
+                       F.coalesce(F.abs(F.col("z_score")) >= z_threshold,
+                                  F.lit(False))))
+    return (out.withColumnRenamed("_how", "hour_of_week")
+            .drop("_mean", "_std"))

@@ -86,3 +86,22 @@ def test_cusum_constant_series_ties_to_first(spark):
                                "k int, x long, v double")
     out = stats.cusum_changepoint(df, "k", "x", "v", "x").collect()[0]
     assert out.max_cusum == 0.0 and out.changepoint_idx == 1
+
+
+def test_seasonal_anomaly_flags_planted_outlier(spark):
+    # 5 normal readings + one 100x outlier in the same (type, hour) cell;
+    # a different cell with n=1 must yield null z, never a flag
+    base = [(i, "a", _ts(1 + i // 24, i % 24), 10.0 + (i % 2)) for i in range(10)]
+    rows = ([(100, "a", _ts(1, 0), 10.0), (101, "a", _ts(8, 0), 11.0),
+             (102, "a", _ts(15, 0), 1000.0),   # same Mon-0h cell, outlier
+             (103, "b", _ts(2, 5), 7.0)])      # singleton cell
+    df = spark.createDataFrame(
+        base + rows, "event_id int, event_type string, ts timestamp, value double")
+    # with n=4 in the cell the outlier-inclusive z caps at (n-1)/sqrt(n)
+    # ~= 1.5, so threshold below that
+    out = {r.event_id: r for r in
+           timeseries.seasonal_anomaly(df, "event_type", "ts", "value",
+                                       z_threshold=1.4).collect()}
+    assert out[102].is_anomaly and out[102].z_score > 1.4
+    assert not out[100].is_anomaly
+    assert out[103].z_score is None and not out[103].is_anomaly
