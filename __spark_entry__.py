@@ -2177,6 +2177,23 @@ def q_seasonal_anomaly(spark, sf_dir):
                       _r4("z_score").alias("z_score"), "is_anomaly")
 
 
+def q_sensor_pipeline(spark, sf_dir):
+    """Composition: sensor-series repair in ONE lazy plan — daily resample
+    with explicit gap rows (X95) → linear interpolation of the gap-day
+    totals (X96). The dense, repaired series a downstream window model
+    consumes. Gap rows carry null into the interpolator (not the 0 fill),
+    so repaired values are the straight line between active days."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 25)
+    daily = timeseries.resample_fill(ev, "user_id", "ts", "value",
+                                     step_seconds=86400)
+    holey = daily.withColumn(
+        "day_total", F.when(~F.col("is_gap"), F.col("total")))
+    out = timeseries.interpolate_linear(holey, "user_id", "bucket_start",
+                                        "day_total", "repaired_total")
+    return out.select("user_id", "bucket_start", "is_gap",
+                      _r4("repaired_total").alias("repaired_total"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2356,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "translate_dna": q_translate_dna,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "sensor_pipeline": q_sensor_pipeline,
     }
 
 
@@ -4790,5 +4808,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(abs((value - m) / sd) >= 3.0, FALSE) AS is_anomaly
             FROM d JOIN bb ON bb.event_type = d.event_type
                           AND bb.how = d.how
+        """,
+        "sensor_pipeline": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS sec, value
+              FROM events WHERE user_id < 25),
+            b AS (
+              SELECT user_id,
+                     CAST(floor(sec / 86400) * 86400 AS BIGINT) AS bucket_start,
+                     count(*) AS n_events, sum(value) AS total
+              FROM e GROUP BY 1, 2),
+            s AS (SELECT user_id, min(bucket_start) AS lo,
+                         max(bucket_start) AS hi FROM b GROUP BY 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, 86400)) AS bucket_start
+              FROM s),
+            filled AS (
+              SELECT g.user_id, g.bucket_start,
+                     coalesce(b.n_events, 0) = 0 AS is_gap,
+                     CASE WHEN coalesce(b.n_events, 0) > 0
+                          THEN b.total END AS day_total
+              FROM grid g
+              LEFT JOIN b ON b.user_id = g.user_id
+                         AND b.bucket_start = g.bucket_start),
+            w AS (
+              SELECT user_id, bucket_start, is_gap, day_total AS v,
+                     last_value(day_total IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN day_total IS NOT NULL THEN
+                         CAST(bucket_start AS DOUBLE) END IGNORE NULLS)
+                       OVER wp AS px,
+                     first_value(day_total IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN day_total IS NOT NULL THEN
+                         CAST(bucket_start AS DOUBLE) END IGNORE NULLS)
+                       OVER wn AS nx
+              FROM filled
+              WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY bucket_start
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket_start, is_gap,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL OR nx = px THEN pv
+                              ELSE pv + (nv - pv)
+                                   * (CAST(bucket_start AS DOUBLE) - px)
+                                   / (nx - px) END, 4) AS repaired_total
+            FROM w
         """,
     }
