@@ -320,3 +320,58 @@ def test_normalization_trio_broadcast_not_shuffle(spark):
         plan = _plan(spark, q)
         assert "BroadcastHashJoin" in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_round4b_ops_no_python_no_cartesian(spark):
+    """Round-4 continuation operators: pure-JVM plans; the only
+    BroadcastNestedLoop allowed is the group-grain pair fan-out in
+    mash_distance (sample pairs, corpus-size independent) and the
+    documented brute-force pair gen inside dbscan."""
+    for q in ["nx_ladder", "resample_fill", "interpolate", "changepoint",
+              "triangle_count", "trend_fit", "chi_square", "inverted_index",
+              "key_skew", "welch_t", "translate_dna", "seasonal_anomaly",
+              "sensor_pipeline"]:
+        plan = _plan(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoop" not in plan, q
+
+
+def test_single_exchange_aggregate_ops(spark):
+    """trend_fit and welch_t are one-scan partial aggs: exactly one
+    hash exchange (plus AQE reads), no windows, no joins."""
+    for q in ["trend_fit", "welch_t"]:
+        plan = _plan(spark, q)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
+        assert "SortMergeJoin" not in plan and "Window" not in plan, q
+
+
+def test_nx_ladder_windows_share_one_exchange(spark):
+    """cumsum + total + row_number must share a single group-key exchange."""
+    plan = _plan(spark, "nx_ladder")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_translate_dna_zero_shuffle(spark):
+    plan = _plan(spark, "translate_dna")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark):
+    plan = _plan(spark, "seasonal_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_caches_and_explodes_once(spark):
+    """Regression guards for the two measured plan blowups: the shared edge
+    frames must be persisted (InMemoryTableScan present — otherwise every
+    reference re-inlines the co-occurrence join), and the per-corner fan-out
+    must be ONE explode (Generate), never the 3-way self-union that
+    re-executed the wedge+closing joins three times."""
+    plan = _plan(spark, "triangle_count")
+    assert "InMemoryTableScan" in plan
+    # the degree computation's src∪dst union is legitimate; the corner
+    # fan-out regression is caught by requiring the explode to be present
+    assert "Generate" in plan
