@@ -2194,6 +2194,47 @@ def q_sensor_pipeline(spark, sf_dir):
                       _r4("repaired_total").alias("repaired_total"))
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-1h Pearson correlation of value vs time per user (local
+    trend detector): six co-moments over ONE RANGE frame — one exchange,
+    one sliding pass, never a self-join. Time pre-centered to keep the
+    co-moment cancellation benign."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    base = 1704067200
+    sec = F.floor(windows.epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    d = ev.select("event_id", "user_id", "ts", "value",
+                  (sec - base).cast("double").alias("xc"))
+    out = timeseries.rolling_corr(d, "user_id", "ts", "xc", "value",
+                                  window_seconds=3600, out="corr_1h")
+    return out.select("event_id", "user_id",
+                      _r4("corr_1h").alias("corr_1h"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: first-activity week per user (min
+    bucket partial agg) × activity-week offsets → distinct users; exact
+    integer bucket arithmetic, user-period pairs on the shuffle."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.cohort_retention(ev, "user_id", "ts",
+                                      period_seconds=604800)
+    return out.select("cohort_start", "period_offset",
+                      F.col("n_users").cast("bigint").alias("n_users"))
+
+
+def q_cooccur_cosine(spark, sf_dir):
+    """Ochiai/cosine-normalized co-order similarity between parts: shared
+    baskets / sqrt(deg·deg) — popularity-corrected bipartite projection on
+    the guarded co-occurrence core, degrees broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_orderkey").alias("g"),
+                   F.col("l_partkey").alias("i"))
+    out = graph.cooccurrence_cosine(sp, "g", "i", min_pair_count=2)
+    return out.select(F.col("src").cast("bigint").alias("src"),
+                      F.col("dst").cast("bigint").alias("dst"),
+                      "shared_groups",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2374,6 +2415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_dna": q_translate_dna,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sensor_pipeline": q_sensor_pipeline,
+        "rolling_corr": q_rolling_corr,
+        "cohort_retention": q_cohort_retention,
+        "cooccur_cosine": q_cooccur_cosine,
     }
 
 
@@ -4856,5 +4900,62 @@ def oracle_sql() -> dict[str, str]:
                                    * (CAST(bucket_start AS DOUBLE) - px)
                                    / (nx - px) END, 4) AS repaired_total
             FROM w
+        """,
+        "rolling_corr": """
+            WITH d AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS sec,
+                     CAST(epoch_us(ts::TIMESTAMP) // 1000000
+                          - 1704067200 AS DOUBLE) AS x,
+                     value AS y
+              FROM events WHERE user_id < 50),
+            w AS (
+              SELECT event_id, user_id,
+                     CAST(count(*) OVER fr AS DOUBLE) AS n,
+                     sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+                     sum(x * y) OVER fr AS sxy,
+                     sum(x * x) OVER fr AS sxx,
+                     sum(y * y) OVER fr AS syy
+              FROM d
+              WINDOW fr AS (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id,
+                   round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                              AND n * syy - sy * sy > 0 THEN
+                         (n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         END, 4) AS corr_1h
+            FROM w
+        """,
+        "cohort_retention": """
+            WITH up AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor((epoch_us(ts::TIMESTAMP) // 1000000)
+                                / 604800.0) * 604800 AS BIGINT) AS b
+              FROM events),
+            c AS (SELECT user_id, min(b) AS cohort_start
+                  FROM up GROUP BY user_id)
+            SELECT cohort_start,
+                   CAST((b - cohort_start) / 604800 AS BIGINT)
+                     AS period_offset,
+                   CAST(count(DISTINCT up.user_id) AS BIGINT) AS n_users
+            FROM up JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "cooccur_cosine": """
+            WITH sp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                        FROM lineitem),
+            pairs AS (SELECT a.i AS src, b.i AS dst, count(*) AS w
+                      FROM sp a JOIN sp b ON a.g = b.g AND a.i < b.i
+                      GROUP BY 1, 2),
+            deg AS (SELECT i, CAST(count(*) AS DOUBLE) AS d
+                    FROM sp GROUP BY i)
+            SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+                   CAST(w AS BIGINT) AS shared_groups,
+                   round(w / sqrt(da.d * db.d), 6) AS cosine
+            FROM pairs
+            JOIN deg da ON da.i = pairs.src
+            JOIN deg db ON db.i = pairs.dst
+            WHERE w >= 2
         """,
     }

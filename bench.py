@@ -126,6 +126,10 @@ HEADLINE = [
     "welch_t",           # conditional-sum partial-agg t statistics
     "translate_dna",     # codegen codon-map translation, zero shuffle
     "seasonal_anomaly",  # hour-of-week baseline broadcast + row-local z
+    "sensor_pipeline",   # resample + interpolate fused in one plan
+    "rolling_corr",      # six co-moments on one RANGE frame
+    "cohort_retention",  # dedup'd user-period pairs, min-bucket cohorts
+    "cooccur_cosine",    # pair fan-out + broadcast degree normalization
 ]
 
 

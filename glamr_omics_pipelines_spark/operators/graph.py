@@ -232,3 +232,33 @@ def triangle_count(edges: DataFrame, src: str = "src",
     # the physical plan); explode emits all three corners in ONE pass
     nodes = tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def cooccurrence_cosine(df: DataFrame, group_col: str, item_col: str,
+                        max_group_size: int | None = None,
+                        min_pair_count: int = 1) -> DataFrame:
+    """Cosine-normalized co-occurrence (Ochiai coefficient): shared-group
+    count / √(deg_a · deg_b) — the bipartite-projection similarity that
+    corrects raw co-counts for item popularity (two rare taxa sharing 3
+    samples matter more than two ubiquitous ones sharing 30).
+
+    Reuses the guarded pair fan-out of :func:`cooccurrence_edges`; item
+    degrees are a group-grain distinct + partial agg broadcast onto the
+    pair list (items ≪ pairs). Emitted once per undirected pair (a < b).
+    """
+    pairs = (cooccurrence_edges(df, group_col, item_col,
+                                max_group_size=max_group_size)
+             .filter((F.col("src") < F.col("dst"))
+                     & (F.col("weight") >= min_pair_count)))
+    deg = (df.select(group_col, item_col).distinct()
+           .groupBy(item_col)
+           .agg(F.count(F.lit(1)).cast("double").alias("_deg")))
+    da = F.broadcast(deg.select(F.col(item_col).alias("src"),
+                                F.col("_deg").alias("_da")))
+    db = F.broadcast(deg.select(F.col(item_col).alias("dst"),
+                                F.col("_deg").alias("_db")))
+    return (pairs.join(da, "src").join(db, "dst")
+            .select("src", "dst", F.col("weight").cast("bigint")
+                    .alias("shared_groups"),
+                    (F.col("weight") / F.sqrt(F.col("_da") * F.col("_db")))
+                    .alias("cosine")))

@@ -225,3 +225,63 @@ def seasonal_anomaly(df: DataFrame, group_col: str, ts_col: str,
                                   F.lit(False))))
     return (out.withColumnRenamed("_how", "hour_of_week")
             .drop("_mean", "_std"))
+
+
+def rolling_corr(df: DataFrame, group_col: str, ts_col: str,
+                 x_col, y_col, window_seconds: int = 3600,
+                 out: str = "rolling_corr") -> DataFrame:
+    """Trailing-window Pearson correlation between two series per entity
+    (e.g. value vs time = a local trend detector; value vs a second sensor
+    = co-movement): all six co-moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    window aggregates over the SAME trailing RANGE frame, so the operator
+    costs one exchange + one ordered sliding pass — never a
+    point-in-interval self-join. Windows with n < 2 or a constant side
+    yield null (guarded, not NaN).
+    """
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    sec = F.floor(epoch_us(ts_col) / F.lit(1_000_000)).cast("long")
+    d = df.withColumn("_sec", sec)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    w = (Window.partitionBy(group_col).orderBy("_sec")
+         .rangeBetween(-window_seconds, 0))
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                  cov / F.sqrt(vx * vy))
+    return d.withColumn(out, corr).drop("_sec")
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     period_seconds: int = 604800) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST-activity
+    period (weekly by default), counted as retained in every later period
+    they appear in — the (cohort, offset) → distinct-users grid behind
+    every retention curve dashboard.
+
+    One user-grain partial agg for cohort assignment (min bucket per user —
+    mergeable), joined back user-grain, then a (cohort, offset)-grain
+    count-distinct. The join is user × their activity periods (already
+    deduplicated to period grain first, so the shuffle carries user-period
+    pairs, not raw events). Offsets are exact integer bucket arithmetic —
+    no calendar functions to disagree across engines.
+    """
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    sec = F.floor(epoch_us(ts_col) / F.lit(1_000_000)).cast("long")
+    bucket = (F.floor(sec / F.lit(period_seconds))
+              * period_seconds).cast("long")
+    up = (df.withColumn("_b", bucket)
+          .select(F.col(user_col).alias("_u"), "_b").distinct())
+    cohorts = up.groupBy("_u").agg(F.min("_b").alias("cohort_start"))
+    j = up.join(cohorts, "_u")
+    offset = ((F.col("_b") - F.col("cohort_start"))
+              / period_seconds).cast("bigint")
+    return (j.groupBy("cohort_start", offset.alias("period_offset"))
+            .agg(F.count_distinct(F.col("_u")).alias("n_users")))

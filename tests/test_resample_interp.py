@@ -105,3 +105,43 @@ def test_seasonal_anomaly_flags_planted_outlier(spark):
     assert out[102].is_anomaly and out[102].z_score > 1.4
     assert not out[100].is_anomaly
     assert out[103].z_score is None and not out[103].is_anomaly
+
+
+def test_rolling_corr_perfect_line_and_window_bound(spark):
+    # y = 2x within the window -> corr 1.0; first row n=1 -> null
+    rows = [(1, _ts(1, 0), 0.0, 0.0), (2, _ts(1, 0).replace(minute=10), 1.0, 2.0),
+            (3, _ts(1, 0).replace(minute=20), 2.0, 4.0),
+            (4, _ts(1, 3), 5.0, -1.0)]  # 3h later: outside the 1h window
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp, x double, y double") \
+        .withColumn("k", F.lit("u"))
+    out = {r.event_id: r.c for r in
+           timeseries.rolling_corr(df, "k", "ts", "x", "y",
+                                   window_seconds=3600, out="c").collect()}
+    assert out[1] is None                      # n=1
+    assert abs(out[2] - 1.0) < 1e-12 and abs(out[3] - 1.0) < 1e-12
+    assert out[4] is None                      # window holds only itself
+
+
+def test_cohort_retention_matrix(spark):
+    # users 1,2 first active week 0; user 1 returns week 1; user 3 starts week 1
+    wk = 604800
+    rows = [(1, 0), (2, 10), (1, wk + 5), (3, wk + 1), (3, wk + 2)]
+    df = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s)) for u, s in rows],
+        "user_id int, ts timestamp")
+    out = {(r.cohort_start, r.period_offset): r.n_users for r in
+           timeseries.cohort_retention(df, "user_id", "ts", wk).collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 1
+    assert out[(wk, 0)] == 1 and len(out) == 3
+
+
+def test_cooccur_cosine_ochiai(spark):
+    from glamr_omics_pipelines_spark.operators import graph
+    # items a,b share both groups; deg(a)=deg(b)=2 -> cosine 1.0
+    # items a,c share one group; deg(c)=1 -> cosine 1/sqrt(2)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (1, "c")]
+    df = spark.createDataFrame(rows, "g int, i string")
+    out = {(r.src, r.dst): r.cosine for r in
+           graph.cooccurrence_cosine(df, "g", "i").collect()}
+    assert abs(out[("a", "b")] - 1.0) < 1e-12
+    assert abs(out[("a", "c")] - 1 / 2 ** 0.5) < 1e-12
