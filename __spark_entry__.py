@@ -2235,6 +2235,22 @@ def q_cooccur_cosine(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+def q_k_core(spark, sf_dir):
+    """3-core of the part co-order network: fixed-round distributed peel
+    (early exit exact under the monotone-shrink invariant) vs an UNROLLED
+    12-round SQL oracle — the dense-backbone extraction after triangle
+    counting."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_orderkey").alias("g"),
+                   F.col("l_partkey").alias("i"))
+    edges = graph.cooccurrence_edges(sp, "g", "i").filter(
+        F.col("weight") >= 2)
+    out = graph.k_core(edges, "src", "dst", k=3, rounds=12)
+    return out.select(F.col("node").cast("bigint").alias("node"),
+                      F.col("core_degree").cast("bigint")
+                      .alias("core_degree"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2418,12 +2434,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "cohort_retention": q_cohort_retention,
         "cooccur_cosine": q_cooccur_cosine,
+        "k_core": q_k_core,
     }
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles — value-identical ANSI SQL
 # ---------------------------------------------------------------------------
+
+
+def _k_core_sql(k: int = 3, rounds: int = 12) -> str:
+    """Oracle for q_k_core: the fixed-round peel unrolled as chained CTEs
+    (one alive-set per round) — the same unrolled-loop convention as the
+    pagerank oracle; the engine's early exit is exact because alive sets
+    shrink monotonically (a stable frontier stays stable)."""
+    ctes = [
+        "sp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i "
+        "FROM lineitem)",
+        "pairs AS (SELECT a.i AS x, b.i AS y, count(*) AS w "
+        "FROM sp a JOIN sp b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2)",
+        "e AS (SELECT x AS u, y AS v FROM pairs WHERE w >= 2)",
+        # MATERIALIZED: each n_i references n_{i-1} twice, so default CTE
+        # inlining would expand the chain 2^rounds times (observed as a
+        # too-many-open-files parquet-scan explosion)
+        "sym AS MATERIALIZED (SELECT u, v FROM e "
+        "UNION ALL SELECT v, u FROM e)",
+        f"n0 AS MATERIALIZED (SELECT u AS node FROM sym GROUP BY u "
+        f"HAVING count(*) >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT s.u AS node FROM sym s "
+            f"JOIN n{i - 1} a ON s.u = a.node "
+            f"JOIN n{i - 1} b ON s.v = b.node "
+            f"GROUP BY s.u HAVING count(*) >= {k})")
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT CAST(s.u AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM sym s
+        JOIN n{rounds} a ON s.u = a.node
+        JOIN n{rounds} b ON s.v = b.node
+        GROUP BY s.u
+    """)
 
 
 def _translate_dna_sql() -> str:
@@ -4958,4 +5011,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON db.i = pairs.dst
             WHERE w >= 2
         """,
+        "k_core": _k_core_sql(k=3, rounds=12),
     }

@@ -130,6 +130,7 @@ HEADLINE = [
     "rolling_corr",      # six co-moments on one RANGE frame
     "cohort_retention",  # dedup'd user-period pairs, min-bucket cohorts
     "cooccur_cosine",    # pair fan-out + broadcast degree normalization
+    "k_core",            # fixed-round peel, checkpointed frontier
 ]
 
 

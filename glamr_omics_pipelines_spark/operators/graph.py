@@ -262,3 +262,51 @@ def cooccurrence_cosine(df: DataFrame, group_col: str, item_col: str,
                     .alias("shared_groups"),
                     (F.col("weight") / F.sqrt(F.col("_da") * F.col("_db")))
                     .alias("cosine")))
+
+
+def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
+           k: int = 3, rounds: int = 12) -> DataFrame:
+    """k-core decomposition (fixed-round peeling): repeatedly drop nodes
+    whose degree in the surviving subgraph is < k; what remains is the
+    k-core — the dense backbone of a co-occurrence network (community
+    cores, spam-link knots). Fixed ``rounds`` with early exit on
+    stability, the same SQL-expressible convention as pagerank: an
+    unrolled oracle replicates it term for term, and early exit cannot
+    change the result (a stable frontier stays stable).
+
+    Per round: the symmetric edge list is semi-joined against the alive
+    set on BOTH endpoints, then one partial-agg degree count — edges by
+    endpoint is the only shuffle, and the alive frontier (node ids only)
+    is what localCheckpoint pins between rounds. O(rounds) passes, each
+    O(E) — the standard distributed peel.
+    """
+    half = edges.select(F.least(src, dst).alias("u"),
+                        F.greatest(src, dst).alias("v"))
+    sym_half = half.filter(F.col("u") != F.col("v")).distinct()
+    sym = _cache.register(
+        sym_half.unionByName(sym_half.select(F.col("v").alias("u"),
+                                             F.col("u").alias("v"))))
+    alive = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+             .filter(F.col("_deg") >= k)
+             .select(F.col("u").alias("node"))
+             .localCheckpoint(eager=True))
+    n_prev = alive.count()
+    for _ in range(rounds):
+        kept = (sym
+                .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(alive.withColumnRenamed("node", "v"), "v", "left_semi"))
+        new = (kept.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+               .filter(F.col("_deg") >= k)
+               .select(F.col("u").alias("node"))
+               .localCheckpoint(eager=True))
+        n_new = new.count()
+        alive = new
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    final = (sym
+             .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+             .groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+             .select(F.col("u").alias("node"), "core_degree"))
+    return final

@@ -96,3 +96,19 @@ def test_dbscan_two_cliques_merge_via_shared_core(spark):
                                     min_pts=2).collect()}
     assert all(out[i] == (1, "core") for i in (1, 2, 3))
     assert all(out[i] == (10, "core") for i in (10, 11, 12))
+
+
+def test_k_core_peels_tail(spark):
+    # triangle {1,2,3} (2-core) with a pendant chain 3-4-5: peeling at k=2
+    # removes 5 then 4; the triangle survives with degree 2 each
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r.core_degree for r in
+           graph.k_core(df, k=2, rounds=8).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_k_too_high(spark):
+    edges = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert graph.k_core(df, k=3, rounds=5).count() == 0
