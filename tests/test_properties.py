@@ -344,3 +344,94 @@ def test_bitset_semi_join_equals_plain_semi(spark, big_keys, small_keys):
     got = sorted(r.k for r in
                  bitset_prune_semi_join(big, small, "k", 512).collect())
     assert got == expect
+
+
+ids_lens = st.lists(st.tuples(st.integers(0, 50),
+                              st.integers(1, 500)),
+                    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@settings(**SETTINGS)
+@given(ids_lens)
+def test_nx_stats_matches_bruteforce(spark, rows):
+    from glamr_omics_pipelines_spark.functions import bio
+    df = spark.createDataFrame([("g", i, n) for i, n in rows],
+                               "g string, id int, len long")
+    out = bio.nx_stats(df, ["g"], "len", "id").collect()[0]
+    lens = sorted((n for _, n in rows), reverse=True)
+    total = sum(lens)
+    cum, n50, l50 = 0, None, None
+    for pos, ln in enumerate(lens, 1):
+        cum += ln
+        if cum * 100 >= total * 50:
+            n50, l50 = ln, pos
+            break
+    assert out.total_len == total and out.n50 == n50 and out.l50 == l50
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=30))
+def test_triangle_count_matches_bruteforce(spark, raw):
+    from glamr_omics_pipelines_spark.operators import graph
+    import itertools
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(list(edges), "src int, dst int")
+    got = {r.node: r.triangles for r in graph.triangle_count(df).collect()}
+    nodes = {v for e in edges for v in e}
+    want = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if ({(a, b), (a, c), (b, c)} <= edges):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=30), st.integers(2, 4))
+def test_k_core_matches_bruteforce(spark, raw, k):
+    from glamr_omics_pipelines_spark.operators import graph
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(list(edges), "src int, dst int")
+    got = {r.node: r.core_degree for r in
+           graph.k_core(df, k=k, rounds=15).collect()}
+    alive = {v for e in edges for v in e}
+    while True:
+        deg = {v: 0 for v in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {v for v in alive if deg[v] >= k}
+        if new == alive:
+            break
+        alive = new
+    want = {v: deg[v] for v in alive}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(-100, 100, allow_nan=False)),
+                min_size=1, max_size=20))
+def test_interpolate_idempotent_and_bounded(spark, vals):
+    from glamr_omics_pipelines_spark.operators import timeseries
+    df = spark.createDataFrame([("k", i, v) for i, v in enumerate(vals)],
+                               "k string, x long, v double")
+    out = sorted(timeseries.interpolate_linear(df, "k", "x", "v", "vi")
+                 .collect(), key=lambda r: r.x)
+    present = [v for v in vals if v is not None]
+    if not present:
+        assert all(r.vi is None for r in out)
+        return
+    lo, hi = min(present), max(present)
+    for r in out:
+        # repaired values never exceed the observed envelope (linearity)
+        assert lo - 1e-9 <= r.vi <= hi + 1e-9
+        if vals[r.x] is not None:
+            assert r.vi == vals[r.x]
