@@ -2251,6 +2251,44 @@ def q_k_core(spark, sf_dir):
                       .alias("core_degree"))
 
 
+def q_metagenome_qc(spark, sf_dir):
+    """Composition: the per-sample metagenome QC report in ONE lazy plan —
+    read gates (length / N / homopolymer / fastp complexity, all
+    scan-stage) → per-source pass counts + mean GC → Shannon diversity of
+    the passing reads' 3-mer spectrum (X51 machinery at k-mer grain).
+    The one-scan 'is this sample sequencable' dashboard."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select("doc_id", "source",
+                      F.upper(F.regexp_replace(F.lower("text"),
+                                               "[^acgt]", "")).alias("seq"))
+             .filter(F.length("seq") >= 30))
+    passing = bio.quality_filter(reads, "seq", min_len=30, max_n=0,
+                                 max_homopolymer=6)
+    passing = bio.low_complexity_filter(passing, "seq", threshold=30.0)
+    totals = reads.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_reads"))
+    pstats = passing.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.round(F.avg(bio.gc_content("seq")), 4).alias("mean_gc"),
+        F.round(F.avg(F.length("seq")), 4).alias("mean_len"))
+    kmers = passing.select("source", F.explode(F.expr(
+        "transform(sequence(1, length(seq) - 2), "
+        "i -> substring(seq, i, 3))")).alias("taxon"))
+    kcounts = (kmers.groupBy("source", "taxon")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    div = (diversity.shannon_diversity(
+        kcounts.withColumnRenamed("source", "sample"), "sample", "cnt")
+        .select(F.col("sample").alias("source"),
+                _r4("shannon").alias("kmer_shannon")))
+    return (totals.join(pstats, "source", "left")
+            .join(div, "source", "left")
+            .select("source", F.col("n_reads").cast("bigint")
+                    .alias("n_reads"),
+                    F.coalesce(F.col("n_pass"), F.lit(0)).cast("bigint")
+                    .alias("n_pass"),
+                    "mean_gc", "mean_len", "kmer_shannon"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2435,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "cooccur_cosine": q_cooccur_cosine,
         "k_core": q_k_core,
+        "metagenome_qc": q_metagenome_qc,
     }
 
 
@@ -5012,4 +5051,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE w >= 2
         """,
         "k_core": _k_core_sql(k=3, rounds=12),
+        "metagenome_qc": """
+            WITH reads AS (
+              SELECT doc_id, source,
+                     upper(regexp_replace(lower(text), '[^acgt]', '', 'g'))
+                       AS seq
+              FROM documents),
+            r AS (SELECT * FROM reads WHERE length(seq) >= 30),
+            pass AS (
+              SELECT * FROM r
+              WHERE NOT regexp_matches(seq, 'A{6,}|C{6,}|G{6,}|T{6,}')
+                AND length(regexp_replace(seq, '[^N]', '', 'g')) <= 0
+                AND (CASE WHEN length(seq) <= 1 THEN 0.0
+                     ELSE 100.0 * len(list_filter(
+                            generate_series(2, length(seq)),
+                            i -> substr(seq, i, 1) <> substr(seq, i - 1, 1)))
+                          / (length(seq) - 1) END) >= 30.0),
+            totals AS (SELECT source, count(*) AS n_reads
+                       FROM r GROUP BY source),
+            pstats AS (
+              SELECT source, count(*) AS n_pass,
+                     round(avg(length(regexp_replace(seq, '[^GC]', '', 'g'))
+                               * 1.0 / greatest(length(seq), 1)), 4)
+                       AS mean_gc,
+                     round(avg(length(seq)), 4) AS mean_len
+              FROM pass GROUP BY source),
+            km AS (
+              SELECT source, substr(seq, i, 3) AS kmer
+              FROM pass, LATERAL (SELECT unnest(generate_series(1,
+                     length(seq) - 2)) AS i) g),
+            kc AS (SELECT source, kmer, count(*) AS cnt
+                   FROM km GROUP BY 1, 2),
+            kt AS (SELECT source, sum(cnt) AS tot FROM kc GROUP BY source),
+            div AS (
+              SELECT kc.source,
+                     round(-sum((cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)), 4)
+                       AS kmer_shannon
+              FROM kc JOIN kt USING (source) GROUP BY kc.source)
+            SELECT t.source, CAST(t.n_reads AS BIGINT) AS n_reads,
+                   CAST(coalesce(p.n_pass, 0) AS BIGINT) AS n_pass,
+                   p.mean_gc, p.mean_len, d.kmer_shannon
+            FROM totals t
+            LEFT JOIN pstats p USING (source)
+            LEFT JOIN div d ON d.source = t.source
+        """,
     }

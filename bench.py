@@ -131,6 +131,7 @@ HEADLINE = [
     "cohort_retention",  # dedup'd user-period pairs, min-bucket cohorts
     "cooccur_cosine",    # pair fan-out + broadcast degree normalization
     "k_core",            # fixed-round peel, checkpointed frontier
+    "metagenome_qc",     # gates -> stats -> kmer Shannon, one plan
 ]
 
 
