@@ -2289,6 +2289,27 @@ def q_metagenome_qc(spark, sf_dir):
                     "mean_gc", "mean_len", "kmer_shannon"))
 
 
+def q_expanding_distinct(spark, sf_dir):
+    """Running distinct-event-type count per user over time ('unique taxa
+    seen so far' curve): first-occurrence flag + cumulative sum — the
+    COUNT(DISTINCT)-over-window factorization, no set state."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = windows.expanding_distinct(ev, "user_id", "ts", "event_type",
+                                     "event_id", out="distinct_so_far")
+    return out.select("event_id", "user_id", "distinct_so_far")
+
+
+def q_doc_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM quality score per doc (λ=0.7) under the
+    corpus's own counts — the rung above doc_lm_score; bigram tables join
+    back at position grain."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.bigram_lm_score(d, "doc_id", "text", lam=0.7,
+                               out="lm2_score")
+    return out.select("doc_id", _r4("lm2_score").alias("lm2_score"),
+                      F.col("n_bigrams").cast("bigint").alias("n_bigrams"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2474,6 +2495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_cosine": q_cooccur_cosine,
         "k_core": q_k_core,
         "metagenome_qc": q_metagenome_qc,
+        "expanding_distinct": q_expanding_distinct,
+        "doc_bigram_lm": q_doc_bigram_lm,
     }
 
 
@@ -5094,5 +5117,54 @@ def oracle_sql() -> dict[str, str]:
             FROM totals t
             LEFT JOIN pstats p USING (source)
             LEFT JOIN div d ON d.source = t.source
+        """,
+        "expanding_distinct": """
+            WITH d AS (SELECT event_id, user_id, event_type, ts
+                       FROM events WHERE user_id < 50),
+            f AS (SELECT event_id, user_id, ts,
+                         CASE WHEN row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) = 1
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM d)
+            SELECT event_id, user_id,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS distinct_so_far
+            FROM f
+        """,
+        "doc_bigram_lm": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> ''),
+                       t -> lower(t)) AS arr
+              FROM documents),
+            bg AS (
+              SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+              FROM tok, unnest(CASE WHEN len(arr) >= 2
+                                    THEN range(1, len(arr))
+                                    ELSE CAST([] AS BIGINT[]) END) AS t(i)),
+            uni AS (
+              SELECT w, count(*) AS cw FROM (
+                SELECT unnest(arr) AS w FROM tok) GROUP BY w),
+            tot AS (SELECT sum(cw) AS t FROM uni),
+            big AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+            scored AS (
+              SELECT bg.doc_id,
+                     -- (1.0 - 0.7), not 0.3: the engine computes 1-λ in
+                     -- IEEE doubles (0.30000000000000004); match it exactly
+                     ln(0.7 * cab / ua.cw + (1.0 - 0.7) * ub.cw / tot.t)
+                       AS lp
+              FROM bg
+              JOIN big USING (a, b)
+              JOIN uni ua ON ua.w = bg.a
+              JOIN uni ub ON ub.w = bg.b
+              CROSS JOIN tot)
+            SELECT doc_id, round(avg(lp), 4) AS lm2_score,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM scored GROUP BY doc_id
         """,
     }

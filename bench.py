@@ -132,6 +132,8 @@ HEADLINE = [
     "cooccur_cosine",    # pair fan-out + broadcast degree normalization
     "k_core",            # fixed-round peel, checkpointed frontier
     "metagenome_qc",     # gates -> stats -> kmer Shannon, one plan
+    "expanding_distinct", # first-occurrence flag + cumsum windows
+    "doc_bigram_lm",     # bigram count tables joined at position grain
 ]
 
 

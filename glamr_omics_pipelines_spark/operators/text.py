@@ -483,3 +483,52 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
             f"ELSE concat(acc, array(x)) END)"))
             .localCheckpoint(eager=True))
     return merges
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
+                    lam: float = 0.7, out: str = "lm2_score") -> DataFrame:
+    """Per-doc mean INTERPOLATED bigram log-probability:
+    P(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/T under the corpus's own counts —
+    the next rung above unigram_lm_score on the cheap-perplexity ladder
+    (catches word-salad docs whose unigrams are individually common).
+    Swap the self-trained tables for reference-corpus counts to score
+    against clean text.
+
+    Same scale shape as the unigram scorer, one grain up: bigram counts
+    partial-aggregate map-side; the count tables join back at
+    bigram-position grain (auto-broadcast under the threshold, plain
+    shuffled equi join at web-scale vocab — hash the gram there). When
+    scoring the training corpus itself every observed bigram has c ≥ 1,
+    so no zero probabilities arise; scoring FOREIGN text against these
+    tables inherits the λ-interpolation's backoff and only an
+    unseen-unigram b yields null (dropped from the mean, like CCNet's
+    OOV handling). Docs with < 2 tokens produce no row.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), F.lower).alias("_arr"))
+    bigrams = (toks.filter(F.size("_arr") >= 2)
+               .select(id_col, F.explode(F.expr(
+                   "transform(sequence(1, size(_arr) - 1), "
+                   "i -> struct(_arr[i - 1] AS a, _arr[i] AS b))"))
+                   .alias("bg"))
+               .select(id_col, F.col("bg.a").alias("a"),
+                       F.col("bg.b").alias("b")))
+    uni = (toks.select(F.explode("_arr").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("_cw")))
+    total = uni.agg(F.sum("_cw").alias("_t"))
+    big = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    scored = (bigrams
+              .join(big, ["a", "b"], "left")
+              .join(uni.select(F.col("w").alias("a"),
+                               F.col("_cw").alias("_ca")), "a", "left")
+              .join(uni.select(F.col("w").alias("b"),
+                               F.col("_cw").alias("_cb")), "b", "left")
+              .crossJoin(F.broadcast(total)))
+    p = (F.lit(lam) * F.coalesce(F.col("_cab"), F.lit(0)) / F.col("_ca")
+         + F.lit(1.0 - lam) * F.col("_cb") / F.col("_t"))
+    logp = F.when(F.col("_cb").isNotNull() & (F.col("_ca") > 0), F.log(p))
+    return (scored.withColumn("_lp", logp)
+            .groupBy(id_col)
+            .agg(F.avg("_lp").alias(out),
+                 F.count(F.lit(1)).alias("n_bigrams")))

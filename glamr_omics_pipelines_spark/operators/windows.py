@@ -263,3 +263,30 @@ def scd2_compress(df: DataFrame, key_cols: list[str], ts_col: str,
     w2 = Window.partitionBy(*key_cols).orderBy("_ver")
     return (runs.withColumn("valid_to", F.lead("valid_from").over(w2))
             .withColumnRenamed("_ver", "version"))
+
+
+def expanding_distinct(df: DataFrame, key_col: str, order_col: str,
+                       value_col: str, tiebreak_col: str,
+                       out: str = "distinct_so_far") -> DataFrame:
+    """Running COUNT(DISTINCT value) per key ordered by time — the
+    'unique taxa seen so far' / 'unique users to date' accumulation curve.
+    COUNT(DISTINCT) isn't a legal window aggregate in any engine; the
+    standard factorization: flag each value's FIRST occurrence within its
+    key (row_number over (key, value) ordered by time == 1), then a
+    cumulative SUM of flags over the time order.
+
+    Two windows — (key, value) for the flag, then (key) for the cumsum —
+    two narrow exchanges carrying flag-annotated rows; no self-join, no
+    set-accumulating state (the memory-unbounded alternative).
+    ``tiebreak_col`` makes both windows total orders so simultaneous
+    events are engine-stable.
+    """
+    w_first = Window.partitionBy(key_col, value_col).orderBy(
+        order_col, tiebreak_col)
+    w_cum = (Window.partitionBy(key_col)
+             .orderBy(order_col, tiebreak_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    flag = (F.row_number().over(w_first) == 1).cast("long")
+    return (df.withColumn("_new", flag)
+            .withColumn(out, F.sum("_new").over(w_cum))
+            .drop("_new"))

@@ -163,3 +163,28 @@ def test_learn_bpe_merges_stops_below_min_count(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     assert text.learn_bpe_merges(df, "text", num_merges=5) == [
         ] or text.learn_bpe_merges(df, "text", num_merges=5)
+
+
+def test_expanding_distinct_counts(spark):
+    from glamr_omics_pipelines_spark.operators import windows as W
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (2, 1, "x")]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = {(r.k, r.t): r.d for r in
+           W.expanding_distinct(df, "k", "t", "v", "t", out="d").collect()}
+    assert [out[(1, i)] for i in (1, 2, 3, 4)] == [1, 2, 2, 3]
+    assert out[(2, 1)] == 1
+
+
+def test_bigram_lm_scores_common_higher(spark):
+    # "a b" repeated dominates -> docs of pure "a b" score higher than a
+    # doc with a rare continuation
+    rows = [(i, "a b a b a b") for i in range(5)] + [(99, "a q")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.lm2_score for r in
+           text.bigram_lm_score(df, "doc_id", "text").collect()}
+    assert out[0] > out[99]
+    import math
+    # doc 99's single bigram (a,q): c_ab=1, c_a=16, c_q=1, T=32
+    want = math.log(0.7 * 1 / 16 + (1.0 - 0.7) * 1 / 32)
+    assert abs(out[99] - want) < 1e-9
