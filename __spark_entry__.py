@@ -2310,6 +2310,45 @@ def q_doc_bigram_lm(spark, sf_dir):
                       F.col("n_bigrams").cast("bigint").alias("n_bigrams"))
 
 
+def q_event_paths(spark, sf_dir):
+    """Top event-type trigram journeys across users (view→click→purchase
+    mining): n−1 leads on ONE (user, time) window sort, path counts
+    partial-agged over the observed-path grid."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.path_ngrams(ev, ["user_id"], "ts", "event_type",
+                                 n=3, tiebreak_cols=["event_id"])
+    return (out.orderBy(F.col("n_paths").desc(), "s1", "s2", "s3")
+            .limit(25)
+            .select("s1", "s2", "s3",
+                    F.col("n_paths").cast("bigint").alias("n_paths")))
+
+
+def q_geo_clusters(spark, sf_dir):
+    """Composition: spatial clusters of georeferenced samples — 3 km
+    grid-binned neighbor pairs (X56) → min-label connected components
+    (X26); singleton sites keep their own id. The 'sampling site
+    grouping' step after proximity detection."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey").filter(
+        F.col("c_custkey") < 400)
+    pts = c.select(
+        F.col("c_custkey").alias("sample_id"),
+        (F.lit(41.0)
+         + ((F.col("c_custkey") * 2654435761) % 600000) / F.lit(100000.0))
+        .alias("lat"),
+        (F.lit(-87.0)
+         + ((F.col("c_custkey") * 2246822519) % 700000) / F.lit(100000.0))
+        .alias("lon"))
+    pairs = joins.geo_neighbor_pairs(pts, "sample_id", radius_km=3.0,
+                                     max_abs_lat=50.0)
+    labels = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    out = (pts.join(labels, pts["sample_id"] == labels["id"], "left")
+           .select("sample_id",
+                   F.coalesce(F.col("label"), F.col("sample_id"))
+                   .alias("cluster_id")))
+    return out.select(F.col("sample_id").cast("bigint").alias("sample_id"),
+                      F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2497,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metagenome_qc": q_metagenome_qc,
         "expanding_distinct": q_expanding_distinct,
         "doc_bigram_lm": q_doc_bigram_lm,
+        "event_paths": q_event_paths,
+        "geo_clusters": q_geo_clusters,
     }
 
 
@@ -5166,5 +5207,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(avg(lp), 4) AS lm2_score,
                    CAST(count(*) AS BIGINT) AS n_bigrams
             FROM scored GROUP BY doc_id
+        """,
+        "event_paths": """
+            WITH w AS (
+              SELECT user_id, event_type AS s1,
+                     lead(event_type, 1) OVER ww AS s2,
+                     lead(event_type, 2) OVER ww AS s3
+              FROM events
+              WINDOW ww AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+            FROM w WHERE s3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n_paths DESC, s1, s2, s3
+            LIMIT 25
+        """,
+        "geo_clusters": """
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS sample_id,
+                     41.0 + ((c_custkey * 2654435761) % 600000) / 100000.0
+                       AS lat,
+                     -87.0 + ((c_custkey * 2246822519) % 700000) / 100000.0
+                       AS lon
+              FROM customer WHERE c_custkey < 400),
+            pairs AS (
+              SELECT a.sample_id AS u, b.sample_id AS v
+              FROM pts a JOIN pts b ON a.sample_id < b.sample_id
+              WHERE 2 * 6371.0088 * asin(sqrt(
+                      sin(radians(b.lat - a.lat)/2)
+                        * sin(radians(b.lat - a.lat)/2)
+                      + cos(radians(a.lat)) * cos(radians(b.lat))
+                        * sin(radians(b.lon - a.lon)/2)
+                        * sin(radians(b.lon - a.lon)/2))) <= 3.0),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+            labels AS (SELECT id, min(r) AS cluster_id
+                       FROM reach GROUP BY id)
+            SELECT CAST(p.sample_id AS BIGINT) AS sample_id,
+                   CAST(coalesce(l.cluster_id, p.sample_id) AS BIGINT)
+                     AS cluster_id
+            FROM pts p LEFT JOIN labels l ON l.id = p.sample_id
         """,
     }

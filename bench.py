@@ -134,6 +134,8 @@ HEADLINE = [
     "metagenome_qc",     # gates -> stats -> kmer Shannon, one plan
     "expanding_distinct", # first-occurrence flag + cumsum windows
     "doc_bigram_lm",     # bigram count tables joined at position grain
+    "event_paths",       # n-1 leads on one window sort, path-grid agg
+    "geo_clusters",      # binned geo pairs -> min-label CC
 ]
 
 

@@ -285,3 +285,25 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
               / period_seconds).cast("bigint")
     return (j.groupBy("cohort_start", offset.alias("period_offset"))
             .agg(F.count_distinct(F.col("_u")).alias("n_users")))
+
+
+def path_ngrams(df: DataFrame, key_cols: list[str], ts_col: str,
+                state_col: str, n: int = 3,
+                tiebreak_cols: list[str] = ()) -> DataFrame:
+    """Order-n journey mining: count every length-n run of consecutive
+    states per entity (the generalization of transition_counts beyond
+    bigrams) — 'view → click → purchase' path frequencies.
+
+    One shuffle on the entity key; the n−1 lead() columns share that
+    single (key, time) window sort, and the path count is a partial agg
+    over the state^n grid (bounded by observed paths, not events).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    d = df
+    cols = [F.col(state_col).alias("s1")]
+    for i in range(1, n):
+        d = d.withColumn(f"_s{i + 1}", F.lead(state_col, i).over(w))
+        cols.append(F.col(f"_s{i + 1}").alias(f"s{i + 1}"))
+    d = d.filter(F.col(f"_s{n}").isNotNull())
+    return (d.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n_paths")))

@@ -145,3 +145,15 @@ def test_cooccur_cosine_ochiai(spark):
            graph.cooccurrence_cosine(df, "g", "i").collect()}
     assert abs(out[("a", "b")] - 1.0) < 1e-12
     assert abs(out[("a", "c")] - 1 / 2 ** 0.5) < 1e-12
+
+
+def test_path_ngrams_trigrams(spark):
+    rows = [(1, i, s) for i, s in enumerate(["a", "b", "c", "a", "b", "c"])]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    out = {(r.s1, r.s2, r.s3): r.n_paths for r in
+           timeseries.path_ngrams(df, ["u"], "t", "s", n=3,
+                                  tiebreak_cols=["t"]).collect()}
+    # runs: abc, bca, cab, abc -> abc twice
+    assert out[("a", "b", "c")] == 2
+    assert out[("b", "c", "a")] == 1 and out[("c", "a", "b")] == 1
+    assert sum(out.values()) == 4
