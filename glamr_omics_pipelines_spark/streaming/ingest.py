@@ -233,3 +233,54 @@ def streaming_rollup_ingest(stream: DataFrame, group_cols: list[str],
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+
+def streaming_vocab_ingest(stream: DataFrame, text_col: str,
+                           state_dir: str, checkpoint: str,
+                           top_k: int = 1000) -> None:
+    """Streaming heavy-hitters vocabulary: each micro-batch's token counts
+    (tokenize-once explode + partial agg — the same plan as the batch
+    vocab_topk) are merged into a parquet (token, n) state table via
+    ``foreachBatch``. The always-on form of corpus vocabulary tracking:
+    token-grain state, independent of ingest volume, with the working set
+    optionally truncated to the ``top_k`` heaviest tokens + an OTHERS
+    bucket so a web-scale tail cannot grow the state unboundedly (the
+    truncation is recorded in the bucket, never silent).
+
+    Lossy-truncation contract (stated, not hidden): a token's count is
+    exact while it stays in the head; once truncated its mass moves into
+    OTHERS irrecoverably and a reappearance restarts from its new counts.
+    Total mass is always exact. (Misra-Gries would bound per-token error
+    with less state — this keeps head exactness, the usual vocab need.)
+    The previous OTHERS row never competes for head slots.
+    """
+    from glamr_omics_pipelines_spark.operators.text import tokens
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        snap = (batch.select(F.explode(
+            F.transform(tokens(text_col), F.lower)).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+        try:
+            current = spark.read.parquet(state_dir)
+            merged = (current.unionByName(snap)
+                      .groupBy("token").agg(F.sum("n").alias("n")))
+        except Exception:  # first batch: no state yet
+            merged = snap
+        real = merged.filter(F.col("token") != "<OTHERS>")
+        head = real.orderBy(F.col("n").desc(),
+                            F.col("token").asc()).limit(top_k)
+        others = (merged.join(head.select("token"), "token", "left_anti")
+                  .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+                  .select(F.lit("<OTHERS>").alias("token"), "n")
+                  .filter(F.col("n") > 0))
+        rows = head.unionByName(others).collect()
+        out = spark.createDataFrame(rows, head.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    (stream.writeStream
+     .foreachBatch(upsert)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

@@ -289,3 +289,35 @@ def test_streaming_rollup_ingest_merges_batches(spark, tmp_path):
     assert got == {"x": (3, 9.0, 1.0, 5.0),
                    "y": (1, 10.0, 10.0, 10.0),
                    "z": (1, 7.0, 7.0, 7.0)}
+
+
+def test_streaming_vocab_ingest_heavy_hitters(spark, tmp_path):
+    """File stream -> per-batch token counts -> foreachBatch merge into a
+    (token, n) state table with top-k truncation + exact OTHERS bucket."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        streaming_vocab_ingest)
+    import csv
+    src = tmp_path / "vocab_in"; src.mkdir()
+    docs_a = [("the cat sat",), ("the dog",)]
+    docs_b = [("the cat ran",), ("a bird",)]
+    for fname, rows in [("a.csv", docs_a), ("b.csv", docs_b)]:
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(["text"]); w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("text string")
+              .option("sep", "\t").option("header", True)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(src)))
+    state = str(tmp_path / "vstate")
+    streaming_vocab_ingest(stream, "text", state,
+                           str(tmp_path / "vckpt"), top_k=3)
+    got = {r.token: r.n for r in spark.read.parquet(state).collect()}
+    # full counts: the=3, cat=2, a=1, bird=1, dog=1, ran=1, sat=1 (n=10)
+    # batch 1 (file a): head = {the2, cat1, dog1}, OTHERS = sat(1)
+    # batch 2 (file b): head = {the3, cat2, a1} (tie n=1 -> token asc),
+    #                   OTHERS = bird + dog + ran + previous = 4
+    assert got["the"] == 3 and got["cat"] == 2 and got["a"] == 1
+    assert len(got) == 4  # top 3 + OTHERS
+    assert got["<OTHERS>"] == 4
+    assert sum(got.values()) == 10  # total mass exact
