@@ -2349,6 +2349,23 @@ def q_geo_clusters(spark, sf_dir):
                       F.col("cluster_id").cast("bigint").alias("cluster_id"))
 
 
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test per event type: user_id parity as the variant
+    assignment, value>50 as the success metric — the experiment-dashboard
+    aggregate, one conditional-sum partial agg per group."""
+    ev = _events(spark, sf_dir)
+    d = ev.select("event_type",
+                  F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+                  .alias("variant"),
+                  (F.col("value") > 50).cast("int").alias("converted"))
+    out = stats.two_proportion_ztest(d, "event_type", "variant",
+                                     "converted", "A", "B")
+    return out.select("event_type", "n_a", "n_b",
+                      _r4("rate_a").alias("rate_a"),
+                      _r4("rate_b").alias("rate_b"),
+                      _r4("z_score").alias("z_score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2538,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_lm": q_doc_bigram_lm,
         "event_paths": q_event_paths,
         "geo_clusters": q_geo_clusters,
+        "ab_test": q_ab_test,
     }
 
 
@@ -5250,5 +5268,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(l.cluster_id, p.sample_id) AS BIGINT)
                      AS cluster_id
             FROM pts p LEFT JOIN labels l ON l.id = p.sample_id
+        """,
+        "ab_test": """
+            WITH d AS (
+              SELECT event_type,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant,
+                     CAST(value > 50 AS INT) AS converted
+              FROM events),
+            a AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS na,
+                     CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS nb,
+                     sum(CASE WHEN variant = 'A'
+                              THEN CAST(converted AS DOUBLE) END) AS sa,
+                     sum(CASE WHEN variant = 'B'
+                              THEN CAST(converted AS DOUBLE) END) AS sb
+              FROM d GROUP BY event_type),
+            c AS (
+              SELECT event_type, na, nb, sa / na AS pa, sb / nb AS pb,
+                     (sa + sb) / (na + nb) AS pool
+              FROM a)
+            SELECT event_type,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+                   round(CASE WHEN na > 0 AND nb > 0
+                              AND pool > 0 AND pool < 1 THEN
+                         (pa - pb) / sqrt(pool * (1 - pool)
+                                          * (1 / na + 1 / nb)) END, 4)
+                     AS z_score
+            FROM c
         """,
     }

@@ -136,6 +136,7 @@ HEADLINE = [
     "doc_bigram_lm",     # bigram count tables joined at position grain
     "event_paths",       # n-1 leads on one window sort, path-grid agg
     "geo_clusters",      # binned geo pairs -> min-label CC
+    "ab_test",           # pooled two-proportion z per group, one agg
 ]
 
 

@@ -287,3 +287,36 @@ def welch_t_test(df: DataFrame, feature_col: str, group_col: str,
                       F.col("_nb").cast("bigint").alias("n_b"),
                       t.alias("t_stat"), dof.alias("welch_dof"),
                       lfc.alias("log2_fc"))
+
+
+def two_proportion_ztest(df: DataFrame, group_col: str, variant_col: str,
+                         success_col: str, variant_a, variant_b) -> DataFrame:
+    """Two-proportion z-test per group (the A/B-test primitive): compares
+    success rates between two variants with the pooled-proportion z
+    statistic z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+
+    One conditional-sum partial agg per group — experiment dashboards over
+    a billion exposures cost one scan + one group shuffle. Degenerate
+    groups (an empty arm, or pooled p̂ of 0/1 where the statistic is
+    undefined) yield null z.
+    """
+    is_a = F.col(variant_col) == F.lit(variant_a)
+    is_b = F.col(variant_col) == F.lit(variant_b)
+    s = F.col(success_col).cast("double")
+    agg = (df.filter(is_a | is_b).groupBy(group_col).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("_nb"),
+        F.sum(F.when(is_a, s)).alias("_sa"),
+        F.sum(F.when(is_b, s)).alias("_sb")))
+    pa = F.col("_sa") / F.col("_na")
+    pb = F.col("_sb") / F.col("_nb")
+    pool = (F.col("_sa") + F.col("_sb")) / (F.col("_na") + F.col("_nb"))
+    se = F.sqrt(pool * (1 - pool)
+                * (1 / F.col("_na") + 1 / F.col("_nb")))
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0) & (pool > 0) & (pool < 1)
+    z = F.when(ok, (pa - pb) / se)
+    return agg.select(group_col,
+                      F.col("_na").cast("bigint").alias("n_a"),
+                      F.col("_nb").cast("bigint").alias("n_b"),
+                      pa.alias("rate_a"), pb.alias("rate_b"),
+                      z.alias("z_score"))

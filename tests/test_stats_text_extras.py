@@ -188,3 +188,23 @@ def test_bigram_lm_scores_common_higher(spark):
     # doc 99's single bigram (a,q): c_ab=1, c_a=16, c_q=1, T=32
     want = math.log(0.7 * 1 / 16 + (1.0 - 0.7) * 1 / 32)
     assert abs(out[99] - want) < 1e-9
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    # A: 8/10 converted; B: 2/10 -> pool 0.5,
+    # z = 0.6 / sqrt(0.25 * 0.2) ~= 2.683
+    rows = ([("g", "A", 1)] * 8 + [("g", "A", 0)] * 2
+            + [("g", "B", 1)] * 2 + [("g", "B", 0)] * 8)
+    df = spark.createDataFrame(rows, "g string, v string, c int")
+    r = stats.two_proportion_ztest(df, "g", "v", "c", "A", "B").collect()[0]
+    assert r.n_a == 10 and r.n_b == 10
+    want = (0.8 - 0.2) / math.sqrt(0.5 * 0.5 * (0.1 + 0.1))
+    assert abs(r.z_score - want) < 1e-12
+
+
+def test_two_proportion_ztest_degenerate_null(spark):
+    # all successes -> pooled p = 1 -> undefined z
+    rows = [("g", "A", 1)] * 3 + [("g", "B", 1)] * 3
+    df = spark.createDataFrame(rows, "g string, v string, c int")
+    r = stats.two_proportion_ztest(df, "g", "v", "c", "A", "B").collect()[0]
+    assert r.z_score is None and r.rate_a == 1.0
