@@ -2366,6 +2366,17 @@ def q_ab_test(spark, sf_dir):
                       _r4("z_score").alias("z_score"))
 
 
+def q_tfidf_doc_pairs(spark, sf_dir):
+    """All-pairs TF-IDF cosine document similarity (Bayardo-style DF
+    pruning bounds the inverted-index fan-out; unit vectors make the pair
+    score one dot-product agg) — sparse-vector near-topic detection with
+    no embedding model."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.tfidf_doc_pairs(d, "doc_id", "text", max_df_frac=0.5,
+                               threshold=0.25)
+    return out.select("id_a", "id_b", _r4("cosine").alias("cosine"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2556,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "geo_clusters": q_geo_clusters,
         "ab_test": q_ab_test,
+        "tfidf_doc_pairs": q_tfidf_doc_pairs,
     }
 
 
@@ -5300,5 +5312,32 @@ def oracle_sql() -> dict[str, str]:
                                           * (1 / na + 1 / nb)) END, 4)
                      AS z_score
             FROM c
+        """,
+        "tfidf_doc_pairs": """
+            WITH toks AS (
+              SELECT doc_id AS id, lower(t) AS term
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            tf AS (SELECT id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            dfreq AS (
+              SELECT term, ln(n * 1.0 / count(*)) AS idf
+              FROM tf CROSS JOIN nd
+              GROUP BY term, n HAVING count(*) <= n * 0.5),
+            w AS (SELECT id, tf.term, tf.tf * idf AS w
+                  FROM tf JOIN dfreq ON dfreq.term = tf.term),
+            norms AS (SELECT id, sqrt(sum(w * w)) AS nrm
+                      FROM w GROUP BY id),
+            unit AS (
+              SELECT w.term, w.id, w.w / nrm AS u
+              FROM w JOIN norms ON norms.id = w.id
+              WHERE nrm > 0)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(sum(a.u * b.u), 4) AS cosine
+            FROM unit a JOIN unit b
+              ON a.term = b.term AND a.id < b.id
+            GROUP BY 1, 2 HAVING sum(a.u * b.u) >= 0.25
         """,
     }

@@ -137,6 +137,7 @@ HEADLINE = [
     "event_paths",       # n-1 leads on one window sort, path-grid agg
     "geo_clusters",      # binned geo pairs -> min-label CC
     "ab_test",           # pooled two-proportion z per group, one agg
+    "tfidf_doc_pairs",   # DF-pruned inverted-index all-pairs cosine
 ]
 
 

@@ -532,3 +532,51 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.avg("_lp").alias(out),
                  F.count(F.lit(1)).alias("n_bigrams")))
+
+
+def tfidf_doc_pairs(df: DataFrame, id_col: str, text_col: str,
+                    max_df_frac: float = 0.5,
+                    threshold: float = 0.3) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity between documents via the
+    inverted index — the sparse-vector twin of embedding_cosine_dups
+    (finds topically-similar docs with no embedding model).
+
+    The scale lever is DF pruning (Bayardo et al., WWW'07 all-pairs
+    style): terms appearing in more than ``max_df_frac`` of docs are
+    dropped BEFORE the index self-join, which (a) removes exactly the
+    stop-words that contribute ~0 IDF weight and (b) bounds the per-term
+    pair fan-out — without it one 'the' posting list generates |corpus|²
+    candidate pairs. Weights are tf·ln(N/df), L2-normalized per doc
+    (norm = one doc-grain partial agg broadcast back); the pair score is
+    a term-grain equi join + partial-agg dot product of UNIT vectors, so
+    no per-pair renormalization join is needed.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"))
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = F.broadcast(
+        df.agg(F.count_distinct(F.col(id_col)).alias("_n")))
+    dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+             .crossJoin(n_docs)
+             .filter(F.col("_df") <= F.col("_n") * max_df_frac)
+             .select("term",
+                     F.log(F.col("_n") / F.col("_df")).alias("_idf")))
+    w = (tf.join(dfreq, "term")
+         .select("_id", "term", (F.col("_tf") * F.col("_idf"))
+                 .alias("_w")))
+    norms = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm"))
+    unit = (w.join(norms, "_id")
+            .filter(F.col("_norm") > 0)
+            .select("term", F.col("_id"),
+                    (F.col("_w") / F.col("_norm")).alias("_u")))
+    a = unit.select("term", F.col("_id").alias("id_a"),
+                    F.col("_u").alias("_ua"))
+    b = unit.select("term", F.col("_id").alias("id_b"),
+                    F.col("_u").alias("_ub"))
+    return (a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("_ua") * F.col("_ub")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

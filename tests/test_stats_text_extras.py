@@ -208,3 +208,23 @@ def test_two_proportion_ztest_degenerate_null(spark):
     df = spark.createDataFrame(rows, "g string, v string, c int")
     r = stats.two_proportion_ztest(df, "g", "v", "c", "A", "B").collect()[0]
     assert r.z_score is None and r.rate_a == 1.0
+
+
+def test_tfidf_doc_pairs_identical_and_disjoint(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"), (4, "unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r.id_a, r.id_b): r.cosine for r in
+           text.tfidf_doc_pairs(df, "doc_id", "text", max_df_frac=0.6,
+                                threshold=0.1).collect()}
+    assert abs(out[(1, 2)] - 1.0) < 1e-9   # identical docs -> cosine 1
+    assert (1, 3) not in out and (3, 4) not in out
+
+
+def test_tfidf_doc_pairs_df_pruning_drops_stopword(spark):
+    # 'the' appears in all docs -> pruned; overlap only via 'the' -> no pair
+    rows = [(1, "the cat"), (2, "the dog"), (3, "the bird")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = text.tfidf_doc_pairs(df, "doc_id", "text", max_df_frac=0.5,
+                               threshold=0.01).collect()
+    assert out == []
