@@ -2377,6 +2377,31 @@ def q_tfidf_doc_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", _r4("cosine").alias("cosine"))
 
 
+def q_shard_assign(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment over customers, 8 shards —
+    row-local argmax of md5(key#shard), zero shuffle; the minimal-movement
+    placement rule for resharding a 100 TB table."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    out = sampling.rendezvous_assign(c, "c_custkey", n_shards=8,
+                                     out="shard")
+    return out.select("c_custkey",
+                      F.col("shard").cast("int").alias("shard"))
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurizer: 16-dim signed token-count vectors per doc
+    (md5 bucket + sign bit), no vocabulary table — emitted as a csv string
+    so the integer counts hash identically across engines."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.feature_hash(d, "doc_id", "text", n_features=16)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform(
+            "features",
+            lambda x: x.cast("bigint").cast("string")), ",")
+        .alias("features_csv"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2568,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_clusters": q_geo_clusters,
         "ab_test": q_ab_test,
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
+        "shard_assign": q_shard_assign,
+        "feature_hash": q_feature_hash,
     }
 
 
@@ -5339,5 +5366,43 @@ def oracle_sql() -> dict[str, str]:
             FROM unit a JOIN unit b
               ON a.term = b.term AND a.id < b.id
             GROUP BY 1, 2 HAVING sum(a.u * b.u) >= 0.25
+        """,
+        "shard_assign": """
+            WITH s AS (
+              SELECT c_custkey, sh,
+                     md5(CAST(c_custkey AS VARCHAR) || '#' || sh) AS h
+              FROM customer, unnest(range(0, 8)) AS t(sh)),
+            r AS (SELECT c_custkey, sh, row_number() OVER (
+                      PARTITION BY c_custkey ORDER BY h DESC, sh) AS rk
+                  FROM s)
+            SELECT c_custkey, CAST(sh AS INT) AS shard
+            FROM r WHERE rk = 1
+        """,
+        "feature_hash": """
+            WITH toks AS (
+              SELECT doc_id, lower(t) AS t
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            hb AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                       % 16 AS b,
+                     CASE WHEN CAST(concat('0x', substr(md5(t), 9, 1))
+                               AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+              FROM toks),
+            agg AS (SELECT doc_id, b, sum(s) AS v FROM hb GROUP BY 1, 2),
+            grid AS (
+              SELECT doc_id, f
+              FROM (SELECT DISTINCT doc_id FROM toks),
+                   unnest(range(0, 16)) AS t(f)),
+            dense AS (
+              SELECT g.doc_id, g.f, coalesce(a.v, 0) AS v
+              FROM grid g
+              LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.f)
+            SELECT doc_id,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY f)
+                     AS features_csv
+            FROM dense GROUP BY doc_id
         """,
     }

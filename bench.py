@@ -138,6 +138,8 @@ HEADLINE = [
     "geo_clusters",      # binned geo pairs -> min-label CC
     "ab_test",           # pooled two-proportion z per group, one agg
     "tfidf_doc_pairs",   # DF-pruned inverted-index all-pairs cosine
+    "shard_assign",      # HRW placement, row-local codegen argmax
+    "feature_hash",      # hashing-trick vectors, vocabulary-free
 ]
 
 

@@ -230,3 +230,58 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     return (d.withColumn("bin",
                          F.floor(before / F.lit(budget)).cast("bigint"))
             .withColumnRenamed("_shard", "shard").drop("_ord"))
+
+
+def rendezvous_assign(df: DataFrame, key_col: str, n_shards: int,
+                      out: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to argmax over shards of md5(key || shard) — the deterministic,
+    engine-portable placement rule whose defining property is MINIMAL
+    MOVEMENT under resharding (changing n_shards from K to K+1 relocates
+    only ~1/(K+1) of keys, vs ~all keys for mod-hashing).
+
+    Row-local: the shard scores are a literal-array max over n_shards md5
+    evaluations inside codegen — zero shuffle, usable as a scan-stage
+    partitioning column before a write. n_shards is bounded (placement
+    fan-out is per-row O(n_shards)); for thousands of shards use
+    two-level rendezvous (groups then members).
+    """
+    key = F.col(key_col).cast("string")
+    best = F.array_max(F.array(*[
+        F.struct(F.md5(F.concat(key, F.lit(f"#{s}"))).alias("h"),
+                 F.lit(s).alias("s"))
+        for s in range(n_shards)]))
+    return df.withColumn(out, best.getField("s"))
+
+
+def feature_hash(df: DataFrame, id_col: str, text_col: str,
+                 n_features: int = 64) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): token counts
+    folded into a fixed ``n_features``-dim vector by md5(token) mod D,
+    with the ± sign bit from the next hash hex digit canceling collision
+    bias — the model-free featurizer that needs NO vocabulary table,
+    broadcast, or training pass.
+
+    Tokenize-once explode → row-local bucket/sign → one (doc, bucket)
+    partial agg → dense vector assembled with a bounded map_from_entries
+    lookup. Output dimension is a constant; the shuffle carries
+    (doc, bucket) pairs bounded by doc length, never a vocabulary.
+    """
+    from glamr_omics_pipelines_spark.operators.text import tokens
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("t"))
+    h = F.md5(F.col("t"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_features
+    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10)
+                  .cast("long") % 2 == 0, 1).otherwise(-1)
+    agg = (toks.select("_id", bucket.alias("_b"), sign.alias("_s"))
+           .groupBy("_id", "_b")
+           .agg(F.sum("_s").cast("double").alias("_v")))
+    vec = (agg.groupBy("_id")
+           .agg(F.map_from_entries(F.collect_list(
+               F.struct(F.col("_b"), F.col("_v")))).alias("_m")))
+    dense = F.array(*[F.coalesce(F.col("_m").getItem(i), F.lit(0.0))
+                      for i in range(n_features)])
+    return vec.select(F.col("_id").alias(id_col),
+                      dense.alias("features"))

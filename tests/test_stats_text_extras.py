@@ -228,3 +228,31 @@ def test_tfidf_doc_pairs_df_pruning_drops_stopword(spark):
     out = text.tfidf_doc_pairs(df, "doc_id", "text", max_df_frac=0.5,
                                threshold=0.01).collect()
     assert out == []
+
+
+def test_rendezvous_minimal_movement(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    a = {r.k: r.shard for r in
+         sampling.rendezvous_assign(df, "k", 8).collect()}
+    b = {r.k: r.shard for r in
+         sampling.rendezvous_assign(df, "k", 9).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    # HRW guarantee: going 8 -> 9 shards moves only keys whose new shard
+    # is 8 (~1/9 of keys); allow slack for the small sample
+    assert moved == sum(1 for k in b if b[k] == 8)
+    assert moved < 200 * 0.25
+    assert all(0 <= s < 8 for s in a.values())
+
+
+def test_feature_hash_shape_and_determinism(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([(1, "a b a"), (2, "a b a")],
+                               "doc_id int, text string")
+    out = {r.doc_id: r.features for r in
+           sampling.feature_hash(df, "doc_id", "text",
+                                 n_features=8).collect()}
+    assert len(out[1]) == 8
+    assert out[1] == out[2]                      # identical docs agree
+    # 'a' occurs twice with the same sign: total L1 mass is 3 tokens
+    assert sum(abs(v) for v in out[1]) in (1.0, 3.0)  # collision-dependent
