@@ -2402,6 +2402,20 @@ def q_feature_hash(spark, sf_dir):
         .alias("features_csv"))
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates for part keys: md5-seeded
+    grid is DETERMINISTIC, so the whole sketch gets a full-value oracle
+    (the HLL family can't) — mergeable approximate counting with
+    depth×width state."""
+    li = _t(spark, sf_dir, "lineitem")
+    stream = li.select(F.col("l_partkey").alias("item"))
+    cms = sketches.cms_build(stream, "item", depth=4, width=256)
+    items = stream.filter(F.col("item") < 100).distinct()
+    out = sketches.cms_estimate(cms, items, "item", depth=4, width=256)
+    return out.select(F.col("item").cast("bigint").alias("item"),
+                      F.col("est_count").cast("bigint").alias("est_count"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2595,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_pairs": q_tfidf_doc_pairs,
         "shard_assign": q_shard_assign,
         "feature_hash": q_feature_hash,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -5404,5 +5419,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(v AS VARCHAR), ',' ORDER BY f)
                      AS features_csv
             FROM dense GROUP BY doc_id
+        """,
+        "cms_counts": """
+            WITH s AS (SELECT l_partkey AS item FROM lineitem),
+            grid AS (
+              SELECT r,
+                     CAST(concat('0x', substr(md5(r || '#'
+                          || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 256 AS b,
+                     count(*) AS n
+              FROM s, unnest(range(0, 4)) AS t(r)
+              GROUP BY 1, 2),
+            items AS (SELECT DISTINCT item FROM s WHERE item < 100),
+            probes AS (
+              SELECT item, r,
+                     CAST(concat('0x', substr(md5(r || '#'
+                          || CAST(item AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 256 AS b
+              FROM items, unnest(range(0, 4)) AS t(r))
+            SELECT CAST(item AS BIGINT) AS item,
+                   CAST(min(coalesce(n, 0)) AS BIGINT) AS est_count
+            FROM probes LEFT JOIN grid USING (r, b)
+            GROUP BY item
         """,
     }

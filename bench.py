@@ -140,6 +140,7 @@ HEADLINE = [
     "tfidf_doc_pairs",   # DF-pruned inverted-index all-pairs cosine
     "shard_assign",      # HRW placement, row-local codegen argmax
     "feature_hash",      # hashing-trick vectors, vocabulary-free
+    "cms_counts",        # deterministic mergeable count-min grid
 ]
 
 

@@ -115,3 +115,52 @@ def mash_distance(sketches: DataFrame, k: int = 64,
                        F.col("union_k").cast("bigint").alias("union_k"),
                        F.round(j, 6).alias("jaccard_est"),
                        F.round(dist, 6).alias("mash_dist")))
+
+
+def cms_build(df: DataFrame, item_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an item
+    stream: a depth × width counter grid where row r increments bucket
+    md5('r#'||item) mod width. DETERMINISTIC by construction (md5 seeds,
+    no RNG), so unlike HLL the whole sketch — and every estimate — is
+    value-exact reproducible on any engine; and MERGEABLE (grids add),
+    so per-partition/per-day sketches roll up without re-scanning facts.
+
+    One scan: the depth-way explode is a row-local literal transform, and
+    the grid is a (row, bucket) partial agg — sketch size depth·width
+    counters regardless of stream length.
+    """
+    item = F.col(item_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}#"), item)),
+                                     1, 8), 16, 10).cast("long")
+                  % width).alias("b"))
+        for r in range(depth)])
+    return (df.select(F.explode(rows).alias("rb"))
+            .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str,
+                 depth: int = 4, width: int = 256,
+                 out: str = "est_count") -> DataFrame:
+    """Point-query the sketch for each item: min over the depth rows of
+    the item's bucket counters (never underestimates; overestimates by
+    collision mass bounded by 2N/width w.h.p.). The probe is an equi join
+    of the item's depth (row, bucket) keys against the tiny grid —
+    broadcast at any realistic width — then a min agg per item.
+    """
+    item = F.col(item_col).cast("string")
+    keys = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}#"), item)),
+                                     1, 8), 16, 10).cast("long")
+                  % width).alias("b"))
+        for r in range(depth)])
+    probes = (items.withColumn("_rb", F.explode(keys))
+              .select(item_col, F.col("_rb.r").alias("r"),
+                      F.col("_rb.b").alias("b")))
+    return (probes.join(F.broadcast(cms), ["r", "b"], "left")
+            .groupBy(item_col)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out)))

@@ -53,3 +53,30 @@ def test_hll_sketch_column_survives_parquet(spark, tmp_path):
     exact = df.select("user_id").distinct().count()
     got = out.collect()[0]["approx_distinct"]
     assert abs(got - exact) <= 0.05 * exact + 2
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import sketches
+    rows = [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string")
+    cms = sketches.cms_build(df, "item", depth=4, width=64)
+    items = df.distinct()
+    est = {r.item: r.est_count for r in
+           sketches.cms_estimate(cms, items, "item", depth=4,
+                                 width=64).collect()}
+    true = {"a": 50, "b": 10, "c": 1}
+    for k, t in true.items():
+        assert est[k] >= t                      # CMS never underestimates
+        assert est[k] <= t + 61                 # collision mass bounded by N
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B)
+    half1 = spark.createDataFrame(rows[:30], "item string")
+    half2 = spark.createDataFrame(rows[30:], "item string")
+    merged = (sketches.cms_build(half1, "item", depth=4, width=64)
+              .unionByName(sketches.cms_build(half2, "item", depth=4,
+                                              width=64))
+              .groupBy("r", "b").agg(F.sum("n").alias("n")))
+    est2 = {r.item: r.est_count for r in
+            sketches.cms_estimate(merged, items, "item", depth=4,
+                                  width=64).collect()}
+    assert est2 == est
