@@ -2416,6 +2416,33 @@ def q_cms_counts(spark, sf_dir):
                       F.col("est_count").cast("bigint").alias("est_count"))
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): interval-weighted mean
+    for irregular sampling — lead window + one key-grain agg, one
+    exchange end to end."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.time_weighted_avg(ev, "user_id", "ts", "value",
+                                       "event_id")
+    return out.select("user_id", _r4("twap").alias("twap"),
+                      _r4("span_seconds").alias("span_seconds"),
+                      F.col("n_intervals").cast("bigint")
+                      .alias("n_intervals"))
+
+
+def q_spearman(spark, sf_dir):
+    """Per-event-type Spearman rank correlation between value and
+    time-of-day second: midrank windows on one group exchange + co-moment
+    Pearson over ranks."""
+    ev = _events(spark, sf_dir)
+    sec_of_day = (F.floor(windows.epoch_us("ts") / F.lit(1_000_000))
+                  % 86400).cast("double")
+    d = ev.select("event_type", sec_of_day.alias("x"),
+                  F.col("value").alias("y"))
+    out = stats.spearman_corr(d, "event_type", "x", "y")
+    return out.select("event_type", "n",
+                      _r4("spearman_rho").alias("spearman_rho"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2610,6 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "feature_hash": q_feature_hash,
         "cms_counts": q_cms_counts,
+        "twap": q_twap,
+        "spearman": q_spearman,
     }
 
 
@@ -5441,5 +5470,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(coalesce(n, 0)) AS BIGINT) AS est_count
             FROM probes LEFT JOIN grid USING (r, b)
             GROUP BY item
+        """,
+        "twap": """
+            WITH d AS (
+              SELECT user_id, event_id, value,
+                     epoch_us(ts::TIMESTAMP) / 1000000.0 AS t
+              FROM events),
+            l AS (
+              SELECT user_id, value, t,
+                     lead(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) - t AS dt
+              FROM d)
+            SELECT user_id,
+                   round(sum(value * dt) / sum(dt), 4) AS twap,
+                   round(sum(dt), 4) AS span_seconds,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM l WHERE dt IS NOT NULL
+            GROUP BY user_id
+        """,
+        "spearman": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts::TIMESTAMP) // 1000000) % 86400
+                          AS DOUBLE) AS x,
+                     value AS y
+              FROM events),
+            r AS (
+              SELECT event_type,
+                     rank() OVER (PARTITION BY event_type ORDER BY x)
+                       + (count(*) OVER (PARTITION BY event_type, x) - 1)
+                         / 2.0 AS rx,
+                     rank() OVER (PARTITION BY event_type ORDER BY y)
+                       + (count(*) OVER (PARTITION BY event_type, y) - 1)
+                         / 2.0 AS ry
+              FROM d),
+            a AS (
+              SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                     sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx * ry) AS sxy,
+                     sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+              FROM r GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                              AND n * syy - sy * sy > 0 THEN
+                         (n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         END, 4) AS spearman_rho
+            FROM a
         """,
     }

@@ -141,6 +141,8 @@ HEADLINE = [
     "shard_assign",      # HRW placement, row-local codegen argmax
     "feature_hash",      # hashing-trick vectors, vocabulary-free
     "cms_counts",        # deterministic mergeable count-min grid
+    "twap",              # interval-weighted mean, one exchange
+    "spearman",          # midrank windows + co-moment Pearson
 ]
 
 

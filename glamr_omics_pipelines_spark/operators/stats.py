@@ -320,3 +320,39 @@ def two_proportion_ztest(df: DataFrame, group_col: str, variant_col: str,
                       F.col("_nb").cast("bigint").alias("n_b"),
                       pa.alias("rate_a"), pb.alias("rate_b"),
                       z.alias("z_score"))
+
+
+def spearman_corr(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation: Pearson correlation of the
+    midranks of x and y — the monotonic-association test (robust to
+    outliers and nonlinearity) every environmental-gradient analysis
+    reports next to Pearson.
+
+    Midranks via two rank windows per variable (rank + tie-count, the
+    rank_sum_test treatment) over the SAME group partitioning, then the
+    co-moment Pearson formula as one partial agg — the whole statistic
+    costs the group exchange once. Groups with n < 2 or a constant
+    variable yield null.
+    """
+    def midrank(col):
+        w_rank = Window.partitionBy(group_col).orderBy(col)
+        w_tie = Window.partitionBy(group_col, col)
+        return (F.rank().over(w_rank)
+                + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0)
+
+    d = (df.withColumn("_rx", midrank(F.col(x_col)))
+         .withColumn("_ry", midrank(F.col(y_col))))
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"))
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    rho = F.when((F.col("_n") >= 2) & (vx > 0) & (vy > 0),
+                 cov / F.sqrt(vx * vy))
+    return agg.select(group_col, F.col("_n").cast("bigint").alias("n"),
+                      rho.alias("spearman_rho"))

@@ -307,3 +307,30 @@ def path_ngrams(df: DataFrame, key_cols: list[str], ts_col: str,
     d = d.filter(F.col(f"_s{n}").isNotNull())
     return (d.groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("n_paths")))
+
+
+def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
+                      value_col: str,
+                      tiebreak_col: str) -> DataFrame:
+    """Time-weighted average per key (TWAP): each reading is weighted by
+    how long it was in force (until the next reading), Σ vᵢ·Δtᵢ / Σ Δtᵢ —
+    the correct mean for IRREGULARLY-sampled series (an arithmetic mean
+    over-weights burst periods; environmental sensors sample exactly this
+    unevenly). The last reading of each key carries no interval and is
+    excluded (standard last-observation convention); single-reading keys
+    yield null.
+
+    One (key, time) window for the lead + one key-grain partial agg —
+    a single exchange end to end.
+    """
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sec = epoch_us(ts_col).cast("double") / 1e6
+    d = (df.withColumn("_t", sec)
+         .withColumn("_dt", F.lead("_t").over(w) - F.col("_t"))
+         .filter(F.col("_dt").isNotNull()))
+    return (d.groupBy(key_col)
+            .agg((F.sum(F.col(value_col) * F.col("_dt"))
+                  / F.sum("_dt")).alias("twap"),
+                 F.sum("_dt").alias("span_seconds"),
+                 F.count(F.lit(1)).alias("n_intervals")))

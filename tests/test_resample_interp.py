@@ -157,3 +157,28 @@ def test_path_ngrams_trigrams(spark):
     assert out[("a", "b", "c")] == 2
     assert out[("b", "c", "a")] == 1 and out[("c", "a", "b")] == 1
     assert sum(out.values()) == 4
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    # value 10 for 100s, then 20 for 300s -> twap = (10*100+20*300)/400
+    rows = [(1, 0, 10.0), (1, 100, 20.0), (1, 400, 99.0),  # last excluded
+            (2, 0, 5.0)]                                    # single -> none
+    df = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s), v) for u, s, v in rows],
+        "user_id int, ts timestamp, value double")
+    out = {r.user_id: r for r in
+           timeseries.time_weighted_avg(df, "user_id", "ts", "value",
+                                        "value").collect()}
+    assert abs(out[1].twap - (10 * 100 + 20 * 300) / 400) < 1e-9
+    assert out[1].span_seconds == 400.0 and out[1].n_intervals == 2
+    assert 2 not in out
+
+
+def test_spearman_monotonic_and_reversed(spark):
+    rows = ([("up", float(i), float(i * i)) for i in range(10)]
+            + [("down", float(i), float(-i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r.spearman_rho for r in
+           stats.spearman_corr(df, "g", "x", "y").collect()}
+    assert abs(out["up"] - 1.0) < 1e-12     # monotonic -> rho 1 (nonlinear ok)
+    assert abs(out["down"] + 1.0) < 1e-12
