@@ -2443,6 +2443,23 @@ def q_spearman(spark, sf_dir):
                       _r4("spearman_rho").alias("spearman_rho"))
 
 
+def q_debruijn_stats(spark, sf_dir):
+    """de Bruijn graph tangle diagnostic over the acgt read set (k=5):
+    node/edge/linear/branching/tip counts — consecutive-kmer edges explode
+    row-locally, degrees bounded by 4^k, corpus-size independent."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select(F.upper(F.regexp_replace(F.lower("text"),
+                                               "[^acgt]", "")).alias("seq"))
+             .filter(F.length("seq") >= 6))
+    out = bio.debruijn_stats(reads, "seq", k=5)
+    return out.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_linear").cast("bigint").alias("n_linear"),
+        F.col("n_branching").cast("bigint").alias("n_branching"),
+        F.col("n_tips").cast("bigint").alias("n_tips"),
+        F.col("n_edges").cast("bigint").alias("n_edges"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2639,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "twap": q_twap,
         "spearman": q_spearman,
+        "debruijn_stats": q_debruijn_stats,
     }
 
 
@@ -5517,5 +5535,35 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
                          END, 4) AS spearman_rho
             FROM a
+        """,
+        "debruijn_stats": """
+            WITH reads AS (
+              SELECT upper(regexp_replace(lower(text), '[^acgt]', '', 'g'))
+                       AS seq
+              FROM documents),
+            ok AS (SELECT seq FROM reads WHERE length(seq) >= 6),
+            edges AS (
+              SELECT DISTINCT substr(seq, i, 5) AS src,
+                              substr(seq, i + 1, 5) AS dst
+              FROM ok, LATERAL (SELECT unnest(generate_series(1,
+                     length(seq) - 5)) AS i) g),
+            od AS (SELECT src AS node, count(*) AS outdeg
+                   FROM edges GROUP BY src),
+            idg AS (SELECT dst AS node, count(*) AS indeg
+                    FROM edges GROUP BY dst),
+            nodes AS (
+              SELECT coalesce(od.node, idg.node) AS node,
+                     coalesce(indeg, 0) AS indeg,
+                     coalesce(outdeg, 0) AS outdeg
+              FROM od FULL JOIN idg ON od.node = idg.node)
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(CASE WHEN indeg <= 1 AND outdeg <= 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_linear,
+                   CAST(sum(CASE WHEN outdeg > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_branching,
+                   CAST(sum(CASE WHEN indeg = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tips,
+                   CAST(sum(outdeg) AS BIGINT) AS n_edges
+            FROM nodes
         """,
     }

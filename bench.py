@@ -143,6 +143,7 @@ HEADLINE = [
     "cms_counts",        # deterministic mergeable count-min grid
     "twap",              # interval-weighted mean, one exchange
     "spearman",          # midrank windows + co-moment Pearson
+    "debruijn_stats",    # 4^k-bounded assembly-graph degree census
 ]
 
 

@@ -270,3 +270,43 @@ def translate_dna(df: DataFrame, seq_col: str, frame: int = 0,
         f"substring(upper({seq_col}), i, 3)), 'X')), '') "
         f"ELSE '' END")
     return df.withColumn(out, F.expr(expr))
+
+
+def debruijn_stats(df: DataFrame, seq_col: str, k: int = 5) -> DataFrame:
+    """de Bruijn graph summary of a read set: nodes are distinct k-mers,
+    a directed edge joins kmers overlapping by k−1 WITHIN a read
+    (consecutive positions — the assembly-graph construction actual
+    assemblers use, not the all-pairs overlap). Per-node in/out degrees
+    classify the graph: LINEAR nodes (in ≤ 1 and out ≤ 1) chain into
+    unitigs, BRANCHING nodes (out > 1) are repeat boundaries, TIPS
+    (in = 0) are read starts / errors. The 'how tangled is this
+    metagenome' diagnostic behind every assembly QC.
+
+    Consecutive-kmer edges explode row-locally (O(len) per read, never
+    all-pairs); edge dedup + two degree partial aggs are the only
+    shuffles, all bounded by 4^k distinct k-mers — corpus-size
+    independent, the same bound as kmer_spectrum.
+    """
+    edges = (df.filter(F.length(seq_col) >= k + 1)
+             .select(F.explode(F.expr(
+                 f"transform(sequence(1, length({seq_col}) - {k}), "
+                 f"i -> struct(substring({seq_col}, i, {k}) AS src, "
+                 f"substring({seq_col}, i + 1, {k}) AS dst))"))
+                 .alias("e"))
+             .select("e.src", "e.dst").distinct())
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("indeg"))
+    nodes = (outdeg.join(indeg, "node", "full")
+             .select("node",
+                     F.coalesce("indeg", F.lit(0)).alias("indeg"),
+                     F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    return nodes.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when((F.col("indeg") <= 1) & (F.col("outdeg") <= 1), 1)
+              .otherwise(0)).alias("n_linear"),
+        F.sum(F.when(F.col("outdeg") > 1, 1).otherwise(0))
+        .alias("n_branching"),
+        F.sum(F.when(F.col("indeg") == 0, 1).otherwise(0)).alias("n_tips"),
+        F.sum(F.col("outdeg")).alias("n_edges"))

@@ -182,3 +182,16 @@ def test_spearman_monotonic_and_reversed(spark):
            stats.spearman_corr(df, "g", "x", "y").collect()}
     assert abs(out["up"] - 1.0) < 1e-12     # monotonic -> rho 1 (nonlinear ok)
     assert abs(out["down"] + 1.0) < 1e-12
+
+
+def test_debruijn_stats_linear_chain_and_branch(spark):
+    # single read ACGTA with k=2: edges AC->CG->GT->TA, a pure chain:
+    # 5 nodes? kmers: AC,CG,GT,TA -> 4 nodes, 3 edges, all linear, 1 tip
+    df = spark.createDataFrame([("ACGTA",)], "seq string")
+    r = bio.debruijn_stats(df, "seq", k=2).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_tips) == (4, 3, 1)
+    assert r.n_linear == 4 and r.n_branching == 0
+    # add a branch: AC -> CA makes AC out-degree 2
+    df2 = spark.createDataFrame([("ACGTA",), ("ACAT",)], "seq string")
+    r2 = bio.debruijn_stats(df2, "seq", k=2).collect()[0]
+    assert r2.n_branching >= 1
