@@ -2460,6 +2460,18 @@ def q_debruijn_stats(spark, sf_dir):
         F.col("n_edges").cast("bigint").alias("n_edges"))
 
 
+def q_minimizers(spark, sf_dir):
+    """Minimizer (winnowing) sketch density per read (k=5, w=4): window
+    minima over the md5 k-mer hash array, all row-local HOFs — zero
+    shuffle, the minimap2-style seeding sketch as a scan."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select("doc_id",
+                      F.upper(F.regexp_replace(F.lower("text"),
+                                               "[^acgt]", "")).alias("seq")))
+    out = bio.minimizer_stats(reads, "seq", k=5, w=4)
+    return out.select("doc_id", "n_kmers", "n_minimizers", "density")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2657,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "spearman": q_spearman,
         "debruijn_stats": q_debruijn_stats,
+        "minimizers": q_minimizers,
     }
 
 
@@ -5565,5 +5578,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tips,
                    CAST(sum(outdeg) AS BIGINT) AS n_edges
             FROM nodes
+        """,
+        "minimizers": """
+            WITH reads AS (
+              SELECT doc_id,
+                     upper(regexp_replace(lower(text), '[^acgt]', '', 'g'))
+                       AS seq
+              FROM documents),
+            ok AS (SELECT doc_id, seq FROM reads WHERE length(seq) >= 8),
+            h AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(seq) - 4),
+                                    i -> md5(substr(seq, i, 5))) AS harr
+              FROM ok),
+            m AS (
+              SELECT doc_id, harr,
+                     list_distinct(list_transform(
+                       generate_series(1, len(harr) - 3),
+                       j -> list_min(harr[j:j+3]))) AS mins
+              FROM h)
+            SELECT doc_id, CAST(len(harr) AS BIGINT) AS n_kmers,
+                   CAST(len(mins) AS BIGINT) AS n_minimizers,
+                   round(len(mins) * 1.0 / len(harr), 4) AS density
+            FROM m
         """,
     }

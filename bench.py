@@ -144,6 +144,7 @@ HEADLINE = [
     "twap",              # interval-weighted mean, one exchange
     "spearman",          # midrank windows + co-moment Pearson
     "debruijn_stats",    # 4^k-bounded assembly-graph degree census
+    "minimizers",        # row-local winnowing sketch, zero shuffle
 ]
 
 

@@ -310,3 +310,33 @@ def debruijn_stats(df: DataFrame, seq_col: str, k: int = 5) -> DataFrame:
         .alias("n_branching"),
         F.sum(F.when(F.col("indeg") == 0, 1).otherwise(0)).alias("n_tips"),
         F.sum(F.col("outdeg")).alias("n_edges"))
+
+
+def minimizer_stats(df: DataFrame, seq_col: str, k: int = 5,
+                    w: int = 4) -> DataFrame:
+    """Minimizer (winnowing) sketch density per sequence (Roberts 2004 /
+    minimap2): in every window of ``w`` consecutive k-mers keep the one
+    with the smallest hash; the distinct kept k-mers are the sequence's
+    minimizer sketch (expected density 2/(w+1)). The modern long-read
+    seeding/sketching primitive next to the bottom-k sketch.
+
+    Entirely row-local higher-order expressions — hash array once
+    (md5, engine-portable), window minima via slice+array_min
+    (O(len·w) per read, bounded by read length), distinct via
+    array_distinct; zero shuffle, so sketching 100 TB of reads is pure
+    scan. Adds n_kmers, n_minimizers, density.
+    """
+    L = f"length({seq_col})"
+    harr = (f"transform(sequence(1, {L} - {k - 1}), "
+            f"i -> md5(substring({seq_col}, i, {k})))")
+    mins = (f"array_distinct(transform("
+            f"sequence(1, size(_h) - {w - 1}), "
+            f"j -> array_min(slice(_h, j, {w}))))")
+    d = (df.filter(F.expr(f"{L} >= {k + w - 1}"))
+         .withColumn("_h", F.expr(harr))
+         .withColumn("_m", F.expr(mins)))
+    return (d.withColumn("n_kmers", F.size("_h").cast("bigint"))
+            .withColumn("n_minimizers", F.size("_m").cast("bigint"))
+            .withColumn("density",
+                        F.round(F.size("_m") / F.size("_h"), 4))
+            .drop("_h", "_m"))

@@ -195,3 +195,18 @@ def test_debruijn_stats_linear_chain_and_branch(spark):
     df2 = spark.createDataFrame([("ACGTA",), ("ACAT",)], "seq string")
     r2 = bio.debruijn_stats(df2, "seq", k=2).collect()[0]
     assert r2.n_branching >= 1
+
+
+def test_minimizer_density_bounds(spark):
+    import random
+    random.seed(7)
+    seqs = ["".join(random.choice("ACGT") for _ in range(200))
+            for _ in range(5)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "doc_id int, seq string")
+    out = bio.minimizer_stats(df, "seq", k=5, w=4).collect()
+    for r in out:
+        assert r.n_kmers == 196
+        # winnowing density: >= 1/w (one pick per window can't be rarer)
+        # and well below 1 on random sequence (expected 2/(w+1) = 0.4)
+        assert 1.0 / 4 <= r.density <= 0.8
