@@ -2472,6 +2472,34 @@ def q_minimizers(spark, sf_dir):
     return out.select("doc_id", "n_kmers", "n_minimizers", "density")
 
 
+def q_debounce(spark, sf_dir):
+    """Telemetry debounce: drop events whose same-(user,type) predecessor
+    is younger than 60s (lag-gap form) — one (key,time) exchange, the
+    batch twin of watermark dedup."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 60)
+    out = windows.debounce(ev, ["user_id", "event_type"], "ts",
+                           min_gap_seconds=60.0, tiebreak_col="event_id")
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_session_stats(spark, sf_dir):
+    """Composition: sessionize (§2.10 gap rule) → per-session duration /
+    event count / bounce flag → per-user session summary, ONE lazy plan
+    on a single user-key exchange family."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 80)
+    s = windows.sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    per_session = (s.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        (windows.epoch_us(F.max("ts"))
+                         - windows.epoch_us(F.min("ts"))).alias("dur_us")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_bounces"),
+                 _r4(F.avg("n_events")).alias("avg_events"),
+                 _r4(F.avg(F.col("dur_us") / 1e6)).alias("avg_dur_sec")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2670,6 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "debruijn_stats": q_debruijn_stats,
         "minimizers": q_minimizers,
+        "debounce": q_debounce,
+        "session_stats": q_session_stats,
     }
 
 
@@ -5601,5 +5631,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(mins) AS BIGINT) AS n_minimizers,
                    round(len(mins) * 1.0 / len(harr), 4) AS density
             FROM m
+        """,
+        "debounce": """
+            WITH d AS (SELECT event_id, user_id, event_type, ts
+                       FROM events WHERE user_id < 60),
+            g AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts::TIMESTAMP)
+                       - lag(epoch_us(ts::TIMESTAMP)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap
+              FROM d)
+            SELECT event_id, user_id, event_type
+            FROM g WHERE gap IS NULL OR gap >= 60000000
+        """,
+        "session_stats": """
+            WITH d AS (SELECT user_id, ts FROM events WHERE user_id < 80),
+            g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts::TIMESTAMP)
+                             - epoch_us(lag(ts) OVER w ::TIMESTAMP)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM d
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM g),
+            per AS (
+              SELECT user_id, session_id, count(*) AS n_events,
+                     epoch_us(max(ts)::TIMESTAMP)
+                       - epoch_us(min(ts)::TIMESTAMP) AS dur_us
+              FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   round(avg(n_events), 4) AS avg_events,
+                   round(avg(dur_us / 1000000.0), 4) AS avg_dur_sec
+            FROM per GROUP BY user_id
         """,
     }

@@ -145,6 +145,8 @@ HEADLINE = [
     "spearman",          # midrank windows + co-moment Pearson
     "debruijn_stats",    # 4^k-bounded assembly-graph degree census
     "minimizers",        # row-local winnowing sketch, zero shuffle
+    "debounce",          # lag-gap telemetry dedup, one exchange
+    "session_stats",     # sessionize -> bounce/duration summary
 ]
 
 

@@ -290,3 +290,26 @@ def expanding_distinct(df: DataFrame, key_col: str, order_col: str,
     return (df.withColumn("_new", flag)
             .withColumn(out, F.sum("_new").over(w_cum))
             .drop("_new"))
+
+
+def debounce(df: DataFrame, key_cols: list[str], ts_col: str,
+             min_gap_seconds: float, tiebreak_col: str) -> DataFrame:
+    """Debounce near-time duplicates: within each key, keep an event only
+    if the previous kept... — strictly, if the previous EVENT of that key
+    is at least ``min_gap_seconds`` older (lag-gap form: each event
+    compares to its immediate predecessor, the standard sensor/telemetry
+    debounce; the first event of a key always survives). The batch twin
+    of streaming dropDuplicatesWithinWatermark for value-identical keys.
+
+    One (key, time) window (lag + filter) — a single exchange; row-local
+    arithmetic after it. Note the lag-gap form is not transitive
+    suppression (a burst of events each 1s apart all suppress off their
+    immediate predecessor) — matching the relational expressible
+    semantics both engines agree on; true run-suppression is sessionize
+    with gap = min_gap (already in the catalog).
+    """
+    gap_us = int(min_gap_seconds * 1_000_000)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(epoch_us(ts_col)).over(w)
+    keep = prev.isNull() | (epoch_us(ts_col) - prev >= gap_us)
+    return df.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")

@@ -210,3 +210,16 @@ def test_minimizer_density_bounds(spark):
         # winnowing density: >= 1/w (one pick per window can't be rarer)
         # and well below 1 on random sequence (expected 2/(w+1) = 0.4)
         assert 1.0 / 4 <= r.density <= 0.8
+
+
+def test_debounce_lag_gap(spark):
+    from glamr_omics_pipelines_spark.operators import windows as W
+    # events at t=0, 30, 100, 190 with 60s gap: keep 0 (first), drop 30
+    # (gap 30), keep 100 (gap 70 vs previous EVENT at 30), keep 190
+    rows = [(i, 1, "a", datetime.datetime.utcfromtimestamp(t))
+            for i, t in enumerate([0, 30, 100, 190])]
+    df = spark.createDataFrame(rows, "event_id int, u int, k string, ts timestamp")
+    kept = sorted(r.event_id for r in
+                  W.debounce(df, ["u", "k"], "ts", 60.0, "event_id")
+                  .collect())
+    assert kept == [0, 2, 3]
