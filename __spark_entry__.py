@@ -2500,6 +2500,21 @@ def q_session_stats(spark, sf_dir):
                  _r4(F.avg(F.col("dur_us") / 1e6)).alias("avg_dur_sec")))
 
 
+def q_group_mode(spark, sf_dir):
+    """Statistical mode per group (most frequent part per supplier, ties →
+    smallest part key): value-grain counts then the map-side struct-min
+    top-1 aggregate (W1 machinery) — never a per-group sort window."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_suppkey", "l_partkey")
+              .agg(F.count(F.lit(1)).alias("n")))
+    out = windows.top1_by_agg(counts, ["l_suppkey"],
+                              order=[("n", False), ("l_partkey", True)],
+                              payload=["l_partkey", "n"])
+    return out.select("l_suppkey",
+                      F.col("l_partkey").alias("mode_partkey"),
+                      F.col("n").cast("bigint").alias("n"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2700,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizers": q_minimizers,
         "debounce": q_debounce,
         "session_stats": q_session_stats,
+        "group_mode": q_group_mode,
     }
 
 
@@ -5674,5 +5690,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_events), 4) AS avg_events,
                    round(avg(dur_us / 1000000.0), 4) AS avg_dur_sec
             FROM per GROUP BY user_id
+        """,
+        "group_mode": """
+            WITH c AS (SELECT l_suppkey, l_partkey, count(*) AS n
+                       FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT l_suppkey, l_partkey, n, row_number() OVER (
+                      PARTITION BY l_suppkey
+                      ORDER BY n DESC, l_partkey ASC) AS rk
+                  FROM c)
+            SELECT l_suppkey, l_partkey AS mode_partkey,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1
         """,
     }
