@@ -2515,6 +2515,14 @@ def q_group_mode(spark, sf_dir):
                       F.col("n").cast("bigint").alias("n"))
 
 
+def q_class_tfidf(spark, sf_dir):
+    """c-TF-IDF (BERTopic-shaped): top-5 characteristic terms per source —
+    (class, term)-grain aggs, corpus-size independent; the
+    'name this cluster' step after document clustering."""
+    d = _t(spark, sf_dir, "documents")
+    return text.class_tfidf_topk(d, "source", "text", k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2716,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": q_debounce,
         "session_stats": q_session_stats,
         "group_mode": q_group_mode,
+        "class_tfidf": q_class_tfidf,
     }
 
 
@@ -5701,5 +5710,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, l_partkey AS mode_partkey,
                    CAST(n AS BIGINT) AS n
             FROM r WHERE rk = 1
+        """,
+        "class_tfidf": """
+            WITH toks AS (
+              SELECT source AS cls, lower(t) AS t
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            tfc AS (SELECT cls, t, count(*) AS tf
+                    FROM toks GROUP BY 1, 2),
+            fterm AS (SELECT t, sum(tf) AS f FROM tfc GROUP BY t),
+            am AS (SELECT avg(m) AS a FROM (
+                     SELECT cls, sum(tf) AS m FROM tfc GROUP BY cls)),
+            w AS (
+              SELECT cls, tfc.t, tf * ln(1 + a / f) AS weight
+              FROM tfc JOIN fterm ON fterm.t = tfc.t CROSS JOIN am),
+            r AS (SELECT cls, t, weight, row_number() OVER (
+                      PARTITION BY cls ORDER BY weight DESC, t ASC) AS rk
+                  FROM w)
+            SELECT cls AS source, t AS term, CAST(rk AS BIGINT) AS rank,
+                   round(weight, 4) AS weight
+            FROM r WHERE rk <= 5
         """,
     }

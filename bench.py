@@ -147,6 +147,7 @@ HEADLINE = [
     "minimizers",        # row-local winnowing sketch, zero shuffle
     "debounce",          # lag-gap telemetry dedup, one exchange
     "session_stats",     # sessionize -> bounce/duration summary
+    "class_tfidf",       # c-TF-IDF cluster naming, grid-grain aggs
 ]
 
 

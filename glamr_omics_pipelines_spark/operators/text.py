@@ -580,3 +580,40 @@ def tfidf_doc_pairs(df: DataFrame, id_col: str, text_col: str,
             .groupBy("id_a", "id_b")
             .agg(F.sum(F.col("_ua") * F.col("_ub")).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def class_tfidf_topk(df: DataFrame, class_col: str, text_col: str,
+                     k: int = 5) -> DataFrame:
+    """Class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst 2022):
+    treat each CLASS (cluster, source, topic) as one concatenated
+    document and score W(t,c) = tf(t,c) · ln(1 + A/f(t)), A = average
+    class token mass, f(t) = corpus frequency of t — the 'which terms
+    characterize this cluster' step after any document clustering.
+    Returns the top-``k`` terms per class (weight desc, term asc — total
+    order, deterministic cut).
+
+    Aggregation grain is (class, term) — partial-agged map-side, bounded
+    by class-count × vocabulary, corpus-size independent; the corpus
+    frequency and A attach by broadcast (term-grain / one-row). Top-k is
+    a bounded rank window over the class-term grid, not the corpus.
+    """
+    toks = df.select(F.col(class_col).alias("cls"), F.explode(
+        F.transform(tokens(text_col), F.lower)).alias("t"))
+    tfc = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_tf"))
+    fterm = tfc.groupBy("t").agg(F.sum("_tf").alias("_f"))
+    avg_mass = F.broadcast(
+        tfc.groupBy("cls").agg(F.sum("_tf").alias("_m"))
+        .agg(F.avg("_m").alias("_a")))
+    w = (tfc.join(fterm, "t").crossJoin(avg_mass)
+         .select("cls", "t", (F.col("_tf")
+                              * F.log(1 + F.col("_a") / F.col("_f")))
+                 .alias("weight")))
+    from pyspark.sql import Window
+    rk = Window.partitionBy("cls").orderBy(F.col("weight").desc(),
+                                           F.col("t").asc())
+    return (w.withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") <= k)
+            .select(F.col("cls").alias(class_col),
+                    F.col("t").alias("term"),
+                    F.col("_rk").cast("bigint").alias("rank"),
+                    F.round("weight", 4).alias("weight")))

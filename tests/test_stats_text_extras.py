@@ -256,3 +256,15 @@ def test_feature_hash_shape_and_determinism(spark):
     assert out[1] == out[2]                      # identical docs agree
     # 'a' occurs twice with the same sign: total L1 mass is 3 tokens
     assert sum(abs(v) for v in out[1]) in (1.0, 3.0)  # collision-dependent
+
+
+def test_class_tfidf_distinctive_terms_win(spark):
+    # 'alpha' exclusive to class A; 'common' everywhere. A's top term must
+    # be alpha (exclusive terms get the higher ln(1 + A/f) boost).
+    rows = [("A", "alpha alpha common"), ("B", "beta common"),
+            ("C", "gamma common")]
+    df = spark.createDataFrame(rows, "cls string, text string")
+    out = {(r.cls, r.rank): r.term for r in
+           text.class_tfidf_topk(df, "cls", "text", k=2).collect()}
+    assert out[("A", 1)] == "alpha"
+    assert out[("B", 1)] == "beta" and out[("C", 1)] == "gamma"
