@@ -2523,6 +2523,14 @@ def q_class_tfidf(spark, sf_dir):
     return text.class_tfidf_topk(d, "source", "text", k=5)
 
 
+def q_kl_divergence(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram blend — the
+    domain-drift score for corpus mixing; grid-grain aggs with broadcast
+    distributions."""
+    d = _t(spark, sf_dir, "documents")
+    return text.group_kl_divergence(d, "source", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2725,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "group_mode": q_group_mode,
         "class_tfidf": q_class_tfidf,
+        "kl_divergence": q_kl_divergence,
     }
 
 
@@ -5731,5 +5740,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls AS source, t AS term, CAST(rk AS BIGINT) AS rank,
                    round(weight, 4) AS weight
             FROM r WHERE rk <= 5
+        """,
+        "kl_divergence": """
+            WITH toks AS (
+              SELECT source AS cls, lower(t) AS t
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            tfc AS (SELECT cls, t, count(*) AS n FROM toks GROUP BY 1, 2),
+            ct AS (SELECT cls, sum(n) AS ctot FROM tfc GROUP BY cls),
+            corpus AS (SELECT t, sum(n) AS cf FROM tfc GROUP BY t),
+            tot AS (SELECT sum(cf) AS grand FROM corpus)
+            SELECT cls AS source,
+                   round(sum((n / ctot) * ln((n / ctot)
+                             / (cf / grand))), 6) AS kl_bits_nat,
+                   CAST(count(*) AS BIGINT) AS n_terms
+            FROM tfc JOIN ct USING (cls) JOIN corpus USING (t)
+            CROSS JOIN tot
+            GROUP BY cls
         """,
     }

@@ -148,6 +148,7 @@ HEADLINE = [
     "debounce",          # lag-gap telemetry dedup, one exchange
     "session_stats",     # sessionize -> bounce/duration summary
     "class_tfidf",       # c-TF-IDF cluster naming, grid-grain aggs
+    "kl_divergence",     # per-class drift vs corpus blend
 ]
 
 

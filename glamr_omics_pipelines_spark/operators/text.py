@@ -617,3 +617,33 @@ def class_tfidf_topk(df: DataFrame, class_col: str, text_col: str,
                     F.col("t").alias("term"),
                     F.col("_rk").cast("bigint").alias("rank"),
                     F.round("weight", 4).alias("weight")))
+
+
+def group_kl_divergence(df: DataFrame, class_col: str,
+                        text_col: str) -> DataFrame:
+    """Per-class KL divergence D(P_class ‖ P_corpus) over unigram
+    distributions — the domain-drift detector for corpus mixing: which
+    source's language deviates most from the blend it feeds. KL is finite
+    by construction here (every class term exists in the corpus
+    distribution, which is the support superset).
+
+    (class, term)-grain counts partial-agg map-side; class totals and the
+    corpus term distribution attach by broadcast; the divergence is one
+    class-grain sum. Everything after the tokenize scan is bounded by
+    classes × vocabulary.
+    """
+    toks = df.select(F.col(class_col).alias("cls"), F.explode(
+        F.transform(tokens(text_col), F.lower)).alias("t"))
+    tfc = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_n"))
+    cls_tot = tfc.groupBy("cls").agg(F.sum("_n").alias("_ct"))
+    corpus = tfc.groupBy("t").agg(F.sum("_n").alias("_cf"))
+    total = F.broadcast(corpus.agg(F.sum("_cf").alias("_T")))
+    j = (tfc.join(F.broadcast(cls_tot), "cls")
+         .join(F.broadcast(corpus), "t").crossJoin(total))
+    p = F.col("_n") / F.col("_ct")
+    q = F.col("_cf") / F.col("_T")
+    return (j.groupBy("cls")
+            .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_bits_nat"),
+                 F.count(F.lit(1)).alias("n_terms"))
+            .select(F.col("cls").alias(class_col), "kl_bits_nat",
+                    F.col("n_terms").cast("bigint").alias("n_terms")))

@@ -268,3 +268,15 @@ def test_class_tfidf_distinctive_terms_win(spark):
            text.class_tfidf_topk(df, "cls", "text", k=2).collect()}
     assert out[("A", 1)] == "alpha"
     assert out[("B", 1)] == "beta" and out[("C", 1)] == "gamma"
+
+
+def test_kl_divergence_uniform_is_zero(spark):
+    # two classes with identical distributions -> each matches the corpus
+    # blend exactly -> KL = 0; a skewed third class scores > 0
+    rows = [("A", "x y"), ("B", "x y"), ("C", "x x x x")]
+    df = spark.createDataFrame(rows, "cls string, text string")
+    out = {r.cls: r.kl_bits_nat for r in
+           text.group_kl_divergence(df, "cls", "text").collect()}
+    # A and B have the same distribution; C is x-heavy, so C diverges most
+    assert out["C"] > out["A"] and out["C"] > 0
+    assert abs(out["A"] - out["B"]) < 1e-9
