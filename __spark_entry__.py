@@ -2265,6 +2265,13 @@ def q_metagenome_qc(spark, sf_dir):
     passing = bio.quality_filter(reads, "seq", min_len=30, max_n=0,
                                  max_homopolymer=6)
     passing = bio.low_complexity_filter(passing, "seq", threshold=30.0)
+    # persist: the complexity gate is an interpreted higher-order filter
+    # and `passing` feeds TWO downstream branches (pass stats + k-mer
+    # explode) — unpersisted, each branch re-runs the whole gate chain
+    # (measured 11.6 s -> the gate evaluated twice at sf0.1). Registered
+    # for release via the library cache registry.
+    from glamr_omics_pipelines_spark.operators import _cache
+    passing = _cache.register(passing)
     totals = reads.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_reads"))
     pstats = passing.groupBy("source").agg(

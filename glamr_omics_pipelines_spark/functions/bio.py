@@ -70,17 +70,19 @@ def phred_array(qual, offset: int = 33) -> Column:
 
 def sequence_complexity(seq) -> Column:
     """fastp sequence complexity: percent of positions whose base differs from
-    the next base (Snakefile:566 --low_complexity_filter). 0 for length<=1."""
+    the next base (Snakefile:566 --low_complexity_filter). 0 for length<=1.
+
+    Computed via run-collapsing, not per-char lambdas: collapsing every
+    repeat run to one char (regexp_replace '(.)\\1+' -> '$1') gives
+    runs = length(collapsed), and adjacent-differing pairs = runs − 1 —
+    identical math, but pure JVM regex instead of an interpreted
+    higher-order fold (measured 10.9 s -> sub-second on 4k reads; HOF
+    lambdas evaluate interpreted per element)."""
     up = F.upper(F.col(seq) if isinstance(seq, str) else seq)
-    chars = F.filter(F.split(up, ""), lambda c: c != "")
-    n = F.size(chars)
-    diffs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: (F.get(chars, i) != F.get(chars, i - 1)).cast("int"))
+    n = F.length(up)
+    runs = F.length(F.regexp_replace(up, r"(.)\1+", "$1"))
     return (F.when(n <= 1, F.lit(0.0))
-            .otherwise(F.lit(100.0)
-                       * F.aggregate(diffs, F.lit(0), lambda a, x: a + x)
-                       / (n - 1)))
+            .otherwise(F.lit(100.0) * (runs - 1) / (n - 1)))
 
 
 def low_complexity_filter(df: DataFrame, seq: str = "seq",
