@@ -2538,6 +2538,30 @@ def q_kl_divergence(spark, sf_dir):
     return text.group_kl_divergence(d, "source", "text")
 
 
+def q_nearest_station(spark, sf_dir):
+    """Nearest-station spatial attach: every sample point (customer-derived
+    lattice) assigned to the closest of 10 synthesized stations — broadcast
+    dim fan-out + map-side struct-min argmin, ties to smaller station id."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("sample_id"),
+        (F.lit(41.0)
+         + ((F.col("c_custkey") * 2654435761) % 600000) / F.lit(100000.0))
+        .alias("lat"),
+        (F.lit(-87.0)
+         + ((F.col("c_custkey") * 2246822519) % 700000) / F.lit(100000.0))
+        .alias("lon"))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    stations = n.select(
+        F.col("n_nationkey").alias("station_id"),
+        (F.lit(41.0) + F.col("n_nationkey") * 0.6).alias("lat"),
+        (F.lit(-87.0) + F.col("n_nationkey") * 0.7).alias("lon"))
+    out = joins.nearest_station(pts, stations, "sample_id", "station_id")
+    return out.select("sample_id",
+                      F.col("station").cast("bigint").alias("station"),
+                      _r4("dist_km").alias("dist_km"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2741,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mode": q_group_mode,
         "class_tfidf": q_class_tfidf,
         "kl_divergence": q_kl_divergence,
+        "nearest_station": q_nearest_station,
     }
 
 
@@ -5765,5 +5790,32 @@ def oracle_sql() -> dict[str, str]:
             FROM tfc JOIN ct USING (cls) JOIN corpus USING (t)
             CROSS JOIN tot
             GROUP BY cls
+        """,
+        "nearest_station": """
+            WITH pts AS (
+              SELECT c_custkey AS sample_id,
+                     41.0 + ((c_custkey * 2654435761) % 600000) / 100000.0
+                       AS lat,
+                     -87.0 + ((c_custkey * 2246822519) % 700000) / 100000.0
+                       AS lon
+              FROM customer),
+            st AS (
+              SELECT n_nationkey AS sid,
+                     41.0 + n_nationkey * 0.6 AS slat,
+                     -87.0 + n_nationkey * 0.7 AS slon
+              FROM nation WHERE n_nationkey < 10),
+            j AS (
+              SELECT sample_id, sid,
+                     2 * 6371.0088 * asin(sqrt(
+                       sin(radians(slat - lat)/2) * sin(radians(slat - lat)/2)
+                       + cos(radians(lat)) * cos(radians(slat))
+                         * sin(radians(slon - lon)/2)
+                         * sin(radians(slon - lon)/2))) AS d
+              FROM pts CROSS JOIN st),
+            r AS (SELECT *, row_number() OVER (PARTITION BY sample_id
+                      ORDER BY d, sid) AS rk FROM j)
+            SELECT sample_id, CAST(sid AS BIGINT) AS station,
+                   round(d, 4) AS dist_km
+            FROM r WHERE rk = 1
         """,
     }

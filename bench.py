@@ -149,6 +149,7 @@ HEADLINE = [
     "session_stats",     # sessionize -> bounce/duration summary
     "class_tfidf",       # c-TF-IDF cluster naming, grid-grain aggs
     "kl_divergence",     # per-class drift vs corpus blend
+    "nearest_station",   # broadcast-dim argmin spatial attach
 ]
 
 

@@ -265,3 +265,32 @@ def bitset_prune_semi_join(big: DataFrame, small: DataFrame, key: str,
               .filter(F.expr("(shiftright(_mask, _bit) & 1L) = 1L"))
               .drop("_word", "_bit", "_mask"))
     return probed.join(small.select(key).distinct(), key, "left_semi")
+
+
+def nearest_station(points: DataFrame, stations: DataFrame, id_col: str,
+                    station_col: str, lat_col: str = "lat",
+                    lon_col: str = "lon") -> DataFrame:
+    """Assign every point to its nearest reference station (min haversine)
+    — 'which monitoring buoy does this sample belong to', the spatial
+    dimension-attach every georeferenced sample table needs.
+
+    The station dimension is SMALL by definition (buoys/sites, not
+    samples): broadcast it, fan each point out ×|stations| row-locally,
+    and take the argmin with the map-side struct-min aggregate — no
+    shuffle of the point table beyond the final agg, no cross product in
+    the dangerous direction. Ties break toward the smaller station id.
+    (A continent-scale station set would first grid-prune candidates like
+    geo_neighbor_pairs; at that point it stops being a dimension.)
+    """
+    p = points.select(F.col(id_col), F.col(lat_col).alias("_plat"),
+                      F.col(lon_col).alias("_plon"))
+    s = stations.select(F.col(station_col).alias("_sid"),
+                        F.col(lat_col).alias("_slat"),
+                        F.col(lon_col).alias("_slon"))
+    j = p.join(F.broadcast(s))
+    dist = haversine_km(F.col("_plat"), F.col("_plon"),
+                        F.col("_slat"), F.col("_slon"))
+    packed = F.struct(dist.alias("_d"), F.col("_sid").alias("_s"))
+    agg = j.groupBy(id_col).agg(F.min(packed).alias("_w"))
+    return agg.select(id_col, F.col("_w._s").alias("station"),
+                      F.col("_w._d").alias("dist_km"))

@@ -252,3 +252,19 @@ def test_bitset_prune_semi_join_exact_and_pruning(spark):
     pruned = bitset_prune_semi_join(big, small, "k", 1 << 20)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_nearest_station_argmin_and_ties(spark):
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import joins as J
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 10.0)], "id int, lat double, lon double")
+    # stations at lon 0 and 10; point 1 equidistant from two co-located
+    # stations 5 and 7 -> tie breaks to smaller id
+    st = spark.createDataFrame(
+        [(5, 0.0, 0.0), (7, 0.0, 0.0), (9, 0.0, 10.0)],
+        "sid int, lat double, lon double")
+    out = {r.id: (r.station, r.dist_km) for r in
+           J.nearest_station(pts, st, "id", "sid").collect()}
+    assert out[1][0] == 5 and abs(out[1][1]) < 1e-9
+    assert out[2][0] == 9
