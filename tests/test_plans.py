@@ -375,3 +375,30 @@ def test_triangle_count_caches_and_explodes_once(spark):
     # the degree computation's src∪dst union is legitimate; the corner
     # fan-out regression is caught by requiring the explode to be present
     assert "Generate" in plan
+
+
+def test_late_round4_ops_no_python_no_cartesian(spark):
+    for q in ["expanding_distinct", "doc_bigram_lm", "event_paths",
+              "geo_clusters", "ab_test", "tfidf_doc_pairs", "shard_assign",
+              "feature_hash", "cms_counts", "twap", "spearman",
+              "debruijn_stats", "minimizers", "debounce", "session_stats",
+              "group_mode", "class_tfidf", "kl_divergence",
+              "nearest_station", "metagenome_qc"]:
+        plan = _plan(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_scan_stage_ops_have_zero_exchange(spark):
+    """shard_assign and minimizers are pure row-local scans."""
+    for q in ["shard_assign", "minimizers"]:
+        plan = _plan(spark, q)
+        assert "Exchange" not in plan, q
+
+
+def test_nearest_station_broadcasts_the_dim(spark):
+    """The x-fan-out side must be a broadcast (dim), never a shuffle of
+    the point table against stations."""
+    plan = _plan(spark, "nearest_station")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
