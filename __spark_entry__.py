@@ -2562,6 +2562,17 @@ def q_nearest_station(spark, sf_dir):
                       _r4("dist_km").alias("dist_km"))
 
 
+def q_burstiness(spark, sf_dir):
+    """Per-user burstiness index B = (σ−μ)/(σ+μ) over inter-event gaps —
+    periodic vs Poisson vs bursty temporal fingerprint; one lag window +
+    one co-moment agg on a single exchange."""
+    ev = _events(spark, sf_dir)
+    out = timeseries.burstiness(ev, "user_id", "ts", "event_id")
+    return out.select("user_id", "n_gaps",
+                      _r4("mean_gap_sec").alias("mean_gap_sec"),
+                      _r4("burstiness").alias("burstiness"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2766,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_tfidf": q_class_tfidf,
         "kl_divergence": q_kl_divergence,
         "nearest_station": q_nearest_station,
+        "burstiness": q_burstiness,
     }
 
 
@@ -5817,5 +5829,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT sample_id, CAST(sid AS BIGINT) AS station,
                    round(d, 4) AS dist_km
             FROM r WHERE rk = 1
+        """,
+        "burstiness": """
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts::TIMESTAMP)
+                      - lag(epoch_us(ts::TIMESTAMP)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0 AS gap
+              FROM events),
+            d AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+            a AS (
+              SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                     sum(gap) AS s, sum(gap * gap) AS q
+              FROM d GROUP BY user_id),
+            c AS (
+              SELECT user_id, n, s / n AS mu,
+                     CASE WHEN n >= 2
+                          AND (q - n * (s / n) * (s / n)) / (n - 1) >= 0
+                          THEN sqrt((q - n * (s / n) * (s / n)) / (n - 1))
+                     END AS sd
+              FROM a)
+            SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+                   round(mu, 4) AS mean_gap_sec,
+                   round(CASE WHEN sd IS NOT NULL AND sd + mu > 0
+                              THEN (sd - mu) / (sd + mu) END, 4)
+                     AS burstiness
+            FROM c
         """,
     }

@@ -150,6 +150,7 @@ HEADLINE = [
     "class_tfidf",       # c-TF-IDF cluster naming, grid-grain aggs
     "kl_divergence",     # per-class drift vs corpus blend
     "nearest_station",   # broadcast-dim argmin spatial attach
+    "burstiness",        # inter-arrival co-moments, one exchange
 ]
 
 

@@ -334,3 +334,31 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
                   / F.sum("_dt")).alias("twap"),
                  F.sum("_dt").alias("span_seconds"),
                  F.count(F.lit(1)).alias("n_intervals")))
+
+
+def burstiness(df: DataFrame, key_col: str, ts_col: str,
+               tiebreak_col: str) -> DataFrame:
+    """Burstiness index per entity (Goh & Barabási 2008):
+    B = (σ − μ)/(σ + μ) over the inter-event gap distribution — −1 for a
+    perfectly periodic signal, 0 for Poisson, → 1 for extreme bursts. The
+    one-number temporal fingerprint that separates schedulers from humans
+    from incident storms.
+
+    One (key, time) window for the lag gaps, then one key-grain co-moment
+    partial agg (n, Σg, Σg²) — a single exchange; keys with < 2 gaps or
+    zero mean+std yield null.
+    """
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gap = (epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)) / 1e6
+    d = df.withColumn("_g", gap).filter(F.col("_g").isNotNull())
+    agg = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_g").alias("_s"), F.sum(F.col("_g") * F.col("_g"))
+        .alias("_q"))
+    mu = F.col("_s") / F.col("_n")
+    var = (F.col("_q") - F.col("_n") * mu * mu) / (F.col("_n") - 1)
+    sd = F.when((F.col("_n") >= 2) & (var >= 0), F.sqrt(var))
+    b = F.when(sd.isNotNull() & (sd + mu > 0), (sd - mu) / (sd + mu))
+    return agg.select(key_col, F.col("_n").cast("bigint").alias("n_gaps"),
+                      mu.alias("mean_gap_sec"), b.alias("burstiness"))

@@ -223,3 +223,20 @@ def test_debounce_lag_gap(spark):
                   W.debounce(df, ["u", "k"], "ts", 60.0, "event_id")
                   .collect())
     assert kept == [0, 2, 3]
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    # periodic user: equal gaps -> sd 0 -> B = -1
+    per = [(1, i, datetime.datetime.utcfromtimestamp(i * 60))
+           for i in range(6)]
+    # bursty user: gaps 1,1,1,1,3600 -> B > 0? sd vs mu: mu=721, sd~1609 -> B~0.38
+    bur_times = [0, 1, 2, 3, 4, 3604]
+    bur = [(2, i, datetime.datetime.utcfromtimestamp(t))
+           for i, t in enumerate(bur_times)]
+    df = spark.createDataFrame(per + bur,
+                               "user_id int, event_id int, ts timestamp")
+    out = {r.user_id: r for r in
+           timeseries.burstiness(df, "user_id", "ts", "event_id").collect()}
+    assert abs(out[1].burstiness + 1.0) < 1e-9   # periodic -> -1
+    assert out[2].burstiness > 0.3               # bursty -> positive
+    assert out[1].n_gaps == 5
