@@ -2573,6 +2573,24 @@ def q_burstiness(spark, sf_dir):
                       _r4("burstiness").alias("burstiness"))
 
 
+def q_gini(spark, sf_dir):
+    """Gini concentration of taxon abundance per sample (Lorenz twin of
+    Pielou evenness): one rank window + one co-moment agg per group."""
+    counts = _taxon_counts(spark, sf_dir)
+    out = abundance.gini_coefficient(counts, ["sample"], "cnt", "taxon")
+    return out.select("sample", "n", _r4("gini").alias("gini"))
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformity of extended prices per return flag —
+    the fabricated-data / unit-mix-up audit: group×9 partial agg vs
+    literal expectations."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = validate.benford_deviation(li, ["l_returnflag"],
+                                     "l_extendedprice")
+    return out.select("l_returnflag", "n", "benford_chi2", "max_abs_dev")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2778,6 +2796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_divergence": q_kl_divergence,
         "nearest_station": q_nearest_station,
         "burstiness": q_burstiness,
+        "gini": q_gini,
+        "benford": q_benford,
     }
 
 
@@ -5856,5 +5876,45 @@ def oracle_sql() -> dict[str, str]:
                               THEN (sd - mu) / (sd + mu) END, 4)
                      AS burstiness
             FROM c
+        """,
+        "gini": """
+            WITH counts AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     CAST(sum(l_quantity) AS DOUBLE) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            r AS (
+              SELECT sample, cnt, row_number() OVER (
+                       PARTITION BY sample ORDER BY cnt ASC, taxon ASC) AS i
+              FROM counts WHERE cnt >= 0),
+            a AS (
+              SELECT sample, CAST(count(*) AS DOUBLE) AS n,
+                     sum(cnt) AS s, sum(i * cnt) AS isum
+              FROM r GROUP BY sample)
+            SELECT sample, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN s > 0 THEN
+                         2 * isum / (n * s) - (n + 1) / n END, 4) AS gini
+            FROM a
+        """,
+        "benford": """
+            WITH d AS (
+              SELECT l_returnflag AS g, abs(l_extendedprice) AS x
+              FROM lineitem WHERE abs(l_extendedprice) > 0),
+            fd0 AS (
+              SELECT g, CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT)
+                       AS fd
+              FROM d),
+            fd1 AS (SELECT g, CASE WHEN fd > 9 OR fd < 1 THEN 1 ELSE fd END
+                             AS fd FROM fd0),
+            counts AS (SELECT g, fd, count(*) AS c FROM fd1 GROUP BY 1, 2),
+            tot AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+            j AS (
+              SELECT counts.g, c * 1.0 / n AS p,
+                     log10(1 + 1.0 / fd) AS e, n
+              FROM counts JOIN tot USING (g))
+            SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                   round(sum((p - e) * (p - e) / e) * max(n), 4)
+                     AS benford_chi2,
+                   round(max(abs(p - e)), 4) AS max_abs_dev
+            FROM j GROUP BY g
         """,
     }

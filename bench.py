@@ -151,6 +151,8 @@ HEADLINE = [
     "kl_divergence",     # per-class drift vs corpus blend
     "nearest_station",   # broadcast-dim argmin spatial attach
     "burstiness",        # inter-arrival co-moments, one exchange
+    "gini",              # rank window + co-moment agg per group
+    "benford",           # numeric-ladder digit audit, group x 9 agg
 ]
 
 

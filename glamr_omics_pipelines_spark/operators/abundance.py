@@ -221,3 +221,31 @@ def deseq_size_factors(df: DataFrame, sample_col: str, taxon_col: str,
               .withColumn("_ratio", F.col("_c") / F.col("_gm")))
     return (ratios.groupBy(sample_col)
             .agg(F.expr("percentile(_ratio, 0.5d)").alias("size_factor")))
+
+
+def gini_coefficient(df: DataFrame, group_cols: list[str], value_col: str,
+                     tiebreak_col: str) -> DataFrame:
+    """Gini concentration per group over nonnegative values:
+    G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n with x ascending — 0 for perfectly
+    even, →1 for winner-takes-all. In omics: evenness of taxon abundance
+    (the Lorenz twin of Pielou); in a training corpus: how concentrated
+    the token/source mass is.
+
+    One rank window (value asc, tiebreak) + one group-grain partial agg
+    of Σx and Σ(i·x) — a single exchange. Zero-sum groups yield null.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc())
+    d = (df.filter(F.col(value_col) >= 0)
+         .withColumn("_i", F.row_number().over(w)))
+    x = F.col(value_col).cast("double")
+    agg = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(F.col("_i") * x).alias("_is"))
+    g = F.when(F.col("_s") > 0,
+               2 * F.col("_is") / (F.col("_n") * F.col("_s"))
+               - (F.col("_n") + 1) / F.col("_n"))
+    return agg.select(*group_cols,
+                      F.col("_n").cast("bigint").alias("n"),
+                      g.alias("gini"))

@@ -151,3 +151,42 @@ def key_skew_profile(df: DataFrame, cols: Sequence[str],
                     F.round(F.col("n") / F.col("_total"), 6).alias("share"),
                     F.round(F.col("n") * F.col("_nvals") / F.col("_total"), 4)
                     .alias("skew_ratio")))
+
+
+def benford_deviation(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str) -> DataFrame:
+    """Benford's-law conformity per group: the first-significant-digit
+    distribution of positive values vs log10(1 + 1/d), scored with the
+    chi-square statistic (n·Σ(p̂_d − p_d)²/p_d) and the max absolute
+    deviation — the fabricated-data / unit-mix-up smell test auditors run
+    on measurement tables (a data-quality expectation, X71's numeric kin).
+
+    First digit via string head of the absolute value in scientific
+    notation-free form: format_number is locale-bound, so use the
+    numeric ladder instead — d = floor(x / 10^floor(log10(x))), pure
+    math, engine-portable. One group×9 partial agg; expectations are
+    literals.
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    d = df.filter(x > 0).withColumn(
+        "_d", F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+        .cast("int"))
+    # floating log10 can land exactly-10 on powers of ten; clamp into 1..9
+    d = d.withColumn("_d", F.when(F.col("_d") > 9, 1)
+                     .when(F.col("_d") < 1, 1).otherwise(F.col("_d")))
+    counts = (d.groupBy(*group_cols, "_d")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    tot = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    import math
+    expected = F.create_map(*[x_ for dd in range(1, 10)
+                              for x_ in (F.lit(dd),
+                                         F.lit(math.log10(1 + 1 / dd)))])
+    j = (counts.join(F.broadcast(tot), list(group_cols))
+         .withColumn("_p", F.col("_c") / F.col("_n"))
+         .withColumn("_e", expected.getItem(F.col("_d"))))
+    dev = F.col("_p") - F.col("_e")
+    return (j.groupBy(*group_cols)
+            .agg(F.first("_n").cast("bigint").alias("n"),
+                 F.round(F.sum(dev * dev / F.col("_e"))
+                         * F.first("_n"), 4).alias("benford_chi2"),
+                 F.round(F.max(F.abs(dev)), 4).alias("max_abs_dev")))

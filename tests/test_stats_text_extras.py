@@ -280,3 +280,29 @@ def test_kl_divergence_uniform_is_zero(spark):
     # A and B have the same distribution; C is x-heavy, so C diverges most
     assert out["C"] > out["A"] and out["C"] > 0
     assert abs(out["A"] - out["B"]) < 1e-9
+
+
+def test_gini_even_and_concentrated(spark):
+    from glamr_omics_pipelines_spark.operators import abundance
+    rows = ([("even", i, 10.0) for i in range(5)]
+            + [("conc", 0, 100.0)] + [("conc", i, 0.0) for i in range(1, 5)])
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = {r.g: r.gini for r in
+           abundance.gini_coefficient(df, ["g"], "v", "id").collect()}
+    assert abs(out["even"]) < 1e-9               # equal shares -> 0
+    assert abs(out["conc"] - 0.8) < 1e-9         # all-in-one of 5 -> (n-1)/n
+
+
+def test_benford_conforming_vs_uniform(spark):
+    import math
+    from glamr_omics_pipelines_spark.operators import validate
+    # conforming sample: counts proportional to Benford expectations
+    conf = [("b", float(d)) for d in range(1, 10)
+            for _ in range(round(1000 * math.log10(1 + 1 / d)))]
+    # uniform digits: far from Benford
+    unif = [("u", float(d)) for d in range(1, 10) for _ in range(100)]
+    df = spark.createDataFrame(conf + unif, "g string, v double")
+    out = {r.g: r for r in
+           validate.benford_deviation(df, ["g"], "v").collect()}
+    assert out["b"].benford_chi2 < out["u"].benford_chi2
+    assert out["u"].max_abs_dev > 0.05
