@@ -2591,6 +2591,21 @@ def q_benford(spark, sf_dir):
     return out.select("l_returnflag", "n", "benford_chi2", "max_abs_dev")
 
 
+def q_simpson(spark, sf_dir):
+    """Simpson diversity (1 − Σp²) + inverse Simpson per sample — the
+    dominance-weighted companion of Shannon (X51), same taxon-grain
+    partial-agg + broadcast-totals shape."""
+    counts = _taxon_counts(spark, sf_dir)
+    totals = counts.groupBy("sample").agg(F.sum("cnt").alias("_t"))
+    p = F.col("cnt") / F.col("_t")
+    out = (counts.join(F.broadcast(totals), "sample")
+           .groupBy("sample")
+           .agg(F.sum(p * p).alias("_sp")))
+    return out.select(
+        "sample", _r4(1 - F.col("_sp")).alias("simpson"),
+        _r4(1 / F.col("_sp")).alias("inv_simpson"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2798,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "gini": q_gini,
         "benford": q_benford,
+        "simpson": q_simpson,
     }
 
 
@@ -5916,5 +5932,21 @@ def oracle_sql() -> dict[str, str]:
                      AS benford_chi2,
                    round(max(abs(p - e)), 4) AS max_abs_dev
             FROM j GROUP BY g
+        """,
+        "simpson": """
+            WITH counts AS (
+              SELECT l_returnflag AS sample, l_partkey AS taxon,
+                     CAST(sum(l_quantity) AS DOUBLE) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT sample, sum(cnt) AS t FROM counts
+                    GROUP BY sample),
+            s AS (
+              SELECT counts.sample,
+                     sum((cnt / t) * (cnt / t)) AS sp
+              FROM counts JOIN tot USING (sample)
+              GROUP BY counts.sample)
+            SELECT sample, round(1 - sp, 4) AS simpson,
+                   round(1 / sp, 4) AS inv_simpson
+            FROM s
         """,
     }
