@@ -2606,6 +2606,27 @@ def q_simpson(spark, sf_dir):
         _r4(1 / F.col("_sp")).alias("inv_simpson"))
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf slope of the corpus: OLS fit of ln(freq) ~ ln(rank) over the
+    top-1000 vocabulary (healthy natural text ≈ −1; templated/synthetic
+    corpora deviate) — vocab partial agg + a METADATA-scale global rank
+    (bh_adjust contract) + the X101 co-moment fit."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.transform(text.tokens("text"), F.lower))
+                      .alias("t"))
+             .groupBy("t").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
+    ranked = (vocab.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= 1000)
+              .select(F.lit(1).alias("k"),
+                      F.log(F.col("r").cast("double")).alias("x"),
+                      F.log(F.col("n").cast("double")).alias("y")))
+    out = stats.trend_fit(ranked, ["k"], "x", "y")
+    return out.select(F.col("n").alias("n_terms"),
+                      _r4("slope").alias("zipf_slope"),
+                      _r4("r2").alias("r2"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2814,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "benford": q_benford,
         "simpson": q_simpson,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -5948,5 +5970,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT sample, round(1 - sp, 4) AS simpson,
                    round(1 / sp, 4) AS inv_simpson
             FROM s
+        """,
+        "zipf_slope": """
+            WITH vocab AS (
+              SELECT lower(t) AS t, count(*) AS n
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g
+              GROUP BY 1),
+            ranked AS (
+              SELECT ln(CAST(row_number() OVER (
+                       ORDER BY n DESC, t ASC) AS DOUBLE)) AS x,
+                     ln(CAST(n AS DOUBLE)) AS y
+              FROM vocab
+              QUALIFY row_number() OVER (ORDER BY n DESC, t ASC) <= 1000),
+            a AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM ranked)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round(CASE WHEN n * sxx - sx * sx <> 0 THEN
+                         (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4)
+                     AS zipf_slope,
+                   round(CASE WHEN n * sxx - sx * sx <> 0
+                              AND n * syy - sy * sy <> 0 THEN
+                         ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         END, 4) AS r2
+            FROM a
         """,
     }
