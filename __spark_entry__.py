@@ -2627,6 +2627,33 @@ def q_zipf_slope(spark, sf_dir):
                       _r4("r2").alias("r2"))
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary audit: per-language OOV token rate of the
+    deterministic md5 val split against the train split's vocabulary —
+    the train/val lexical-coverage check (contamination sweep's benign
+    twin). Train vocab is a distinct-token table (vocab-sized, broadcast
+    or shuffled equi join at web scale), val tokens left-join it once."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                                                F.col("doc_id")
+                                                .cast("string"))), 1, 8),
+                     16, 10).cast("long") % 100)
+    d = d.withColumn("_b", bucket)
+    toks = d.select("lang", F.col("_b"), F.explode(
+        F.transform(text.tokens("text"), F.lower)).alias("t"))
+    train_vocab = (toks.filter(F.col("_b") < 80)
+                   .select("t").distinct()
+                   .withColumn("_seen", F.lit(1)))
+    val = toks.filter(F.col("_b") >= 80)
+    j = val.join(train_vocab, "t", "left")
+    return (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_val_tokens"),
+                 F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"),
+                 F.round(F.avg(F.when(F.col("_seen").isNull(), 1.0)
+                               .otherwise(0.0)), 6).alias("oov_rate")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2836,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "simpson": q_simpson,
         "zipf_slope": q_zipf_slope,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -5999,5 +6027,29 @@ def oracle_sql() -> dict[str, str]:
                          / ((n * sxx - sx * sx) * (n * syy - sy * sy))
                          END, 4) AS r2
             FROM a
+        """,
+        "oov_rate": """
+            WITH d AS (
+              SELECT doc_id, lang, text,
+                     CAST(concat('0x', substr(md5(concat('split:',
+                          CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 100 AS b
+              FROM documents),
+            toks AS (
+              SELECT lang, b, lower(t) AS t
+              FROM d, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            tv AS (SELECT DISTINCT t FROM toks WHERE b < 80),
+            val AS (SELECT lang, toks.t, tv.t AS seen
+                    FROM toks LEFT JOIN tv ON tv.t = toks.t
+                    WHERE b >= 80)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_val_tokens,
+                   CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(avg(CASE WHEN seen IS NULL THEN 1.0 ELSE 0.0 END),
+                         6) AS oov_rate
+            FROM val GROUP BY lang
         """,
     }
