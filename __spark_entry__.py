@@ -2654,6 +2654,25 @@ def q_oov_rate(spark, sf_dir):
                                .otherwise(0.0)), 6).alias("oov_rate")))
 
 
+def q_orf_count(spark, sf_dir):
+    """ORF census per read (frame 0): complete ORFs = 'M…*' spans in the
+    X107 translation — regexp_count + extract_all/length over the protein
+    string, all scan-stage (the relational shadow of prodigal's gene
+    calls)."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select("doc_id",
+                      F.upper(F.regexp_replace(F.lower("text"),
+                                               "[^acgt]", "")).alias("seq"))
+             .filter(F.length("seq") >= 3))
+    t = bio.translate_dna(reads, "seq", frame=0, out="protein")
+    orfs = F.expr(r"regexp_extract_all(protein, 'M[^*]*\\*', 0)")
+    return t.select(
+        "doc_id",
+        F.size(orfs).cast("bigint").alias("n_orfs"),
+        F.coalesce(F.array_max(F.transform(orfs, F.length)), F.lit(0))
+        .cast("bigint").alias("longest_orf_aa"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2864,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson": q_simpson,
         "zipf_slope": q_zipf_slope,
         "oov_rate": q_oov_rate,
+        "orf_count": q_orf_count,
     }
 
 
@@ -2906,6 +2926,41 @@ def _k_core_sql(k: int = 3, rounds: int = 12) -> str:
         JOIN n{rounds} b ON s.v = b.node
         GROUP BY s.u
     """)
+
+
+def _orf_count_sql() -> str:
+    """Oracle for q_orf_count: the frame-0 translation (same generated
+    codon table as _translate_dna_sql) + M…* span extraction."""
+    values = ", ".join(f"('{c}', '{a}')"
+                       for c, a in sorted(bio.CODON_TABLE.items()))
+    return f"""
+        WITH reads AS (
+          SELECT doc_id,
+                 upper(regexp_replace(lower(text), '[^acgt]', '', 'g')) AS seq
+          FROM documents),
+        ok AS (SELECT doc_id, seq FROM reads WHERE length(seq) >= 3),
+        cod AS (
+          SELECT doc_id, i, substr(seq, i, 3) AS codon
+          FROM ok, LATERAL (SELECT unnest(generate_series(1,
+                 length(seq) - 2, 3)) AS i) g),
+        tab(codon, aa) AS (VALUES {values}),
+        j AS (SELECT doc_id, i, coalesce(aa, 'X') AS aa
+              FROM cod LEFT JOIN tab USING (codon)),
+        prot AS (
+          SELECT ok.doc_id,
+                 coalesce(p.protein, '') AS protein
+          FROM ok LEFT JOIN (
+            SELECT doc_id, string_agg(aa, '' ORDER BY i) AS protein
+            FROM j GROUP BY doc_id) p USING (doc_id)),
+        orfs AS (
+          SELECT doc_id,
+                 regexp_extract_all(protein, 'M[^*]*\\*', 0) AS o
+          FROM prot)
+        SELECT doc_id, CAST(len(o) AS BIGINT) AS n_orfs,
+               CAST(coalesce(list_max(list_transform(o, s -> length(s))), 0)
+                    AS BIGINT) AS longest_orf_aa
+        FROM orfs
+    """
 
 
 def _translate_dna_sql() -> str:
@@ -6052,4 +6107,5 @@ def oracle_sql() -> dict[str, str]:
                          6) AS oov_rate
             FROM val GROUP BY lang
         """,
+        "orf_count": _orf_count_sql(),
     }

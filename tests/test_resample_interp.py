@@ -240,3 +240,16 @@ def test_burstiness_periodic_vs_bursty(spark):
     assert abs(out[1].burstiness + 1.0) < 1e-9   # periodic -> -1
     assert out[2].burstiness > 0.3               # bursty -> positive
     assert out[1].n_gaps == 5
+
+
+def test_orf_count_via_translation(spark):
+    # ATG GCC TAA ATG TAA -> protein "MA*M*": two complete ORFs,
+    # longest = 3 aa (MA*)
+    df = spark.createDataFrame([(1, "ATGGCCTAAATGTAA")], "doc_id int, text string")
+    from pyspark.sql import functions as FF
+    reads = df.select("doc_id", FF.col("text").alias("seq"))
+    t = bio.translate_dna(reads, "seq", frame=0, out="protein")
+    r = t.select("protein",
+                 FF.size(FF.expr(r"regexp_extract_all(protein, 'M[^*]*\\*', 0)"))
+                 .alias("n")).collect()[0]
+    assert r.protein == "MA*M*" and r.n == 2
