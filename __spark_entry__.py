@@ -2673,6 +2673,28 @@ def q_orf_count(spark, sf_dir):
         .cast("bigint").alias("longest_orf_aa"))
 
 
+def q_base_entropy(spark, sf_dir):
+    """Per-read Shannon entropy of base composition (0 for homopolymers,
+    2 bits for uniform ACGT) — the low-complexity detector's
+    information-theoretic twin, entirely row-local length arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    reads = (d.select("doc_id",
+                      F.upper(F.regexp_replace(F.lower("text"),
+                                               "[^acgt]", "")).alias("seq"))
+             .filter(F.length("seq") >= 10))
+    n = F.length("seq").cast("double")
+    terms = []
+    for b in "ACGT":
+        cnt = (F.length("seq")
+               - F.length(F.regexp_replace("seq", b, ""))).cast("double")
+        p = cnt / n
+        terms.append(F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    h = terms[0] + terms[1] + terms[2] + terms[3]
+    return reads.select("doc_id",
+                        F.length("seq").cast("bigint").alias("seq_len"),
+                        _r4(h).alias("base_entropy_bits"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2884,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "oov_rate": q_oov_rate,
         "orf_count": q_orf_count,
+        "base_entropy": q_base_entropy,
     }
 
 
@@ -6108,4 +6131,34 @@ def oracle_sql() -> dict[str, str]:
             FROM val GROUP BY lang
         """,
         "orf_count": _orf_count_sql(),
+        "base_entropy": """
+            WITH reads AS (
+              SELECT doc_id,
+                     upper(regexp_replace(lower(text), '[^acgt]', '', 'g'))
+                       AS seq
+              FROM documents),
+            ok AS (SELECT doc_id, seq FROM reads WHERE length(seq) >= 10),
+            c AS (
+              SELECT doc_id, CAST(length(seq) AS DOUBLE) AS n,
+                     CAST(length(seq)
+                          - length(replace(seq, 'A', '')) AS DOUBLE) AS ca,
+                     CAST(length(seq)
+                          - length(replace(seq, 'C', '')) AS DOUBLE) AS cc,
+                     CAST(length(seq)
+                          - length(replace(seq, 'G', '')) AS DOUBLE) AS cg,
+                     CAST(length(seq)
+                          - length(replace(seq, 'T', '')) AS DOUBLE) AS ct
+              FROM ok)
+            SELECT doc_id, CAST(n AS BIGINT) AS seq_len,
+                   round(
+                     (CASE WHEN ca > 0 THEN -(ca/n) * log2(ca/n)
+                           ELSE 0.0 END)
+                     + (CASE WHEN cc > 0 THEN -(cc/n) * log2(cc/n)
+                             ELSE 0.0 END)
+                     + (CASE WHEN cg > 0 THEN -(cg/n) * log2(cg/n)
+                             ELSE 0.0 END)
+                     + (CASE WHEN ct > 0 THEN -(ct/n) * log2(ct/n)
+                             ELSE 0.0 END), 4) AS base_entropy_bits
+            FROM c
+        """,
     }
