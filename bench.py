@@ -153,6 +153,11 @@ HEADLINE = [
     "burstiness",        # inter-arrival co-moments, one exchange
     "gini",              # rank window + co-moment agg per group
     "benford",           # numeric-ladder digit audit, group x 9 agg
+    "simpson",           # 1 - sum(p^2), broadcast totals
+    "zipf_slope",        # vocab rank + co-moment OLS, metadata-scale
+    "oov_rate",          # md5 split + train-vocab equi join
+    "orf_count",         # regexp spans over codegen translation
+    "base_entropy",      # row-local 4-replace entropy, zero shuffle
 ]
 
 

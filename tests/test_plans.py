@@ -402,3 +402,17 @@ def test_nearest_station_broadcasts_the_dim(spark):
     plan = _plan(spark, "nearest_station")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_final_round4_ops_no_python_no_cartesian(spark):
+    for q in ["gini", "benford", "simpson", "zipf_slope", "oov_rate",
+              "orf_count", "base_entropy", "burstiness"]:
+        plan = _plan(spark, q)
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_row_local_bio_ops_zero_exchange(spark):
+    for q in ["orf_count", "base_entropy", "translate_dna"]:
+        plan = _plan(spark, q)
+        assert "Exchange" not in plan, q
