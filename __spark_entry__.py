@@ -2695,6 +2695,21 @@ def q_base_entropy(spark, sf_dir):
                         _r4(h).alias("base_entropy_bits"))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of event values: reference = users < 75,
+    current = the rest (deliberately the same distribution → PSI ≈ 0) —
+    decile bins from ONE exact-percentile agg, binning a row-local fold,
+    empty bins reported, never epsilon-fudged."""
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("user_id") < 75).select("value")
+    cur = ev.filter(F.col("user_id") >= 75).select("value")
+    out = stats.population_stability(ref, cur, "value", n_bins=10)
+    return out.select("psi",
+                      F.col("n_empty_bins").cast("bigint")
+                      .alias("n_empty_bins"),
+                      F.col("n_bins").cast("bigint").alias("n_bins"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2907,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "orf_count": q_orf_count,
         "base_entropy": q_base_entropy,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -6160,5 +6176,34 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN ct > 0 THEN -(ct/n) * log2(ct/n)
                              ELSE 0.0 END), 4) AS base_entropy_bits
             FROM c
+        """,
+        "psi_drift": """
+            WITH refd AS (SELECT value FROM events WHERE user_id < 75),
+            curd AS (SELECT value FROM events WHERE user_id >= 75),
+            edges AS (
+              SELECT quantile_cont(value,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+              FROM refd),
+            pb AS (
+              SELECT len(list_filter(e, x -> value > x)) AS b,
+                     count(*) AS cp
+              FROM refd CROSS JOIN edges GROUP BY 1),
+            qb AS (
+              SELECT len(list_filter(e, x -> value > x)) AS b,
+                     count(*) AS cq
+              FROM curd CROSS JOIN edges GROUP BY 1),
+            tp AS (SELECT sum(cp) AS tp FROM pb),
+            tq AS (SELECT sum(cq) AS tq FROM qb),
+            j AS (
+              SELECT coalesce(cp, 0) * 1.0 / tp AS p,
+                     coalesce(cq, 0) * 1.0 / tq AS q
+              FROM pb FULL JOIN qb USING (b)
+              CROSS JOIN tp CROSS JOIN tq)
+            SELECT round(sum(CASE WHEN p > 0 AND q > 0
+                               THEN (p - q) * ln(p / q) END), 6) AS psi,
+                   CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_empty_bins,
+                   CAST(count(*) AS BIGINT) AS n_bins
+            FROM j
         """,
     }

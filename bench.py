@@ -158,6 +158,7 @@ HEADLINE = [
     "oov_rate",          # md5 split + train-vocab equi join
     "orf_count",         # regexp spans over codegen translation
     "base_entropy",      # row-local 4-replace entropy, zero shuffle
+    "psi_drift",         # decile-bin PSI drift gate, two scans
 ]
 
 

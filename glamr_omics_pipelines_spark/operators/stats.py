@@ -356,3 +356,48 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
                  cov / F.sqrt(vx * vy))
     return agg.select(group_col, F.col("_n").cast("bigint").alias("n"),
                       rho.alias("spearman_rho"))
+
+
+def population_stability(ref: DataFrame, cur: DataFrame, value_col: str,
+                         n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between a reference and a current sample
+    of one numeric column: PSI = Σ (p̂ᵢ − q̂ᵢ)·ln(p̂ᵢ/q̂ᵢ) over the
+    reference's ``n_bins`` quantile bins — the standard ML-ops drift gate
+    (<0.1 stable, >0.25 shifted). Returns one row: psi over bins where
+    both sides have mass, plus how many bins were empty on either side
+    (reported, never silently epsilon-smoothed).
+
+    Bin edges are ONE exact-percentile aggregate on the reference
+    (interior quantiles, broadcast as a literal-free one-row frame);
+    binning is a row-local fold over that array (value > edge counts),
+    so each side costs one scan + one n_bins-grain agg. No epsilon
+    fudging: empty-bin terms are excluded and counted.
+    """
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = ref.agg(F.expr(
+        f"percentile({value_col}, array({probs}))").alias("_edges"))
+
+    def binned(df):
+        b = F.aggregate(
+            F.col("_edges"), F.lit(0),
+            lambda acc, e: acc + (F.col(value_col) > e).cast("int"))
+        return (df.crossJoin(F.broadcast(edges))
+                .select(b.alias("_b"))
+                .groupBy("_b").agg(F.count(F.lit(1)).alias("_c")))
+
+    p = binned(ref).withColumnRenamed("_c", "_cp")
+    q = binned(cur).withColumnRenamed("_c", "_cq")
+    tp = F.broadcast(p.agg(F.sum("_cp").alias("_tp")))
+    tq = F.broadcast(q.agg(F.sum("_cq").alias("_tq")))
+    j = (p.join(q, "_b", "full")
+         .crossJoin(tp).crossJoin(tq)
+         .select((F.coalesce(F.col("_cp"), F.lit(0)) / F.col("_tp"))
+                 .alias("_p"),
+                 (F.coalesce(F.col("_cq"), F.lit(0)) / F.col("_tq"))
+                 .alias("_q")))
+    ok = (F.col("_p") > 0) & (F.col("_q") > 0)
+    term = F.when(ok, (F.col("_p") - F.col("_q"))
+                  * F.log(F.col("_p") / F.col("_q")))
+    return j.agg(F.round(F.sum(term), 6).alias("psi"),
+                 F.sum((~ok).cast("long")).alias("n_empty_bins"),
+                 F.count(F.lit(1)).alias("n_bins"))

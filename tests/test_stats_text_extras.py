@@ -306,3 +306,18 @@ def test_benford_conforming_vs_uniform(spark):
            validate.benford_deviation(df, ["g"], "v").collect()}
     assert out["b"].benford_chi2 < out["u"].benford_chi2
     assert out["u"].max_abs_dev > 0.05
+
+
+def test_psi_identical_zero_and_shifted_positive(spark):
+    from glamr_omics_pipelines_spark.operators import stats as S
+    import random
+    random.seed(3)
+    vals = [random.gauss(0, 1) for _ in range(2000)]
+    ref = spark.createDataFrame([(v,) for v in vals], "value double")
+    same = spark.createDataFrame([(v,) for v in vals], "value double")
+    shifted = spark.createDataFrame([(v + 2.0,) for v in vals],
+                                    "value double")
+    r_same = S.population_stability(ref, same, "value").collect()[0]
+    r_shift = S.population_stability(ref, shifted, "value").collect()[0]
+    assert abs(r_same.psi) < 1e-9 and r_same.n_empty_bins == 0
+    assert r_shift.psi > 0.25          # a 2-sigma shift is a loud drift
