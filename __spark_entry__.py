@@ -2710,6 +2710,18 @@ def q_psi_drift(spark, sf_dir):
                       F.col("n_bins").cast("bigint").alias("n_bins"))
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample KS statistic per event type (user-parity arms over
+    value): tie-exact ECDFs on ONE feature-key exchange — the binless
+    distribution-shape companion of psi_drift."""
+    ev = _events(spark, sf_dir)
+    d = ev.select("event_type",
+                  F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+                  .alias("arm"), "value")
+    out = stats.ks_test(d, "event_type", "arm", "value", "A", "B")
+    return out.select("event_type", "n_a", "n_b", "ks_d")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2923,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orf_count": q_orf_count,
         "base_entropy": q_base_entropy,
         "psi_drift": q_psi_drift,
+        "ks_test": q_ks_test,
     }
 
 
@@ -6205,5 +6218,32 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_empty_bins,
                    CAST(count(*) AS BIGINT) AS n_bins
             FROM j
+        """,
+        "ks_test": """
+            WITH d AS (
+              SELECT event_type,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                     value
+              FROM events),
+            g AS (
+              SELECT event_type, value,
+                     sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+              FROM d GROUP BY 1, 2),
+            w AS (
+              SELECT event_type,
+                     sum(ca) OVER wc * 1.0 / sum(ca) OVER wa AS fa,
+                     sum(cb) OVER wc * 1.0 / sum(cb) OVER wa AS fb,
+                     sum(ca) OVER wa AS na, sum(cb) OVER wa AS nb
+              FROM g
+              WINDOW wc AS (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW),
+                     wa AS (PARTITION BY event_type))
+            SELECT event_type,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(max(abs(fa - fb)), 6) AS ks_d
+            FROM w GROUP BY event_type
         """,
     }

@@ -159,6 +159,7 @@ HEADLINE = [
     "orf_count",         # regexp spans over codegen translation
     "base_entropy",      # row-local 4-replace entropy, zero shuffle
     "psi_drift",         # decile-bin PSI drift gate, two scans
+    "ks_test",           # tie-exact ECDF max-gap per feature
 ]
 
 

@@ -401,3 +401,38 @@ def population_stability(ref: DataFrame, cur: DataFrame, value_col: str,
     return j.agg(F.round(F.sum(term), 6).alias("psi"),
                  F.sum((~ok).cast("long")).alias("n_empty_bins"),
                  F.count(F.lit(1)).alias("n_bins"))
+
+
+def ks_test(df: DataFrame, feature_col: str, group_col: str,
+            value_col: str, group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per feature:
+    D = max_x |F̂_a(x) − F̂_b(x)| — the distribution-shape drift/difference
+    test beside PSI (binless) and the rank-sum test (which only sees
+    location). Ties handled exactly: the ECDFs are compared at each
+    DISTINCT observed value after absorbing all its ties.
+
+    Value-grain conditional counts partial-agg map-side; the running
+    ECDFs and the per-feature totals share ONE feature-key exchange
+    (ordered cumsum + unordered totals on the same partitioning); D is a
+    feature-grain max. Features with an empty side yield null.
+    """
+    is_a = F.col(group_col) == F.lit(group_a)
+    is_b = F.col(group_col) == F.lit(group_b)
+    g = (df.filter(is_a | is_b)
+         .groupBy(feature_col, value_col)
+         .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("_ca"),
+              F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb")))
+    w_cum = (Window.partitionBy(feature_col).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(feature_col)
+    d = (g.withColumn("_fa", F.sum("_ca").over(w_cum)
+                      / F.sum("_ca").over(w_all))
+         .withColumn("_fb", F.sum("_cb").over(w_cum)
+                     / F.sum("_cb").over(w_all))
+         .withColumn("_na", F.sum("_ca").over(w_all))
+         .withColumn("_nb", F.sum("_cb").over(w_all)))
+    return (d.groupBy(feature_col)
+            .agg(F.first("_na").cast("bigint").alias("n_a"),
+                 F.first("_nb").cast("bigint").alias("n_b"),
+                 F.round(F.max(F.abs(F.col("_fa") - F.col("_fb"))), 6)
+                 .alias("ks_d")))

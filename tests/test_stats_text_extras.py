@@ -321,3 +321,16 @@ def test_psi_identical_zero_and_shifted_positive(spark):
     r_shift = S.population_stability(ref, shifted, "value").collect()[0]
     assert abs(r_same.psi) < 1e-9 and r_same.n_empty_bins == 0
     assert r_shift.psi > 0.25          # a 2-sigma shift is a loud drift
+
+
+def test_ks_identical_zero_disjoint_one(spark):
+    from glamr_omics_pipelines_spark.operators import stats as S
+    rows = ([("f", "A", float(i)) for i in range(10)]
+            + [("f", "B", float(i)) for i in range(10)]      # identical
+            + [("g", "A", float(i)) for i in range(10)]
+            + [("g", "B", float(i + 100)) for i in range(10)])  # disjoint
+    df = spark.createDataFrame(rows, "f string, arm string, v double")
+    out = {r.f: r.ks_d for r in
+           S.ks_test(df, "f", "arm", "v", "A", "B").collect()}
+    assert out["f"] == 0.0
+    assert out["g"] == 1.0
