@@ -2109,7 +2109,8 @@ def q_chi_square(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "source", "lang", (F.col("doc_id") % 3).alias("bucket"))
     out = stats.chi_square_test(d, "source", "lang", "bucket")
-    return out.select("source", "n_obs", _r4("chi2").alias("chi2"), "dof")
+    return out.select("source", "n_obs", _r4("chi2").alias("chi2"), "dof",
+                      _r4("cramers_v").alias("cramers_v"))
 
 
 def q_inverted_index(spark, sf_dir):
@@ -5344,7 +5345,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM j GROUP BY source)
             SELECT source, CAST(n AS BIGINT) AS n_obs,
                    round(chi_obs + (n - exp_obs), 4) AS chi2,
-                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   round(CASE WHEN least(nr - 1, nc - 1) > 0 THEN
+                         sqrt((chi_obs + (n - exp_obs))
+                              / (n * least(nr - 1, nc - 1))) END, 4)
+                     AS cramers_v
             FROM g
         """,
         "inverted_index": """

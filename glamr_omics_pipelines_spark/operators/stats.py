@@ -241,9 +241,14 @@ def chi_square_test(df: DataFrame, feature_col: str, row_col: str,
                         F.first("_c").alias("_c")))
     chi2 = F.col("_chi_obs") + (F.col("_n") - F.col("_exp_obs"))
     dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    # Cramér's V effect size: √(χ²/(n·min(r−1, c−1))) — the
+    # sample-size-free companion every χ² table should report
+    mink = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    v = F.when(mink > 0, F.sqrt(chi2 / (F.col("_n") * mink)))
     return per_feature.select(
         feature_col, F.col("_n").cast("bigint").alias("n_obs"),
-        chi2.alias("chi2"), dof.cast("bigint").alias("dof"))
+        chi2.alias("chi2"), dof.cast("bigint").alias("dof"),
+        v.alias("cramers_v"))
 
 
 def welch_t_test(df: DataFrame, feature_col: str, group_col: str,
