@@ -138,3 +138,26 @@ def test_export_matrix_column_slices_single_pass(spark, tmp_path):
     assert sorted(s1) == ["c1\t1.0", "c2\t2.0"]
     manifest = open(tmp_path / "depths.txt").read().splitlines()
     assert len(manifest) == 2 and manifest[0].endswith("sample=s1")
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC is a first-class Spark format: engine tables round-trip through
+    it with schema intact (the warehouse's parquet alternative)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False)],
+        "id long, name string, score double, flag boolean")
+    path = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_jsonlines_roundtrip(spark, tmp_path):
+    """JSON-lines sink/source round-trip (the reference's JSON surface is
+    read-side; the engine also writes it for interchange)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    path = str(tmp_path / "t.jsonl")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.json(path).select("id", "v")
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "x"), (2, "y")]
