@@ -2723,6 +2723,16 @@ def q_ks_test(spark, sf_dir):
     return out.select("event_type", "n_a", "n_b", "ks_d")
 
 
+def q_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between sources (symmetric,
+    ≤ ln 2): class-grain distributions fanned out at PAIR grain, one-sided
+    terms kept — the corpus-mixing similarity matrix."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.js_divergence_pairs(d, "source", "text")
+    return out.select(F.col("ca").alias("source_a"),
+                      F.col("cb").alias("source_b"), "js_divergence")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2937,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base_entropy": q_base_entropy,
         "psi_drift": q_psi_drift,
         "ks_test": q_ks_test,
+        "js_divergence": q_js_divergence,
     }
 
 
@@ -6250,5 +6261,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(nb) AS BIGINT) AS n_b,
                    round(max(abs(fa - fb)), 6) AS ks_d
             FROM w GROUP BY event_type
+        """,
+        "js_divergence": """
+            WITH toks AS (
+              SELECT source AS cls, lower(t) AS t
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            cnt AS (SELECT cls, t, count(*) AS n FROM toks GROUP BY 1, 2),
+            tot AS (SELECT cls, sum(n) AS tt FROM cnt GROUP BY cls),
+            p AS (SELECT cnt.cls, t, n / tt AS p
+                  FROM cnt JOIN tot ON tot.cls = cnt.cls),
+            cl AS (SELECT DISTINCT cls FROM p),
+            pairs AS (SELECT a.cls AS ca, b.cls AS cb
+                      FROM cl a JOIN cl b ON a.cls < b.cls),
+            u AS (
+              SELECT ca, cb, t, max(pa) AS pa, max(pb) AS pb FROM (
+                SELECT pr.ca, pr.cb, p.t, p.p AS pa, 0.0 AS pb
+                FROM pairs pr JOIN p ON p.cls = pr.ca
+                UNION ALL
+                SELECT pr.ca, pr.cb, p.t, 0.0, p.p
+                FROM pairs pr JOIN p ON p.cls = pr.cb)
+              GROUP BY 1, 2, 3)
+            SELECT ca AS source_a, cb AS source_b,
+                   round(sum(
+                     (CASE WHEN pa > 0
+                           THEN pa * ln(pa / ((pa + pb) / 2))
+                           ELSE 0.0 END) / 2
+                     + (CASE WHEN pb > 0
+                             THEN pb * ln(pb / ((pa + pb) / 2))
+                             ELSE 0.0 END) / 2), 6) AS js_divergence
+            FROM u GROUP BY 1, 2
         """,
     }

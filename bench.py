@@ -160,6 +160,7 @@ HEADLINE = [
     "base_entropy",      # row-local 4-replace entropy, zero shuffle
     "psi_drift",         # decile-bin PSI drift gate, two scans
     "ks_test",           # tie-exact ECDF max-gap per feature
+    "js_divergence",     # pair-grain symmetric distribution distance
 ]
 
 

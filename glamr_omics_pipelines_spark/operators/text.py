@@ -647,3 +647,46 @@ def group_kl_divergence(df: DataFrame, class_col: str,
                  F.count(F.lit(1)).alias("n_terms"))
             .select(F.col("cls").alias(class_col), "kl_bits_nat",
                     F.col("n_terms").cast("bigint").alias("n_terms")))
+
+
+def js_divergence_pairs(df: DataFrame, class_col: str,
+                        text_col: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between classes over unigram
+    distributions — the symmetric, bounded (≤ ln 2) corpus-similarity
+    matrix (KL's well-behaved sibling; the standard 'how different are
+    these two sources' number in data-mixing work).
+
+    Distributions are class-grain (vocab-bounded); the pair fan-out
+    happens at CLASS-pair grain like bray_curtis — each class's
+    distribution joins to its pairs, one-sided terms kept (they carry
+    the p·ln2 mass an inner join would silently drop), and the JS sum is
+    one (pair)-grain agg. Never touches the corpus after the tokenize
+    scan.
+    """
+    toks = df.select(F.col(class_col).alias("cls"), F.explode(
+        F.transform(tokens(text_col), F.lower)).alias("t"))
+    cnt = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_n"))
+    tot = cnt.groupBy("cls").agg(F.sum("_n").alias("_tot"))
+    p = (cnt.join(F.broadcast(tot), "cls")
+         .select("cls", "t", (F.col("_n") / F.col("_tot")).alias("_p")))
+    classes = p.select("cls").distinct()
+    pairs = (classes.select(F.col("cls").alias("ca"))
+             .join(classes.select(F.col("cls").alias("cb")),
+                   F.col("ca") < F.col("cb")))
+    ua = (pairs.join(p.withColumnRenamed("cls", "ca"), "ca")
+          .select("ca", "cb", "t", F.col("_p").alias("pa"),
+                  F.lit(0.0).alias("pb")))
+    ub = (pairs.join(p.withColumnRenamed("cls", "cb"), "cb")
+          .select("ca", "cb", "t", F.lit(0.0).alias("pa"),
+                  F.col("_p").alias("pb")))
+    u = (ua.unionByName(ub)
+         .groupBy("ca", "cb", "t")
+         .agg(F.max("pa").alias("pa"), F.max("pb").alias("pb")))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (F.when(F.col("pa") > 0,
+                   F.col("pa") * F.log(F.col("pa") / m)).otherwise(0.0) / 2
+            + F.when(F.col("pb") > 0,
+                     F.col("pb") * F.log(F.col("pb") / m)).otherwise(0.0)
+            / 2)
+    return (u.groupBy("ca", "cb")
+            .agg(F.round(F.sum(term), 6).alias("js_divergence")))

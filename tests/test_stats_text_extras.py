@@ -334,3 +334,13 @@ def test_ks_identical_zero_disjoint_one(spark):
            S.ks_test(df, "f", "arm", "v", "A", "B").collect()}
     assert out["f"] == 0.0
     assert out["g"] == 1.0
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    import math
+    rows = [("a", "x y z"), ("b", "x y z"), ("c", "p q r")]
+    df = spark.createDataFrame(rows, "cls string, text string")
+    out = {(r.ca, r.cb): r.js_divergence for r in
+           text.js_divergence_pairs(df, "cls", "text").collect()}
+    assert out[("a", "b")] == 0.0                       # identical dists
+    assert abs(out[("a", "c")] - math.log(2)) < 1e-6    # disjoint supports
