@@ -284,3 +284,62 @@ def streaming_vocab_ingest(stream: DataFrame, text_col: str,
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+
+def streaming_drift_monitor(stream: DataFrame, reference: DataFrame,
+                            value_col: str, state_dir: str,
+                            checkpoint: str, n_bins: int = 10) -> None:
+    """Always-on drift gate: per micro-batch, bin the incoming values into
+    the STATIC reference's quantile bins, merge the counts into a
+    cumulative (bin, n) parquet state, and append the running PSI to a
+    log table — the streaming form of the batch PSI gate (X144), with
+    state bounded at n_bins rows regardless of ingest volume.
+
+    The reference bin edges are computed ONCE (driver-side list of
+    n_bins−1 doubles — the one legitimate collect: it is the model, not
+    the data); each batch then costs one scan + an n_bins-grain agg.
+    """
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = reference.agg(F.expr(
+        f"percentile({value_col}, array({probs}))").alias("e")) \
+        .collect()[0]["e"]
+    # reference bin counts computed DISTRIBUTEDLY; only n_bins rows reach
+    # the driver (the model, not the data)
+    ref_bin = sum((F.col(value_col) > e).cast("int") for e in edges)
+    ref_rows = (reference.select(ref_bin.alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect())
+    ref_counts = {r.b: r.n for r in ref_rows}
+    ref_total = sum(ref_counts.values())
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cond = sum((F.col(value_col) > e).cast("int") for e in edges)
+        snap = (batch.select(cond.alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("n")))
+        try:
+            cur = spark.read.parquet(f"{state_dir}/bins")
+            merged = (cur.unionByName(snap)
+                      .groupBy("b").agg(F.sum("n").alias("n")))
+        except Exception:
+            merged = snap
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{state_dir}/bins")
+        total = sum(r.n for r in rows) or 1
+        import math
+        psi = 0.0
+        for r in rows:
+            p = ref_counts.get(r.b, 0) / ref_total
+            q = r.n / total
+            if p > 0 and q > 0:
+                psi += (p - q) * math.log(p / q)
+        spark.createDataFrame([(batch_id, float(psi), int(total))],
+                              "batch_id long, psi double, n_seen long") \
+            .coalesce(1).write.mode("append").parquet(f"{state_dir}/psi_log")
+
+    (stream.writeStream
+     .foreachBatch(upsert)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())

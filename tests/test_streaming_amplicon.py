@@ -321,3 +321,38 @@ def test_streaming_vocab_ingest_heavy_hitters(spark, tmp_path):
     assert len(got) == 4  # top 3 + OTHERS
     assert got["<OTHERS>"] == 4
     assert sum(got.values()) == 10  # total mass exact
+
+
+def test_streaming_drift_monitor_psi_log(spark, tmp_path):
+    """File stream of drifted values vs a static reference: the per-batch
+    PSI log must show ~0 for a matching batch and a loud value once the
+    shifted batch merges in; bin state stays n_bins rows."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        streaming_drift_monitor)
+    import csv
+    import random
+    random.seed(11)
+    ref_vals = [random.gauss(0, 1) for _ in range(1000)]
+    reference = spark.createDataFrame([(v,) for v in ref_vals],
+                                      "value double")
+    src = tmp_path / "drift_in"; src.mkdir()
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f); w.writerow(["value"])
+        w.writerows([(v,) for v in ref_vals[:500]])      # same distribution
+    with open(src / "b.csv", "w", newline="") as f:
+        w = csv.writer(f); w.writerow(["value"])
+        w.writerows([(v + 3.0,) for v in ref_vals[:500]])  # shifted
+    stream = (spark.readStream.format("csv")
+              .schema("value double").option("header", True)
+              .option("maxFilesPerTrigger", 1)
+              .load(str(src)))
+    state = str(tmp_path / "dstate")
+    streaming_drift_monitor(stream, reference, "value", state,
+                            str(tmp_path / "dckpt"), n_bins=10)
+    log = sorted(spark.read.parquet(f"{state}/psi_log").collect(),
+                 key=lambda r: r.n_seen)
+    assert len(log) == 2
+    assert log[-1].n_seen == 1000
+    assert log[-1].psi > 0.25              # cumulative stream has drifted
+    bins = spark.read.parquet(f"{state}/bins")
+    assert bins.count() <= 10              # state bounded at n_bins rows
