@@ -2733,6 +2733,32 @@ def q_js_divergence(spark, sf_dir):
                       F.col("cb").alias("source_b"), "js_divergence")
 
 
+def q_kl_top_terms(spark, sf_dir):
+    """Interpretability companion of kl_divergence: the top-3 terms
+    DRIVING each source's divergence from the corpus blend (largest
+    positive p·ln(p/q) contributions) — same grid-grain aggs, bounded
+    rank window over the class-term grid."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.col("source").alias("cls"), F.explode(
+        F.transform(text.tokens("text"), F.lower)).alias("t"))
+    tfc = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("n"))
+    ct = tfc.groupBy("cls").agg(F.sum("n").alias("ctot"))
+    corpus = tfc.groupBy("t").agg(F.sum("n").alias("cf"))
+    tot = F.broadcast(corpus.agg(F.sum("cf").alias("grand")))
+    j = (tfc.join(F.broadcast(ct), "cls")
+         .join(F.broadcast(corpus), "t").crossJoin(tot))
+    p = F.col("n") / F.col("ctot")
+    q = F.col("cf") / F.col("grand")
+    contrib = p * F.log(p / q)
+    w = Window.partitionBy("cls").orderBy(contrib.desc(), F.col("t").asc())
+    return (j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 3)
+            .select(F.col("cls").alias("source"),
+                    F.col("t").alias("term"),
+                    F.col("_rk").cast("bigint").alias("rank"),
+                    F.round(contrib, 6).alias("kl_contrib")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2948,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_test": q_ks_test,
         "js_divergence": q_js_divergence,
+        "kl_top_terms": q_kl_top_terms,
     }
 
 
@@ -6292,5 +6319,27 @@ def oracle_sql() -> dict[str, str]:
                              THEN pb * ln(pb / ((pa + pb) / 2))
                              ELSE 0.0 END) / 2), 6) AS js_divergence
             FROM u GROUP BY 1, 2
+        """,
+        "kl_top_terms": """
+            WITH toks AS (
+              SELECT source AS cls, lower(t) AS t
+              FROM documents, LATERAL (SELECT unnest(list_filter(
+                     string_split_regex(text, '\\s+'), x -> x <> '')) AS t)
+                   g),
+            tfc AS (SELECT cls, t, count(*) AS n FROM toks GROUP BY 1, 2),
+            ct AS (SELECT cls, sum(n) AS ctot FROM tfc GROUP BY cls),
+            corpus AS (SELECT t, sum(n) AS cf FROM tfc GROUP BY t),
+            tot AS (SELECT sum(cf) AS grand FROM corpus),
+            j AS (
+              SELECT tfc.cls, tfc.t,
+                     (n / ctot) * ln((n / ctot) / (cf / grand)) AS contrib
+              FROM tfc JOIN ct USING (cls) JOIN corpus USING (t)
+              CROSS JOIN tot),
+            r AS (SELECT cls, t, contrib, row_number() OVER (
+                      PARTITION BY cls ORDER BY contrib DESC, t ASC) AS rk
+                  FROM j)
+            SELECT cls AS source, t AS term, CAST(rk AS BIGINT) AS rank,
+                   round(contrib, 6) AS kl_contrib
+            FROM r WHERE rk <= 3
         """,
     }
