@@ -2759,6 +2759,31 @@ def q_kl_top_terms(spark, sf_dir):
                     F.round(contrib, 6).alias("kl_contrib")))
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law view): new 6-shingle count per
+    sequential ingest batch (50 docs each) + the cumulative vocabulary —
+    shingle first-seen via one min-batch partial agg, cumulative via a
+    BATCH-grain window (10 rows). The 'is the corpus still adding
+    language' monitor for incremental ingestion."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select((F.col("doc_id") / 50).cast("bigint").alias("batch"),
+                     F.explode(F.expr(
+                         "transform(sequence(1, greatest(length(text) - 5,"
+                         " 1)), i -> substring(text, i, 6))")).alias("t"))
+            .filter(F.length("t") == 6))
+    first_seen = toks.groupBy("t").agg(F.min("batch").alias("batch"))
+    new_per = (first_seen.groupBy("batch")
+               .agg(F.count(F.lit(1)).alias("n_new_tokens")))
+    w = (Window.orderBy("batch")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (new_per
+            .withColumn("cum_vocab", F.sum("n_new_tokens").over(w))
+            .select(F.col("batch").cast("bigint").alias("batch"),
+                    F.col("n_new_tokens").cast("bigint")
+                    .alias("n_new_tokens"),
+                    F.col("cum_vocab").cast("bigint").alias("cum_vocab")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -2975,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "js_divergence": q_js_divergence,
         "kl_top_terms": q_kl_top_terms,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -6341,5 +6367,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls AS source, t AS term, CAST(rk AS BIGINT) AS rank,
                    round(contrib, 6) AS kl_contrib
             FROM r WHERE rk <= 3
+        """,
+        "vocab_growth": """
+            WITH toks AS (
+              SELECT CAST(floor(doc_id / 50) AS BIGINT) AS batch,
+                     substr(text, i, 6) AS t
+              FROM documents, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(length(text) - 5, 1))) AS i) g
+              WHERE length(substr(text, i, 6)) = 6),
+            fs AS (SELECT t, min(batch) AS batch FROM toks GROUP BY t),
+            np AS (SELECT batch, count(*) AS n_new_tokens
+                   FROM fs GROUP BY batch)
+            SELECT CAST(batch AS BIGINT) AS batch,
+                   CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+                   CAST(sum(n_new_tokens) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_vocab
+            FROM np
         """,
     }
