@@ -2784,6 +2784,30 @@ def q_vocab_growth(spark, sf_dir):
                     F.col("cum_vocab").cast("bigint").alias("cum_vocab")))
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary quintiles
+    (NTILE over user-grain aggregates, user_id tiebreaks for
+    determinism) — one fact scan + three metadata-scale windows over the
+    USER table, the classic value-scoring recipe."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.max(windows.epoch_us("ts")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"))
+    r_w = Window.orderBy(F.col("_last").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    out = (agg.withColumn("r_score", F.ntile(5).over(r_w))
+           .withColumn("f_score", F.ntile(5).over(f_w))
+           .withColumn("m_score", F.ntile(5).over(m_w)))
+    return out.select(
+        "user_id", "frequency", "monetary",
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -3001,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": q_js_divergence,
         "kl_top_terms": q_kl_top_terms,
         "vocab_growth": q_vocab_growth,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -6384,5 +6409,29 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS cum_vocab
             FROM np
+        """,
+        "rfm_segments": """
+            WITH a AS (
+              SELECT user_id,
+                     max(epoch_us(ts::TIMESTAMP)) AS last_us,
+                     count(*) AS frequency,
+                     round(sum(value), 4) AS monetary
+              FROM events GROUP BY user_id),
+            s AS (
+              SELECT user_id, frequency, monetary,
+                     ntile(5) OVER (ORDER BY last_us DESC, user_id)
+                       AS r_score,
+                     ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                       AS f_score,
+                     ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                       AS m_score
+              FROM a)
+            SELECT user_id, CAST(frequency AS BIGINT) AS frequency,
+                   monetary,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   concat(r_score, f_score, m_score) AS rfm
+            FROM s
         """,
     }
