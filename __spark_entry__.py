@@ -2808,6 +2808,28 @@ def q_rfm_segments(spark, sf_dir):
         F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm"))
 
 
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC downsampling bars per (event_type, day): open/close via
+    struct-min/max over (time, tiebreak, value) — map-side aggregates,
+    no sort windows — plus high/low/volume; the M4-style plot-reduction
+    primitive (a day of ticks → 4 numbers)."""
+    ev = _events(spark, sf_dir)
+    sec = F.floor(windows.epoch_us("ts") / F.lit(1_000_000)).cast("long")
+    day = (F.floor(sec / F.lit(86400)) * 86400).cast("long")
+    d = ev.select("event_type", day.alias("day"),
+                  sec.alias("_s"), "event_id", "value")
+    packed = F.struct(F.col("_s"), F.col("event_id"), F.col("value"))
+    out = (d.groupBy("event_type", "day")
+           .agg(F.min(packed).getField("value").alias("open"),
+                F.max(packed).getField("value").alias("close"),
+                F.max("value").alias("high"), F.min("value").alias("low"),
+                F.count(F.lit(1)).alias("volume")))
+    return out.select("event_type", "day",
+                      _r4("open").alias("open"), _r4("high").alias("high"),
+                      _r4("low").alias("low"), _r4("close").alias("close"),
+                      F.col("volume").cast("bigint").alias("volume"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the §7.1 'bracken merge' end-to-end slice on sf0.001 —
     scan → broadcast join → window rel-abund → pivot to a sample-wide
@@ -3026,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_top_terms": q_kl_top_terms,
         "vocab_growth": q_vocab_growth,
         "rfm_segments": q_rfm_segments,
+        "ohlc_bars": q_ohlc_bars,
     }
 
 
@@ -6433,5 +6456,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m_score AS BIGINT) AS m_score,
                    concat(r_score, f_score, m_score) AS rfm
             FROM s
+        """,
+        "ohlc_bars": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(floor((epoch_us(ts::TIMESTAMP) // 1000000)
+                                / 86400) * 86400 AS BIGINT) AS day,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS s,
+                     event_id, value
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type, day
+                          ORDER BY s, event_id) AS ro,
+                     row_number() OVER (PARTITION BY event_type, day
+                          ORDER BY s DESC, event_id DESC) AS rc
+              FROM d)
+            SELECT event_type, day,
+                   round(max(CASE WHEN ro = 1 THEN value END), 4) AS open,
+                   round(max(value), 4) AS high,
+                   round(min(value), 4) AS low,
+                   round(max(CASE WHEN rc = 1 THEN value END), 4) AS close,
+                   CAST(count(*) AS BIGINT) AS volume
+            FROM r GROUP BY 1, 2
         """,
     }
