@@ -161,6 +161,10 @@ HEADLINE = [
     "psi_drift",         # decile-bin PSI drift gate, two scans
     "ks_test",           # tie-exact ECDF max-gap per feature
     "js_divergence",     # pair-grain symmetric distribution distance
+    "kl_top_terms",      # drift-driver terms, bounded rank window
+    "vocab_growth",      # Heaps-law first-seen curve, one min agg
+    "rfm_segments",      # user-grain NTILE scoring, one fact scan
+    "ohlc_bars",         # struct-min/max downsampling, no sort windows
 ]
 
 
