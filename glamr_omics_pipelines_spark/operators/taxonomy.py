@@ -33,7 +33,7 @@ Spark-first design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RANKS = ["kingdom", "phylum", "class", "order", "family", "genus", "species"]
@@ -200,3 +200,57 @@ def kingdom_priority_lca(df: DataFrame, group_cols: list[str], path_col: str,
            .agg(mn_s.getField("v").alias("_mn"),
                 mx_s.getField("v").alias("_mx")))
     return _common_prefix(agg, out_path)
+
+
+def ncbi_majority_vote(votes: DataFrame, group_cols: list[str],
+                       taxon_col: str, named_col: str | None = None,
+                       no_vote: str = "none") -> DataFrame:
+    """GTDB→NCBI majority-vote translation (the per-cluster vote resolution
+    of gtdb_to_ncbi_majority_vote.py:259-320 ``resolve_majority_vote`` /
+    :322-345 ``ncbi_sp_majority_vote``): one vote row per cluster member,
+    return the winning *named* taxon per group or ``no_vote``.
+
+    Reference rule (all four documented cases): a named taxon (more than the
+    bare ``g__`` rank prefix, unless ``named_col`` overrides) wins iff
+      - its count is >= 50% of the group's votes, AND
+      - no OTHER named taxon ties it at that maximum
+    (an unnamed taxon tying at exactly 50% does not block the named winner —
+    reference case 4; an unnamed plurality never wins — cases 1/3).
+
+    That reduction is exact: a count > 50% is necessarily the unique maximum;
+    at exactly 50% only one other taxon can tie, and the reference resolves
+    named-vs-unnamed ties to the named taxon and named-vs-named ties to no
+    vote.  Ties below 50% never produce a winner, so the winner is fully
+    determined by (max named count, its multiplicity, total votes) — no
+    per-group sort, no ``most_common`` materialization.
+
+    Plan: member-grain votes → ONE partial-aggregable count at
+    (group, taxon) grain, a whole-partition window to attach the group
+    total/max (taxon-grain data, orders of magnitude below member grain),
+    then a groupBy(group) that reuses the window's hash partitioning — two
+    taxon-grain exchanges total, integer-exact (no 0.5*n floats).
+    """
+    named = (F.col(named_col) if named_col
+             else F.length(F.col(taxon_col)) > 3)
+    counts = (votes.groupBy(*group_cols, taxon_col)
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("_named", named))
+    w = Window.partitionBy(*group_cols)
+    st = (counts
+          .withColumn("_total", F.sum("n").over(w))
+          .withColumn("_nmax",
+                      F.max(F.when(F.col("_named"), F.col("n"))).over(w)))
+    cand = F.col("_named") & (F.col("n") == F.col("_nmax"))
+    return (st.groupBy(*group_cols)
+            .agg(F.max("_total").cast("bigint").alias("n_votes"),
+                 F.max("_nmax").cast("bigint").alias("top_named_count"),
+                 F.sum(F.when(cand, 1).otherwise(0)).alias("_ncand"),
+                 F.min(F.when(cand, F.col(taxon_col))).alias("_cand"))
+            .withColumn(
+                "mv_taxon",
+                F.coalesce(
+                    F.when((F.lit(2) * F.col("top_named_count")
+                            >= F.col("n_votes"))
+                           & (F.col("_ncand") == 1), F.col("_cand")),
+                    F.lit(no_vote)))
+            .drop("_ncand", "_cand"))

@@ -31,7 +31,21 @@ def epoch_us(col) -> "F.Column":
     by the library's ``get_spark``): the NTZ→TIMESTAMP cast reinterprets the
     wall-clock under the session tz, so only UTC makes it value-preserving
     and injective (non-UTC zones shift every epoch value and are non-injective
-    across DST folds), matching a timezone-naive oracle's epoch_us()."""
+    across DST folds), matching a timezone-naive oracle's epoch_us().
+
+    The contract is ENFORCED, not just documented: a non-UTC active session
+    raises here (driver-side, once per expression build — free) instead of
+    silently shifting every derived epoch value."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise ValueError(
+                f"epoch_us requires spark.sql.session.timeZone=UTC (got {tz!r}):"
+                " NTZ->TIMESTAMP casts reinterpret wall-clock under the session"
+                " tz; non-UTC zones shift epochs and fold across DST."
+                " Use glamr_omics_pipelines_spark.session.get_spark().")
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
 

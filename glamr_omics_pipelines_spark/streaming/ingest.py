@@ -194,6 +194,39 @@ def stream_interval_join(impressions: DataFrame, conversions: DataFrame,
     return imp.join(conv, cond).drop(conv[key_col])
 
 
+def _read_state(spark: SparkSession, state_dir: str):
+    """Read a foreachBatch parquet state table written by ``_write_state``.
+
+    Returns ``(state_df_without_marker, last_applied_batch_id)`` —
+    ``(None, None)`` only when the state genuinely does not exist yet.
+    A corrupted/unreadable state dir RAISES instead of silently resetting
+    accumulated state (ADVICE r4: the bare ``except Exception`` here used to
+    treat corruption as 'first batch' and zero the counts).
+    """
+    from pyspark.errors import AnalysisException
+    try:
+        df = spark.read.parquet(state_dir)
+    except AnalysisException as exc:  # only the missing-path case
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None, None
+        raise
+    applied = None
+    if "_applied_batch" in df.columns:
+        row = df.agg(F.max("_applied_batch").alias("b")).collect()[0]
+        applied = row["b"]
+        df = df.drop("_applied_batch")
+    return df, applied
+
+
+def _write_state(df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """Atomically replace the state table, stamping the applied batch id as
+    a column of the same parquet write (one atomic unit with the data —
+    a sidecar file could land after a crash window and replay would then
+    double-count; a column cannot desynchronize from its own rows)."""
+    (df.withColumn("_applied_batch", F.lit(batch_id).cast("long"))
+     .coalesce(1).write.mode("overwrite").parquet(state_dir))
+
+
 def streaming_rollup_ingest(stream: DataFrame, group_cols: list[str],
                             value_col: str, state_dir: str,
                             checkpoint: str) -> None:
@@ -207,25 +240,26 @@ def streaming_rollup_ingest(stream: DataFrame, group_cols: list[str],
 
     Exactly-once state: the write is a full atomic overwrite of the tiny
     state table per batch (read current → union batch snapshot → re-merge
-    → overwrite), with the checkpoint making batch replays idempotent at
-    the sink level only if batches are deterministic — for at-least-once
-    sources pair this with stream_dedup upstream.
+    → overwrite).  The applied batch id is stamped INTO the state parquet
+    (same atomic write), so a crash between the state write and the
+    streaming checkpoint commit replays the batch into a skip — never a
+    double count.  For at-least-once sources pair with stream_dedup
+    upstream.
     """
     from glamr_omics_pipelines_spark.sources.warehouse import (
         agg_snapshot, merge_agg_snapshots)
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
+    def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        current, applied = _read_state(spark, state_dir)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch already applied before the crash
         snap = agg_snapshot(batch, group_cols, value_col)
-        try:
-            current = spark.read.parquet(state_dir)
-            merged = merge_agg_snapshots(current, snap)
-        except Exception:  # first batch: no state yet
-            merged = snap
+        merged = snap if current is None else merge_agg_snapshots(current, snap)
         # materialize BEFORE overwrite: the merged plan reads state_dir
         rows = merged.collect()
         out = spark.createDataFrame(rows, merged.schema)
-        out.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        _write_state(out, batch_id, state_dir)
 
     (stream.writeStream
      .foreachBatch(upsert)
@@ -256,17 +290,17 @@ def streaming_vocab_ingest(stream: DataFrame, text_col: str,
     """
     from glamr_omics_pipelines_spark.operators.text import tokens
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
+    def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        current, applied = _read_state(spark, state_dir)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch already applied before the crash
         snap = (batch.select(F.explode(
             F.transform(tokens(text_col), F.lower)).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
-        try:
-            current = spark.read.parquet(state_dir)
-            merged = (current.unionByName(snap)
-                      .groupBy("token").agg(F.sum("n").alias("n")))
-        except Exception:  # first batch: no state yet
-            merged = snap
+        merged = snap if current is None else (
+            current.unionByName(snap)
+            .groupBy("token").agg(F.sum("n").alias("n")))
         real = merged.filter(F.col("token") != "<OTHERS>")
         head = real.orderBy(F.col("n").desc(),
                             F.col("token").asc()).limit(top_k)
@@ -276,7 +310,7 @@ def streaming_vocab_ingest(stream: DataFrame, text_col: str,
                   .filter(F.col("n") > 0))
         rows = head.unionByName(others).collect()
         out = spark.createDataFrame(rows, head.schema)
-        out.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        _write_state(out, batch_id, state_dir)
 
     (stream.writeStream
      .foreachBatch(upsert)
@@ -313,18 +347,18 @@ def streaming_drift_monitor(stream: DataFrame, reference: DataFrame,
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        cur, applied = _read_state(spark, f"{state_dir}/bins")
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch already applied before the crash
         cond = sum((F.col(value_col) > e).cast("int") for e in edges)
         snap = (batch.select(cond.alias("b"))
                 .groupBy("b").agg(F.count(F.lit(1)).alias("n")))
-        try:
-            cur = spark.read.parquet(f"{state_dir}/bins")
-            merged = (cur.unionByName(snap)
-                      .groupBy("b").agg(F.sum("n").alias("n")))
-        except Exception:
-            merged = snap
+        merged = snap if cur is None else (
+            cur.unionByName(snap)
+            .groupBy("b").agg(F.sum("n").alias("n")))
         rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1) \
-            .write.mode("overwrite").parquet(f"{state_dir}/bins")
+        _write_state(spark.createDataFrame(rows, merged.schema), batch_id,
+                     f"{state_dir}/bins")
         total = sum(r.n for r in rows) or 1
         import math
         psi = 0.0

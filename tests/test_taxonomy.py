@@ -105,3 +105,31 @@ def test_closure_root_gets_self_row(spark):
     assert rows["A"].abund_direct == 5.0
     assert rows["A"].abund_w_subtax == 8.0   # self + descendant
     assert rows["B"].abund_w_subtax == 3.0
+
+
+def test_ncbi_majority_vote_reference_cases(spark):
+    """The four documented cases of resolve_majority_vote
+    (gtdb_to_ncbi_majority_vote.py:259-320), one cluster per case:
+      c1: named at >50%                      -> winner
+      c2: unnamed at >50%                    -> none
+      c3: no taxon at >=50%                  -> none
+      c4: single named at exactly 50%        -> winner (rest spread)
+      c5: named 50% vs unnamed 50%           -> winner (named beats bare prefix)
+      c6: named 50% vs named 50%             -> none
+    """
+    votes = []
+    votes += [("c1", "g__A")] * 3 + [("c1", "g__B")] * 2
+    votes += [("c2", "g__")] * 3 + [("c2", "g__B")] * 2
+    votes += [("c3", "g__A")] * 2 + [("c3", "g__B")] * 2 + [("c3", "g__C")]
+    votes += [("c4", "g__A")] * 2 + [("c4", "g__B")] + [("c4", "g__C")]
+    votes += [("c5", "g__A")] * 2 + [("c5", "g__")] * 2
+    votes += [("c6", "g__A")] * 2 + [("c6", "g__B")] * 2
+    df = spark.createDataFrame(votes, ["cluster", "taxon"])
+    out = taxonomy.ncbi_majority_vote(df, ["cluster"], "taxon")
+    got = {r["cluster"]: (r["mv_taxon"], r["n_votes"]) for r in out.collect()}
+    assert got["c1"] == ("g__A", 5)
+    assert got["c2"] == ("none", 5)
+    assert got["c3"] == ("none", 5)
+    assert got["c4"] == ("g__A", 4)
+    assert got["c5"] == ("g__A", 4)
+    assert got["c6"] == ("none", 4)

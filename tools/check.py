@@ -50,7 +50,21 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     a, b = normalize(spark_df), normalize(duck_df)
     if len(a) == len(b):
         for c in a.columns:
-            if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            # Dtype-strict: the driver hashes rendered values, so an int64
+            # Spark column vs a float64 oracle column ("4124" vs "4124.0")
+            # is a driver hash mismatch even when numerically equal.  Catch
+            # it here so local green predicts driver green (VERDICT r4 #2).
+            a_int = pd.api.types.is_integer_dtype(a[c])
+            b_int = pd.api.types.is_integer_dtype(b[c])
+            a_flt = pd.api.types.is_float_dtype(a[c])
+            b_flt = pd.api.types.is_float_dtype(b[c])
+            if (a_int and b_flt) or (a_flt and b_int):
+                problems.append(
+                    f"dtype split col {c}: spark={a[c].dtype} vs duck={b[c].dtype} "
+                    f"(int-vs-float renders differently in the driver hash; "
+                    f"CAST the oracle or the engine column)")
+                continue
+            if a_flt or b_flt:
                 av = pd.to_numeric(a[c], errors="coerce")
                 bv = pd.to_numeric(b[c], errors="coerce")
                 bad = ~(((av - bv).abs() < 1e-9) | (av.isna() & bv.isna()))
