@@ -163,8 +163,9 @@ HEADLINE = [
     "js_divergence",     # pair-grain symmetric distribution distance
     "kl_top_terms",      # drift-driver terms, bounded rank window
     "vocab_growth",      # Heaps-law first-seen curve, one min agg
-    "rfm_segments",      # user-grain NTILE scoring, one fact scan
+    "rfm_segments",      # broadcast-threshold RFM quintile scoring
     "ohlc_bars",         # struct-min/max downsampling, no sort windows
+    "gtdb_majority_vote",  # taxon-grain majority-vote aggregation
 ]
 
 # The r1-r3 headline set (exactly BENCH_r03's 30 queries): kept as a

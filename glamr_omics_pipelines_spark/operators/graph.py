@@ -63,7 +63,8 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight_col: str | None = "weight", iterations: int = 10,
              damping: float = 0.85,
-             num_partitions: int | None = None) -> DataFrame:
+             num_partitions: int | None = None,
+             checkpoint_every: int = 3) -> DataFrame:
     """Weighted PageRank over a directed edge list, fixed ``iterations``:
 
         rank ← (1−d)/N + d · Σ_in rank_src · w / wout_src
@@ -123,23 +124,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 (F.lit(1.0) / F.col("_n")).alias("_init")))
     base.count()
     ranks = base.select("node", F.col("_init").alias("rank"))
-    # EAGER checkpoint per superstep (A/B-measured equal to a lazy chain
-    # locally): bounds failure-retry scope to one iteration and lets the
-    # previous rank frame unpersist immediately — the battle-tested
-    # iterative-algorithm shape.
-    for _ in range(iterations):
+    # Checkpoint cadence: ``checkpoint_every`` supersteps chain lazily
+    # between eager localCheckpoints — fewer materialization barriers per
+    # run, at the cost of a 3-superstep retry scope and a 3-deep plan
+    # between cuts. A/B at sf0.1 (10 supersteps, min-of-3, two repeats):
+    # every-1 = 18.5/20.7 s, every-3 = 14.2/15.5 s, every-5 = 15.9/14.8 s
+    # (ROUND5.md) — the barrier cost is real and the win saturates at 3,
+    # so 3 is the default; pass 1 to prioritize minimal retry scope.
+    checkpointed = ranks
+    for i in range(iterations):
         contribs = (rated.join(ranks, rated["_src"] == ranks["node"])
                     .groupBy("_dst")
                     .agg(F.sum(F.col("rank") * F.col("_rate")).alias("_c")))
-        prev = ranks
         ranks = (base
                  .join(contribs, base["node"] == contribs["_dst"], "left")
                  .select("node",
                          (F.col("_base")
                           + damping * F.coalesce(F.col("_c"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
-        prev.unpersist()
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            prev = checkpointed
+            ranks = ranks.localCheckpoint(eager=True)
+            checkpointed = ranks
+            prev.unpersist()
     return ranks
 
 
