@@ -202,6 +202,11 @@ def _read_state(spark: SparkSession, state_dir: str):
     A corrupted/unreadable state dir RAISES instead of silently resetting
     accumulated state (ADVICE r4: the bare ``except Exception`` here used to
     treat corruption as 'first batch' and zero the counts).
+
+    Contract: a state dir is PAIRED with its checkpoint — batch ids are
+    monotonic only within one checkpoint lineage, so reusing an old state
+    dir with a fresh checkpoint (ids restart at 0) skips genuinely new
+    batches by design; start a fresh state dir with a fresh checkpoint.
     """
     from pyspark.errors import AnalysisException
     try:

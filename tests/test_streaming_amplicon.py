@@ -356,3 +356,58 @@ def test_streaming_drift_monitor_psi_log(spark, tmp_path):
     assert log[-1].psi > 0.25              # cumulative stream has drifted
     bins = spark.read.parquet(f"{state}/bins")
     assert bins.count() <= 10              # state bounded at n_bins rows
+
+
+def test_state_upsert_replay_and_corruption(spark, tmp_path):
+    """Replay safety of the foreachBatch state protocol: the applied batch
+    id rides in the state parquet itself, a replayed (already-applied)
+    batch is skipped instead of double-counted, and a corrupted state dir
+    raises instead of silently resetting accumulated counts."""
+    import csv
+    import pytest
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        _read_state, _write_state, streaming_rollup_ingest)
+
+    # roundtrip: marker stamped on write, stripped + returned on read
+    df = spark.createDataFrame([("x", 2)], ["g", "n"])
+    state = str(tmp_path / "st")
+    _write_state(df, 7, state)
+    got, applied = _read_state(spark, state)
+    assert applied == 7 and got.columns == ["g", "n"]
+    assert got.collect()[0]["n"] == 2
+
+    # missing state dir is (None, None), not an error
+    assert _read_state(spark, str(tmp_path / "absent")) == (None, None)
+
+    # end-to-end replay: run a rollup once, then re-run the SAME files with
+    # a FRESH checkpoint (replays ids 0..k) against the already-applied
+    # state — every batch must skip, leaving the state byte-identical
+    src = tmp_path / "in"; src.mkdir()
+    for fname, rows in [("a.csv", [("x", 1.0)]), ("b.csv", [("x", 5.0)])]:
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(["g", "v"]); w.writerows(rows)
+
+    def stream():
+        return (spark.readStream.format("csv")
+                .schema("g string, v double")
+                .option("sep", "\t").option("header", True)
+                .option("maxFilesPerTrigger", 1)
+                .load(str(src)))
+
+    roll_state = str(tmp_path / "roll_state")
+    streaming_rollup_ingest(stream(), ["g"], "v", roll_state,
+                            str(tmp_path / "ck1"))
+    before = spark.read.parquet(roll_state).drop("_applied_batch").collect()
+    streaming_rollup_ingest(stream(), ["g"], "v", roll_state,
+                            str(tmp_path / "ck2"))  # replay simulation
+    after = spark.read.parquet(roll_state).drop("_applied_batch").collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert after[0]["agg_sum"] == 6.0  # applied once, not twice
+
+    # corruption surfaces: a non-parquet file inside the state dir raises
+    bad = tmp_path / "bad_state"; bad.mkdir()
+    (bad / "part-00000.parquet").write_text("not parquet")
+    with pytest.raises(Exception) as exc:
+        _read_state(spark, str(bad))
+    assert "PATH_NOT_FOUND" not in str(exc.value)
