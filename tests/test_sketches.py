@@ -80,3 +80,19 @@ def test_cms_never_underestimates_and_merges(spark):
             sketches.cms_estimate(merged, items, "item", depth=4,
                                   width=64).collect()}
     assert est2 == est
+
+
+def test_cms_weighted_build_matches_raw(spark):
+    """Hash-work hoisting: sketching the (item, count) pre-aggregate with
+    weight_col produces the grid the raw stream produces — the equivalence
+    q_cms_counts relies on to hash distinct items instead of fact rows."""
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import sketches
+    rows = [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string")
+    raw = sketches.cms_build(df, "item", depth=4, width=64)
+    pre = df.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
+    weighted = sketches.cms_build(pre, "item", depth=4, width=64,
+                                  weight_col="w")
+    assert (sorted(map(tuple, raw.collect()))
+            == sorted(map(tuple, weighted.collect())))
