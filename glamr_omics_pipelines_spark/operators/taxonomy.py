@@ -159,19 +159,34 @@ def lca_aggregate(df: DataFrame, group_cols: list[str], path_col: str,
     return _common_prefix(agg, out_path)
 
 
-def _common_prefix(agg: DataFrame, out_path: str) -> DataFrame:
+def _common_prefix(agg: DataFrame, out_path: str,
+                   max_depth: int = 16) -> DataFrame:
     """Shared tail of the LCA aggregates: longest common prefix of the
-    `_mn`/`_mx` array columns, computed with higher-order functions."""
+    `_mn`/`_mx` array columns.
+
+    Codegen, not HOF: lineage arrays have bounded rank depth, so the
+    position scan unrolls to a CASE chain of ``max_depth`` null-safe
+    element compares — whole-stage-codegen instead of an interpreted
+    per-element F.transform lambda. At the reference's depth-2/-8 paths
+    the two forms measure EQUAL at sf0.1 (the per-element dispatch only
+    bites on long arrays — see the per-char-fold trap notes elsewhere);
+    the unrolled form is kept because it can never degrade with depth and
+    is ANSI-safe. ``max_depth`` (default 16) must bound the rank depth
+    (every taxonomy convention in the reference is ≤ 8); positions past
+    both lengths compare NULL==NULL and the final least(n, …) caps the
+    result, so equal arrays of any length ≤ max_depth resolve exactly.
+    """
     n = F.least(F.array_size("_mn"), F.array_size("_mx"))
-    # common prefix length = number of leading positions where _mn[i]==_mx[i];
-    # scan positions 1..n, take while equal.
-    idx = F.sequence(F.lit(1), n)
-    eq_flags = F.transform(idx, lambda i: F.when(
-        F.element_at("_mn", i) == F.element_at("_mx", i), F.lit(1)).otherwise(F.lit(0)))
-    # prefix length = index of first mismatch minus 1 (array_position is
-    # 1-based and returns 0 when no mismatch exists → full length n)
-    prefix_len = F.when(F.array_position(eq_flags, 0) == 0, n).otherwise(
-        F.array_position(eq_flags, 0) - 1)
+    # first mismatching position, unrolled: CASE WHEN pos1 differs THEN 0
+    # WHEN pos2 differs THEN 1 ... ELSE max_depth; try_element_at is OOB-NULL
+    # (ANSI-safe) and eqNullSafe treats the both-NULL tail as equal.
+    prefix = None
+    for i in range(1, max_depth + 1):
+        eq_i = F.try_element_at("_mn", F.lit(i)).eqNullSafe(
+            F.try_element_at("_mx", F.lit(i)))
+        prefix = (F.when(~eq_i, i - 1) if prefix is None
+                  else prefix.when(~eq_i, i - 1))
+    prefix_len = F.least(n, prefix.otherwise(max_depth))
     return (agg.withColumn(out_path, F.slice("_mn", 1, prefix_len.cast("int")))
             .drop("_mn", "_mx"))
 
