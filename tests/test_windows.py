@@ -73,3 +73,19 @@ def test_sessionize_gap(spark):
                 .collect())
     got = {r["user"]: r["m"] for r in per_user}
     assert got == {1: 2, 2: 1}
+
+
+def test_epoch_us_rejects_non_utc_session(spark):
+    """The UTC session-tz contract is enforced, not just documented: a
+    non-UTC session raises at expression-build time instead of silently
+    shifting every derived epoch (NTZ casts reinterpret wall-clock)."""
+    import pytest
+    from glamr_omics_pipelines_spark.operators.windows import epoch_us
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Detroit")
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            epoch_us("ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    epoch_us("ts")  # restored UTC builds fine
