@@ -435,3 +435,55 @@ def test_interpolate_idempotent_and_bounded(spark, vals):
         assert lo - 1e-9 <= r.vi <= hi + 1e-9
         if vals[r.x] is not None:
             assert r.vi == vals[r.x]
+
+
+# votes: (cluster 0-2, taxon drawn from 2 named + the bare 'g__' prefix)
+_vote_rows = st.lists(
+    st.tuples(st.integers(0, 2),
+              st.sampled_from(["g__A", "g__B", "g__"])),
+    min_size=1, max_size=24)
+
+
+def _ref_resolve(taxa: list[str]) -> str:
+    """Direct transcription of the reference's resolve_majority_vote
+    (gtdb_to_ncbi_majority_vote.py:259-320): most_common top-2 with the
+    documented four cases; 'named' = longer than the 3-char rank prefix.
+    Deterministic tie order (count desc, named first, taxon asc) — the
+    ordering under which the reference's arbitrary Counter tie-break
+    never changes the outcome (see operator docstring)."""
+    from collections import Counter
+    c = Counter(taxa)
+    n = len(taxa)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], len(kv[0]) <= 3, kv[0]))
+    (t1, n1) = ranked[0]
+    req = 0.5 * n
+    if n1 > req:
+        return t1 if len(t1) > 3 else "none"
+    if n1 < req:
+        return "none"
+    if len(ranked) == 1:
+        return t1 if len(t1) > 3 else "none"
+    (t2, n2) = ranked[1]
+    if n2 < req:
+        return t1 if len(t1) > 3 else "none"
+    # two taxa at exactly 50%
+    if len(t1) > 3 and len(t2) <= 3:
+        return t1
+    if len(t1) <= 3 and len(t2) > 3:
+        return t2
+    return "none"
+
+
+@settings(**SETTINGS)
+@given(_vote_rows)
+def test_ncbi_majority_vote_matches_reference_transcription(spark, rows):
+    df = spark.createDataFrame(rows, ["cluster", "taxon"])
+    got = {r["cluster"]: r["mv_taxon"]
+           for r in taxonomy.ncbi_majority_vote(df, ["cluster"],
+                                                "taxon").collect()}
+    from collections import defaultdict
+    by_cluster = defaultdict(list)
+    for cl, t in rows:
+        by_cluster[cl].append(t)
+    want = {cl: _ref_resolve(ts) for cl, ts in by_cluster.items()}
+    assert got == want
