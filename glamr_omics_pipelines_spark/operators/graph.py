@@ -163,6 +163,14 @@ def association_rules(df: DataFrame, group_col: str, item_col: str,
     expensive part is one within-group pair fan-out; item supports and the
     basket total are broadcast one-row/dimension aggregates. min_pair_count
     prunes the rule set BEFORE the probability arithmetic.
+
+    The (group, item) distinct appears in all three branches (pairs,
+    supports, total) UNCACHED on purpose: the subplans are identical, so
+    Catalyst's ReuseExchange serves one distinct shuffle to every branch
+    (3 ReusedExchange nodes in the executed plan — asserted in
+    tests/test_plans.py); an explicit persist was A/B-measured ~20%
+    SLOWER (materialization barrier serializes branches ReuseExchange
+    runs concurrently).
     """
     pairs = cooccurrence_edges(df, group_col, item_col,
                                max_group_size=max_group_size)

@@ -466,3 +466,15 @@ def test_bottomk_sketch_distincts_raw_items_before_hash(spark):
     # and Spark's rank-limit pushdown keeps <=k rows per group per
     # partition ahead of the final window shuffle — assert it stays
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_basket_rules_reuses_distinct_exchange(spark):
+    """association_rules reads the (group, item) distinct in three
+    branches; Catalyst's ReuseExchange must serve ONE distinct shuffle to
+    all of them (an explicit persist measured slower — see the operator
+    docstring). If this count drops to zero a refactor broke subplan
+    identity and the input scan now runs per branch."""
+    df = E.queries()["basket_rules"](spark, SF)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
