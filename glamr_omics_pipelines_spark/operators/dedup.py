@@ -121,10 +121,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         lambda b: F.xxhash64(F.concat_ws(
             ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
                              lambda x: x.cast("string"))), b))
-    # both self-join sides read this; persist (released via
-    # _cache.release_caches()) to avoid 2x recompute
-    buckets = _cache.register(
-        sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket")))
+    # both self-join sides read this; NO persist — the sides are identical
+    # subplans above the signature agg's exchange, so Catalyst's
+    # ReuseExchange serves one shuffle to both (A/B-measured equal-or-
+    # faster than an explicit cache, which adds a materialization barrier)
+    buckets = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
