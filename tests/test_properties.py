@@ -487,3 +487,75 @@ def test_ncbi_majority_vote_matches_reference_transcription(spark, rows):
         by_cluster[cl].append(t)
     want = {cl: _ref_resolve(ts) for cl, ts in by_cluster.items()}
     assert got == want
+
+
+_pack_docs = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 900)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0])
+
+
+@settings(**SETTINGS)
+@given(_pack_docs)
+def test_pack_sequences_bins_are_contiguous_prefix_intervals(spark, docs):
+    """Packing invariants for arbitrary (id, n_tokens): within every
+    shard, (a) bins are numbered from 0 without gaps, (b) each bin except
+    the last holds >= budget... no — the CONTRACT is prefix-interval
+    semantics: bin == floor(tokens_before/budget) under the deterministic
+    (hash, id) order, so bins partition the shard's doc sequence into
+    consecutive runs and every bin's starting offset is < (bin+1)*budget
+    while its ending offset is >= bin*budget."""
+    from glamr_omics_pipelines_spark.operators.sampling import pack_sequences
+    budget = 1000
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=budget,
+                         shards=4).collect()
+    from collections import defaultdict
+    shard_rows = defaultdict(list)
+    for r in out:
+        shard_rows[r["shard"]].append(r)
+    assert sum(len(v) for v in shard_rows.values()) == len(docs)
+    for rows in shard_rows.values():
+        # reproduce the contract order: ascending (bin) must align with a
+        # consistent doc order; verify via prefix sums in bin order
+        by_bin = defaultdict(list)
+        for r in rows:
+            by_bin[r["bin"]].append(r)
+        bins = sorted(by_bin)
+        # bins numbered contiguously from 0
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+        running = 0
+        for b in bins:
+            # bin b's first doc starts while the stream offset is inside
+            # [b*budget, (b+1)*budget)
+            start = running
+            assert b * budget <= start < (b + 1) * budget or start == 0
+            running += sum(r["n_tokens"] for r in by_bin[b])
+
+
+_wins_rows = st.lists(st.tuples(st.integers(0, 1),
+                                st.floats(-100, 100, allow_nan=False)),
+                      min_size=3, max_size=40)
+
+
+@settings(**SETTINGS)
+@given(_wins_rows)
+def test_winsorize_bounds_and_preserves_interior(spark, rows):
+    """Winsorize invariants: outputs clamped to the group's [p_lo, p_hi],
+    interior values pass through unchanged, row count conserved."""
+    import numpy as np
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = abundance.winsorize(df, ["g"], "v", lo=0.1, hi=0.9).collect()
+    assert len(out) == len(rows)
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for g, v in rows:
+        vals[g].append(v)
+    for g, vs in vals.items():
+        lo = float(np.quantile(vs, 0.1))
+        hi = float(np.quantile(vs, 0.9))
+        got = [r for r in out if r["g"] == g]
+        for r in got:
+            w = r["winsorized"]
+            assert lo - 1e-6 <= w <= hi + 1e-6
+            if lo + 1e-9 < r["v"] < hi - 1e-9:
+                assert abs(w - r["v"]) < 1e-6
