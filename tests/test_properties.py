@@ -559,3 +559,46 @@ def test_winsorize_bounds_and_preserves_interior(spark, rows):
             assert lo - 1e-6 <= w <= hi + 1e-6
             if lo + 1e-9 < r["v"] < hi - 1e-9:
                 assert abs(w - r["v"]) < 1e-6
+
+
+@settings(**SETTINGS)
+@given(iv_lists, iv_lists)
+def test_subtract_intervals_matches_pointwise_set_difference(spark, ia, ib):
+    """A − B computed by the signed sweep must equal the point-set
+    difference: every integer point is in the output iff it is covered by
+    A and not by B; output spans are maximal (book-ended spans merged)."""
+    from glamr_omics_pipelines_spark.operators import intervals
+    a = spark.createDataFrame([("g", s, s + ln) for s, ln in ia],
+                              "g string, s long, e long")
+    b = spark.createDataFrame([("g", s, s + ln) for s, ln in ib],
+                              "g string, s long, e long")
+    out = intervals.subtract_intervals(a, b, ["g"], "s", "e").collect()
+    pa = {p for s, ln in ia for p in range(s, s + ln)}
+    pb = {p for s, ln in ib for p in range(s, s + ln)}
+    want = pa - pb
+    got = {p for r in out for p in range(r["sub_start"], r["sub_end"])}
+    assert got == want
+    spans = sorted((r["sub_start"], r["sub_end"]) for r in out)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2  # maximal spans: adjacency would have merged
+
+
+_hrw_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                     unique=True)
+
+
+@settings(**SETTINGS)
+@given(_hrw_keys, st.integers(2, 6))
+def test_rendezvous_resharding_moves_only_to_the_new_shard(spark, keys, k):
+    """The defining HRW property: growing K -> K+1 shards, every key
+    either keeps its shard or moves to the NEW shard K — no key ever
+    relocates between pre-existing shards (mod-hashing reshuffles ~all)."""
+    from glamr_omics_pipelines_spark.operators.sampling import (
+        rendezvous_assign)
+    df = spark.createDataFrame([(x,) for x in keys], ["key"])
+    before = {r["key"]: r["shard"]
+              for r in rendezvous_assign(df, "key", k).collect()}
+    after = {r["key"]: r["shard"]
+             for r in rendezvous_assign(df, "key", k + 1).collect()}
+    for key in keys:
+        assert after[key] == before[key] or after[key] == k
