@@ -112,3 +112,28 @@ def test_k_core_empty_when_k_too_high(spark):
     edges = [(1, 2), (2, 3), (1, 3)]
     df = spark.createDataFrame(edges, "src int, dst int")
     assert graph.k_core(df, k=3, rounds=5).count() == 0
+
+
+def test_dbscan_candidates_hook_matches_bruteforce_when_complete(spark):
+    """The advertised scale path: dbscan with an eps-complete candidate
+    list (every true eps-pair present, plus junk pairs below eps) must
+    equal the brute-force run exactly — the LSH hook only PRUNES pair
+    generation, never changes semantics, and sub-eps junk candidates are
+    filtered by the exact verify."""
+    from glamr_omics_pipelines_spark.operators import similarity
+    rows = ([(i, [1.0, 0.0, 0.0]) for i in (1, 2, 3)]
+            + [(4, [0.7071, 0.7071, 0.0]), (5, [0.0, 0.0, 1.0])])
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    brute = {r.id: (r.cluster_id, r.role) for r in
+             similarity.dbscan_cosine(df, "id", "v", sim_eps=0.9,
+                                      min_pts=2).collect()}
+    # complete: all true eps-pairs {1,2},{1,3},{2,3} + junk below eps
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5), (3, 5)],
+        "id_a int, id_b int")
+    hooked = {r.id: (r.cluster_id, r.role) for r in
+              similarity.dbscan_cosine(df, "id", "v", sim_eps=0.9,
+                                       min_pts=2,
+                                       candidates=cand).collect()}
+    assert hooked == brute
+    assert brute[1] == (1, "core") and brute[5][1] == "noise"
