@@ -318,11 +318,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.v == labels.id)
                    .groupBy("u").agg(F.min("label").alias("_nbr")))
+        relabel = F.least(F.col("label"),
+                          F.coalesce(F.col("_nbr"), F.col("label")))
         new = (labels.join(nbr_min, labels.id == nbr_min.u, "left")
-               .select(labels.id,
-                       F.least(F.col("label"),
-                               F.coalesce(F.col("_nbr"), F.col("label")))
-                       .alias("label"))
+               .select(labels.id, relabel.alias("label"),
+                       # convergence flag computed INLINE: the old form
+                       # re-joined new against labels just to count changes
+                       # — a whole extra shuffle join per round; the flag is
+                       # known at relabel time for free
+                       (relabel != F.col("label")).alias("_chg"))
                # localCheckpoint, not persist: each round's plan references
                # the previous round twice, so an un-truncated lineage DOUBLES
                # per round and Catalyst re-analysis goes exponential (round 0
@@ -331,10 +335,9 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                # round's plan constant-size. (Same pattern GraphFrames uses
                # for iterative CC.)
                .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new
+        changed = new.filter(F.col("_chg")).count()  # scan of the
+        # just-materialized checkpoint, not a recomputation
+        labels = new.drop("_chg")
         if changed == 0:
             break
     else:
