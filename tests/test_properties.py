@@ -602,3 +602,80 @@ def test_rendezvous_resharding_moves_only_to_the_new_shard(spark, keys, k):
              for r in rendezvous_assign(df, "key", k + 1).collect()}
     for key in keys:
         assert after[key] == before[key] or after[key] == k
+
+
+_sess_ts = st.lists(st.integers(0, 20_000), min_size=1, max_size=30)
+
+
+@settings(**SETTINGS)
+@given(_sess_ts)
+def test_sessionize_matches_bruteforce(spark, secs):
+    """Gap sessionization vs a direct python fold over sorted event times:
+    session ids must match per event for arbitrary (duplicated, unordered)
+    second-grain timestamps."""
+    import datetime as dt
+    from glamr_omics_pipelines_spark.operators.windows import sessionize
+    gap = 1800
+    base = dt.datetime(2026, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s)) for s in secs]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = sorted((r["ts"], r["session_id"])
+                 for r in sessionize(df, "user_id", "ts",
+                                     gap_seconds=gap).collect())
+    want, sid, last = [], 0, None
+    for s in sorted(secs):
+        if last is None or s - last > gap:
+            sid += 1
+        want.append((base + dt.timedelta(seconds=s), sid))
+        last = s
+    assert got == sorted(want)
+
+
+_mode_rows = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5)),
+                      min_size=1, max_size=40)
+
+
+@settings(**SETTINGS)
+@given(_mode_rows)
+def test_top1_by_agg_mode_matches_counter(spark, rows):
+    """group mode via the struct-min aggregate == Counter argmax with the
+    documented tie-break (max count, then smallest value)."""
+    from glamr_omics_pipelines_spark.operators.windows import top1_by_agg
+    from collections import Counter, defaultdict
+    df = spark.createDataFrame(rows, ["g", "v"])
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    out = {r["g"]: (r["v"], r["n"]) for r in
+           top1_by_agg(counts, ["g"], order=[("n", False), ("v", True)],
+                       payload=["v", "n"]).collect()}
+    per_g = defaultdict(list)
+    for g, v in rows:
+        per_g[g].append(v)
+    for g, vs in per_g.items():
+        c = Counter(vs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[g] == best
+
+
+_gate_rows = st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1000)),
+                      min_size=4, max_size=40)
+
+
+@settings(**SETTINGS)
+@given(_gate_rows)
+def test_quantile_gate_threshold_semantics(spark, rows):
+    """quantile_gate keeps exactly the rows >= the group's exact
+    interpolated quantile (numpy type-7 == Spark percentile)."""
+    import numpy as np
+    from glamr_omics_pipelines_spark.operators.sampling import quantile_gate
+    from collections import defaultdict
+    df = spark.createDataFrame(rows, ["g", "v"])
+    kept = [(r["g"], r["v"]) for r in
+            quantile_gate(df, ["g"], "v", q=0.25).collect()]
+    per_g = defaultdict(list)
+    for g, v in rows:
+        per_g[g].append(v)
+    want = []
+    for g, vs in per_g.items():
+        t = float(np.quantile(vs, 0.25))
+        want += [(g, v) for v in vs if v >= t]
+    assert sorted(kept) == sorted(want)
