@@ -337,6 +337,14 @@ def streaming_drift_monitor(stream: DataFrame, reference: DataFrame,
     The reference bin edges are computed ONCE (driver-side list of
     n_bins−1 doubles — the one legitimate collect: it is the model, not
     the data); each batch then costs one scan + an n_bins-grain agg.
+
+    Replay contract: the cumulative bin STATE is exactly-once (batch id
+    stamped in the state write; replays skip). The psi_log side table is
+    at-least-once diagnostics — a crash between the state write and the
+    log append loses that batch's log row (state stays correct), and a
+    crash after both but before checkpoint commit replays into a skip, so
+    the log never double-appends. Consumers needing exact logs should
+    derive PSI from the state snapshots instead.
     """
     probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     edges = reference.agg(F.expr(
