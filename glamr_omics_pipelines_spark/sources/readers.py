@@ -136,9 +136,11 @@ def read_xml_elements(spark: SparkSession, path: str, row_tag: str) -> DataFrame
     driver-side ElementTree parse for tiny metadata files if the built-in
     format is unavailable.
     """
+    from pyspark.errors import AnalysisException
     try:
         return spark.read.format("xml").option("rowTag", row_tag).load(path)
-    except Exception:
+    except AnalysisException:  # format unavailable only — the native load
+        # is lazy, so real parse errors surface at action time, not here
         import xml.etree.ElementTree as ET
         rows = []
         for elem in ET.parse(path).getroot().iter(row_tag):
