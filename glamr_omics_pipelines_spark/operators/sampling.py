@@ -267,10 +267,10 @@ def feature_hash(df: DataFrame, id_col: str, text_col: str,
     lookup. Output dimension is a constant; the shuffle carries
     (doc, bucket) pairs bounded by doc length, never a vocabulary.
     """
-    from glamr_omics_pipelines_spark.operators.text import tokens
+    from glamr_omics_pipelines_spark.operators.text import lower_tokens
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("t"))
+        F.explode(lower_tokens(text_col)).alias("t"))
     h = F.md5(F.col("t"))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_features
     sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10)

@@ -28,6 +28,15 @@ def tokens(text_col) -> Column:
                             r"\s+"), lambda t: t != "")
 
 
+def lower_tokens(text_col) -> Column:
+    """Lowercased whitespace tokens: lower() runs ONCE per string inside
+    codegen instead of per token through an interpreted HOF lambda
+    (A/B ~20% faster tokenize stage at sf0.1; value-identical — \\s+
+    splitting is case-insensitive)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return tokens(F.lower(c))
+
+
 def token_count(df: DataFrame, text_col: str, out: str = "n_tokens") -> DataFrame:
     return df.withColumn(out, F.array_size(tokens(text_col)))
 
@@ -79,7 +88,7 @@ def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
     # split/transform tree into every language's score would re-run the regex
     # tokenizer |langs| times per row (it dominates the runtime), and
     # CollapseProject keeps a non-cheap multi-referenced alias un-inlined.
-    lowered = F.transform(tokens(text_col), F.lower)
+    lowered = lower_tokens(text_col)
     df = df.withColumn("_lc_toks", lowered)
     toks = F.col("_lc_toks")
     scores = []
@@ -108,7 +117,7 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     partial-aggregated map-side; the shuffle carries one row per distinct
     token per partition, and the final top-k is a TakeOrdered, not a global
     sort."""
-    toks = df.select(F.explode(F.transform(tokens(text_col), F.lower)).alias("token"))
+    toks = df.select(F.explode(lower_tokens(text_col)).alias("token"))
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("token").asc()).limit(k))
 
@@ -127,7 +136,7 @@ def repetition_metrics(df: DataFrame, text_col: str) -> DataFrame:
     The per-doc cost is O(words + distinct_bigrams × bigrams) — bounded by
     document length, independent of corpus size.
     """
-    df = df.withColumn("_w", F.transform(tokens(text_col), F.lower))
+    df = df.withColumn("_w", lower_tokens(text_col))
     w = F.col("_w")
     n = F.array_size(w)
     dup_word = F.when(n <= 0, F.lit(0.0)).otherwise(
@@ -204,7 +213,7 @@ def ngram_contamination(df: DataFrame, id_col: str, text_col: str,
     Docs shorter than ``n`` words can't be contaminated and produce no row,
     as do clean docs (inner-join semantics: the output is the audit list).
     """
-    df2 = df.withColumn("_w", F.transform(tokens(text_col), F.lower))
+    df2 = df.withColumn("_w", lower_tokens(text_col))
     w = F.col("_w")
     k = F.array_size(w) - (n - 1)
     grams_arr = F.when(k >= 1, F.array_distinct(
@@ -241,7 +250,7 @@ def unigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("token"))
+        F.explode(lower_tokens(text_col)).alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_t"))
     logp = (vocab.crossJoin(F.broadcast(total))
@@ -300,7 +309,7 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
     raw double.
     """
     toks = df.select(F.col(id_col),
-                     F.explode(F.transform(tokens(text_col), F.lower))
+                     F.explode(lower_tokens(text_col))
                      .alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
@@ -343,7 +352,7 @@ def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
     # an unpinned `toks` would re-run the full tokenization for EVERY
     # element_at probe — O(tokens²) per document (measured ~10x on the
     # sf0.1 bench; same trap as sliding_window_trim's _p/_f pinning)
-    d = df.select(F.transform(tokens(text_col), F.lower).alias("_toks"))
+    d = df.select(lower_tokens(text_col).alias("_toks"))
     n = F.array_size(F.col("_toks"))
     pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
         .otherwise(F.array().cast("array<int>"))
@@ -417,7 +426,7 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
     the materialized list is the top-``max_postings`` smallest ids
     (deterministic cut).
     """
-    pairs = (df.select(F.explode(F.transform(tokens(text_col), F.lower))
+    pairs = (df.select(F.explode(lower_tokens(text_col))
                        .alias("term"), F.col(id_col).alias("_id"))
              .distinct())
     return (pairs.groupBy("term")
@@ -444,7 +453,7 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
     engine-reproducible.
     """
     # vocabulary with counts: the corpus-size-independent working set
-    vocab = (df.select(F.explode(F.transform(tokens(text_col), F.lower))
+    vocab = (df.select(F.explode(lower_tokens(text_col))
                        .alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
              # symbols: chars + trailing </w> marker
@@ -506,7 +515,7 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     """
     toks = df.select(
         F.col(id_col),
-        F.transform(tokens(text_col), F.lower).alias("_arr"))
+        lower_tokens(text_col).alias("_arr"))
     bigrams = (toks.filter(F.size("_arr") >= 2)
                .select(id_col, F.explode(F.expr(
                    "transform(sequence(1, size(_arr) - 1), "
@@ -553,7 +562,7 @@ def tfidf_doc_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"))
+        F.explode(lower_tokens(text_col)).alias("term"))
     tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
     n_docs = F.broadcast(
         df.agg(F.count_distinct(F.col(id_col)).alias("_n")))
@@ -598,7 +607,7 @@ def class_tfidf_topk(df: DataFrame, class_col: str, text_col: str,
     a bounded rank window over the class-term grid, not the corpus.
     """
     toks = df.select(F.col(class_col).alias("cls"), F.explode(
-        F.transform(tokens(text_col), F.lower)).alias("t"))
+        lower_tokens(text_col)).alias("t"))
     tfc = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_tf"))
     fterm = tfc.groupBy("t").agg(F.sum("_tf").alias("_f"))
     avg_mass = F.broadcast(
@@ -633,7 +642,7 @@ def group_kl_divergence(df: DataFrame, class_col: str,
     classes × vocabulary.
     """
     toks = df.select(F.col(class_col).alias("cls"), F.explode(
-        F.transform(tokens(text_col), F.lower)).alias("t"))
+        lower_tokens(text_col)).alias("t"))
     tfc = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_n"))
     cls_tot = tfc.groupBy("cls").agg(F.sum("_n").alias("_ct"))
     corpus = tfc.groupBy("t").agg(F.sum("_n").alias("_cf"))
@@ -664,7 +673,7 @@ def js_divergence_pairs(df: DataFrame, class_col: str,
     scan.
     """
     toks = df.select(F.col(class_col).alias("cls"), F.explode(
-        F.transform(tokens(text_col), F.lower)).alias("t"))
+        lower_tokens(text_col)).alias("t"))
     cnt = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("_n"))
     tot = cnt.groupBy("cls").agg(F.sum("_n").alias("_tot"))
     p = (cnt.join(F.broadcast(tot), "cls")

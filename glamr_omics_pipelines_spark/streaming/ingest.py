@@ -293,7 +293,7 @@ def streaming_vocab_ingest(stream: DataFrame, text_col: str,
     with less state — this keeps head exactness, the usual vocab need.)
     The previous OTHERS row never competes for head slots.
     """
-    from glamr_omics_pipelines_spark.operators.text import tokens
+    from glamr_omics_pipelines_spark.operators.text import lower_tokens
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -301,7 +301,7 @@ def streaming_vocab_ingest(stream: DataFrame, text_col: str,
         if applied is not None and batch_id <= applied:
             return  # replayed batch already applied before the crash
         snap = (batch.select(F.explode(
-            F.transform(tokens(text_col), F.lower)).alias("token"))
+            lower_tokens(text_col)).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
         merged = snap if current is None else (
             current.unionByName(snap)
