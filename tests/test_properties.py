@@ -679,3 +679,69 @@ def test_quantile_gate_threshold_semantics(spark, rows):
         t = float(np.quantile(vs, 0.25))
         want += [(g, v) for v in vs if v >= t]
     assert sorted(kept) == sorted(want)
+
+
+_twap_rows = st.lists(
+    st.tuples(st.integers(0, 5000), st.integers(-50, 50)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@settings(**SETTINGS)
+@given(_twap_rows)
+def test_twap_matches_bruteforce(spark, rows):
+    """Time-weighted average vs the direct python integral over sorted
+    (t, v) readings: sum(v_i * dt_i) / sum(dt_i), last reading dropped."""
+    import datetime as dt
+    from glamr_omics_pipelines_spark.operators.timeseries import (
+        time_weighted_avg)
+    base = dt.datetime(2026, 1, 1)
+    data = [(1, i, base + dt.timedelta(seconds=s), float(v))
+            for i, (s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, eid int, ts timestamp, v double")
+    got = time_weighted_avg(df, "k", "ts", "v", "eid").collect()
+    srt = sorted(rows)
+    if len(srt) < 2:
+        assert got == []
+        return
+    num = sum(v * (srt[i + 1][0] - s) for i, (s, v) in enumerate(srt[:-1]))
+    den = sum(srt[i + 1][0] - s for i, (s, v) in enumerate(srt[:-1]))
+    r = got[0]
+    assert r["n_intervals"] == len(srt) - 1
+    assert abs(r["span_seconds"] - den) < 1e-6
+    assert abs(r["twap"] - num / den) < 1e-6
+
+
+_island_days = st.lists(st.integers(0, 60), min_size=1, max_size=30)
+
+
+@settings(**SETTINGS)
+@given(_island_days)
+def test_gaps_islands_matches_bruteforce(spark, days):
+    """date − row_number() island detection vs the direct consecutive-run
+    scan over deduplicated sorted day offsets (runs of length >= 2)."""
+    import datetime as dt
+    from pyspark.sql import Window
+    base = dt.date(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=d)) for d in days], "k int, d date")
+    w = Window.partitionBy("k").orderBy("d")
+    runs = (df.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_isl", F.date_sub(F.col("d"), F.col("_rn")))
+            .groupBy("k", "_isl")
+            .agg(F.min("d").alias("s"), F.max("d").alias("e"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2))
+    got = sorted((r["s"], r["e"], r["n"]) for r in runs.collect())
+    uniq = sorted(set(days))
+    want, start = [], None
+    for i, d in enumerate(uniq):
+        if start is None:
+            start = d
+        if i + 1 == len(uniq) or uniq[i + 1] != d + 1:
+            n = d - start + 1
+            if n >= 2:
+                want.append((base + dt.timedelta(days=start),
+                             base + dt.timedelta(days=d), n))
+            start = None
+    assert got == sorted(want)
