@@ -745,3 +745,27 @@ def test_gaps_islands_matches_bruteforce(spark, days):
                              base + dt.timedelta(days=d), n))
             start = None
     assert got == sorted(want)
+
+
+_cusum_vals = st.lists(st.integers(-20, 20), min_size=2, max_size=30)
+
+
+@settings(**SETTINGS)
+@given(_cusum_vals)
+def test_cusum_changepoint_matches_bruteforce(spark, vals):
+    """CUSUM argmax vs the direct python scan: S_i = cumsum_i - i*mean,
+    pick max |S| (6-dp rounded), first index on ties."""
+    from glamr_omics_pipelines_spark.operators.stats import cusum_changepoint
+    rows = [(1, i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, x int, eid int, v double")
+    r = cusum_changepoint(df, "k", "x", "v", "eid").collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    cum, best = 0.0, None
+    for i, v in enumerate(vals, start=1):
+        cum += v
+        s = round(abs(cum - i * mean), 6)
+        if best is None or s > best[1]:
+            best = (i, s)
+    assert (r["changepoint_idx"], r["max_cusum"]) == best
+    assert r["n_points"] == n
