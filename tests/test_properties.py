@@ -769,3 +769,34 @@ def test_cusum_changepoint_matches_bruteforce(spark, vals):
             best = (i, s)
     assert (r["changepoint_idx"], r["max_cusum"]) == best
     assert r["n_points"] == n
+
+
+_ws_rows = st.lists(
+    st.tuples(st.integers(0, 100_000), st.integers(1, 50)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@settings(**SETTINGS)
+@given(_ws_rows)
+def test_weighted_sample_matches_python_es_keys(spark, rows):
+    """Efraimidis–Spirakis sampling vs a python reimplementation of the
+    exact md5 key → u → -ln(u)/w score: the k winners (and tie order by
+    key) must match bit-for-bit — the reproducibility the operator sells."""
+    import hashlib
+    import math
+    from glamr_omics_pipelines_spark.operators.sampling import (
+        weighted_sample)
+    k = 5
+    df = spark.createDataFrame(rows, ["key", "w"])
+    got = sorted(r["key"] for r in
+                 weighted_sample(df, [], "key", "w", k=k).collect())
+    m = 1 << 20
+
+    def score(key, w):
+        h = int(hashlib.md5(f"wsample:{key}".encode()).hexdigest()[:8], 16)
+        u = ((h % m) + 0.5) / m
+        return -math.log(u) / w
+
+    want = sorted(key for key, w in
+                  sorted(rows, key=lambda t: (score(*t), t[0]))[:k])
+    assert got == want
