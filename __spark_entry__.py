@@ -26,7 +26,7 @@ from glamr_omics_pipelines_spark.operators import taxonomy, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
 from glamr_omics_pipelines_spark.functions import bio
-from glamr_omics_pipelines_spark.sources import sequences
+from glamr_omics_pipelines_spark.sources import retention, sequences
 from glamr_omics_pipelines_spark.sources.warehouse import (
     agg_snapshot, merge_agg_snapshots,
     profile_table as warehouse_profile_table,
@@ -490,6 +490,61 @@ def q_quantize_embeddings(spark, sf_dir):
     product quantization in a vector pipeline."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+def q_storage_reclaim(spark, sf_dir):
+    """Warehouse retention/vacuum report (sources/retention.py;
+    code/reduce_storage.R:17-45): a deterministic synthetic file inventory
+    (megahit intermediate contigs + raw reads per sample, finished-assembly /
+    decon-reads artifacts for a subset) is rolled up to the per-(rule,
+    sample) "safe to delete, N bytes reclaimable" report. Both the engine
+    and the oracle synthesize the identical inventory from `documents`, so
+    the hash checks the path-parse -> existence-join -> rollup core."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = "data/omics/metagenomes/samp_%d"
+    doc, k = F.col("doc_id"), F.col("k")
+    inter = (d.select("doc_id", F.explode(F.array(
+                F.lit(21), F.lit(33), F.lit(55))).alias("k"))
+             .select(F.format_string(
+                         base + "/assembly/megahit/intermediate_contigs/"
+                                "k%d.contigs.fa", "doc_id", "k").alias("path"),
+                     ((doc * 31 + k * 7) % 9000 + 1000).alias("file_size")))
+    fin = (d.filter(doc % 3 != 0)
+           .select(F.format_string(
+                       base + "/assembly/megahit/final.contigs.renamed.fa",
+                       "doc_id").alias("path"),
+                   (doc % 500 + 64).alias("file_size")))
+    raw = (d.select("doc_id", F.explode(F.array(
+                F.lit("fwd"), F.lit("rev"))).alias("dirn"))
+           .select(F.format_string(
+                       base + "/reads/raw_%s_reads.fastq.gz",
+                       "doc_id", "dirn").alias("path"),
+                   ((doc * 17) % 50000 + 5000).alias("file_size")))
+    dec = (d.filter(doc % 2 == 0)
+           .select(F.format_string(
+                       base + "/reads/decon_fwd_reads_fastp.fastq.gz",
+                       "doc_id").alias("path"),
+                   (doc % 300 + 32).alias("file_size")))
+    inv = inter.unionByName(fin).unionByName(raw).unionByName(dec)
+    rules = [
+        retention.ReclaimRule(
+            "megahit_intermediate",
+            r"data/omics/metagenomes/(samp_\d+)/assembly/megahit/"
+            r"intermediate_contigs/",
+            r"data/omics/metagenomes/(samp_\d+)/assembly/megahit/"
+            r"final\.contigs\.renamed\.fa$"),
+        retention.ReclaimRule(
+            "raw_reads",
+            r"data/omics/metagenomes/(samp_\d+)/reads/"
+            r"raw_(?:fwd|rev)_reads\.fastq\.gz$",
+            r"data/omics/metagenomes/(samp_\d+)/reads/"
+            r"decon_fwd_reads_fastp\.fastq\.gz$"),
+    ]
+    rep = retention.storage_reclaim(inv, rules)
+    return rep.select("rule", "sample_id",
+                      F.col("n_files").cast("bigint").alias("n_files"),
+                      F.col("bytes").cast("bigint").alias("bytes"),
+                      "eligible")
 
 
 def q_attribution_join(spark, sf_dir):
@@ -2896,64 +2951,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate checks the FIRST 50
-    # entries.  ROUND-5 WINDOW: the 4 oracle-dtype re-checks from r4's red
-    # rows (engine values were already correct; the oracle SUMs are now
-    # CAST to BIGINT), the new gtdb_majority_vote, and 45 queries that have
-    # never had a driver row (all local-oracle green via tools/check.py).
+    # entries.  ROUND-6 WINDOW (VERDICT r5 #3): the embedding_covariance
+    # re-check (r5's one red row — signed-zero oracle fix), the 39 remaining
+    # never-driver-checked queries (rolling_corr .. ohlc_bars, incl.
+    # group_mode = SURVEY A8's driver row), the new storage_reclaim
+    # (reduce_storage.R parity; displaces a banked query per the no-growth
+    # rule), and 9 banked re-checks (incl. the two perf-flagged queries,
+    # lsh_ann and curation_pipeline).  After this round every queries()
+    # entry has had a driver row at least once.
     return {
-        "pack_sequences": q_pack_sequences,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "cap_per_source": q_cap_per_source,
-        "seqkit_stats": q_seqkit_stats,
-        "gtdb_majority_vote": q_gtdb_majority_vote,
-        "interval_merge": q_interval_merge,
-        "genome_coverage": q_genome_coverage,
-        "nearest_feature": q_nearest_feature,
-        "gaps_islands": q_gaps_islands,
-        "ntile_buckets": q_ntile_buckets,
-        "group_percentiles": q_group_percentiles,
-        "incremental_agg": q_incremental_agg,
-        "interval_subtract": q_interval_subtract,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "fuzzy_resolve": q_fuzzy_resolve,
-        "mixture_sample": q_mixture_sample,
-        "cube_report": q_cube_report,
-        "bitset_semi_join": q_bitset_semi_join,
-        "basket_rules": q_basket_rules,
-        "quantile_normalize": q_quantile_normalize,
-        "zorder_key": q_zorder_key,
-        "rank_sum_test": q_rank_sum_test,
-        "enrichment_2x2": q_enrichment_2x2,
-        "bh_fdr": q_bh_fdr,
-        "clr_transform": q_clr_transform,
-        "deseq_size_factors": q_deseq_size_factors,
-        "weighted_sample": q_weighted_sample,
-        "attribution_join": q_attribution_join,
         "embedding_covariance": q_embedding_covariance,
-        "quantize_embeddings": q_quantize_embeddings,
-        "data_quality": q_data_quality,
-        "pagerank": q_pagerank,
-        "scd2_history": q_scd2_history,
-        "event_transitions": q_event_transitions,
-        "chunk_documents": q_chunk_documents,
-        "nx_ladder": q_nx_ladder,
-        "resample_fill": q_resample_fill,
-        "interpolate": q_interpolate,
-        "changepoint": q_changepoint,
-        "triangle_count": q_triangle_count,
-        "mash_distance": q_mash_distance,
-        "dbscan": q_dbscan,
-        "trend_fit": q_trend_fit,
-        "chi_square": q_chi_square,
-        "inverted_index": q_inverted_index,
-        "key_skew": q_key_skew,
-        "welch_t": q_welch_t,
-        "translate_dna": q_translate_dna,
-        "seasonal_anomaly": q_seasonal_anomaly,
-        "sensor_pipeline": q_sensor_pipeline,
-        # --- ROUND-6 WINDOW PLAN: the remaining 39 never-driver-checked
-        # --- queries below (rolling_corr ... ohlc_bars) rotate into the
-        # --- first-50 window next round.
         "rolling_corr": q_rolling_corr,
         "cohort_retention": q_cohort_retention,
         "cooccur_cosine": q_cooccur_cosine,
@@ -2993,14 +3000,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "rfm_segments": q_rfm_segments,
         "ohlc_bars": q_ohlc_bars,
-        # --- banked green driver rows (rounds 1-4); tools/check.py still
+        "storage_reclaim": q_storage_reclaim,
+        # 9 banked re-checks close the 50-slot window
+        "lsh_ann": q_lsh_ann,
+        "curation_pipeline": q_curation_pipeline,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "hash_sample": q_hash_sample,
+        "pricing_summary": q_pricing_summary,
+        # --- banked green driver rows (rounds 1-5); tools/check.py still
         # --- covers every entry locally each round.
+        "pack_sequences": q_pack_sequences,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "cap_per_source": q_cap_per_source,
+        "seqkit_stats": q_seqkit_stats,
+        "gtdb_majority_vote": q_gtdb_majority_vote,
+        "interval_merge": q_interval_merge,
+        "genome_coverage": q_genome_coverage,
+        "nearest_feature": q_nearest_feature,
+        "gaps_islands": q_gaps_islands,
+        "ntile_buckets": q_ntile_buckets,
+        "group_percentiles": q_group_percentiles,
+        "incremental_agg": q_incremental_agg,
+        "interval_subtract": q_interval_subtract,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "fuzzy_resolve": q_fuzzy_resolve,
+        "mixture_sample": q_mixture_sample,
+        "cube_report": q_cube_report,
+        "bitset_semi_join": q_bitset_semi_join,
+        "basket_rules": q_basket_rules,
+        "quantile_normalize": q_quantile_normalize,
+        "zorder_key": q_zorder_key,
+        "rank_sum_test": q_rank_sum_test,
+        "enrichment_2x2": q_enrichment_2x2,
+        "bh_fdr": q_bh_fdr,
+        "clr_transform": q_clr_transform,
+        "deseq_size_factors": q_deseq_size_factors,
+        "weighted_sample": q_weighted_sample,
+        "attribution_join": q_attribution_join,
+        "quantize_embeddings": q_quantize_embeddings,
+        "data_quality": q_data_quality,
+        "pagerank": q_pagerank,
+        "scd2_history": q_scd2_history,
+        "event_transitions": q_event_transitions,
+        "chunk_documents": q_chunk_documents,
+        "nx_ladder": q_nx_ladder,
+        "resample_fill": q_resample_fill,
+        "interpolate": q_interpolate,
+        "changepoint": q_changepoint,
+        "triangle_count": q_triangle_count,
+        "mash_distance": q_mash_distance,
+        "dbscan": q_dbscan,
+        "trend_fit": q_trend_fit,
+        "chi_square": q_chi_square,
+        "inverted_index": q_inverted_index,
+        "key_skew": q_key_skew,
+        "welch_t": q_welch_t,
+        "translate_dna": q_translate_dna,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "sensor_pipeline": q_sensor_pipeline,
         "interval_overlap": q_interval_overlap,
         "lsh_ann_multi": q_lsh_ann_multi,
         "dup_clusters_star": q_dup_clusters_star,
-        "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
         "normalize_text": q_normalize_text,
         "session_windows": q_session_windows,
@@ -3027,12 +3092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarefaction": q_rarefaction,
         "chao1": q_chao1,
         "cosine_topk": q_cosine_topk,
-        "lang_id": q_lang_id,
         "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "vocab_topk": q_vocab_topk,
-        "hash_sample": q_hash_sample,
         "stratified_split": q_stratified_split,
         "hypertable_rollup": q_hypertable_rollup,
         "quality_window_trim": q_quality_window_trim,
@@ -3047,10 +3109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_per_group": q_top1_per_group,
         "kingdom_priority_lca": q_kingdom_priority_lca,
         "multimodal_features": q_multimodal_features,
-        "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
         "anvio_stacked": q_anvio_stacked,
-        "curation_pipeline": q_curation_pipeline,
         "subtree_rollup": q_subtree_rollup,
         "lca": q_lca,
         "bin_summary_view": q_bin_summary_view,
@@ -3088,9 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_catalog": q_distinct_catalog,
         "na_handling": q_na_handling,
         "ivf_ann": q_ivf_ann,
-        "exact_dedup": q_exact_dedup,
         "embedding_dups": q_embedding_dups,
-        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -3691,7 +3749,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM x JOIN m USING (dim)),
             n AS (SELECT count(*)::DOUBLE AS cnt FROM embeddings)
             SELECT a.dim::BIGINT AS i, b.dim::BIGINT AS j,
-                   round(sum(a.cv * b.cv) / (n.cnt - 1), 4) AS cov
+                   -- + 0.0 normalizes IEEE signed zero: DuckDB round()
+                   -- preserves -0.0 where Spark's HALF_UP yields +0.0; the
+                   -- driver hashes rendered values, so "-0.0" != "0.0"
+                   -- (VERDICT r5 #1: 128 near-zero cells at sf0.01).
+                   round(sum(a.cv * b.cv) / (n.cnt - 1), 4) + 0.0 AS cov
             FROM c a JOIN c b ON a.vec_id = b.vec_id CROSS JOIN n
             GROUP BY a.dim, b.dim, n.cnt
         """,
@@ -3706,6 +3768,57 @@ def oracle_sql() -> dict[str, str]:
                          ELSE round((x.v - mm.lo) / (mm.hi - mm.lo) * 255)
                     END)::BIGINT AS q
             FROM x JOIN mm USING (dim)
+        """,
+        "storage_reclaim": r"""
+            WITH d AS (SELECT doc_id FROM documents),
+            inter AS (
+                SELECT printf('data/omics/metagenomes/samp_%d/assembly/megahit/intermediate_contigs/k%d.contigs.fa',
+                              doc_id, k) AS path,
+                       (doc_id * 31 + k * 7) % 9000 + 1000 AS file_size
+                FROM d CROSS JOIN (VALUES (21), (33), (55)) kv(k)),
+            fin AS (
+                SELECT printf('data/omics/metagenomes/samp_%d/assembly/megahit/final.contigs.renamed.fa',
+                              doc_id) AS path,
+                       doc_id % 500 + 64 AS file_size
+                FROM d WHERE doc_id % 3 <> 0),
+            raw AS (
+                SELECT printf('data/omics/metagenomes/samp_%d/reads/raw_%s_reads.fastq.gz',
+                              doc_id, dirn) AS path,
+                       (doc_id * 17) % 50000 + 5000 AS file_size
+                FROM d CROSS JOIN (VALUES ('fwd'), ('rev')) dv(dirn)),
+            dec AS (
+                SELECT printf('data/omics/metagenomes/samp_%d/reads/decon_fwd_reads_fastp.fastq.gz',
+                              doc_id) AS path,
+                       doc_id % 300 + 32 AS file_size
+                FROM d WHERE doc_id % 2 = 0),
+            inv AS MATERIALIZED (
+                SELECT * FROM inter UNION ALL SELECT * FROM fin
+                UNION ALL SELECT * FROM raw UNION ALL SELECT * FROM dec),
+            rules(rule, cand_re, art_re) AS (VALUES
+                ('megahit_intermediate',
+                 'data/omics/metagenomes/(samp_\d+)/assembly/megahit/intermediate_contigs/',
+                 'data/omics/metagenomes/(samp_\d+)/assembly/megahit/final\.contigs\.renamed\.fa$'),
+                ('raw_reads',
+                 'data/omics/metagenomes/(samp_\d+)/reads/raw_(?:fwd|rev)_reads\.fastq\.gz$',
+                 'data/omics/metagenomes/(samp_\d+)/reads/decon_fwd_reads_fastp\.fastq\.gz$')),
+            cand AS (
+                SELECT r.rule, regexp_extract(i.path, r.cand_re, 1) AS sample_id,
+                       i.file_size
+                FROM inv i CROSS JOIN rules r
+                WHERE regexp_extract(i.path, r.cand_re, 1) <> ''),
+            agg AS (
+                SELECT rule, sample_id, CAST(count(*) AS BIGINT) AS n_files,
+                       CAST(sum(file_size) AS BIGINT) AS bytes
+                FROM cand GROUP BY rule, sample_id),
+            art AS (
+                SELECT DISTINCT r.rule,
+                       regexp_extract(i.path, r.art_re, 1) AS sample_id
+                FROM inv i CROSS JOIN rules r
+                WHERE regexp_extract(i.path, r.art_re, 1) <> '')
+            SELECT a.rule, a.sample_id, a.n_files, a.bytes,
+                   (x.sample_id IS NOT NULL) AS eligible
+            FROM agg a LEFT JOIN art x
+              ON a.rule = x.rule AND a.sample_id = x.sample_id
         """,
         "attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts

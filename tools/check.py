@@ -72,12 +72,27 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
                     i = bad.idxmax()
                     problems.append(f"float col {c}: {int(bad.sum())} mismatches, "
                                     f"first at row {i}: {av[i]} vs {bv[i]}")
+                    continue
             else:
                 bad = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
                 if bad.any():
                     i = bad.idxmax()
                     problems.append(f"col {c}: {int(bad.sum())} mismatches, first at "
                                     f"row {i}: {a[c][i]!r} vs {b[c][i]!r}")
+                    continue
+            # Render-strict pass (VERDICT r5 #2): the driver hashes the
+            # RENDERED values, so numerically-equal cells that print
+            # differently (-0.0 vs 0.0, 4124 vs 4124.0, 1e-05 vs 0.00001)
+            # are driver hash mismatches.  Numeric tolerance above is the
+            # diagnostic; exact string equality here is the gate.
+            ra, rb = a[c].astype(str), b[c].astype(str)
+            bad = ra != rb
+            if bad.any():
+                i = bad.idxmax()
+                problems.append(f"render split col {c}: {int(bad.sum())} cells, "
+                                f"first at row {i}: {ra[i]!r} vs {rb[i]!r} "
+                                f"(numerically equal but renders differ — the "
+                                f"driver hash would fail)")
     return problems
 
 
