@@ -5,11 +5,13 @@ feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so bytes move executor-side in columnar batches and
 never through the driver.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernel is stubbed: ``decode_stub=True`` (default) yields deterministic
-fake features derived from the bytes' hash — the Spark-side plumbing (schema,
-batch iteration, partitioning, UDF signature) is real and tested; swap
-``_decode_image_batch`` for a real codec at deployment.
+Codecs are an OPTIONAL dependency: ``stub=True`` (default) yields
+deterministic fake features derived from the raw bytes — bit-stable, which
+is what the correctness oracle compares — while ``stub=False`` try-imports
+PIL inside the executor-side kernel and runs the real decode (raising
+``NotImplementedError`` only when PIL is genuinely absent). The Spark-side
+plumbing (schema, batch iteration, partitioning, UDF signature) is identical
+on both paths and tested on both.
 """
 
 from __future__ import annotations
@@ -43,25 +45,60 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _import_pil_image():
+    """Executor-side optional import: the real codec path needs PIL; the
+    stub path never touches it, so environments without PIL keep working
+    (and the oracle stays bit-stable on the stub)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL (pip install pillow); "
+            "use stub=True for the deterministic fallback") from exc
+    return Image
+
+
+def _fold_histogram(hist, feature_dim: int) -> list[float]:
+    """256-bin (or longer) histogram folded to feature_dim, L1-normalized —
+    shared by the stub (byte histogram) and real (pixel histogram) kernels
+    so both emit the same feature shape."""
+    acc = [0.0] * feature_dim
+    for i, v in enumerate(hist):
+        acc[i % feature_dim] += v
+    total = sum(acc) or 1.0
+    return [v / total for v in acc]
+
+
 def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.DataFrame:
     """Per-batch decode kernel. STUB: features = normalized byte histogram
-    folded to feature_dim (deterministic in content); real impl would call
-    PIL.Image.open over each buffer."""
-    if not stub:
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision — not in this container")
+    folded to feature_dim (deterministic in content). REAL (stub=False):
+    PIL grayscale pixel histogram folded the same way; undecodable buffers
+    flag decode_error instead of failing the task."""
+    import io
+    Image = None if stub else _import_pil_image()
     feats, oks = [], []
     for buf in pdf["content"]:
         if buf is None:
             feats.append(None)
             oks.append("null_content")
             continue
-        acc = [0.0] * feature_dim
-        for i, byte in enumerate(buf):
-            acc[i % feature_dim] += byte
-        total = sum(acc) or 1.0
-        feats.append([v / total for v in acc])
-        oks.append("ok")
+        if stub:
+            acc = [0.0] * feature_dim
+            for i, byte in enumerate(buf):
+                acc[i % feature_dim] += byte
+            total = sum(acc) or 1.0
+            feats.append([v / total for v in acc])
+            oks.append("ok")
+        else:
+            try:
+                img = Image.open(io.BytesIO(bytes(buf)))
+                hist = img.convert("L").histogram()
+            except Exception:  # undecodable blob: row-level flag, not task death
+                feats.append(None)
+                oks.append("decode_error")
+                continue
+            feats.append(_fold_histogram(hist, feature_dim))
+            oks.append("ok")
     return pd.DataFrame({"media_id": pdf["media_id"],
                          "feature": feats, "decode_ok": oks})
 
@@ -97,14 +134,15 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     STUB kernel: emits a deterministic content transform (byte stream
     truncated/cycled to width*height bytes) so schema, batch iteration and
-    output sizing are real; a deployment swaps in PIL's resize. Same
+    output sizing are real. REAL kernel (stub=False): PIL decode + bilinear
+    resize to (width, height), grayscale raw bytes out; PIL is an optional
+    executor-side import (NotImplementedError only when absent). Same
     constant-memory batch shape as extract_image_features.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        Image = None if stub else _import_pil_image()
         for pdf in batches:
-            if not stub:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not in this container")
             out_content, oks = [], []
             target = width * height
             for buf in pdf["content"]:
@@ -112,9 +150,19 @@ def resize_images(df: DataFrame, width: int, height: int,
                     out_content.append(None)
                     oks.append("null_content")
                     continue
-                reps = (target // max(len(buf), 1)) + 1
-                out_content.append((bytes(buf) * reps)[:target])
-                oks.append("ok")
+                if stub:
+                    reps = (target // max(len(buf), 1)) + 1
+                    out_content.append((bytes(buf) * reps)[:target])
+                    oks.append("ok")
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(bytes(buf)))
+                    resized = img.convert("L").resize((width, height))
+                    out_content.append(resized.tobytes())
+                    oks.append("ok")
+                except Exception:
+                    out_content.append(None)
+                    oks.append("decode_error")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "content": out_content,
                 "width": [width] * len(pdf), "height": [height] * len(pdf),
