@@ -166,6 +166,7 @@ HEADLINE = [
     "rfm_segments",      # broadcast-threshold RFM quintile scoring
     "ohlc_bars",         # struct-min/max downsampling, no sort windows
     "gtdb_majority_vote",  # taxon-grain majority-vote aggregation
+    "storage_reclaim",   # rule-regex inventory scan + sample-grain existence join
 ]
 
 # The r1-r3 headline set (exactly BENCH_r03's 30 queries): kept as a

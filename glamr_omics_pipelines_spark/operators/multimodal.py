@@ -7,11 +7,13 @@ never through the driver.
 
 Codecs are an OPTIONAL dependency: ``stub=True`` (default) yields
 deterministic fake features derived from the raw bytes — bit-stable, which
-is what the correctness oracle compares — while ``stub=False`` try-imports
-PIL inside the executor-side kernel and runs the real decode (raising
-``NotImplementedError`` only when PIL is genuinely absent). The Spark-side
-plumbing (schema, batch iteration, partitioning, UDF signature) is identical
-on both paths and tested on both.
+is what the correctness oracle compares — while ``stub=False`` runs a real
+decode: PIL for images (executor-side try-import, raising
+``NotImplementedError`` only when PIL is genuinely absent) and the stdlib
+``wave`` module for WAV/PCM audio (always available — the audio path is
+fully functional with no third-party codec). The Spark-side plumbing
+(schema, batch iteration, partitioning, UDF signature) is identical on both
+paths and tested on both.
 """
 
 from __future__ import annotations
@@ -188,16 +190,61 @@ AUDIO_FEATURES_SCHEMA = StructType([
     StructField("decode_ok", StringType()),
 ])
 
+# sample widths the stdlib wave module can emit -> numpy dtype for the PCM
+# payload; 24-bit needs manual sign extension so it is handled separately
+_PCM_DTYPES = {1: "u1", 2: "<i2", 4: "<i4"}
+
+
+def _decode_wav_samples(buf: bytes):
+    """Real audio decode: parse a RIFF/WAV container with the stdlib
+    ``wave`` module and return channel-averaged PCM samples as a float64
+    numpy array (8-bit PCM is unsigned per the WAV spec and is centered at
+    128 before averaging). Raises on non-WAV / truncated buffers — the
+    caller maps that to a row-level decode_error flag."""
+    import io
+    import wave
+
+    import numpy as np
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 3:  # 24-bit: pad each LE triplet to 4 bytes, arithmetic shift
+        raw = np.frombuffer(frames, dtype="u1")
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype="u1")
+        padded[:, 1:] = raw
+        samples = (padded.view("<i4").ravel() >> 8).astype("f8")
+    elif width in _PCM_DTYPES:
+        samples = np.frombuffer(frames, dtype=_PCM_DTYPES[width]).astype("f8")
+        if width == 1:
+            samples -= 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        samples = samples[: (len(samples) // nch) * nch]
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples
+
 
 def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
-                          stub: bool = True) -> DataFrame:
+                          stub: bool = True,
+                          window_samples: int = 1024) -> DataFrame:
     """binary audio content → per-window features via Arrow-batched
     ``mapInPandas`` — the audio twin of ``extract_image_features``, with a
     row EXPLOSION inside the kernel (one input blob yields one row per
     window), exercising the 1→N batch shape a real frame/window extractor
-    needs. STUB kernel: RMS of raw bytes per fixed-size window,
+    needs.
+
+    STUB kernel (default): RMS of raw bytes per ``window_bytes`` window,
     deterministic in content (exact integer arithmetic until one final
-    sqrt); a deployment swaps in librosa/ffmpeg decode + hop windows.
+    sqrt) — what the correctness oracle pins. REAL kernel (``stub=False``):
+    stdlib ``wave`` decode of RIFF/WAV PCM (8/16/24/32-bit, multi-channel
+    averaged) and RMS over ``window_samples``-sample windows of the actual
+    waveform — no third-party codec needed; non-WAV or truncated blobs
+    flag ``decode_error`` per row instead of killing the task. Compressed
+    formats (mp3/ogg) would slot into the same kernel via
+    librosa/ffmpeg, which this container does not ship.
 
     Scale: same constant-memory batch streaming as the image path; window
     rows are emitted per batch, so a long recording never materializes as
@@ -205,10 +252,6 @@ def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not stub:
-                raise NotImplementedError(
-                    "real audio decode requires librosa/ffmpeg — "
-                    "not in this container")
             ids, widx, rms, oks = [], [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
                 if buf is None:
@@ -216,13 +259,31 @@ def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
                     rms.append(None); oks.append("null_content")
                     continue
                 b = bytes(buf)
-                for w in range(0, max(len(b), 1), window_bytes):
-                    win = b[w:w + window_bytes]
-                    if not win:
-                        continue
+                if stub:
+                    for w in range(0, max(len(b), 1), window_bytes):
+                        win = b[w:w + window_bytes]
+                        if not win:
+                            continue
+                        ids.append(mid)
+                        widx.append(w // window_bytes)
+                        rms.append((sum(x * x for x in win) / len(win)) ** 0.5)
+                        oks.append("ok")
+                    continue
+                try:
+                    samples = _decode_wav_samples(b)
+                except Exception:
+                    ids.append(mid); widx.append(0)
+                    rms.append(None); oks.append("decode_error")
+                    continue
+                if len(samples) == 0:
+                    ids.append(mid); widx.append(0)
+                    rms.append(None); oks.append("decode_error")
+                    continue
+                for w in range(0, len(samples), window_samples):
+                    win = samples[w:w + window_samples]
                     ids.append(mid)
-                    widx.append(w // window_bytes)
-                    rms.append((sum(x * x for x in win) / len(win)) ** 0.5)
+                    widx.append(w // window_samples)
+                    rms.append(float((win * win).mean() ** 0.5))
                     oks.append("ok")
             yield pd.DataFrame({"media_id": ids, "window_idx": widx,
                                 "rms": rms, "decode_ok": oks})

@@ -162,3 +162,81 @@ def test_stub_kernel_unchanged_by_real_path():
     pdf = pd.DataFrame({"media_id": [1], "content": [bytes([1, 2, 3, 4])]})
     out = _decode_image_batch(pdf, feature_dim=4, stub=True)
     assert out["feature"][0] == [0.1, 0.2, 0.3, 0.4]
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec path: the stdlib wave module is always available, so
+# unlike the image path this one runs the REAL decode end-to-end through
+# Spark — WAV bytes in, per-window RMS of the actual PCM waveform out.
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from glamr_omics_pipelines_spark.operators.multimodal import _decode_wav_samples
+
+
+def _wav_bytes(samples, sampwidth=2, nchannels=1, framerate=8000):
+    """Build a RIFF/WAV blob from int samples via the same stdlib writer a
+    producer would use. ``samples`` is flat frame-major for multi-channel."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(nchannels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        if sampwidth == 1:
+            payload = bytes(samples)
+        elif sampwidth == 2:
+            payload = struct.pack(f"<{len(samples)}h", *samples)
+        elif sampwidth == 3:
+            payload = b"".join(
+                s.to_bytes(3, "little", signed=True) for s in samples)
+        else:
+            payload = struct.pack(f"<{len(samples)}i", *samples)
+        wf.writeframes(payload)
+    return bio.getvalue()
+
+
+def test_decode_wav_samples_16bit_and_8bit_and_24bit():
+    assert list(_decode_wav_samples(_wav_bytes([100, -200, 300]))) == [
+        100.0, -200.0, 300.0]
+    # 8-bit WAV is unsigned, centered at 128
+    assert list(_decode_wav_samples(_wav_bytes([128, 0, 255], sampwidth=1))
+                ) == [0.0, -128.0, 127.0]
+    # 24-bit needs manual sign extension
+    assert list(_decode_wav_samples(
+        _wav_bytes([-70000, 70000], sampwidth=3))) == [-70000.0, 70000.0]
+
+
+def test_decode_wav_samples_stereo_channel_average():
+    # frame-major L,R pairs -> per-frame mean
+    got = _decode_wav_samples(_wav_bytes([100, 300, -50, 50], nchannels=2))
+    assert list(got) == [200.0, 0.0]
+
+
+def test_extract_audio_windows_real_wav_end_to_end(spark):
+    sine = [int(10000 * np.sin(2 * np.pi * i / 16)) for i in range(64)]
+    rows = [
+        Row(media_id=20, media_type="audio", content=_wav_bytes(sine),
+            meta=Row(width=None, height=None, duration_ms=8, codec="wav")),
+        Row(media_id=21, media_type="audio", content=b"not a wav file",
+            meta=Row(width=None, height=None, duration_ms=0, codec="wav")),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_audio_windows(
+        df, stub=False, window_samples=16).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.media_id, []).append(r)
+    w20 = sorted(by[20], key=lambda r: r.window_idx)
+    assert [r.window_idx for r in w20] == [0, 1, 2, 3]
+    arr = np.array(sine, dtype="f8")
+    for r in w20:
+        win = arr[r.window_idx * 16:(r.window_idx + 1) * 16]
+        assert abs(r.rms - float((win * win).mean() ** 0.5)) < 1e-9
+        assert r.decode_ok == "ok"
+    # undecodable blob flags per-row, does not kill the task
+    assert by[21][0].decode_ok == "decode_error" and by[21][0].rms is None
