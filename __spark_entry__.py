@@ -2959,6 +2959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rule), and 9 banked re-checks (incl. the two perf-flagged queries,
     # lsh_ann and curation_pipeline).  After this round every queries()
     # entry has had a driver row at least once.
+    # R7 PLAN: window = any r6 red rows first, then re-validate the
+    # oldest (r3-era) driver rows, then any new operators (each must
+    # displace a banked re-check the round it lands).
     return {
         "embedding_covariance": q_embedding_covariance,
         "rolling_corr": q_rolling_corr,
