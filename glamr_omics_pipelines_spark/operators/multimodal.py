@@ -85,11 +85,7 @@ def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.D
             oks.append("null_content")
             continue
         if stub:
-            acc = [0.0] * feature_dim
-            for i, byte in enumerate(buf):
-                acc[i % feature_dim] += byte
-            total = sum(acc) or 1.0
-            feats.append([v / total for v in acc])
+            feats.append(_fold_histogram(buf, feature_dim))
             oks.append("ok")
         else:
             try:
@@ -159,7 +155,8 @@ def resize_images(df: DataFrame, width: int, height: int,
                     continue
                 try:
                     img = Image.open(io.BytesIO(bytes(buf)))
-                    resized = img.convert("L").resize((width, height))
+                    resized = img.convert("L").resize((width, height),
+                                                      Image.BILINEAR)
                     out_content.append(resized.tobytes())
                     oks.append("ok")
                 except Exception:
@@ -227,29 +224,45 @@ def _decode_wav_samples(buf: bytes):
     return samples
 
 
-def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
+def extract_audio_windows(df: DataFrame, window_bytes: int | None = None,
                           stub: bool = True,
-                          window_samples: int = 1024) -> DataFrame:
+                          window_samples: int | None = None) -> DataFrame:
     """binary audio content → per-window features via Arrow-batched
     ``mapInPandas`` — the audio twin of ``extract_image_features``, with a
     row EXPLOSION inside the kernel (one input blob yields one row per
     window), exercising the 1→N batch shape a real frame/window extractor
     needs.
 
-    STUB kernel (default): RMS of raw bytes per ``window_bytes`` window,
-    deterministic in content (exact integer arithmetic until one final
-    sqrt) — what the correctness oracle pins. REAL kernel (``stub=False``):
-    stdlib ``wave`` decode of RIFF/WAV PCM (8/16/24/32-bit, multi-channel
-    averaged) and RMS over ``window_samples``-sample windows of the actual
-    waveform — no third-party codec needed; non-WAV or truncated blobs
-    flag ``decode_error`` per row instead of killing the task. Compressed
-    formats (mp3/ogg) would slot into the same kernel via
-    librosa/ffmpeg, which this container does not ship.
+    STUB kernel (default): RMS of raw bytes per ``window_bytes``-byte window
+    (default 1024), deterministic in content (exact integer arithmetic until
+    one final sqrt) — what the correctness oracle pins. REAL kernel
+    (``stub=False``): stdlib ``wave`` decode of RIFF/WAV PCM (8/16/24/32-bit,
+    multi-channel averaged) and RMS over ``window_samples``-sample windows
+    (default 1024) of the actual waveform — no third-party codec needed;
+    non-WAV or truncated blobs flag ``decode_error`` per row instead of
+    killing the task. Compressed formats (mp3/ogg) would slot into the same
+    kernel via librosa/ffmpeg, which this container does not ship.
+
+    The window size params are per-path (bytes of raw content vs decoded
+    samples); passing the wrong one for the selected path raises rather
+    than being silently ignored. Degenerate rows behave identically on both
+    paths: null content → one ``null_content`` row, decodable-but-empty
+    content (zero bytes / a 0-frame WAV) → one ``empty_content`` row.
 
     Scale: same constant-memory batch streaming as the image path; window
     rows are emitted per batch, so a long recording never materializes as
     one python list across batches.
     """
+    if stub and window_samples is not None:
+        raise ValueError("window_samples applies to the real decode path "
+                         "(stub=False); use window_bytes for the stub path")
+    if not stub and window_bytes is not None:
+        raise ValueError("window_bytes applies to the stub path; use "
+                         "window_samples for the real decode path "
+                         "(stub=False)")
+    wb = window_bytes if window_bytes is not None else 1024
+    ws = window_samples if window_samples is not None else 1024
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widx, rms, oks = [], [], [], []
@@ -260,12 +273,14 @@ def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
                     continue
                 b = bytes(buf)
                 if stub:
-                    for w in range(0, max(len(b), 1), window_bytes):
-                        win = b[w:w + window_bytes]
-                        if not win:
-                            continue
+                    if not b:
+                        ids.append(mid); widx.append(0)
+                        rms.append(None); oks.append("empty_content")
+                        continue
+                    for w in range(0, len(b), wb):
+                        win = b[w:w + wb]
                         ids.append(mid)
-                        widx.append(w // window_bytes)
+                        widx.append(w // wb)
                         rms.append((sum(x * x for x in win) / len(win)) ** 0.5)
                         oks.append("ok")
                     continue
@@ -277,12 +292,12 @@ def extract_audio_windows(df: DataFrame, window_bytes: int = 1024,
                     continue
                 if len(samples) == 0:
                     ids.append(mid); widx.append(0)
-                    rms.append(None); oks.append("decode_error")
+                    rms.append(None); oks.append("empty_content")
                     continue
-                for w in range(0, len(samples), window_samples):
-                    win = samples[w:w + window_samples]
+                for w in range(0, len(samples), ws):
+                    win = samples[w:w + ws]
                     ids.append(mid)
-                    widx.append(w // window_samples)
+                    widx.append(w // ws)
                     rms.append(float((win * win).mean() ** 0.5))
                     oks.append("ok")
             yield pd.DataFrame({"media_id": ids, "window_idx": widx,

@@ -59,6 +59,9 @@ def storage_reclaim(inventory: DataFrame, rules: list[ReclaimRule],
     grain BEFORE the existence join, so no join side ever carries file-grain
     rows.
     """
+    if not rules:
+        raise ValueError("storage_reclaim needs at least one ReclaimRule "
+                         "(an empty rule list has no report shape)")
     path, size = F.col(path_col), F.col(size_col)
     reports = []
     for r in rules:

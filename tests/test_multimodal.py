@@ -29,6 +29,16 @@ def test_extract_image_features_stub(spark):
     assert abs(sum(by_id[1]["feature"]) - 1.0) < 1e-6
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="with PIL installed the real "
+                    "path decodes instead of raising")
 def test_extract_image_features_real_decode_raises(spark):
     df = _media(spark)
     with pytest.raises(Exception):
@@ -92,6 +102,8 @@ from glamr_omics_pipelines_spark.operators.multimodal import (
     _decode_image_batch, _fold_histogram, _import_pil_image)
 
 
+@pytest.mark.skipif(_pil_available(), reason="absence test is meaningful "
+                    "only when PIL is not installed")
 def test_import_pil_raises_not_implemented_without_pil():
     assert "PIL" not in sys.modules
     with pytest.raises(NotImplementedError, match="PIL"):
@@ -111,7 +123,7 @@ class _FakeImg:
         h[0], h[255] = 12, 4
         return h
 
-    def resize(self, wh):
+    def resize(self, wh, resample=None):
         self._wh = wh
         return self
 
@@ -120,6 +132,8 @@ class _FakeImg:
 
 
 class _FakeImageMod:
+    BILINEAR = 2  # PIL.Image.BILINEAR resampling constant
+
     @staticmethod
     def open(bio):
         if bio.read(4) != b"IMG!":
@@ -240,3 +254,34 @@ def test_extract_audio_windows_real_wav_end_to_end(spark):
         assert r.decode_ok == "ok"
     # undecodable blob flags per-row, does not kill the task
     assert by[21][0].decode_ok == "decode_error" and by[21][0].rms is None
+
+
+def test_audio_degenerate_rows_identical_on_both_paths(spark):
+    # empty (non-null) content must yield one empty_content row on BOTH
+    # paths — no silent row loss on stub, no decode_error mislabel on real
+    empty_wav = _wav_bytes([])
+    rows = [
+        Row(media_id=30, media_type="audio", content=b"",
+            meta=Row(width=None, height=None, duration_ms=0, codec="wav")),
+        Row(media_id=31, media_type="audio", content=empty_wav,
+            meta=Row(width=None, height=None, duration_ms=0, codec="wav")),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    stub_out = {r.media_id: r for r in
+                multimodal.extract_audio_windows(df).collect()}
+    real_out = {r.media_id: r for r in
+                multimodal.extract_audio_windows(df, stub=False).collect()}
+    assert stub_out[30].decode_ok == "empty_content"
+    assert real_out[31].decode_ok == "empty_content"  # valid WAV, 0 frames
+    # empty bytes are not a WAV container -> decode_error on the real path
+    assert real_out[30].decode_ok == "decode_error"
+    # a 0-frame WAV's raw container bytes ARE non-empty content to the stub
+    assert stub_out[31].decode_ok == "ok"
+
+
+def test_audio_window_param_mismatch_raises(spark):
+    df = spark.createDataFrame([], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="window_samples"):
+        multimodal.extract_audio_windows(df, window_samples=8, stub=True)
+    with pytest.raises(ValueError, match="window_bytes"):
+        multimodal.extract_audio_windows(df, window_bytes=8, stub=False)
