@@ -430,10 +430,14 @@ def ks_test(df: DataFrame, feature_col: str, group_col: str,
     w_cum = (Window.partitionBy(feature_col).orderBy(value_col)
              .rowsBetween(Window.unboundedPreceding, 0))
     w_all = Window.partitionBy(feature_col)
-    d = (g.withColumn("_fa", F.sum("_ca").over(w_cum)
-                      / F.sum("_ca").over(w_all))
-         .withColumn("_fb", F.sum("_cb").over(w_cum)
-                     / F.sum("_cb").over(w_all))
+    # try_divide, not /: an empty side makes the ECDF denominator 0, which
+    # under ANSI mode would raise DIVIDE_BY_ZERO and kill the job for every
+    # feature in the batch — the documented contract is a null ks_d for
+    # that feature (caught by test_ks_matches_bruteforce).
+    d = (g.withColumn("_fa", F.try_divide(F.sum("_ca").over(w_cum),
+                                          F.sum("_ca").over(w_all)))
+         .withColumn("_fb", F.try_divide(F.sum("_cb").over(w_cum),
+                                         F.sum("_cb").over(w_all)))
          .withColumn("_na", F.sum("_ca").over(w_all))
          .withColumn("_nb", F.sum("_cb").over(w_all)))
     return (d.groupBy(feature_col)
