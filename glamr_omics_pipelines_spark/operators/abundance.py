@@ -24,17 +24,22 @@ from pyspark.sql import functions as F
 
 def rel_abund(df: DataFrame, value: str, sample_cols: list[str],
               out: str = "rel_abund") -> DataFrame:
-    """Per-group relative abundance: value / sum(value) over the sample keys."""
+    """Per-group relative abundance: value / sum(value) over the sample keys.
+
+    try_divide: an all-zero group has total 0 — abundance is undefined
+    there (null), not an ANSI DIVIDE_BY_ZERO that kills the whole job."""
     w = Window.partitionBy(*sample_cols)
-    return df.withColumn(out, F.col(value) / F.sum(value).over(w))
+    return df.withColumn(out, F.try_divide(F.col(value), F.sum(value).over(w)))
 
 
 def rpkm(df: DataFrame, count: str, length: str, sample_cols: list[str],
          out: str = "rpkm") -> DataFrame:
-    """Reads-per-kilobase-per-million: n*1e9/(sample_total*len)."""
+    """Reads-per-kilobase-per-million: n*1e9/(sample_total*len); null on
+    an all-zero sample or a zero-length feature (try_divide)."""
     w = Window.partitionBy(*sample_cols)
     return df.withColumn(
-        out, F.col(count) * F.lit(1e9) / (F.sum(count).over(w) * F.col(length)))
+        out, F.try_divide(F.col(count) * F.lit(1e9),
+                          F.sum(count).over(w) * F.col(length)))
 
 
 def tpm(df: DataFrame, count: str, length: str, sample_cols: list[str],
@@ -43,15 +48,19 @@ def tpm(df: DataFrame, count: str, length: str, sample_cols: list[str],
 
     Invariant (tested): sum(tpm) per sample == 1e6
     (the reference asserts the same shape in code/postgres_scripts/tpm.R).
+    Degenerate groups (all-zero counts, zero lengths) yield null, never an
+    ANSI divide error (try_divide).
     """
     w = Window.partitionBy(*sample_cols)
-    rate = F.col(count) / F.col(length)
-    return df.withColumn(out, F.lit(1e6) * rate / F.sum(rate).over(w))
+    rate = F.try_divide(F.col(count), F.col(length))
+    return df.withColumn(
+        out, F.try_divide(F.lit(1e6) * rate, F.sum(rate).over(w)))
 
 
 def weighted_mean(value: str, weight: str) -> Column:
-    """Aggregate expression: sum(value*weight)/sum(weight)."""
-    return F.sum(F.col(value) * F.col(weight)) / F.sum(weight)
+    """Aggregate expression: sum(value*weight)/sum(weight); null when the
+    weights sum to 0 (undefined mean), never an ANSI divide error."""
+    return F.try_divide(F.sum(F.col(value) * F.col(weight)), F.sum(weight))
 
 
 def coverage_stats(df: DataFrame, group: str, depth: str = "depth",

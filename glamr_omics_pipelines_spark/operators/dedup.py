@@ -412,7 +412,9 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     if candidates is not None:
         pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
-    cos = dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    # try_divide: a zero embedding (norm 0) yields null cosine (the pair is
+    # then dropped by the threshold filter) instead of an ANSI error
+    cos = F.try_divide(dot_col("_va", "_vb"), F.col("_na") * F.col("_nb"))
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -120,7 +120,9 @@ def mixture_sample(df: DataFrame, group_col: str, key: str,
     tgt = spark.createDataFrame(
         [(g, float(t)) for g, t in targets.items()], [group_col, "_t"])
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    j = counts.join(F.broadcast(tgt), group_col)
+    # zero/negative target = "exclude this group" (allow-list semantics);
+    # it must not enter the feasibility min (n/0 is an ANSI divide error)
+    j = counts.join(F.broadcast(tgt), group_col).filter(F.col("_t") > 0)
     # feasibility scale: c = min_g n_g / t_g -> group g keeps c*t_g rows
     c = j.agg(F.min(F.col("_n") / F.col("_t")).alias("_c"))
     frac = (j.crossJoin(F.broadcast(c))

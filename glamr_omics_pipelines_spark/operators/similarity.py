@@ -51,9 +51,13 @@ def dot_col(a, b) -> Column:
 
 
 def cosine_sim(a, b) -> Column:
-    """Cosine similarity of two array columns (computed in double)."""
+    """Cosine similarity of two array columns (computed in double).
+
+    try_divide, not /: a zero vector has norm 0 and its cosine is
+    undefined — null, never an ANSI DIVIDE_BY_ZERO that would kill the
+    whole job over one degenerate embedding."""
     da, db = as_double_vec(a), as_double_vec(b)
-    return _dot(da, db) / (_norm(da) * _norm(db))
+    return F.try_divide(_dot(da, db), _norm(da) * _norm(db))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -319,8 +323,10 @@ def gram_matrix(df: DataFrame, vec_col: str, centered: bool = False,
     if sample_covariance:
         if not centered:
             raise ValueError("sample_covariance requires centered=True")
+        # try_divide: a single-embedding corpus has n-1 = 0 — sample
+        # covariance is undefined there (null), not a job-killing ANSI error
         out = out.withColumn("value",
-                             F.col("value") / (F.col("_n") - 1))
+                             F.try_divide(F.col("value"), F.col("_n") - 1))
     return out.select(F.col("i").cast("bigint").alias("i"),
                       F.col("j").cast("bigint").alias("j"), "value")
 

@@ -163,8 +163,10 @@ def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
         F.regexp_extract("Name", r"^(.+)_\d+ #", 1).alias("contig"),
         "Length", "Reads", "RPKM", "FPKM")
     w = Window.partitionBy("sample")
+    # try_divide: a sample whose every FPKM is 0 yields null tpm, not an
+    # ANSI divide error that would fail the whole import batch
     return genes.withColumn(
-        "tpm", F.col("FPKM") / F.sum("FPKM").over(w) * F.lit(1e6))
+        "tpm", F.try_divide(F.col("FPKM"), F.sum("FPKM").over(w)) * F.lit(1e6))
 
 
 def annotate_contigs(gene_hits: DataFrame, hit_lineage: DataFrame,
