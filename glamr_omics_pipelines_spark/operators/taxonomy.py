@@ -52,7 +52,11 @@ def parse_lineage(df: DataFrame, lineage_col: str, ranks: list[str] | None = Non
     arr = F.split(cleaned, sep)
     out = df.withColumn("lineage_path", arr)
     for i, r in enumerate(ranks):
-        v = F.element_at("lineage_path", i + 1)
+        # try_element_at: a lineage truncated above rank i (shorter array)
+        # yields NULL for the missing ranks — merge_kraken_tax.R's
+        # separate(fill='right') NA semantics — instead of the ANSI
+        # out-of-bounds error plain element_at raises
+        v = F.try_element_at("lineage_path", F.lit(i + 1))
         out = out.withColumn(r, F.when(v == "", None).otherwise(v))
     return out
 

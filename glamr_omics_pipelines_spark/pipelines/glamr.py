@@ -102,7 +102,10 @@ def bin_summary(checkm: DataFrame, gtdb: DataFrame, drep: DataFrame) -> DataFram
         "bin",
         F.regexp_extract("bin", r"^(samp_\w+?)_[a-z]", 1).alias("sample"),
         F.regexp_extract("bin", r"_([a-z0-9]+)_\d+$", 1).alias("binner"),
-        F.regexp_extract("bin", r"_(\d+)$", 1).cast("int").alias("bin_number"),
+        # nullif: a bin id without a trailing _<n> extracts "" and ANSI
+        # cast('') raises — NA (null) is the reference's as.numeric behavior
+        F.nullif(F.regexp_extract("bin", r"_(\d+)$", 1), F.lit(""))
+        .cast("int").alias("bin_number"),
         "completeness", "contamination")
     quality = base.withColumn(
         "quality_band",
@@ -150,16 +153,20 @@ def load_gene_abundance(spark: SparkSession, glob: str) -> DataFrame:
     raw = read_typed_csv(spark, glob, schema=RPKM_SCHEMA, header=False,
                          comment="#")
     raw = with_path_columns(raw, "{sample}_genes.rpkm")
+    # try_element_at / try_cast / nullif: a malformed prodigal header (fewer
+    # ' # '-separated fields, or a non-numeric coordinate) yields null fields
+    # for THAT row — under plain element_at/cast, ANSI mode would abort the
+    # whole import batch on one dirty line
     parts = F.split("Name", r" # ")
-    attrs = F.element_at(parts, 5)
+    attrs = F.try_element_at(parts, F.lit(5))
     genes = raw.select(
         "sample",
-        F.element_at(parts, 1).alias("gene"),
-        F.element_at(parts, 2).cast("long").alias("left"),
-        F.element_at(parts, 3).cast("long").alias("right"),
-        F.element_at(parts, 4).cast("int").alias("strand"),
-        F.regexp_extract(attrs, r"gc_cont=([\d.]+)", 1).cast("double")
-        .alias("gc_content"),
+        F.try_element_at(parts, F.lit(1)).alias("gene"),
+        F.try_element_at(parts, F.lit(2)).try_cast("long").alias("left"),
+        F.try_element_at(parts, F.lit(3)).try_cast("long").alias("right"),
+        F.try_element_at(parts, F.lit(4)).try_cast("int").alias("strand"),
+        F.nullif(F.regexp_extract(attrs, r"gc_cont=([\d.]+)", 1), F.lit(""))
+        .cast("double").alias("gc_content"),
         F.regexp_extract("Name", r"^(.+)_\d+ #", 1).alias("contig"),
         "Length", "Reads", "RPKM", "FPKM")
     w = Window.partitionBy("sample")
@@ -213,14 +220,17 @@ def load_hmm_tblout(spark: SparkSession, path: str) -> DataFrame:
             "env_to", "modlen"}
     doubles = {"evalue", "score", "bias"}
     cols = []
+    # try_element_at / try_cast: a truncated or corrupt tblout line (fewer
+    # whitespace fields, non-numeric cell) nulls that row's fields instead
+    # of raising the ANSI OOB/cast error and killing the scan
     for i, name in enumerate(HMM_TBLOUT_COLS):
-        c = F.element_at(parts, i + 1)
+        c = F.try_element_at(parts, F.lit(i + 1))
         if name in ints:
-            c = c.cast("long")
+            c = c.try_cast("long")
         elif name in doubles:
-            c = c.cast("double")
+            c = c.try_cast("double")
         cols.append(c.alias(name))
-    cols.append(F.element_at(parts, len(HMM_TBLOUT_COLS) + 1)
+    cols.append(F.try_element_at(parts, F.lit(len(HMM_TBLOUT_COLS) + 1))
                 .alias("description"))
     return lines.select(*cols)
 

@@ -75,6 +75,49 @@ def test_mixture_sample_zero_target_group_dropped(spark):
     assert langs == {"a"}  # zero-target group excluded, no divide error
 
 
+def test_parse_lineage_truncated_path_fills_null(spark):
+    # a lineage shorter than the rank ladder must NA-fill the missing ranks
+    # (merge_kraken_tax.R separate fill='right'), not raise ANSI OOB
+    from glamr_omics_pipelines_spark.operators import taxonomy
+    df = spark.createDataFrame([("d__Bacteria;p__Proteo",), ("d__Archaea",)],
+                               "lineage string")
+    out = taxonomy.parse_lineage(df, "lineage").collect()
+    by = {r["lineage"]: r for r in out}
+    assert by["d__Archaea"]["kingdom"] == "Archaea"
+    assert by["d__Archaea"]["phylum"] is None  # truncated, not a crash
+    assert by["d__Bacteria;p__Proteo"]["phylum"] == "Proteo"
+
+
+def test_load_hmm_tblout_truncated_line_nulls_fields(spark, tmp_path):
+    from glamr_omics_pipelines_spark.pipelines import glamr
+    p = tmp_path / "hits.tblout"
+    p.write_text(
+        "# comment\n"
+        "16S_bac - read1 - 5 900 12 880 10 890 1500 + 1e-50 250.0 1.1 ok\n"
+        "SHORT LINE\n")  # truncated: far fewer whitespace fields
+    rows = glamr.load_hmm_tblout(spark, str(p)).collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r["target_name"] == "SHORT"][0]
+    assert bad["evalue"] is None and bad["score"] is None
+
+
+def test_load_gene_abundance_malformed_header_nulls_fields(spark, tmp_path):
+    from glamr_omics_pipelines_spark.pipelines import glamr
+    p = tmp_path / "sampA_genes.rpkm"
+    good = ("sampA_c1_1 # 10 # 400 # 1 # ID=1;gc_cont=0.50"
+            "\t400\t100\t1.0\t10\t2.0\t5\t3.0")
+    bad = "just_a_gene_name\t100\t10\t1.0\t1\t1.0\t1\t1.0"  # no ' # ' blocks
+    p.write_text("#File\t_\n#Reads\t_\n#Mapped\t_\n#RefSequences\t_\n"
+                 "#Name\tLength\tBases\tCoverage\tReads\tRPKM\tFrags\tFPKM\n"
+                 + good + "\n" + bad + "\n")
+    rows = glamr.load_gene_abundance(spark, str(p)).collect()
+    by = {r["gene"]: r for r in rows}
+    assert by["sampA_c1_1"]["left"] == 10
+    assert abs(by["sampA_c1_1"]["gc_content"] - 0.5) < 1e-12
+    mal = by["just_a_gene_name"]
+    assert mal["left"] is None and mal["gc_content"] is None
+
+
 def test_ks_empty_side_yields_null_not_error(spark):
     # the original crash: every row in one group -> ECDF denominator 0
     df = spark.createDataFrame([("f", "a", float(v)) for v in (1, 2, 3)],
