@@ -4875,13 +4875,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.sample AS sample_a, b.sample AS sample_b,
                      sum(least(a.cnt, b.cnt)) AS minsum
               FROM c a JOIN c b ON a.taxon = b.taxon AND a.sample < b.sample
-              GROUP BY 1, 2)
+              GROUP BY 1, 2),
+            -- pair universe from totals: disjoint sample pairs must appear
+            -- with minsum 0 (BC = 1), matching the engine
+            pairs AS (
+              SELECT ta.sample AS sample_a, tb.sample AS sample_b,
+                     ta.total AS tta, tb.total AS ttb
+              FROM t ta JOIN t tb ON ta.sample < tb.sample)
             SELECT sample_a, sample_b,
-                   round(1 - 2 * minsum / (ta.total + tb.total), 4)
+                   round(1 - 2 * coalesce(minsum, 0) / (tta + ttb), 4)
                      AS bray_curtis
-            FROM shared
-            JOIN t ta ON ta.sample = sample_a
-            JOIN t tb ON tb.sample = sample_b
+            FROM pairs LEFT JOIN shared USING (sample_a, sample_b)
         """,
         "rarefaction": """
             WITH d AS (
@@ -6391,10 +6395,16 @@ def oracle_sql() -> dict[str, str]:
                              AS fd FROM fd0),
             counts AS (SELECT g, fd, count(*) AS c FROM fd1 GROUP BY 1, 2),
             tot AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+            -- densify to all 9 digits: unobserved digits contribute p_d
+            -- to the chi2 and the max deviation (matches the engine)
+            dense AS (
+              SELECT tot.g, dd.fd, coalesce(counts.c, 0) AS c, tot.n
+              FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS fd) dd
+              LEFT JOIN counts ON counts.g = tot.g AND counts.fd = dd.fd),
             j AS (
-              SELECT counts.g, c * 1.0 / n AS p,
+              SELECT g, c * 1.0 / n AS p,
                      log10(1 + 1.0 / fd) AS e, n
-              FROM counts JOIN tot USING (g))
+              FROM dense)
             SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
                    round(sum((p - e) * (p - e) / e) * max(n), 4)
                      AS benford_chi2,

@@ -395,7 +395,7 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     """Embedding-cosine near-duplicate pairs (sim >= threshold).
 
     Brute-force O(n²) without candidates — gate behind LSH buckets at scale
-    (see similarity.lsh_cosine_buckets). Cosine computed with higher-order
+    (see similarity.hyperplane_buckets). Cosine computed with higher-order
     functions in the JVM.
     """
     from glamr_omics_pipelines_spark.operators.similarity import (
@@ -409,9 +409,18 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     b = emb.select(F.col(id_col).alias("id_b"),
                    as_double_vec(vec_col).alias("_vb"),
                    norm_col(vec_col).alias("_nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+        # the candidate list IS the pair generator: two EQUI joins fetch
+        # the vectors for exactly the candidate pairs. (A semi-join on top
+        # of the a×b inequality join would NOT bound the work — the semi
+        # keys reference both legs, so Catalyst cannot push it below the
+        # nested-loop pair enumeration, and the plan would still evaluate
+        # all O(n²) dot products before filtering.)
+        pairs = (candidates.select("id_a", "id_b").distinct()
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .join(a, "id_a").join(b, "id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     # try_divide: a zero embedding (norm 0) yields null cosine (the pair is
     # then dropped by the threshold filter) instead of an ANSI error
     cos = F.try_divide(dot_col("_va", "_vb"), F.col("_na") * F.col("_nb"))

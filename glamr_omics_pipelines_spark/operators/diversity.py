@@ -75,10 +75,17 @@ def bray_curtis_pairs(df: DataFrame, sample_col: str, taxon_col: str,
                        F.col("_total").alias("_ta"))
     tb = totals.select(F.col(sample_col).alias("sample_b"),
                        F.col("_total").alias("_tb"))
-    return (shared.join(F.broadcast(ta), "sample_a")
-            .join(F.broadcast(tb), "sample_b")
+    # the pair UNIVERSE comes from the sample-grain totals (a cross at
+    # sample grain — metadata-scale), not from the shared-taxon join:
+    # sample pairs with NO shared taxa would otherwise be absent from the
+    # output entirely, and a downstream ordination (pcoa_coordinates
+    # defaults missing pairs to 0) would place the most dissimilar samples
+    # at distance 0. Disjoint pairs get minsum 0 → BC = 1, the definition.
+    universe = ta.crossJoin(tb).filter(F.col("sample_a") < F.col("sample_b"))
+    return (universe.join(shared, ["sample_a", "sample_b"], "left")
             .withColumn("bray_curtis",
-                        1 - 2 * F.col("_minsum") / (F.col("_ta") + F.col("_tb")))
+                        1 - 2 * F.coalesce(F.col("_minsum"), F.lit(0.0))
+                        / (F.col("_ta") + F.col("_tb")))
             .select("sample_a", "sample_b", "bray_curtis"))
 
 

@@ -291,6 +291,12 @@ def nearest_station(points: DataFrame, stations: DataFrame, id_col: str,
     dist = haversine_km(F.col("_plat"), F.col("_plon"),
                         F.col("_slat"), F.col("_slon"))
     packed = F.struct(dist.alias("_d"), F.col("_sid").alias("_s"))
-    agg = j.groupBy(id_col).agg(F.min(packed).alias("_w"))
+    # min over when(dist notNull): a station (or point) with null
+    # coordinates yields null distance, and a null struct field sorts FIRST
+    # in struct ordering — unguarded, one corrupt station row would win the
+    # argmin for EVERY point. Guarded, such rows are ignored; points with
+    # no valid distance at all get a null station.
+    agg = j.groupBy(id_col).agg(
+        F.min(F.when(dist.isNotNull(), packed)).alias("_w"))
     return agg.select(id_col, F.col("_w._s").alias("station"),
                       F.col("_w._d").alias("dist_km"))

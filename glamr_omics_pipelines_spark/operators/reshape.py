@@ -39,11 +39,16 @@ def pivot_longer(df: DataFrame, id_cols: list[str], value_cols: list[str],
 
 def separate(df: DataFrame, col: str, into: list[str], sep: str,
              keep: bool = True) -> DataFrame:
-    """Split a delimited column into named columns (regex sep supported)."""
+    """Split a delimited column into named columns (regex sep supported).
+
+    try_element_at, not getItem: rows with fewer fields than ``into``
+    NULL-fill the tail (tidyr separate(fill='right')) — under the engine's
+    ANSI mode getItem would raise INVALID_ARRAY_INDEX and kill the job on
+    the first short row."""
     arr = F.split(F.col(col), sep)
     out = df
     for i, name in enumerate(into):
-        v = arr.getItem(i)
+        v = F.try_element_at(arr, F.lit(i + 1))
         out = out.withColumn(name, F.when(v == "", None).otherwise(v))
     return out if keep else out.drop(col)
 

@@ -400,7 +400,7 @@ def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
     Built entirely on operators that already carry their own scale story:
     the neighbor graph comes from :func:`~glamr_omics_pipelines_spark.
     operators.dedup.embedding_cosine_dups` (brute-force exact as baseline;
-    pass ``candidates`` from :func:`lsh_cosine_buckets` to keep the pair
+    pass ``candidates`` from :func:`hyperplane_buckets` to keep the pair
     generation bucket-bounded at corpus scale), degree counting is one
     partial agg on the pair list, and the core-core transitive closure is
     :func:`~glamr_omics_pipelines_spark.operators.dedup.dup_clusters`

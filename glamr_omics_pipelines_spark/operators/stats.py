@@ -32,7 +32,8 @@ def rank_sum_test(df: DataFrame, feature_col: str, group_col: str,
     ``rank() + (n_equal − 1)/2`` — two windows on the SAME
     (feature, value) ordering, one exchange total.
     """
-    d = df.filter(F.col(group_col).isin([group_a, group_b]))
+    d = df.filter(F.col(group_col).isin([group_a, group_b])
+                  & F.col(value_col).isNotNull())
     w_rank = Window.partitionBy(feature_col).orderBy(value_col)
     w_tie = Window.partitionBy(feature_col, value_col)
     mid = (F.rank().over(w_rank)
@@ -181,10 +182,15 @@ def trend_fit(df: DataFrame, key_cols: list[str], x_col: str,
     scales of measurement data; callers with astronomically offset x should
     pre-center (documented, not hidden).
     """
-    x = F.col(x_col).cast("double")
-    y = F.col(y_col).cast("double")
+    # complete pairs only: n MUST count the same rows the sums cover — a
+    # count(*) n with null-skipping sums silently skews every co-moment
+    # (e.g. 2 on-line pairs + 1 null-x row reported slope -1.5 instead of 1)
+    x0 = F.col(x_col).cast("double")
+    y0 = F.col(y_col).cast("double")
+    ok = x0.isNotNull() & y0.isNotNull()
+    x, y = F.when(ok, x0), F.when(ok, y0)
     agg = df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(ok.cast("int")).cast("double").alias("_n"),
         F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
         F.sum(x * y).alias("_sxy"),
         F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"))
@@ -264,9 +270,11 @@ def welch_t_test(df: DataFrame, feature_col: str, group_col: str,
     Features with n < 2 on either side, or zero pooled variance, yield
     null t (guarded, not NaN).
     """
-    is_a = F.col(group_col) == F.lit(group_a)
-    is_b = F.col(group_col) == F.lit(group_b)
+    # null observations are dropped entirely: the side counts must cover
+    # exactly the rows the Σx/Σx² sums cover, or mean/variance skew silently
     x = F.col(value_col).cast("double")
+    is_a = (F.col(group_col) == F.lit(group_a)) & x.isNotNull()
+    is_b = (F.col(group_col) == F.lit(group_b)) & x.isNotNull()
     agg = (df.filter(is_a | is_b).groupBy(feature_col).agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
         F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("_nb"),
@@ -286,7 +294,9 @@ def welch_t_test(df: DataFrame, feature_col: str, group_col: str,
     dof = F.when(ok, (se2 * se2)
                  / (sea * sea / (F.col("_na") - 1)
                     + seb * seb / (F.col("_nb") - 1)))
-    lfc = F.log2((ma + 1) / (mb + 1))
+    # try_divide: a side mean of exactly -1 zeroes the pseudocount
+    # denominator — fold change undefined (null), not an ANSI divide error
+    lfc = F.log2(F.try_divide(ma + 1, mb + 1))
     return agg.select(feature_col,
                       F.col("_na").cast("bigint").alias("n_a"),
                       F.col("_nb").cast("bigint").alias("n_b"),
@@ -305,9 +315,11 @@ def two_proportion_ztest(df: DataFrame, group_col: str, variant_col: str,
     groups (an empty arm, or pooled p̂ of 0/1 where the statistic is
     undefined) yield null z.
     """
-    is_a = F.col(variant_col) == F.lit(variant_a)
-    is_b = F.col(variant_col) == F.lit(variant_b)
+    # exposures with a null outcome are dropped (the arm counts must cover
+    # exactly the rows the success sums cover)
     s = F.col(success_col).cast("double")
+    is_a = (F.col(variant_col) == F.lit(variant_a)) & s.isNotNull()
+    is_b = (F.col(variant_col) == F.lit(variant_b)) & s.isNotNull()
     agg = (df.filter(is_a | is_b).groupBy(group_col).agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("double").alias("_na"),
         F.sum(F.when(is_b, 1).otherwise(0)).cast("double").alias("_nb"),
@@ -346,7 +358,10 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
         return (F.rank().over(w_rank)
                 + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0)
 
-    d = (df.withColumn("_rx", midrank(F.col(x_col)))
+    # pairwise-complete observations: a null x or y would otherwise be
+    # RANKED (nulls order first) and silently distort rho
+    d = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .withColumn("_rx", midrank(F.col(x_col)))
          .withColumn("_ry", midrank(F.col(y_col))))
     agg = d.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
@@ -423,7 +438,7 @@ def ks_test(df: DataFrame, feature_col: str, group_col: str,
     """
     is_a = F.col(group_col) == F.lit(group_a)
     is_b = F.col(group_col) == F.lit(group_b)
-    g = (df.filter(is_a | is_b)
+    g = (df.filter((is_a | is_b) & F.col(value_col).isNotNull())
          .groupBy(feature_col, value_col)
          .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("_ca"),
               F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb")))

@@ -104,6 +104,7 @@ def closure_from_parent_edges(edges: DataFrame, child: str = "child",
                             F.lit(1).alias("depth"))
     e = edges.select(F.col(child).alias("_c"), F.col(parent).alias("_p"))
     frontiers = []
+    converged = False
     for _ in range(max_depth):
         closure = closure.unionByName(frontier)
         nxt = (frontier.join(e, frontier.ancestor == e._c, "inner")
@@ -112,7 +113,18 @@ def closure_from_parent_edges(edges: DataFrame, child: str = "child",
         frontier = nxt.persist()
         frontiers.append(frontier)
         if frontier.isEmpty():
+            converged = True
             break
+    if not converged and not frontier.isEmpty():
+        # a silent break here would return a TRUNCATED closure and
+        # subtree_rollup would undercount deep ancestors with no symptom —
+        # fail loudly instead (a >max_depth tree or a parent-edge cycle)
+        for f in frontiers:
+            f.unpersist()
+        raise ValueError(
+            f"closure_from_parent_edges did not converge in {max_depth} "
+            f"levels: tree deeper than max_depth, or the edges contain a "
+            f"cycle; raise max_depth or break the cycle")
     out = _cache.register(closure.dropDuplicates(["ancestor", "descendant"]))
     out.count()  # materialize while the frontier caches are still live
     for f in frontiers:

@@ -482,7 +482,10 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
         # apply the merge with a fold: scan symbols left-to-right, joining
         # adjacent (a, b) occurrences (leftmost-first, non-overlapping —
         # the reference BPE behavior)
-        a_l, b_l = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # backslashes FIRST, then quotes: a symbol like C:\ would otherwise
+        # escape its own closing quote in the spliced SQL literal
+        a_l = a.replace("\\", "\\\\").replace("'", "\\'")
+        b_l = b.replace("\\", "\\\\").replace("'", "\\'")
         vocab = (vocab.withColumn("syms", F.expr(
             f"aggregate(syms, cast(array() as array<string>), "
             f"(acc, x) -> CASE WHEN size(acc) > 0 "

@@ -329,9 +329,11 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
     d = (df.withColumn("_t", sec)
          .withColumn("_dt", F.lead("_t").over(w) - F.col("_t"))
          .filter(F.col("_dt").isNotNull()))
+    # try_divide: all readings of a key at ONE timestamp → every interval 0,
+    # span 0 — twap undefined (null), not an ANSI divide error
     return (d.groupBy(key_col)
-            .agg((F.sum(F.col(value_col) * F.col("_dt"))
-                  / F.sum("_dt")).alias("twap"),
+            .agg(F.try_divide(F.sum(F.col(value_col) * F.col("_dt")),
+                              F.sum("_dt")).alias("twap"),
                  F.sum("_dt").alias("span_seconds"),
                  F.count(F.lit(1)).alias("n_intervals")))
 

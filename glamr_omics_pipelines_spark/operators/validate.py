@@ -181,9 +181,18 @@ def benford_deviation(df: DataFrame, group_cols: Sequence[str],
     expected = F.create_map(*[x_ for dd in range(1, 10)
                               for x_ in (F.lit(dd),
                                          F.lit(math.log10(1 + 1 / dd)))])
-    j = (counts.join(F.broadcast(tot), list(group_cols))
-         .withColumn("_p", F.col("_c") / F.col("_n"))
-         .withColumn("_e", expected.getItem(F.col("_d"))))
+    # densify to ALL 9 digits per group (group×9 — tiny): an unobserved
+    # digit contributes (0−p_d)²/p_d = p_d to the statistic and p_d to the
+    # max deviation; summing only observed digits would systematically
+    # deflate the score for exactly the degenerate distributions this
+    # check exists to flag (e.g. every value starting with the same digit).
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("_d"))
+    full = (tot.crossJoin(F.broadcast(digits))
+            .join(counts, [*group_cols, "_d"], "left")
+            .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0))))
+    j = (full.withColumn("_p", F.col("_c") / F.col("_n"))
+         .withColumn("_e", expected[F.col("_d")]))
     dev = F.col("_p") - F.col("_e")
     return (j.groupBy(*group_cols)
             .agg(F.first("_n").cast("bigint").alias("n"),

@@ -164,8 +164,11 @@ def lag_retention_ladder(df: DataFrame, group_cols: list[str], order_col: str,
     read_state ordered by pipeline stage.
     """
     w = Window.partitionBy(*group_cols).orderBy(order_col)
+    # try_divide: a zero count at the previous stage makes retention
+    # undefined (null) — not an ANSI DIVIDE_BY_ZERO killing the report
     return df.withColumn(
-        out, F.lit(100.0) * F.col(count_col) / F.lag(count_col).over(w))
+        out, F.try_divide(F.lit(100.0) * F.col(count_col),
+                          F.lag(count_col).over(w)))
 
 
 def anvio_stacked_filter(df: DataFrame, gene: str, score: str, threshold: str,

@@ -124,3 +124,127 @@ def test_ks_empty_side_yields_null_not_error(spark):
                                "feat string, grp string, val double")
     got = stats.ks_test(df, "feat", "grp", "val", "a", "b").collect()[0]
     assert got["n_b"] == 0 and got["ks_d"] is None
+
+
+def test_separate_short_row_null_fills(spark):
+    from glamr_omics_pipelines_spark.operators import reshape
+    df = spark.createDataFrame([("a;b;c",), ("a",)], "v string")
+    out = {r["v"]: r for r in
+           reshape.separate(df, "v", ["x", "y", "z"], ";").collect()}
+    assert out["a;b;c"]["z"] == "c"
+    assert out["a"]["x"] == "a" and out["a"]["y"] is None  # no ANSI OOB
+
+
+def test_retention_ladder_zero_stage_yields_null(spark):
+    from glamr_omics_pipelines_spark.operators import windows
+    df = spark.createDataFrame(
+        [("g", 0, 1000), ("g", 1, 0), ("g", 2, 5)], "k string, st int, n int")
+    out = {r["st"]: r["percent_retained"] for r in
+           windows.lag_retention_ladder(df, ["k"], "st", "n").collect()}
+    assert out[0] is None          # no prior stage
+    assert out[1] == 0.0           # 0 of 1000
+    assert out[2] is None          # divided by a zero stage: undefined
+
+
+def test_twap_single_timestamp_key_yields_null(spark):
+    import datetime as dt
+    from glamr_omics_pipelines_spark.operators import timeseries
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame([("k", i, t0, float(i)) for i in range(3)],
+                               "key string, eid int, ts timestamp, v double")
+    got = timeseries.time_weighted_avg(df, "key", "ts", "v", "eid").collect()
+    assert got[0]["twap"] is None and got[0]["span_seconds"] == 0.0
+
+
+def test_nearest_station_ignores_null_coord_station(spark):
+    from glamr_omics_pipelines_spark.operators import joins
+    pts = spark.createDataFrame([(1, 10.0, 10.0)], "pid int, lat double, lon double")
+    st = spark.createDataFrame([("bad", None, None), ("good", 11.0, 11.0)],
+                               "sid string, lat double, lon double")
+    got = joins.nearest_station(pts, st, "pid", "sid", "lat", "lon").collect()
+    # without the guard the null-distance station sorts FIRST in the
+    # struct-min and wins every point
+    assert got[0]["station"] == "good" and got[0]["dist_km"] is not None
+
+
+def test_trend_fit_ignores_incomplete_pairs(spark):
+    rows = [("k", 0.0, 0.0), ("k", 1.0, 1.0), ("k", None, 5.0),
+            ("k", 7.0, None)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = stats.trend_fit(df, ["k"], "x", "y").collect()[0]
+    assert got["n"] == 2                      # complete pairs only
+    assert abs(got["slope"] - 1.0) < 1e-12    # not skewed by the null rows
+    assert abs(got["intercept"]) < 1e-12
+
+
+def test_welch_ignores_null_observations(spark):
+    rows = [("f", "a", 1.0), ("f", "a", 3.0), ("f", "a", None),
+            ("f", "b", 2.0), ("f", "b", 4.0), ("f", "b", None)]
+    df = spark.createDataFrame(rows, "feat string, grp string, val double")
+    got = stats.welch_t_test(df, "feat", "grp", "val", "a", "b").collect()[0]
+    assert got["n_a"] == 2 and got["n_b"] == 2  # null obs not counted
+    assert abs(got["t_stat"] - (-0.7071067811865475)) < 1e-9
+
+
+def test_bray_curtis_disjoint_samples_distance_one(spark):
+    from glamr_omics_pipelines_spark.operators import diversity
+    df = spark.createDataFrame(
+        [("s1", "t1", 5.0), ("s1", "t2", 5.0),
+         ("s2", "t3", 4.0), ("s3", "t1", 5.0)],
+        "sample string, taxon string, cnt double")
+    out = {(r["sample_a"], r["sample_b"]): r["bray_curtis"]
+           for r in diversity.bray_curtis_pairs(df, "sample", "taxon",
+                                                "cnt").collect()}
+    # disjoint pair present with BC exactly 1 (was silently ABSENT before,
+    # and pcoa defaulted the missing pair to distance 0)
+    assert out[("s1", "s2")] == 1.0
+    assert out[("s2", "s3")] == 1.0
+    assert abs(out[("s1", "s3")] - (1 - 2 * 5 / 15)) < 1e-12
+    assert len(out) == 3  # full pair universe
+
+
+def test_benford_counts_unobserved_digit_mass(spark):
+    from glamr_omics_pipelines_spark.operators import validate
+    import math
+    # every value starts with digit 5: 8 digits unobserved
+    df = spark.createDataFrame([("g", 5.0), ("g", 55.0), ("g", 500.0)],
+                               "k string, v double")
+    got = validate.benford_deviation(df, ["k"], "v").collect()[0]
+    p5 = math.log10(1 + 1 / 5)
+    expected_chi2 = 3 * ((1 - p5) ** 2 / p5
+                         + sum(math.log10(1 + 1 / d)
+                               for d in range(1, 10) if d != 5))
+    assert abs(got["benford_chi2"] - round(expected_chi2, 4)) < 1e-9
+    # max deviation is the unobserved digit 1's expected share, not |1-p5|?
+    # |1 - p5| = 0.903 > p1 = 0.301, so max dev is the observed digit here
+    assert abs(got["max_abs_dev"] - round(1 - p5, 4)) < 1e-9
+
+
+def test_closure_raises_on_depth_overflow(spark):
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.operators import taxonomy
+    edges = spark.createDataFrame([(i + 1, i) for i in range(6)],
+                                  "child int, parent int")
+    # depth-6 chain with max_depth=3: must raise, never silently truncate
+    with _pytest.raises(ValueError, match="did not converge"):
+        taxonomy.closure_from_parent_edges(edges, "child", "parent",
+                                           max_depth=3)
+    full = taxonomy.closure_from_parent_edges(edges, "child", "parent",
+                                              max_depth=10)
+    assert full.count() == 7 + sum(range(1, 7))  # self rows + all ancestors
+
+
+def test_embedding_candidates_path_has_no_nested_loop_join(spark):
+    from glamr_omics_pipelines_spark.operators import dedup
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id int, emb array<double>")
+    cands = spark.createDataFrame([(0, 1), (2, 3)], "id_a int, id_b int")
+    out = dedup.embedding_cosine_dups(emb, "vec_id", "emb", threshold=0.0,
+                                      candidates=cands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the candidate list must BE the pair generator (equi joins), not a
+    # filter above an O(n^2) nested-loop enumeration
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1), (2, 3)}

@@ -45,6 +45,9 @@ def test_rank_sum_matches_bruteforce(spark, rows):
     n1 = sum(1 for g, _ in rows if g == "a")
     n2 = len(rows) - n1
     assert got["n1"] == n1 and got["n2"] == n2
+    if n1 == 0:  # empty A side: U is undefined (null), like z
+        assert got["u_stat"] is None and got["z_score"] is None
+        return
     u = r1 - n1 * (n1 + 1) / 2.0
     assert abs(got["u_stat"] - u) < 1e-9
     sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
