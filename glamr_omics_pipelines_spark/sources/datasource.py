@@ -121,6 +121,8 @@ class FastqReader(DataSourceReader):
                 h = fh.readline()
                 if not h:
                     break
+                if not h.strip():  # trailing blank line: no phantom record
+                    continue
                 seq = fh.readline().rstrip("\r\n")
                 fh.readline()  # '+' separator
                 qual = fh.readline().rstrip("\r\n")

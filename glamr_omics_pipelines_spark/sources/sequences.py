@@ -111,10 +111,18 @@ def read_fastq(spark: SparkSession, paths: list[str] | str,
                         h = text.readline()
                         if not h:
                             break
-                        ids.append(h.rstrip("\n").lstrip("@"))
-                        seqs.append(text.readline().rstrip("\n"))
+                        if not h.strip():
+                            # trailing blank line (file concatenation,
+                            # editor artifacts): skip, don't emit a
+                            # phantom empty record
+                            continue
+                        # rstrip('\r\n'), matching datasource.FastqReader:
+                        # a CRLF file must not leak '\r' into seq/qual
+                        # (off-by-one lengths, Phred decode of chr(13))
+                        ids.append(h.rstrip("\r\n").lstrip("@"))
+                        seqs.append(text.readline().rstrip("\r\n"))
                         text.readline()  # '+' separator line
-                        quals.append(text.readline().rstrip("\n"))
+                        quals.append(text.readline().rstrip("\r\n"))
                         if len(ids) >= batch_size:
                             yield flush(ids, seqs, quals, path, emitted)
                             emitted += len(ids)

@@ -118,9 +118,16 @@ def read_xlsx(spark: SparkSession, path: str,
     try:  # richer path if the optional deps exist in this environment
         import pandas as pd  # noqa: F401
         import openpyxl  # noqa: F401
-        pdf = pd.read_excel(path, sheet_name=sheet if sheet is not None else 0)
+        # header=None when the caller wants raw rows: letting pandas consume
+        # row 0 as a header would dedup-rename ('S001.1'), invent
+        # 'Unnamed: N' for blanks, and coerce values — then emit that
+        # mangled row as DATA. The stdlib fallback returns true raw rows;
+        # both paths must agree.
+        pdf = pd.read_excel(path, sheet_name=sheet if sheet is not None else 0,
+                            header=0 if header else None)
         pdf = pdf.astype(object).where(pdf.notna(), None)
-        rows = [list(pdf.columns)] + pdf.values.tolist()
+        rows = (([list(pdf.columns)] if header else [])
+                + pdf.values.tolist())
     except ImportError:
         rows = read_xlsx_rows(path, sheet)
     if not rows:

@@ -58,14 +58,23 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
     schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
 
     def _coerce(v, t):
+        # SQLite is dynamically typed: ANY value can sit in ANY declared
+        # column (a TEXT 'N/A' in an INTEGER column is legal). Convert when
+        # possible, degrade to None when not — an off-type cell must not
+        # abort the whole copy with a createDataFrame TypeError.
         if v is None:
             return None
-        if t == "string" and not isinstance(v, str):
-            return str(v)
-        if t == "double" and isinstance(v, int):
-            return float(v)
-        if t == "boolean" and isinstance(v, int):
-            return bool(v)
+        if t == "string":
+            return v if isinstance(v, str) else str(v)
+        try:
+            if t == "long":
+                return int(v) if not isinstance(v, bytes) else None
+            if t == "double":
+                return float(v) if not isinstance(v, bytes) else None
+            if t == "boolean":
+                return bool(int(v)) if not isinstance(v, bytes) else None
+        except (ValueError, TypeError):
+            return None
         return v
 
     data = [tuple(_coerce(v, t) for v, t in zip(row, types)) for row in data]

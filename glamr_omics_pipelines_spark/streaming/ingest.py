@@ -55,37 +55,52 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
 
     Per-user state = (session_count, last_event_ts, events_in_session).
     On timeout (gap elapsed with no events) the open session is emitted and
-    state cleared. Scale: state is O(active users), partitioned by user —
-    the same key the shuffle already uses.
+    the state kept as a zero-event TOMBSTONE carrying the session counter,
+    so (user, session_id) stays unique across idle gaps; the tombstone
+    itself expires after ``counter_retention_gaps`` further gaps (after
+    which a returning user restarts numbering — disambiguate with
+    session_start if that horizon matters). Scale: state is O(users seen
+    within the retention horizon), partitioned by user — the same key the
+    shuffle already uses.
     """
     import pandas as pd  # local import: executors need it, driver may not
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = ("user_id bigint, session_id bigint, n_events bigint, "
-                  "session_start timestamp, session_end timestamp")
+    user_type = dict(events.dtypes)[user_col]
+    out_schema = (f"{user_col} {user_type}, session_id bigint, "
+                  f"n_events bigint, "
+                  f"session_start timestamp, session_end timestamp")
     # start_ts persisted too: a session can span micro-batches, and closing a
     # carried session must still emit its true start
     state_schema = ("session_id bigint, last_ts double, n_events bigint, "
                     "start_ts double")
     gap_ms = gap_seconds * 1000
+    counter_retention_gaps = 30
 
     def fn(key, pdf_iter, state: GroupState):
         (user,) = key
         if state.hasTimedOut:
             sid, last_ts, n, start_ts = state.get
-            state.remove()
-            yield pd.DataFrame({"user_id": [user], "session_id": [sid],
+            if not n:          # tombstone expired: forget the counter
+                state.remove()
+                return
+            # close the open session; keep a tombstone with the counter
+            state.update((int(sid), float(last_ts), 0, float(start_ts)))
+            state.setTimeoutDuration(gap_ms * counter_retention_gaps)
+            yield pd.DataFrame({user_col: [user], "session_id": [sid],
                                 "n_events": [n],
                                 "session_start": [pd.Timestamp(start_ts, unit="s")],
                                 "session_end": [pd.Timestamp(last_ts, unit="s")]})
             return
-        rows = pd.concat(list(pdf_iter)).sort_values("ts")
-        ts = rows["ts"].astype("int64") / 1e9  # epoch seconds
+        rows = pd.concat(list(pdf_iter)).sort_values(ts_col)
+        ts = rows[ts_col].astype("int64") / 1e9  # epoch seconds
         sid, last_ts, n, start = (state.get if state.exists
                                   else (0, None, 0, None))
         out = []
         for t in ts:
-            if last_ts is None or t - last_ts > gap_seconds:
+            # n == 0 means no OPEN session (fresh user or tombstone): any
+            # event starts a new one — never resurrect an emitted session
+            if last_ts is None or n == 0 or t - last_ts > gap_seconds:
                 if n:  # close the previous session
                     out.append((user, sid, n, start, last_ts))
                 sid, n, start = sid + 1, 0, t
@@ -94,7 +109,7 @@ def sessionize_stream(events: DataFrame, user_col: str = "user_id",
         state.update((int(sid), float(last_ts), int(n), float(start)))
         state.setTimeoutDuration(gap_ms)
         yield pd.DataFrame(
-            [{"user_id": u, "session_id": s, "n_events": c,
+            [{user_col: u, "session_id": s, "n_events": c,
               "session_start": pd.Timestamp(st, unit="s"),
               "session_end": pd.Timestamp(en, unit="s")}
              for u, s, c, st, en in out])
@@ -124,7 +139,8 @@ def stream_dedup(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
+                          watermark: str = "2 hours",
+                          value_col: str = "value") -> DataFrame:
     """Event-time tumbling-window counts with late-data watermark.
 
     Works identically on a streaming or batch DataFrame (the batch form is
@@ -135,7 +151,7 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
         src = events.withWatermark(ts_col, watermark)
     return (src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(value_col).alias("sum_value"))
             .select(F.col("win.start").alias("window_start"), key_col, "n", "sum_value"))
 
 
@@ -208,13 +224,22 @@ def _read_state(spark: SparkSession, state_dir: str):
     dir with a fresh checkpoint (ids restart at 0) skips genuinely new
     batches by design; start a fresh state dir with a fresh checkpoint.
     """
+    import os
     from pyspark.errors import AnalysisException
-    try:
-        df = spark.read.parquet(state_dir)
-    except AnalysisException as exc:  # only the missing-path case
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return None, None
-        raise
+    cur = os.path.join(state_dir, "_CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            version = fh.read().strip()
+        df = spark.read.parquet(os.path.join(state_dir, version))
+    else:
+        # legacy layout (parquet files directly in state_dir) or no state
+        try:
+            df = spark.read.parquet(state_dir)
+        except AnalysisException as exc:  # only the missing-path case
+            if ("PATH_NOT_FOUND" in str(exc)
+                    or "Path does not exist" in str(exc)):
+                return None, None
+            raise
     applied = None
     if "_applied_batch" in df.columns:
         row = df.agg(F.max("_applied_batch").alias("b")).collect()[0]
@@ -224,12 +249,44 @@ def _read_state(spark: SparkSession, state_dir: str):
 
 
 def _write_state(df: DataFrame, batch_id: int, state_dir: str) -> None:
-    """Atomically replace the state table, stamping the applied batch id as
-    a column of the same parquet write (one atomic unit with the data —
-    a sidecar file could land after a crash window and replay would then
-    double-count; a column cannot desynchronize from its own rows)."""
+    """Crash-atomic state replace: the new snapshot lands in a VERSIONED
+    subdirectory (the live one is never touched), then a ``_CURRENT``
+    pointer file is swapped with ``os.replace`` (atomic on POSIX). A crash
+    anywhere leaves either the old pointer → intact old snapshot (the
+    checkpoint replays the batch idempotently) or the new pointer → a
+    fully-written new snapshot. A plain mode('overwrite') on the live dir
+    had a delete-then-write window in which a crash erased ALL accumulated
+    state and replay re-initialized it from one batch's data.
+
+    The applied batch id is stamped as a COLUMN of the same parquet write
+    (one atomic unit with the data — a sidecar id file could land after a
+    crash window and replay would then double-count). Superseded versions
+    are garbage-collected after the pointer swap, best-effort."""
+    import os
+    import shutil
+    version = f"v{batch_id}"
     (df.withColumn("_applied_batch", F.lit(batch_id).cast("long"))
-     .coalesce(1).write.mode("overwrite").parquet(state_dir))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(state_dir, version)))
+    tmp = os.path.join(state_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name != version:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def read_state_table(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Public reader for a foreachBatch state table: the live snapshot
+    without the ``_applied_batch`` marker. The on-disk layout (versioned
+    snapshot subdirs + ``_CURRENT`` pointer) is an implementation detail of
+    the crash-atomic swap — consumers read through this, never the
+    directory itself. Raises FileNotFoundError when no state exists."""
+    df, _ = _read_state(spark, state_dir)
+    if df is None:
+        raise FileNotFoundError(f"no state table at {state_dir}")
+    return df
 
 
 def streaming_rollup_ingest(stream: DataFrame, group_cols: list[str],
@@ -350,6 +407,9 @@ def streaming_drift_monitor(stream: DataFrame, reference: DataFrame,
     edges = reference.agg(F.expr(
         f"percentile({value_col}, array({probs}))").alias("e")) \
         .collect()[0]["e"]
+    if edges is None:
+        raise ValueError("streaming_drift_monitor: the reference frame is "
+                         "empty — no quantile bins to drift against")
     # reference bin counts computed DISTRIBUTEDLY; only n_bins rows reach
     # the driver (the model, not the data)
     ref_bin = sum((F.col(value_col) > e).cast("int") for e in edges)
@@ -374,12 +434,17 @@ def streaming_drift_monitor(stream: DataFrame, reference: DataFrame,
                      f"{state_dir}/bins")
         total = sum(r.n for r in rows) or 1
         import math
+        # epsilon-clamped over the FULL bin domain: a bin the reference
+        # never populated (degenerate reference, e.g. all one value) must
+        # still register incoming mass — the p>0-and-q>0 skip would read
+        # "no drift" precisely when traffic shifts somewhere new
+        eps = 1e-6
+        cur_counts = {r.b: r.n for r in rows}
         psi = 0.0
-        for r in rows:
-            p = ref_counts.get(r.b, 0) / ref_total
-            q = r.n / total
-            if p > 0 and q > 0:
-                psi += (p - q) * math.log(p / q)
+        for b in range(n_bins):
+            p = max(ref_counts.get(b, 0) / ref_total, eps)
+            q = max(cur_counts.get(b, 0) / total, eps)
+            psi += (p - q) * math.log(p / q)
         spark.createDataFrame([(batch_id, float(psi), int(total))],
                               "batch_id long, psi double, n_seen long") \
             .coalesce(1).write.mode("append").parquet(f"{state_dir}/psi_log")

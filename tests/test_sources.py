@@ -199,3 +199,23 @@ def test_glamr_schema_contracts_importable(spark):
     # a contract actually usable as a read schema
     df = spark.createDataFrame([], GLAMR_SCHEMAS["bracken"])
     assert df.schema["count_w_subtax"].dataType.typeName() == "long"
+
+
+def test_read_fastq_crlf_and_trailing_blank_line(spark, tmp_path):
+    """CRLF line endings must not leak '\r' into seq/qual (off-by-one
+    lengths, bogus Phred decode), and a trailing blank line must not emit
+    a phantom empty record — both paths (mapInPandas reader and the
+    Python DataSource) must agree with the LF form."""
+    crlf = FASTQ.replace("\n", "\r\n") + "\r\n"   # CRLF + trailing blank
+    p = tmp_path / "crlf.fastq"
+    p.write_bytes(crlf.encode())
+    rows = {r["read_id"]: r["seq"] for r in
+            sequences.read_fastq(spark, str(p)).collect()}
+    assert rows == {"r1": "ACGT", "r2": "GGCC"}  # no '\r', no phantom row
+
+    from glamr_omics_pipelines_spark.sources.datasource import (
+        register_sequence_sources)
+    register_sequence_sources(spark)
+    ds = {r["read_id"]: r["seq"] for r in
+          spark.read.format("fastq").load(str(p)).collect()}
+    assert ds == rows

@@ -161,3 +161,19 @@ def test_jsonlines_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").json(path)
     back = spark.read.json(path).select("id", "v")
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_read_sqlite_off_type_cell_degrades_to_null(spark, tmp_path):
+    """SQLite is dynamically typed: a TEXT value in an INTEGER-declared
+    column is legal and must degrade to NULL, not abort the whole copy
+    with a createDataFrame TypeError."""
+    db = str(tmp_path / "dirty.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (id INTEGER, score REAL)")
+        con.executemany("INSERT INTO t VALUES (?,?)",
+                        [(1, 0.5), ("N/A", "bad"), ("7", "2.5")])
+    got = sorted(sq.read_sqlite(spark, db, "t").collect(),
+                 key=lambda r: (r.id is None, r.id))
+    assert (got[0].id, got[0].score) == (1, 0.5)
+    assert (got[1].id, got[1].score) == (7, 2.5)   # convertible text converts
+    assert got[2].id is None and got[2].score is None  # off-type -> null

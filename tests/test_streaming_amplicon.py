@@ -284,8 +284,9 @@ def test_streaming_rollup_ingest_merges_batches(spark, tmp_path):
     state = str(tmp_path / "state")
     streaming_rollup_ingest(stream, ["g"], "v", state,
                             str(tmp_path / "ckpt"))
+    from glamr_omics_pipelines_spark.streaming.ingest import read_state_table
     got = {r.g: (r.agg_n, r.agg_sum, r.agg_min, r.agg_max)
-           for r in spark.read.parquet(state).collect()}
+           for r in read_state_table(spark, state).collect()}
     assert got == {"x": (3, 9.0, 1.0, 5.0),
                    "y": (1, 10.0, 10.0, 10.0),
                    "z": (1, 7.0, 7.0, 7.0)}
@@ -312,7 +313,8 @@ def test_streaming_vocab_ingest_heavy_hitters(spark, tmp_path):
     state = str(tmp_path / "vstate")
     streaming_vocab_ingest(stream, "text", state,
                            str(tmp_path / "vckpt"), top_k=3)
-    got = {r.token: r.n for r in spark.read.parquet(state).collect()}
+    from glamr_omics_pipelines_spark.streaming.ingest import read_state_table
+    got = {r.token: r.n for r in read_state_table(spark, state).collect()}
     # full counts: the=3, cat=2, a=1, bird=1, dog=1, ran=1, sat=1 (n=10)
     # batch 1 (file a): head = {the2, cat1, dog1}, OTHERS = sat(1)
     # batch 2 (file b): head = {the3, cat2, a1} (tie n=1 -> token asc),
@@ -354,7 +356,8 @@ def test_streaming_drift_monitor_psi_log(spark, tmp_path):
     assert len(log) == 2
     assert log[-1].n_seen == 1000
     assert log[-1].psi > 0.25              # cumulative stream has drifted
-    bins = spark.read.parquet(f"{state}/bins")
+    from glamr_omics_pipelines_spark.streaming.ingest import read_state_table
+    bins = read_state_table(spark, f"{state}/bins")
     assert bins.count() <= 10              # state bounded at n_bins rows
 
 
@@ -398,10 +401,11 @@ def test_state_upsert_replay_and_corruption(spark, tmp_path):
     roll_state = str(tmp_path / "roll_state")
     streaming_rollup_ingest(stream(), ["g"], "v", roll_state,
                             str(tmp_path / "ck1"))
-    before = spark.read.parquet(roll_state).drop("_applied_batch").collect()
+    from glamr_omics_pipelines_spark.streaming.ingest import read_state_table
+    before = read_state_table(spark, roll_state).collect()
     streaming_rollup_ingest(stream(), ["g"], "v", roll_state,
                             str(tmp_path / "ck2"))  # replay simulation
-    after = spark.read.parquet(roll_state).drop("_applied_batch").collect()
+    after = read_state_table(spark, roll_state).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     assert after[0]["agg_sum"] == 6.0  # applied once, not twice
 
@@ -411,3 +415,78 @@ def test_state_upsert_replay_and_corruption(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         _read_state(spark, str(bad))
     assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
+def test_state_write_crash_window_keeps_previous_snapshot(spark, tmp_path):
+    """The exact failure the versioned-swap layout exists for: a crash
+    AFTER the new snapshot's files land but BEFORE the pointer swap must
+    leave the previous state fully readable (the checkpoint then replays
+    the batch idempotently). The old mode('overwrite') on the live dir had
+    a delete-then-write window that erased all accumulated state."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        _read_state, _write_state, read_state_table)
+    state = str(tmp_path / "st")
+    v1 = spark.createDataFrame([("x", 2)], ["g", "n"])
+    _write_state(v1, 0, state)
+    # simulate the crash window: batch 1's snapshot written, pointer NOT
+    # swapped (write the files exactly as _write_state would, stop there)
+    (spark.createDataFrame([("x", 99)], ["g", "n"])
+     .withColumn("_applied_batch", F.lit(1).cast("long"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{state}/v1"))
+    got, applied = _read_state(spark, state)
+    assert applied == 0                      # still the old snapshot
+    assert got.collect()[0]["n"] == 2        # nothing lost, nothing partial
+    # recovery: the replayed batch completes the swap; new state visible
+    _write_state(spark.createDataFrame([("x", 101)], ["g", "n"]), 1, state)
+    assert read_state_table(spark, state).collect()[0]["n"] == 101
+
+
+def test_sessionize_stream_honors_custom_column_names(spark, tmp_path):
+    """user_col/ts_col must flow into the kernel and output schema — the
+    kernel previously hard-coded 'ts'/'user_id' and forced bigint ids."""
+    src = tmp_path / "events_named"
+    src.mkdir()
+    import csv
+    rows = [("alice", "2024-01-01 00:00:%02d" % s) for s in (0, 10)] \
+        + [("alice", "2024-01-01 02:00:00")]
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        w.writerow(["uid", "event_time"])
+        w.writerows(rows)
+    stream = (spark.readStream.format("csv")
+              .schema("uid string, event_time timestamp")
+              .option("sep", "\t").option("header", True)
+              .load(str(src)))
+    sess = sessionize_stream(stream, user_col="uid", ts_col="event_time",
+                             gap_seconds=1800)
+    q = (sess.writeStream.format("memory").queryName("sess_named")
+         .option("checkpointLocation", str(tmp_path / "ckpt_named"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    time.sleep(1)
+    got = spark.sql("select * from sess_named").collect()
+    closed = {(r.uid, r.session_id): r.n_events for r in got}
+    assert closed.get(("alice", 1)) == 2  # string ids, custom col names
+
+
+def test_drift_monitor_registers_mass_in_unseen_bins(spark, tmp_path):
+    """A degenerate reference (all one value) puts every reference count in
+    bin 0; traffic arriving in bins the reference never populated must
+    still register drift — the old p>0-and-q>0 skip read 'no drift'
+    precisely when the distribution moved somewhere new."""
+    from glamr_omics_pipelines_spark.streaming.ingest import (
+        streaming_drift_monitor)
+    import csv
+    reference = spark.createDataFrame([(5.0,)] * 100, "value double")
+    src = tmp_path / "drift_deg"; src.mkdir()
+    with open(src / "a.csv", "w", newline="") as f:
+        w = csv.writer(f); w.writerow(["value"])
+        w.writerows([(10.0,)] * 50)          # all mass beyond every edge
+    stream = (spark.readStream.format("csv")
+              .schema("value double").option("header", True)
+              .load(str(src)))
+    state = str(tmp_path / "deg_state")
+    streaming_drift_monitor(stream, reference, "value", state,
+                            str(tmp_path / "deg_ckpt"), n_bins=10)
+    log = spark.read.parquet(f"{state}/psi_log").collect()
+    assert log[0].psi > 1.0  # total shift registers loudly, not 0.0
