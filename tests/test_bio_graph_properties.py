@@ -1,0 +1,152 @@
+"""Brute-force parity property tests for the iterative-graph and row-local
+bio-sketch operators — an independent Python reference implementation per
+operator, checked on arbitrary hypothesis-generated inputs (the same
+insurance layer test_properties.py gives the algebraic ops and
+test_stats_properties.py gives the stats family: the DuckDB oracle can share
+a misunderstanding with the Spark query; a from-scratch reference cannot).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from glamr_omics_pipelines_spark.functions import bio
+from glamr_omics_pipelines_spark.operators import graph
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+weighted_edges = st.dictionaries(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    st.integers(min_value=1, max_value=3),
+    min_size=1, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(weighted_edges, st.integers(1, 6))
+def test_pagerank_matches_power_iteration(spark, raw, iters):
+    """pagerank == a plain dict-based power iteration with the SAME
+    conventions (nodes = src ∪ dst, dangling mass dropped, fixed
+    iterations): rank ← (1−d)/N + d·Σ_in rank_src · w/wout_src."""
+    edges = [(s, d, float(w)) for (s, d), w in sorted(raw.items())]
+    df = spark.createDataFrame(edges, "src int, dst int, weight double")
+    got = {r.node: r.rank
+           for r in graph.pagerank(df, iterations=iters).collect()}
+
+    nodes = sorted({v for s, d, _ in edges for v in (s, d)})
+    n = len(nodes)
+    damping = 0.85
+    wout: dict[int, float] = defaultdict(float)
+    for s, _, w in edges:
+        wout[s] += w
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib: dict[int, float] = defaultdict(float)
+        for s, d, w in edges:
+            contrib[d] += ranks[s] * w / wout[s]
+        ranks = {v: (1.0 - damping) / n + damping * contrib.get(v, 0.0)
+                 for v in nodes}
+
+    assert set(got) == set(ranks)
+    assert all(abs(got[v] - ranks[v]) < 1e-9 for v in ranks)
+
+
+dna = st.text(alphabet="ACGT", min_size=0, max_size=30)
+
+
+@settings(**SETTINGS)
+@given(st.lists(dna, min_size=1, max_size=8),
+       st.integers(2, 4), st.integers(2, 4))
+def test_minimizer_stats_matches_python_winnowing(spark, seqs, k, w):
+    """minimizer_stats == a literal Python winnowing pass: md5-hash every
+    k-mer, keep the min of each w-window, count distinct kept hashes.
+    Sequences shorter than k+w−1 are dropped (too short for one window)."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "id int, seq string")
+    got = {r.id: (r.n_kmers, r.n_minimizers, r.density)
+           for r in bio.minimizer_stats(df, "seq", k=k, w=w).collect()}
+
+    want = {}
+    for i, s in enumerate(seqs):
+        if len(s) < k + w - 1:
+            continue
+        h = [hashlib.md5(s[j:j + k].encode()).hexdigest()
+             for j in range(len(s) - k + 1)]
+        mins = {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+        want[i] = (len(h), len(mins), round(len(mins) / len(h), 4))
+    assert set(got) == set(want)
+    for i, (nk, nm, dens) in want.items():
+        assert got[i][0] == nk and got[i][1] == nm
+        assert abs(got[i][2] - dens) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(dna, min_size=1, max_size=8), st.integers(2, 4))
+def test_debruijn_stats_matches_python_census(spark, seqs, k):
+    """debruijn_stats == a dict-based de Bruijn construction: consecutive
+    k-mer edges within each read, dedup'd, then the in/out-degree census
+    (linear / branching / tip classification)."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "id int, seq string")
+    row = bio.debruijn_stats(df, "seq", k=k).collect()[0]
+
+    edges = set()
+    for s in seqs:
+        for j in range(len(s) - k):
+            edges.add((s[j:j + k], s[j + 1:j + k + 1]))
+    nodes = {v for e in edges for v in e}
+    indeg = {v: 0 for v in nodes}
+    outdeg = {v: 0 for v in nodes}
+    for a, b in edges:
+        outdeg[a] += 1
+        indeg[b] += 1
+    if not nodes:
+        assert (row.n_nodes, row.n_edges) == (0, None) or row.n_nodes == 0
+        return
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(edges)
+    assert row.n_linear == sum(1 for v in nodes
+                               if indeg[v] <= 1 and outdeg[v] <= 1)
+    assert row.n_branching == sum(1 for v in nodes if outdeg[v] > 1)
+    assert row.n_tips == sum(1 for v in nodes if indeg[v] == 0)
+
+
+messy_dna = st.text(alphabet="ACGTacgtnN", min_size=0, max_size=25)
+
+
+@settings(**SETTINGS)
+@given(st.lists(messy_dna, min_size=1, max_size=8), st.integers(0, 2))
+def test_translate_dna_matches_python_codon_walk(spark, seqs, frame):
+    """translate_dna == a Python walk of CODON_TABLE over the uppercased
+    sequence in the given frame (ambiguous codons → 'X', short → '')."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "id int, seq string")
+    got = {r.id: r.protein
+           for r in bio.translate_dna(df, "seq", frame=frame).collect()}
+
+    for i, s in enumerate(seqs):
+        up = s.upper()
+        if len(up) < frame + 3:
+            assert got[i] == ""
+            continue
+        prot = "".join(
+            bio.CODON_TABLE.get(up[j:j + 3], "X")
+            for j in range(frame, len(up) - 2, 3))
+        assert got[i] == prot
+
+
+@settings(**SETTINGS)
+@given(st.lists(dna, min_size=1, max_size=8), st.integers(2, 4))
+def test_kmer_spectrum_matches_python_counter(spark, seqs, k):
+    """kmer_spectrum == a Counter over every length-k substring."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "id int, seq string")
+    got = {r.kmer: r.n for r in bio.kmer_spectrum(df, "seq", k=k).collect()}
+    want: dict[str, int] = defaultdict(int)
+    for s in seqs:
+        for j in range(len(s) - k + 1):
+            want[s[j:j + k]] += 1
+    assert got == dict(want)
