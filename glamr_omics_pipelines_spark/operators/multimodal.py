@@ -8,12 +8,16 @@ never through the driver.
 Codecs are an OPTIONAL dependency: ``stub=True`` (default) yields
 deterministic fake features derived from the raw bytes — bit-stable, which
 is what the correctness oracle compares — while ``stub=False`` runs a real
-decode: PIL for images (executor-side try-import, raising
-``NotImplementedError`` only when PIL is genuinely absent) and the stdlib
-``wave`` module for WAV/PCM audio (always available — the audio path is
-fully functional with no third-party codec). The Spark-side plumbing
-(schema, batch iteration, partitioning, UDF signature) is identical on both
-paths and tested on both.
+decode. Fully functional with NO third-party codec: netpbm (P5/P6) and
+uncompressed 24/32-bit BMP images via a numpy parser, and RIFF/WAV PCM
+audio via the stdlib ``wave`` module. Other image formats (png/jpeg/...)
+fall through to PIL via an executor-side try-import that raises
+``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
+absent. The stdlib image decoder is tried FIRST even when PIL is
+installed (same 601-2 fixed-point luma as PIL's convert("L")), so a blob
+decodes identically in every environment. The Spark-side plumbing
+(schema, batch iteration, partitioning, UDF signature) is identical on
+both paths and tested on both.
 """
 
 from __future__ import annotations
@@ -48,16 +52,139 @@ IMAGE_FEATURES_SCHEMA = StructType([
 
 
 def _import_pil_image():
-    """Executor-side optional import: the real codec path needs PIL; the
-    stub path never touches it, so environments without PIL keep working
-    (and the oracle stays bit-stable on the stub)."""
+    """Executor-side optional import: the real codec path needs PIL only for
+    formats the stdlib decoder can't parse (png/jpeg/...); the stub path
+    never touches it, so environments without PIL keep working (and the
+    oracle stays bit-stable on the stub)."""
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decode requires PIL (pip install pillow); "
+            "real image decode requires PIL (pip install pillow) for this "
+            "format; netpbm (P5/P6) and uncompressed BMP decode without it; "
             "use stub=True for the deterministic fallback") from exc
     return Image
+
+
+# ITU-R 601-2 luma in PIL's exact 16-bit fixed-point form — using the same
+# constants keeps a blob's grayscale IDENTICAL whether it went through the
+# stdlib decoder or PIL's convert("L"), so results never depend on which
+# environment decoded it.
+def _rgb_to_gray(rgb):
+    import numpy as np
+    r = rgb[..., 0].astype("u4")
+    g = rgb[..., 1].astype("u4")
+    b = rgb[..., 2].astype("u4")
+    return ((19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16).astype("u1")
+
+
+def _parse_netpbm(buf: bytes):
+    """Binary netpbm raster → grayscale uint8 array (P5 = gray, P6 = RGB
+    reduced via the 601-2 luma). Returns None when the magic isn't netpbm
+    (caller falls through to PIL); raises on a malformed/truncated raster
+    (caller maps that to a row-level decode_error)."""
+    import numpy as np
+    if buf[:2] not in (b"P5", b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated netpbm header")
+        c = buf[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":                       # comment to end-of-line
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(buf) and buf[end:end + 1].isdigit():
+                end += 1
+            fields.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad netpbm header byte {c!r}")
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        raise ValueError(f"unsupported netpbm geometry {w}x{h} max={maxval}")
+    pos += 1                                   # single whitespace after maxval
+    ch = 1 if buf[:2] == b"P5" else 3
+    need = w * h * ch
+    if len(buf) - pos < need:
+        raise ValueError("truncated netpbm raster")
+    data = np.frombuffer(buf, dtype="u1", count=need, offset=pos)
+    if ch == 1:
+        return data.reshape(h, w)
+    return _rgb_to_gray(data.reshape(h, w, 3))
+
+
+def _parse_bmp(buf: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BMP → grayscale uint8 array, handling
+    4-byte row padding and both bottom-up (height > 0) and top-down
+    (height < 0) row orders. Returns None when the magic isn't 'BM';
+    raises on compressed / palettized / truncated files."""
+    import numpy as np
+    if buf[:2] != b"BM":
+        return None
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
+    nbytes = bpp // 8
+    stride = ((nbytes * w + 3) // 4) * 4       # rows padded to 4 bytes
+    if len(buf) - data_off < stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(buf, dtype="u1", count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : nbytes * w].reshape(h, w, nbytes)
+    if not top_down:
+        px = px[::-1]
+    return _rgb_to_gray(px[..., [2, 1, 0]])    # stored BGR(A)
+
+
+def _decode_image_gray(buf: bytes):
+    """Dependency-free decode of the formats numpy can parse directly —
+    netpbm P5/P6 and uncompressed BMP — to a grayscale uint8 array. Returns
+    None for any other format (the caller falls through to PIL). Tried
+    FIRST even when PIL is installed, so a given blob decodes identically
+    in every environment."""
+    arr = _parse_netpbm(buf)
+    if arr is None:
+        arr = _parse_bmp(buf)
+    return arr
+
+
+def _bilinear_resize(arr, width: int, height: int):
+    """Deterministic pixel-center-aligned bilinear resample of a grayscale
+    uint8 array (the textbook sample-grid form; NOT PIL's antialiased
+    BILINEAR, which widens its kernel when downscaling — this path is the
+    stdlib decoder's companion and defines its own contract)."""
+    import numpy as np
+    sh, sw = arr.shape
+    x = (np.arange(width) + 0.5) * (sw / width) - 0.5
+    y = (np.arange(height) + 0.5) * (sh / height) - 0.5
+    x0 = np.clip(np.floor(x).astype("i8"), 0, sw - 1)
+    y0 = np.clip(np.floor(y).astype("i8"), 0, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    fx = np.clip(x - x0, 0.0, 1.0)
+    fy = np.clip(y - y0, 0.0, 1.0)
+    a = arr[np.ix_(y0, x0)].astype("f8")
+    b = arr[np.ix_(y0, x1)].astype("f8")
+    c = arr[np.ix_(y1, x0)].astype("f8")
+    d = arr[np.ix_(y1, x1)].astype("f8")
+    top = a * (1.0 - fx)[None, :] + b * fx[None, :]
+    bot = c * (1.0 - fx)[None, :] + d * fx[None, :]
+    out = top * (1.0 - fy)[:, None] + bot * fy[:, None]
+    return np.clip(np.rint(out), 0, 255).astype("u1")
 
 
 def _fold_histogram(hist, feature_dim: int) -> list[float]:
@@ -74,10 +201,14 @@ def _fold_histogram(hist, feature_dim: int) -> list[float]:
 def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.DataFrame:
     """Per-batch decode kernel. STUB: features = normalized byte histogram
     folded to feature_dim (deterministic in content). REAL (stub=False):
-    PIL grayscale pixel histogram folded the same way; undecodable buffers
-    flag decode_error instead of failing the task."""
+    grayscale pixel histogram folded the same way — netpbm/BMP decode via
+    the dependency-free numpy parser (always available, tried first), other
+    formats via PIL when installed (``NotImplementedError`` with an install
+    hint when a blob needs PIL and PIL is absent). Malformed blobs of a
+    recognized format flag decode_error instead of failing the task."""
     import io
-    Image = None if stub else _import_pil_image()
+
+    import numpy as np
     feats, oks = [], []
     for buf in pdf["content"]:
         if buf is None:
@@ -87,16 +218,27 @@ def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.D
         if stub:
             feats.append(_fold_histogram(buf, feature_dim))
             oks.append("ok")
+            continue
+        b = bytes(buf)
+        try:
+            arr = _decode_image_gray(b)
+        except Exception:  # recognized magic, malformed body: row-level flag
+            feats.append(None)
+            oks.append("decode_error")
+            continue
+        if arr is not None:
+            hist = np.bincount(arr.ravel(), minlength=256).tolist()
         else:
+            Image = _import_pil_image()   # raises NotImplementedError if absent
             try:
-                img = Image.open(io.BytesIO(bytes(buf)))
+                img = Image.open(io.BytesIO(b))
                 hist = img.convert("L").histogram()
             except Exception:  # undecodable blob: row-level flag, not task death
                 feats.append(None)
                 oks.append("decode_error")
                 continue
-            feats.append(_fold_histogram(hist, feature_dim))
-            oks.append("ok")
+        feats.append(_fold_histogram(hist, feature_dim))
+        oks.append("ok")
     return pd.DataFrame({"media_id": pdf["media_id"],
                          "feature": feats, "decode_ok": oks})
 
@@ -132,14 +274,16 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     STUB kernel: emits a deterministic content transform (byte stream
     truncated/cycled to width*height bytes) so schema, batch iteration and
-    output sizing are real. REAL kernel (stub=False): PIL decode + bilinear
-    resize to (width, height), grayscale raw bytes out; PIL is an optional
-    executor-side import (NotImplementedError only when absent). Same
-    constant-memory batch shape as extract_image_features.
+    output sizing are real. REAL kernel (stub=False): decode + bilinear
+    resize to (width, height), grayscale raw bytes out — netpbm/BMP via the
+    dependency-free numpy parser + pixel-center bilinear (tried first, no
+    third-party codec needed), other formats via PIL's convert("L") +
+    BILINEAR when installed (NotImplementedError with an install hint when
+    a blob needs PIL and PIL is absent). Same constant-memory batch shape
+    as extract_image_features.
     """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        Image = None if stub else _import_pil_image()
         for pdf in batches:
             out_content, oks = [], []
             target = width * height
@@ -153,8 +297,21 @@ def resize_images(df: DataFrame, width: int, height: int,
                     out_content.append((bytes(buf) * reps)[:target])
                     oks.append("ok")
                     continue
+                b = bytes(buf)
                 try:
-                    img = Image.open(io.BytesIO(bytes(buf)))
+                    arr = _decode_image_gray(b)
+                except Exception:  # recognized magic, malformed body
+                    out_content.append(None)
+                    oks.append("decode_error")
+                    continue
+                if arr is not None:
+                    out_content.append(
+                        _bilinear_resize(arr, width, height).tobytes())
+                    oks.append("ok")
+                    continue
+                Image = _import_pil_image()   # raises if genuinely absent
+                try:
+                    img = Image.open(io.BytesIO(b))
                     resized = img.convert("L").resize((width, height),
                                                       Image.BILINEAR)
                     out_content.append(resized.tobytes())

@@ -285,3 +285,105 @@ def test_audio_window_param_mismatch_raises(spark):
         multimodal.extract_audio_windows(df, window_samples=8, stub=True)
     with pytest.raises(ValueError, match="window_bytes"):
         multimodal.extract_audio_windows(df, window_bytes=8, stub=False)
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free image decode (netpbm / BMP): the image twin of the WAV
+# path — the real (stub=False) pipeline is fully functional in a container
+# with no PIL, end-to-end through Spark.
+
+def _pgm(w, h, pixels, comment=False):
+    """Binary P5 PGM from a row-major list of ints."""
+    head = b"P5\n" + (b"# a comment\n" if comment else b"") + \
+        f"{w} {h}\n255\n".encode()
+    return head + bytes(pixels)
+
+
+def _ppm(w, h, rgb_triples):
+    head = f"P6 {w} {h} 255\n".encode()
+    return head + bytes(v for t in rgb_triples for v in t)
+
+
+def _bmp24(w, h, rows_top_down, top_down=False):
+    """24-bit BI_RGB BMP from rows of (r, g, b) tuples given top-down."""
+    stride = ((3 * w + 3) // 4) * 4
+    raster = b""
+    ordered = rows_top_down if top_down else rows_top_down[::-1]
+    for row in ordered:
+        line = bytes(v for (r, g, b) in row for v in (b, g, r))
+        raster += line + b"\x00" * (stride - len(line))
+    h_field = -h if top_down else h
+    header = (b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h_field.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + raster
+
+
+def test_parse_netpbm_gray_and_rgb_and_comments():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_netpbm
+    arr = _parse_netpbm(_pgm(3, 2, [0, 10, 20, 30, 40, 50], comment=True))
+    assert arr.shape == (2, 3) and arr.tolist() == [[0, 10, 20], [30, 40, 50]]
+    # pure red/green/blue through the 601-2 fixed-point luma (PIL's exact values)
+    arr = _parse_netpbm(_ppm(3, 1, [(255, 0, 0), (0, 255, 0), (0, 0, 255)]))
+    assert arr.tolist() == [[76, 150, 29]]
+    assert _parse_netpbm(b"NOTP") is None
+    with pytest.raises(ValueError):
+        _parse_netpbm(_pgm(3, 2, [0, 10, 20]))   # truncated raster
+
+
+def test_parse_bmp_bottom_up_equals_top_down():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_bmp
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 10, 10)]]
+    up = _parse_bmp(_bmp24(2, 2, rows, top_down=False))
+    down = _parse_bmp(_bmp24(2, 2, rows, top_down=True))
+    assert up.tolist() == down.tolist() == [[76, 150], [29, 10]]
+    assert _parse_bmp(b"XXnot a bmp") is None
+    with pytest.raises(ValueError):
+        _parse_bmp(_bmp24(2, 2, rows)[:-3])      # truncated raster
+
+
+def test_image_features_real_path_no_pil_end_to_end(spark):
+    """stub=False image features through Spark with NO PIL: a PGM whose
+    pixels are all 0 or 255 lands in histogram bins 0 and 255 exactly."""
+    pgm = _pgm(4, 2, [0, 0, 0, 255, 255, 0, 0, 0])
+    bad = _pgm(4, 2, [0, 0, 0])                  # truncated: decode_error row
+    rows = [Row(media_id=1, media_type="image", content=pgm,
+                meta=Row(width=4, height=2, duration_ms=None, codec="pgm")),
+            Row(media_id=2, media_type="image", content=bad,
+                meta=Row(width=4, height=2, duration_ms=None, codec="pgm"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.extract_image_features(df, feature_dim=4,
+                                             stub=False).collect()}
+    assert out[1].decode_ok == "ok"
+    # 6 black pixels -> bin 0 -> slot 0; 2 white -> bin 255 -> 255 % 4 = slot 3
+    assert out[1].feature == [6 / 8, 0.0, 0.0, 2 / 8]
+    assert out[2].decode_ok == "decode_error" and out[2].feature is None
+
+
+def test_resize_images_real_path_no_pil(spark):
+    """stub=False resize through Spark with NO PIL: constant image stays
+    constant at the target geometry; 2x upscale of a ramp stays bounded."""
+    const = _pgm(4, 4, [40] * 16)
+    ramp = _pgm(2, 1, [0, 100])
+    rows = [(1, bytearray(const)), (2, bytearray(ramp))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in
+           multimodal.resize_images(df, 2, 2, stub=False).collect()}
+    assert out[1].resize_ok == "ok" and out[1].content == bytes([40] * 4)
+    # pixel-center bilinear of [0, 100] at width 4: 0, 25, 75, 100
+    out4 = {r.media_id: r for r in
+            multimodal.resize_images(df, 4, 1, stub=False).collect()}
+    assert list(out4[2].content) == [0, 25, 75, 100]
+
+
+def test_bilinear_resize_identity():
+    import numpy as np
+    from glamr_omics_pipelines_spark.operators.multimodal import _bilinear_resize
+    arr = np.arange(12, dtype="u1").reshape(3, 4)
+    assert _bilinear_resize(arr, 4, 3).tolist() == arr.tolist()
