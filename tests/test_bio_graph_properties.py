@@ -150,3 +150,35 @@ def test_kmer_spectrum_matches_python_counter(spark, seqs, k):
         for j in range(len(s) - k + 1):
             want[s[j:j + k]] += 1
     assert got == dict(want)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 45), min_size=0, max_size=12),
+       st.integers(2, 5), st.integers(15, 25))
+def test_sliding_window_trim_matches_python_fastp_walk(spark, phreds, W, Q):
+    """sliding_window_trim == a literal Python walk of the documented fastp
+    semantics: front = first position whose end-clipped window passes (none
+    → trim to empty); tail = last position j > front whose start-clipped
+    ENDING window passes (none → front)."""
+    n = len(phreds)
+    seq = "A" * n
+    q = "".join(chr(33 + p) for p in phreds)
+    df = spark.createDataFrame([(seq, q)], "seq string, qual string")
+    r = bio.sliding_window_trim(df, window=W, min_mean_q=Q).collect()[0]
+
+    front = n
+    for i in range(n):
+        win = phreds[i:i + W]
+        if sum(win) / len(win) >= Q:
+            front = i
+            break
+    tail = front
+    for j in range(n, front, -1):
+        win = phreds[max(0, j - W):j]
+        if sum(win) / len(win) >= Q:
+            tail = j
+            break
+    assert r["front_cut"] == front
+    assert r["tail_cut"] == n - tail
+    assert r["trimmed_seq"] == seq[front:tail]
+    assert r["trimmed_qual"] == q[front:tail]
