@@ -119,3 +119,81 @@ def test_coverage_stats_matches_python_rank_trim(spark, rows, trim):
             assert r["variance"] is None
         assert r["covered_bases"] == sum(1 for v in vals if v > 0)
         assert r["count"] == n
+
+
+ts_rows = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 50),
+              st.integers(-5, 5), st.integers(-5, 5)),
+    min_size=1, max_size=20)
+
+
+@settings(**SETTINGS)
+@given(ts_rows, st.integers(1, 20))
+def test_rolling_corr_matches_python_comoments(spark, rows, W):
+    """rolling_corr == a Python per-row trailing-RANGE scan: for every row,
+    gather ALL group rows with sec in [sec−W, sec] (tie rows included —
+    RANGE semantics), then the same six-co-moment Pearson formula with the
+    same n≥2 / nonconstant guards."""
+    import datetime
+    from glamr_omics_pipelines_spark.operators import timeseries
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(g, base + datetime.timedelta(seconds=s), float(x), float(y))
+            for g, s, x, y in rows]
+    df = spark.createDataFrame(data, "g string, ts timestamp, x double, y double")
+    got = [((r.g, r.ts, r.x, r.y), r.rolling_corr) for r in
+           timeseries.rolling_corr(df, "g", "ts", "x", "y",
+                                   window_seconds=W).collect()]
+
+    from collections import defaultdict
+    per = defaultdict(list)
+    for g, s, x, y in rows:
+        per[g].append((s, float(x), float(y)))
+    for (g, ts, x, y), corr in got:
+        sec = int((ts - base).total_seconds())
+        win = [(xx, yy) for s, xx, yy in per[g] if sec - W <= s <= sec]
+        n = len(win)
+        sx = sum(a for a, _ in win); sy = sum(b for _, b in win)
+        sxy = sum(a * b for a, b in win)
+        sxx = sum(a * a for a, _ in win); syy = sum(b * b for _, b in win)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if n >= 2 and vx > 0 and vy > 0:
+            want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert corr is not None and abs(corr - want) < 1e-9
+        else:
+            assert corr is None
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["u1", "u2"]), st.integers(0, 30),
+                          st.sampled_from(["A", "B", "C"])),
+                min_size=1, max_size=15))
+def test_transition_counts_match_python_bigrams(spark, rows):
+    """transition_counts == Python consecutive-pair Counter per entity
+    (deduplicated tie order via a tiebreak column)."""
+    import datetime
+    from collections import Counter, defaultdict
+    from glamr_omics_pipelines_spark.operators import timeseries
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, base + datetime.timedelta(seconds=s), st_, i)
+            for i, (u, s, st_) in enumerate(rows)]
+    df = spark.createDataFrame(data, "u string, ts timestamp, state string, eid int")
+    got = {(r.state_from, r.state_to): (r.n, r.prob) for r in
+           timeseries.transition_counts(df, ["u"], "ts", "state",
+                                        tiebreak_cols=["eid"]).collect()}
+    per = defaultdict(list)
+    for i, (u, s, st_) in enumerate(rows):
+        per[u].append((s, i, st_))
+    want = Counter()
+    for u, evs in per.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    assert set(got) == set(want)
+    by_from = Counter()
+    for (a, _), c in want.items():
+        by_from[a] += c
+    for k, c in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - c / by_from[k[0]]) < 1e-12
