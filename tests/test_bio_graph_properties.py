@@ -182,3 +182,71 @@ def test_sliding_window_trim_matches_python_fastp_walk(spark, phreds, W, Q):
     assert r["tail_cut"] == n - tail
     assert r["trimmed_seq"] == seq[front:tail]
     assert r["trimmed_qual"] == q[front:tail]
+
+
+hits = st.lists(
+    st.tuples(st.integers(0, 4),                       # gene
+              st.text(alphabet="KQR", min_size=1, max_size=2),  # ko
+              st.integers(0, 40),                      # score
+              st.integers(1, 40),                      # threshold
+              st.sampled_from([1e-6, 1e-4])),          # e_value
+    min_size=1, max_size=20)
+
+
+@settings(**SETTINGS)
+@given(hits)
+def test_anvio_stacked_filter_matches_python_walk(spark, raw):
+    """anvio_stacked_filter == a literal Python walk of the four stacked
+    layers from the reference MV (predicate gate → unique-or-significant →
+    max-score rank → threshold/score/ko row_number winner)."""
+    from glamr_omics_pipelines_spark.operators import windows
+    df = spark.createDataFrame(
+        [(g, k, float(s), float(t), e) for g, k, s, t, e in raw],
+        "gene int, ko string, score double, thrshld double, e_value double")
+    got = {(r.gene, r.ko, r.score, r.thrshld) for r in
+           windows.anvio_stacked_filter(df, "gene", "score", "thrshld",
+                                        "e_value", tiebreak_cols=["ko"])
+           .collect()}
+
+    per_gene = {}
+    for g, k, s, t, e in raw:
+        if s > 0.5 * t and e < 1e-5:                       # step 1
+            per_gene.setdefault(g, []).append((k, float(s), float(t)))
+    want = set()
+    for g, rows in per_gene.items():
+        rows2 = [r for r in rows
+                 if len(rows) == 1 or r[1] >= r[2]]        # step 2
+        if not rows2:
+            continue
+        mx = max(s for _, s, _ in rows2)
+        rows3 = [r for r in rows2 if r[1] == mx]           # step 3 (rank==1)
+        k, s, t = min(rows3, key=lambda r: (-r[2], -r[1], r[0]))  # step 4
+        want.add((g, k, s, t))
+    assert got == want
+
+
+parent_links = st.lists(st.integers(0, 6), min_size=1, max_size=8)
+
+
+@settings(**SETTINGS)
+@given(parent_links)
+def test_closure_from_parent_edges_matches_python_transitive(spark, links):
+    """closure_from_parent_edges == Python transitive closure over a random
+    forest (parent[i+1] = some earlier node), self-rows included for every
+    node on either edge side."""
+    from glamr_omics_pipelines_spark.operators import taxonomy, _cache
+    edges = [(i + 1, min(p, i)) for i, p in enumerate(links)]
+    df = spark.createDataFrame(edges, "child int, parent int")
+    out = taxonomy.closure_from_parent_edges(df)
+    got = {(r.ancestor, r.descendant) for r in out.collect()}
+    _cache.release_caches()
+
+    parent = {c: p for c, p in edges}
+    nodes = {v for e in edges for v in e}
+    want = {(v, v) for v in nodes}
+    for v in nodes:
+        a = v
+        while a in parent:
+            a = parent[a]
+            want.add((a, v))
+    assert got == want
