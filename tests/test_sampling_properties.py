@@ -1,0 +1,87 @@
+"""Brute-force parity property tests for the deterministic md5 sampling
+family — Python hashlib mirrors of the engine-portable membership rules."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from decimal import Decimal, ROUND_HALF_UP
+
+from hypothesis import given, settings, strategies as st
+
+from glamr_omics_pipelines_spark.operators import sampling
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+keys = st.lists(st.text(alphabet="abc123", min_size=0, max_size=6),
+                min_size=1, max_size=15, unique=True)
+
+
+def _bucket(key: str, buckets: int, salt: str | None) -> int:
+    s = key if salt is None else f"{salt}:{key}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % buckets
+
+
+@settings(**SETTINGS)
+@given(keys, st.sampled_from([None, "s1", "zz"]),
+       st.sampled_from([10, 100, 1_000_000]))
+def test_hash_bucket_matches_python_md5(spark, ks, salt, buckets):
+    df = spark.createDataFrame([(k,) for k in ks], "k string")
+    got = {r.k: r.b for r in df.select(
+        "k", sampling.hash_bucket("k", buckets, salt).alias("b")).collect()}
+    for k in ks:
+        assert got[k] == _bucket(k, buckets, salt)
+
+
+@settings(**SETTINGS)
+@given(keys, st.integers(0, 100))
+def test_hash_sample_membership_matches_python(spark, ks, pct):
+    df = spark.createDataFrame([(k,) for k in ks], "k string")
+    got = {r.k for r in sampling.hash_sample(df, "k", pct, salt="p").collect()}
+    want = {k for k in ks if _bucket(k, 100, "p") < pct}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["g1", "g2"]),
+                          st.text(alphabet="abc123", min_size=1, max_size=5)),
+                min_size=1, max_size=15, unique=True),
+       st.integers(1, 4))
+def test_cap_per_group_matches_python(spark, rows, n):
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {(r.g, r.k) for r in
+           sampling.cap_per_group(df, ["g"], "k", n).collect()}
+    per: dict[str, list[str]] = {}
+    for g, k in rows:
+        per.setdefault(g, []).append(k)
+    want = set()
+    for g, ks in per.items():
+        ks.sort(key=lambda k: (_bucket(k, 1 << 31, "cap"), k))
+        want.update((g, k) for k in ks[:n])
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["en", "de", "zh"]),
+                          st.text(alphabet="abc123", min_size=1, max_size=5)),
+                min_size=1, max_size=20, unique=True),
+       st.sampled_from([0.0, 0.3, 0.5, 1.0]))
+def test_temperature_sample_membership_matches_python(spark, rows, alpha):
+    df = spark.createDataFrame(rows, "lang string, k string")
+    got = {(r.lang, r.k) for r in
+           sampling.temperature_sample(df, ["lang"], "k",
+                                       alpha=alpha).collect()}
+    n_g = Counter(g for g, _ in rows)
+    total = sum(n_g.values())
+    zsum = sum(n ** alpha for n in n_g.values())
+    want = set()
+    for g, k in rows:
+        f = min(1.0, total * n_g[g] ** alpha / (zsum * n_g[g]))
+        thresh = int(Decimal(f * 1_000_000).quantize(0, ROUND_HALF_UP))
+        if _bucket(k, 1_000_000, "temp") < thresh:
+            want.add((g, k))
+    assert got == want
+    # alpha=1 must be a no-op (every fraction is exactly 1)
+    if alpha == 1.0:
+        assert got == set(rows)
