@@ -250,3 +250,54 @@ def test_closure_from_parent_edges_matches_python_transitive(spark, links):
             a = parent[a]
             want.add((a, v))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(-(1 << 23), (1 << 23) - 1),
+                min_size=1, max_size=40),
+       st.sampled_from([1, 2]))
+def test_wav_decode_roundtrips_arbitrary_pcm24(spark, samples, nch):
+    """_decode_wav_samples inverts a Python-packed 24-bit PCM WAV exactly —
+    sign extension and channel averaging on arbitrary values (the hand
+    fixtures in test_multimodal pin a few points; this pins the space)."""
+    import io
+    import wave
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _decode_wav_samples)
+
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return
+    samples = samples[:n]
+    raw = b"".join(
+        int(s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+    bio_buf = io.BytesIO()
+    with wave.open(bio_buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(raw)
+    got = _decode_wav_samples(bio_buf.getvalue())
+    want = [sum(samples[i:i + nch]) / nch for i in range(0, n, nch)]
+    assert len(got) == len(want)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got.tolist(), want))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(-(1 << 15), (1 << 15) - 1),
+                min_size=1, max_size=40))
+def test_wav_decode_roundtrips_arbitrary_pcm16(spark, samples):
+    import io
+    import struct
+    import wave
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _decode_wav_samples)
+
+    bio_buf = io.BytesIO()
+    with wave.open(bio_buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    got = _decode_wav_samples(bio_buf.getvalue())
+    assert got.tolist() == [float(s) for s in samples]
