@@ -478,3 +478,51 @@ def test_basket_rules_reuses_distinct_exchange(spark):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2
+
+
+# Catalog-wide anti-pattern lint: every BroadcastNestedLoopJoin in the
+# engine belongs to one of three DOCUMENTED classes (PLANS.md): a 1-row
+# scalar-aggregate attach (crossJoin of a broadcast one-row total), a
+# group-grain pair fan-out (pairs of per-sample/class AGGREGATES, never
+# fact rows), or a declared brute-force baseline whose scale path is a
+# separate entry point. Anything else — and ANY CartesianProduct or
+# row-at-a-time Python eval — is a quadratic/serial plan regression.
+BNLJ_ALLOWLIST = {
+    # 1-row scalar attach (broadcast single-row aggregate)
+    "doc_lm_score", "doc_bigram_lm", "kl_divergence", "kl_top_terms",
+    "benford", "rfm_segments", "mixture_sample", "temperature_sample",
+    "tfidf_topk", "pmi_collocations", "basket_rules", "enrichment_2x2",
+    "psi_drift", "class_tfidf",
+    # group-grain pair fan-out (aggregate pairs, corpus-size independent)
+    "bray_curtis", "js_divergence", "mash_distance",
+    # broadcast-dimension argmin / small-side attach
+    "nearest_station",
+    # declared brute-force baselines (scale paths: lsh_ann / ivf_ann /
+    # dbscan's candidates= hook) and the literal cross join
+    "cosine_topk", "embedding_dups", "dbscan", "tfidf_doc_pairs",
+    "cross_join_audit",
+}
+
+
+def test_catalog_wide_plan_lint(spark):
+    """Sweep EVERY catalog query's optimized plan: no CartesianProduct, no
+    BatchEvalPython/ArrowEvalPython (row-at-a-time UDFs — Arrow-batched
+    mapInPandas is a different operator and stays allowed), and
+    BroadcastNestedLoopJoin only in the allowlisted, documented cases."""
+    qs = E.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        plan = fn(spark, SF)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        flags = [p for p in ("CartesianProduct", "BatchEvalPython",
+                             "ArrowEvalPython") if p in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = flags
+        spark.catalog.clearCache()
+    assert not offenders, f"plan anti-patterns: {offenders}"
+    # the allowlist must not rot: names that no longer exist (or no longer
+    # plan a BNLJ) should be pruned so the lint stays meaningful
+    assert BNLJ_ALLOWLIST <= set(qs), "allowlist names missing from catalog"
