@@ -387,3 +387,80 @@ def test_bilinear_resize_identity():
     from glamr_omics_pipelines_spark.operators.multimodal import _bilinear_resize
     arr = np.arange(12, dtype="u1").reshape(3, 4)
     assert _bilinear_resize(arr, 4, 3).tolist() == arr.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free video decode (YUV4MPEG2): the video twin of netpbm/WAV —
+# the real (stub=False) frame-sampling pipeline runs end-to-end with no codec.
+
+def _y4m(w, h, frames, chroma=None):
+    """Y4M stream from a list of per-frame luma byte lists; chroma planes
+    (if the mode needs them) are zero-filled."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1"
+    factor = {None: 1.5, "420jpeg": 1.5, "422": 2.0, "444": 3.0,
+              "mono": 1.0}[chroma]
+    if chroma:
+        head += f" C{chroma}"
+    out = head.encode() + b"\n"
+    for luma in frames:
+        assert len(luma) == w * h
+        pad = int(w * h * factor) - w * h
+        out += b"FRAME\n" + bytes(luma) + b"\x00" * pad
+    return out
+
+
+def _video_df(spark, blobs):
+    rows = [Row(media_id=i, media_type="video", content=b,
+                meta=Row(width=None, height=None, duration_ms=None,
+                         codec="y4m"))
+            for i, b in enumerate(blobs)]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_parse_y4m_luma_frames_modes_and_errors():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_y4m_luma_frames)
+    two = _y4m(2, 2, [[0, 0, 255, 255], [7, 7, 7, 7]])
+    frames = _parse_y4m_luma_frames(two)
+    assert [i for i, _ in frames] == [0, 1]
+    assert frames[0][1].tolist() == [[0, 0], [255, 255]]
+    assert frames[1][1].tolist() == [[7, 7], [7, 7]]
+    # 422/mono chroma modes parse; luma values identical
+    for mode in ("422", "444", "mono"):
+        fr = _parse_y4m_luma_frames(_y4m(2, 1, [[9, 10]], chroma=mode))
+        assert fr[0][1].tolist() == [[9, 10]]
+    assert _parse_y4m_luma_frames(b"not a y4m") is None
+    with pytest.raises(ValueError):
+        _parse_y4m_luma_frames(two[:-3])           # truncated last frame
+    with pytest.raises(ValueError):
+        _parse_y4m_luma_frames(
+            _y4m(2, 1, [[1, 2]], chroma="422").replace(b"C422", b"Cxyz"))
+
+
+def test_video_frame_features_real_path_no_codec(spark):
+    """stub=False video features through Spark: black/white 2x2 frames land
+    in histogram bins 0 and 255; every_n skips odd frames; a garbage blob
+    flags decode_error."""
+    good = _y4m(2, 2, [[0, 0, 255, 255], [7] * 4, [0] * 4])
+    df = _video_df(spark, [good, b"garbage"])
+    out = multimodal.extract_video_frame_features(
+        df, every_n=2, feature_dim=4, stub=False).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    assert set(by_key) == {(0, 0), (0, 2), (1, 0)}
+    # frame 0: 2 px at bin 0 (slot 0), 2 px at bin 255 (255 % 4 = slot 3)
+    assert by_key[(0, 0)].feature == [0.5, 0.0, 0.0, 0.5]
+    # frame 2: all 4 px at bin 0
+    assert by_key[(0, 2)].feature == [1.0, 0.0, 0.0, 0.0]
+    assert by_key[(1, 0)].decode_ok == "decode_error"
+
+
+def test_video_frame_features_stub_batch_shape(spark):
+    df = _video_df(spark, [bytes([1] * 2048), None, b""])
+    out = multimodal.extract_video_frame_features(df, feature_dim=4).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    assert set(by_key) == {(0, 0), (0, 1), (1, 0), (2, 0)}
+    assert by_key[(0, 0)].decode_ok == "ok"
+    assert by_key[(1, 0)].decode_ok == "null_content"
+    assert by_key[(2, 0)].decode_ok == "empty_content"
+    with pytest.raises(ValueError):
+        multimodal.extract_video_frame_features(df, every_n=0)
