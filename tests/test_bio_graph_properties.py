@@ -301,3 +301,30 @@ def test_wav_decode_roundtrips_arbitrary_pcm16(spark, samples):
         wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     got = _decode_wav_samples(bio_buf.getvalue())
     assert got.tolist() == [float(s) for s in samples]
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 4), st.integers(1, 4),
+       st.lists(st.lists(st.integers(0, 255), min_size=1, max_size=16),
+                min_size=0, max_size=4),
+       st.sampled_from([None, "420jpeg", "422", "444", "mono"]))
+def test_y4m_parse_roundtrips_arbitrary_frames(spark, w, h, raw, chroma):
+    """_parse_y4m_luma_frames inverts a Python-packed Y4M stream exactly
+    for arbitrary geometry / frame count / chroma mode."""
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_y4m_luma_frames)
+    factor = {None: 1.5, "420jpeg": 1.5, "422": 2.0, "444": 3.0,
+              "mono": 1.0}[chroma]
+    lumas = [(vals * (w * h))[: w * h] for vals in raw]
+    head = f"YUV4MPEG2 W{w} H{h} F25:1"
+    if chroma:
+        head += f" C{chroma}"
+    buf = head.encode() + b"\n"
+    for luma in lumas:
+        pad = int(w * h * factor) - w * h
+        buf += b"FRAME\n" + bytes(luma) + b"\x11" * pad
+    frames = _parse_y4m_luma_frames(buf)
+    assert [i for i, _ in frames] == list(range(len(lumas)))
+    for (idx, y), luma in zip(frames, lumas):
+        assert y.shape == (h, w)
+        assert y.ravel().tolist() == luma
