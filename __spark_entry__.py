@@ -473,13 +473,17 @@ def q_interval_overlap(spark, sf_dir):
 
 def q_embedding_covariance(spark, sf_dir):
     """Sample covariance matrix of the embedding corpus, long-form
-    (operators/similarity.py:gram_matrix): nested posexplode (row-local,
-    no self-join), map-side partial agg so the shuffle carries ≤ d² rows
-    per partition at any corpus size; the PCA/whitening statistic whose
+    (operators/similarity.py:gram_matrix, strategy="arrow"): per-Arrow-batch
+    BLAS partial Gramian XᵀX emitting ≤ d² rows per batch, merged by a
+    bounded groupBy(i, j) — measured 2.3× faster than the nested-posexplode
+    form at sf0.1 and ~d× less map-side CPU at 100 TB (the explode
+    materializes d² cells per corpus ROW; the BLAS form touches each cell
+    once per batch). Equivalence to the explode form is property-tested
+    (test_gram_arrow_matches_explode). The PCA/whitening statistic whose
     eigen loop then runs driver-side (top_principal_component)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.gram_matrix(emb, "embedding", centered=True,
-                                 sample_covariance=True)
+                                 sample_covariance=True, strategy="arrow")
     return out.select("i", "j", _r4("value").alias("cov"))
 
 

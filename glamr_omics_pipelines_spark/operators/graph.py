@@ -60,6 +60,13 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
             .agg(F.count(F.lit(1)).cast("double").alias("weight")))
 
 
+# Target edge rows per superstep partition when pagerank sizes its own
+# partitioning: wide enough that a partition is real work (not scheduling
+# overhead), small enough to stay comfortably in executor memory at ~50 B
+# per (src, dst, rate) row.
+_EDGE_ROWS_PER_PARTITION = 500_000
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight_col: str | None = "weight", iterations: int = 10,
              damping: float = 0.85,
@@ -98,9 +105,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # contributions move per superstep, never the edges — the Pregel
     # edge-partition-reuse layout. Caches are registered for release via
     # _cache.release_caches().
+    # Cache the edge projection before anything fans out from it: the
+    # pre-loop scaffold reads `e` four times (nodes union twice, outdeg,
+    # rated) and each read would otherwise recompute whatever produced the
+    # edges — for a co-occurrence graph that is a within-group self-join,
+    # 4× repeated. One materialization, four cheap cache scans; released
+    # as soon as `rated` (the loop's own cache) is built.
+    e = _cache.register(e)
+    n_edges = e.count()
     if num_partitions is None:
-        num_partitions = int(
+        # Size the superstep partitioning to the MEASURED edge count, not
+        # the session default: every iteration pays 2 shuffles at this
+        # width, so a small graph on a wide default drowns in task
+        # scheduling (A/B sf0.1, 2.4M edges, 10 supersteps, min-of-2:
+        # 32 partitions = 9.95 s, 8 = 7.57 s, 4 = 7.20 s), while a 10^12-
+        # edge corpus wants the full session width. The numbered
+        # repartition below keeps whichever width wins exempt from AQE
+        # coalescing (see the trap note above).
+        session_width = int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = max(1, min(session_width,
+                                    -(-n_edges // _EDGE_ROWS_PER_PARTITION)))
     nodes = _cache.register(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -123,6 +148,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 (F.lit(1.0 - damping) / F.col("_n")).alias("_base"),
                 (F.lit(1.0) / F.col("_n")).alias("_init")))
     base.count()
+    # nodes, outdeg, rated and base are all materialized now — the edge
+    # input cache served its four pre-loop scans and can go before the
+    # loop allocates anything else.
+    e.unpersist()
     ranks = base.select("node", F.col("_init").alias("rank"))
     # Checkpoint cadence: ``checkpoint_every`` supersteps chain lazily
     # between eager localCheckpoints — fewer materialization barriers per

@@ -43,9 +43,45 @@ def test_covariance_matches_definition(spark):
 
 def test_sample_covariance_requires_centering(spark):
     df = _emb(spark, [[1.0], [2.0]])
+    for strategy in ("explode", "arrow"):
+        with pytest.raises(ValueError):
+            similarity.gram_matrix(df, "embedding", centered=False,
+                                   sample_covariance=True, strategy=strategy)
     with pytest.raises(ValueError):
-        similarity.gram_matrix(df, "embedding", centered=False,
-                               sample_covariance=True)
+        similarity.gram_matrix(df, "embedding", strategy="blas3")
+
+
+@pytest.mark.parametrize("centered,sample_cov",
+                         [(False, False), (True, False), (True, True)])
+def test_gram_arrow_matches_explode(spark, centered, sample_cov):
+    # deterministic pseudo-random 7-dim corpus, 40 rows, plus a null vector
+    # (both strategies must drop it)
+    import random
+    rng = random.Random(17)
+    vecs = [[rng.uniform(-3, 3) for _ in range(7)] for _ in range(40)]
+    df = _emb(spark, vecs)
+    null_row = spark.createDataFrame(
+        [Row(vec_id=len(vecs), embedding=None)], schema=df.schema)
+    df = df.unionByName(null_row)
+    a = {(r.i, r.j): r.value
+         for r in similarity.gram_matrix(
+             df, "embedding", centered=centered, sample_covariance=sample_cov,
+             strategy="explode").collect()}
+    b = {(r.i, r.j): r.value
+         for r in similarity.gram_matrix(
+             df, "embedding", centered=centered, sample_covariance=sample_cov,
+             strategy="arrow").collect()}
+    assert set(a) == set(b) and len(a) == 49
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_gram_arrow_single_vector_null_covariance(spark):
+    df = _emb(spark, [[1.0, 2.0]])
+    rows = similarity.gram_matrix(df, "embedding", centered=True,
+                                  sample_covariance=True,
+                                  strategy="arrow").collect()
+    assert len(rows) == 4 and all(r.value is None for r in rows)
 
 
 def test_quantize_embeddings_bounds_and_constant_dim(spark):

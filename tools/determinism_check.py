@@ -15,6 +15,10 @@ diff the two manifests:
     python tools/determinism_check.py --diff /tmp/det_a.json /tmp/det_b.json
 
 Any differing hash = parallelism-dependent output = latent driver red row.
+
+``--only name1,name2`` before the output path restricts the run to the named
+queries — the fast loop when one query's physical plan changed (the full
+catalog pair costs two ~15-minute sweeps).
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ def frame_hash(df) -> str:
     return h.hexdigest()
 
 
-def run(out_path: str) -> int:
+def run(out_path: str, only: set[str] | None = None) -> int:
     import __spark_entry__ as entry_mod
     from glamr_omics_pipelines_spark.session import get_spark
 
@@ -60,7 +64,13 @@ def run(out_path: str) -> int:
     spark = get_spark("determinism-check", extra_confs=extra)
     spark.sparkContext.setLogLevel("ERROR")
     manifest: dict[str, dict] = {}
-    for name, fn in entry_mod.queries().items():
+    selected = entry_mod.queries()
+    if only is not None:
+        unknown = only - set(selected)
+        if unknown:
+            raise SystemExit(f"--only names not in queries(): {sorted(unknown)}")
+        selected = {n: fn for n, fn in selected.items() if n in only}
+    for name, fn in selected.items():
         t0 = time.time()
         try:
             pdf = fn(spark, SF_DIR).toPandas()
@@ -107,4 +117,9 @@ def diff(path_a: str, path_b: str) -> int:
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--diff"]:
         sys.exit(diff(sys.argv[2], sys.argv[3]))
-    sys.exit(run(sys.argv[1] if len(sys.argv) > 1 else "/tmp/det.json"))
+    argv = sys.argv[1:]
+    only = None
+    if argv[:1] == ["--only"]:
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    sys.exit(run(argv[0] if argv else "/tmp/det.json", only=only))
