@@ -435,8 +435,8 @@ def top_principal_component(df: DataFrame, vec_col: str,
     100 TB. Sign convention: the component's largest-magnitude entry is
     made positive. Returns a python list of length d.
     """
-    rows = gram_matrix(df, vec_col, centered=True,
-                       sample_covariance=True).collect()
+    rows = gram_matrix(df, vec_col, centered=True, sample_covariance=True,
+                       strategy="arrow").collect()
     d = max(r.i for r in rows) + 1
     cov = [[0.0] * d for _ in range(d)]
     for r in rows:
