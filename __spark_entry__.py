@@ -27,6 +27,8 @@ from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
 from glamr_omics_pipelines_spark.functions import bio
 from glamr_omics_pipelines_spark.sources import retention, sequences
+from glamr_omics_pipelines_spark.sources import spreadsheets
+from glamr_omics_pipelines_spark.sources import sqlite as sqlite_src
 from glamr_omics_pipelines_spark.sources.warehouse import (
     agg_snapshot, merge_agg_snapshots,
     profile_table as warehouse_profile_table,
@@ -485,6 +487,62 @@ def q_embedding_covariance(spark, sf_dir):
     out = similarity.gram_matrix(emb, "embedding", centered=True,
                                  sample_covariance=True, strategy="arrow")
     return out.select("i", "j", _r4("value").alias("cov"))
+
+
+def q_sqlite_roundtrip(spark, sf_dir):
+    """S10 driver row (sources/sqlite.py:read_sqlite; reference
+    `code/bakta_db.R:6-12` reads annotation tables out of a SQLite file):
+    a 50-row documents slice is written into a stdlib sqlite3 database
+    (driver-side — the reference's SQLite tables are metadata-scale by
+    contract), read back through the affinity-typed source, and rolled up
+    per lang. The oracle aggregates the same slice straight off parquet,
+    so the value hash checks the sqlite leg: declared-affinity typing,
+    batched fetch, off-type tolerance."""
+    import sqlite3
+    import tempfile
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+         .select("doc_id", "lang", "source", "n_chars"))
+    rows = sorted((r.doc_id, r.lang, r.source, r.n_chars)
+                  for r in d.collect())
+    db = os.path.join(tempfile.gettempdir(),
+                      f"glamr_sqlite_roundtrip_{os.getpid()}.db")
+    if os.path.exists(db):
+        os.remove(db)
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE docs (doc_id INTEGER, lang TEXT,"
+                    " source TEXT, n_chars INTEGER)")
+        con.executemany("INSERT INTO docs VALUES (?,?,?,?)", rows)
+    con.close()
+    back = sqlite_src.read_sqlite(spark, db, "docs")
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+def q_xlsx_roundtrip(spark, sf_dir):
+    """S5 driver row (sources/spreadsheets.py write_xlsx -> read_xlsx;
+    reference `code/check_import_status.R:17-22` readxl::read_excel):
+    a 40-row documents slice goes out through the stdlib SpreadsheetML
+    writer and back through the reader (all-string contract, exactly how
+    the reference pipes read_excel output into typed loaders), then a
+    per-lang rollup after re-typing. The oracle aggregates the same slice
+    off parquet, so the hash checks the xlsx leg: inline-string escaping,
+    numeric cell round-trip, header handling."""
+    import tempfile
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+         .select("doc_id", "lang", "n_chars"))
+    rows = sorted((r.doc_id, r.lang, r.n_chars) for r in d.collect())
+    path = os.path.join(tempfile.gettempdir(),
+                        f"glamr_xlsx_roundtrip_{os.getpid()}.xlsx")
+    spreadsheets.write_xlsx(
+        path, [["doc_id", "lang", "n_chars"]] + [list(r) for r in rows],
+        sheet_name="documents")
+    back = spreadsheets.read_xlsx(spark, path, sheet="documents")
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+                 F.max(F.col("n_chars").cast("bigint")).alias("max_chars")))
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -2956,13 +3014,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate checks the FIRST 50
     # entries.  ROUND-6 WINDOW (VERDICT r5 #3): the embedding_covariance
-    # re-check (r5's one red row — signed-zero oracle fix), the 39 remaining
-    # never-driver-checked queries (rolling_corr .. ohlc_bars, incl.
-    # group_mode = SURVEY A8's driver row), the new storage_reclaim
-    # (reduce_storage.R parity; displaces a banked query per the no-growth
-    # rule), and 9 banked re-checks (incl. the two perf-flagged queries,
-    # lsh_ann and curation_pipeline).  After this round every queries()
-    # entry has had a driver row at least once.
+    # re-check (r5's one red row — signed-zero oracle fix; now also the
+    # BLAS-strategy flip), the 39 remaining never-driver-checked queries
+    # (rolling_corr .. ohlc_bars, incl. group_mode = SURVEY A8's driver
+    # row), the new storage_reclaim (reduce_storage.R parity), the new
+    # source round-trips xlsx_roundtrip / sqlite_roundtrip (S5/S10's first
+    # oracle-shaped driver rows) and a pagerank re-check (superstep-sizing
+    # plan change this round) — each new/changed entry displaced a banked
+    # re-check per the no-growth rule — plus 6 banked re-checks (incl. the
+    # two perf-flagged queries, lsh_ann and curation_pipeline).  After
+    # this round every queries() entry has had a driver row at least once.
     # R7 PLAN: window = any r6 red rows first, then re-validate the
     # oldest (r3-era) driver rows, then any new operators (each must
     # displace a banked re-check the round it lands).
@@ -3008,18 +3069,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "ohlc_bars": q_ohlc_bars,
         "storage_reclaim": q_storage_reclaim,
-        # 9 banked re-checks close the 50-slot window
+        # new S5/S10 rows + the pagerank plan-change re-check, then 6
+        # banked re-checks close the 50-slot window
+        "xlsx_roundtrip": q_xlsx_roundtrip,
+        "sqlite_roundtrip": q_sqlite_roundtrip,
+        "pagerank": q_pagerank,
         "lsh_ann": q_lsh_ann,
         "curation_pipeline": q_curation_pipeline,
         "exact_dedup": q_exact_dedup,
         "minhash_dedup": q_minhash_dedup,
         "dedup_keep_best": q_dedup_keep_best,
-        "lang_id": q_lang_id,
-        "token_counts": q_token_counts,
-        "hash_sample": q_hash_sample,
         "pricing_summary": q_pricing_summary,
         # --- banked green driver rows (rounds 1-5); tools/check.py still
         # --- covers every entry locally each round.
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "hash_sample": q_hash_sample,
         "pack_sequences": q_pack_sequences,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "cap_per_source": q_cap_per_source,
@@ -3050,7 +3115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "quantize_embeddings": q_quantize_embeddings,
         "data_quality": q_data_quality,
-        "pagerank": q_pagerank,
         "scd2_history": q_scd2_history,
         "event_transitions": q_event_transitions,
         "chunk_documents": q_chunk_documents,
@@ -3763,6 +3827,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(a.cv * b.cv) / (n.cnt - 1), 4) + 0.0 AS cov
             FROM c a JOIN c b ON a.vec_id = b.vec_id CROSS JOIN n
             GROUP BY a.dim, b.dim, n.cnt
+        """,
+        "sqlite_roundtrip": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents WHERE doc_id < 50 GROUP BY lang
+        """,
+        "xlsx_roundtrip": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents WHERE doc_id < 40 GROUP BY lang
         """,
         "quantize_embeddings": """
             WITH x AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,

@@ -167,6 +167,8 @@ HEADLINE = [
     "ohlc_bars",         # struct-min/max downsampling, no sort windows
     "gtdb_majority_vote",  # taxon-grain majority-vote aggregation
     "storage_reclaim",   # rule-regex inventory scan + sample-grain existence join
+    "xlsx_roundtrip",    # S5 write->read xlsx leg + per-lang rollup
+    "sqlite_roundtrip",  # S10 write->read sqlite leg + per-lang rollup
 ]
 
 # The r1-r3 headline set (exactly BENCH_r03's 30 queries): kept as a

@@ -140,3 +140,78 @@ def read_xlsx(spark: SparkSession, path: str,
     data = [[None if v is None else str(v) for v in r] for r in data]
     return spark.createDataFrame(data, schema=", ".join(
         f"`{n}` string" for n in names))
+
+
+def _col_ref(idx: int) -> str:
+    """0-based column index -> A1-style letters (0->A, 26->AA)."""
+    ref = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        ref = chr(ord("A") + rem) + ref
+    return ref
+
+
+def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
+    """Minimal single-sheet ``.xlsx`` writer (the S5 sink twin of
+    ``read_xlsx``): stdlib zipfile + escaped SpreadsheetML, no third-party
+    Excel library. Strings go as inline strings (``t="inlineStr"``, with
+    ``xml:space="preserve"`` so edge whitespace survives), bools as
+    ``t="b"``, ints/floats as numeric cells, ``None`` as an omitted cell —
+    exactly the cell classes ``read_xlsx_rows`` parses, so a write->read
+    round-trip is identity up to xlsx's value model (everything is text or
+    a double). Driver-side by the same contract as the reader: metadata
+    sheets, never a bulk-data path.
+    """
+    from xml.sax.saxutils import escape
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_ref(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        s = escape(str(v))
+        return (f'<c r="{ref}" t="inlineStr">'
+                f'<is><t xml:space="preserve">{s}</t></is></c>')
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell(ri, ci, v) for ci, v in enumerate(row)) + "</row>"
+        for ri, row in enumerate(rows))
+    sheet = ('<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+             'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+             + body + "</sheetData></worksheet>")
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.'
+          'openxmlformats.org/package/2006/content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.'
+          'openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+          '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+          'worksheet+xml"/></Types>')
+    root_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                 'openxmlformats.org/package/2006/relationships">'
+                 '<Relationship Id="rId1" Type="http://schemas.'
+                 'openxmlformats.org/officeDocument/2006/relationships/'
+                 'officeDocument" Target="xl/workbook.xml"/></Relationships>')
+    wb = ('<?xml version="1.0"?><workbook xmlns="http://schemas.'
+          'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+          'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" '
+          'r:id="rId1"/></sheets></workbook>')
+    wb_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+               'openxmlformats.org/package/2006/relationships">'
+               '<Relationship Id="rId1" Type="http://schemas.'
+               'openxmlformats.org/officeDocument/2006/relationships/'
+               'worksheet" Target="worksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)

@@ -95,6 +95,30 @@ def test_read_xlsx_dataframe_and_sheet_select(spark, tmp_path):
         spreadsheets.read_xlsx(spark, p, sheet="nope")
 
 
+def test_write_xlsx_roundtrip_cell_classes(tmp_path):
+    """write_xlsx -> read_xlsx_rows is identity over every cell class the
+    writer emits: escaped/whitespace-edged/unicode strings, bools, ints,
+    floats, None (omitted cell)."""
+    p = str(tmp_path / "rt.xlsx")
+    rows = [["id", "lang", "n"],
+            ["d<&>'\"1", " padded ", 42],
+            [None, "é漢", 1.5],
+            [True, "", -3],
+            [False, "x", 0]]
+    spreadsheets.write_xlsx(p, rows, sheet_name="docs & more")
+    assert spreadsheets.read_xlsx_rows(p, "docs & more") == rows
+
+
+def test_write_xlsx_reads_back_as_dataframe(spark, tmp_path):
+    p = str(tmp_path / "rt2.xlsx")
+    spreadsheets.write_xlsx(
+        p, [["sample", "depth"], ["s1", 3], ["s2", 2.5]])
+    df = spreadsheets.read_xlsx(spark, p)
+    assert df.columns == ["sample", "depth"]
+    got = {r.sample: r.depth for r in df.collect()}
+    assert got == {"s1": "3", "s2": "2.5"}
+
+
 def test_read_sqlite_types_and_missing(spark, tmp_path):
     db = str(tmp_path / "bakta.db")
     with sqlite3.connect(db) as con:
