@@ -296,6 +296,33 @@ def test_pagerank_iteration_reuses_edge_partitioning(spark):
         rated.unpersist()
 
 
+def test_bottomk_sketch_window_is_group_limited(spark):
+    """The KMV rank window must NOT be a full per-group sort: Catalyst
+    rewrites row_number()<=k into WindowGroupLimit nodes with the Partial
+    one BELOW the group exchange, so each map partition ships only its k
+    smallest hashes per group. If this rewrite ever regresses (config or
+    Spark upgrade), the sketch build becomes a 10^7-row sort per genome at
+    corpus scale — fail loudly here instead."""
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import sketches
+    d = spark.createDataFrame(
+        [(i % 5, f"kmer{i}") for i in range(200)], "g int, s string")
+    sk = sketches.bottomk_sketch(d, "g", "s", k=8)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re as _re
+    # the Partial group-limit must sit BELOW (after, in top-down toString
+    # order) the group-only exchange, so the shuffle itself is k-bounded
+    # per map partition; the Final one consolidates above it
+    group_ex = _re.search(r"Exchange hashpartitioning\(g#\d+, \d+\)", plan)
+    assert group_ex, plan
+    below = plan[group_ex.end():]
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 8, Partial",
+                      below), plan
+    assert _re.search(r"WindowGroupLimit .*row_number\(\), 8, Final",
+                      plan[:group_ex.start()]), plan
+
+
 def test_zorder_key_is_scan_stage(spark):
     """The Morton key is a pure codegen expression: no shuffle, no Python,
     no window in the plan."""
