@@ -270,3 +270,18 @@ def test_hash_keyed_variants_match_string_keyed(spark):
         b = {tuple(r) for r in
              fn(df, "doc_id", "text", hash_keys=True, **kw).collect()}
         assert a == b, fn.__name__
+
+
+def test_dup_clusters_broadcast_and_shuffle_forms_agree(spark):
+    """broadcast_labels=True/False are two physical plans of the same
+    min-label propagation: identical labels, including on a chain whose
+    diameter forces several rounds."""
+    pairs = [(i, i + 1) for i in range(1, 9)] + [(50, 51), (60, 61), (51, 60)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = sorted(map(tuple, dedup.dup_clusters(
+        df, broadcast_labels=True).collect()))
+    b = sorted(map(tuple, dedup.dup_clusters(
+        df, broadcast_labels=False).collect()))
+    assert a == b
+    assert {(i, 1) for i in range(1, 10)} <= set(a)
+    assert {(50, 50), (51, 50), (60, 50), (61, 50)} <= set(a)

@@ -92,3 +92,26 @@ def test_association_rules_hand_computed(spark):
     # min_pair_count prunes
     assert graph.association_rules(df, "g", "item",
                                    min_pair_count=4).count() == 0
+
+
+def test_pagerank_broadcast_and_shuffle_forms_agree(spark):
+    """The broadcast-ranks superstep (auto for small graphs) and the
+    forced shuffle-join form are two physical plans of the SAME recurrence:
+    ranks must agree to float noise on an asymmetric weighted graph."""
+    import random
+    rng = random.Random(11)
+    pairs = []
+    for _ in range(120):
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            pairs.append((f"n{a}", f"n{b}", rng.randint(1, 4)))
+    e = _edges(spark, pairs)
+    bc = {r.node: r.rank
+          for r in graph.pagerank(e, iterations=6,
+                                  broadcast_ranks=True).collect()}
+    sh = {r.node: r.rank
+          for r in graph.pagerank(e, iterations=6,
+                                  broadcast_ranks=False).collect()}
+    assert set(bc) == set(sh)
+    for n in bc:
+        assert math.isclose(bc[n], sh[n], rel_tol=1e-12, abs_tol=1e-15), n
