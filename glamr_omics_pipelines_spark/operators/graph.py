@@ -333,7 +333,8 @@ def cooccurrence_cosine(df: DataFrame, group_col: str, item_col: str,
 
 
 def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
-           k: int = 3, rounds: int = 12) -> DataFrame:
+           k: int = 3, rounds: int = 12,
+           broadcast_alive: bool | None = None) -> DataFrame:
     """k-core decomposition (fixed-round peeling): repeatedly drop nodes
     whose degree in the surviving subgraph is < k; what remains is the
     k-core — the dense backbone of a co-occurrence network (community
@@ -347,6 +348,12 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
     endpoint is the only shuffle, and the alive frontier (node ids only)
     is what localCheckpoint pins between rounds. O(rounds) passes, each
     O(E) — the standard distributed peel.
+
+    ``broadcast_alive`` (None = auto at ≤1M frontier nodes, the pagerank/
+    dup_clusters gate): the frontier is node-grain and only SHRINKS, so
+    when the initial frontier fits a broadcast both per-round semi-joins
+    run broadcast-side and the cached edge list never re-shuffles; past
+    the ceiling the hash-partitioned semi-joins are the scale shape.
     """
     half = edges.select(F.least(src, dst).alias("u"),
                         F.greatest(src, dst).alias("v"))
@@ -359,10 +366,19 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
              .select(F.col("u").alias("node"))
              .localCheckpoint(eager=True))
     n_prev = alive.count()
+    if broadcast_alive is None:
+        # the frontier only shrinks, so gating on the initial count (free:
+        # just taken for the early-exit ledger) covers every round
+        broadcast_alive = n_prev <= _BROADCAST_RANKS_MAX_NODES
+
+    def _alive_side(col_name):
+        side = alive.withColumnRenamed("node", col_name)
+        return F.broadcast(side) if broadcast_alive else side
+
     for _ in range(rounds):
         kept = (sym
-                .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
-                .join(alive.withColumnRenamed("node", "v"), "v", "left_semi"))
+                .join(_alive_side("u"), "u", "left_semi")
+                .join(_alive_side("v"), "v", "left_semi"))
         new = (kept.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
                .filter(F.col("_deg") >= k)
                .select(F.col("u").alias("node"))
@@ -373,8 +389,8 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
             break
         n_prev = n_new
     final = (sym
-             .join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
-             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+             .join(_alive_side("u"), "u", "left_semi")
+             .join(_alive_side("v"), "v", "left_semi")
              .groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
              .select(F.col("u").alias("node"), "core_degree"))
     return final

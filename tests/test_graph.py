@@ -115,3 +115,17 @@ def test_pagerank_broadcast_and_shuffle_forms_agree(spark):
     assert set(bc) == set(sh)
     for n in bc:
         assert math.isclose(bc[n], sh[n], rel_tol=1e-12, abs_tol=1e-15), n
+
+
+def test_k_core_broadcast_and_shuffle_forms_agree(spark):
+    """broadcast_alive=True/False are two physical plans of the same peel:
+    identical k-core membership and core degrees on a graph where peeling
+    cascades (removing leaves drops interior nodes below k)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),      # triangle: 2-core
+             ("c", "d"), ("d", "e"),                  # tail peels away
+             ("x", "y")]                              # isolated edge peels
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in pairs], "src string, dst string, weight double")
+    a = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=True).collect()))
+    b = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=False).collect()))
+    assert a == b == [("a", 2), ("b", 2), ("c", 2)]
