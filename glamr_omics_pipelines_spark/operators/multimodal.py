@@ -108,11 +108,22 @@ def _parse_netpbm(buf: bytes):
     w, h, maxval = fields
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         raise ValueError(f"unsupported netpbm geometry {w}x{h} max={maxval}")
-    pos += 1                                   # single whitespace after maxval
+    # Exactly ONE whitespace byte separates maxval from the raster (netpbm
+    # spec).  A CRLF-terminated header (Windows text-mode writer) would
+    # otherwise shift the raster by one byte and decode silently-corrupt
+    # pixels, so validate the separator instead of skipping blindly.
+    if not buf[pos:pos + 1].isspace():
+        raise ValueError("netpbm: maxval not followed by whitespace")
+    pos += 1
     ch = 1 if buf[:2] == b"P5" else 3
     need = w * h * ch
     if len(buf) - pos < need:
         raise ValueError("truncated netpbm raster")
+    if len(buf) - pos != need:
+        # Leftover header bytes (e.g. the '\n' of a '\r\n' pair) would
+        # mis-register every pixel — reject rather than guess.
+        raise ValueError(
+            f"netpbm raster size mismatch: {len(buf) - pos} bytes for {need}")
     data = np.frombuffer(buf, dtype="u1", count=need, offset=pos)
     if ch == 1:
         return data.reshape(h, w)

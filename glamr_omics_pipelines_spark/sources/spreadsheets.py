@@ -163,7 +163,8 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
     a double). Driver-side by the same contract as the reader: metadata
     sheets, never a bulk-data path.
     """
-    from xml.sax.saxutils import escape
+    import math
+    from xml.sax.saxutils import escape, quoteattr
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_ref(c)}{r + 1}"
@@ -171,6 +172,13 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, float) and not math.isfinite(v):
+            # Excel's numeric cell model has no NaN/inf — emit an inline
+            # string so external readers (openpyxl/Excel) don't see a
+            # corrupt part; our own reader round-trips it as text.
+            s = escape(repr(v))
+            return (f'<c r="{ref}" t="inlineStr">'
+                    f'<is><t xml:space="preserve">{s}</t></is></c>')
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         s = escape(str(v))
@@ -202,7 +210,7 @@ def write_xlsx(path: str, rows: list[list], sheet_name: str = "Sheet1") -> None:
     wb = ('<?xml version="1.0"?><workbook xmlns="http://schemas.'
           'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
           'schemas.openxmlformats.org/officeDocument/2006/relationships">'
-          f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" '
+          f'<sheets><sheet name={quoteattr(sheet_name)} sheetId="1" '
           'r:id="rId1"/></sheets></workbook>')
     wb_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
                'openxmlformats.org/package/2006/relationships">'

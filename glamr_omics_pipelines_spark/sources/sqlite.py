@@ -68,7 +68,12 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
             return v if isinstance(v, str) else str(v)
         try:
             if t == "long":
-                return int(v) if not isinstance(v, bytes) else None
+                if isinstance(v, bytes):
+                    return None
+                # degrade-to-None contract: a fractional REAL in an
+                # INTEGER-declared column must become null, not be
+                # silently truncated by int().
+                return int(v) if float(v).is_integer() else None
             if t == "double":
                 return float(v) if not isinstance(v, bytes) else None
             if t == "boolean":

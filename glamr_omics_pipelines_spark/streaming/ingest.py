@@ -223,6 +223,10 @@ def _read_state(spark: SparkSession, state_dir: str):
     monotonic only within one checkpoint lineage, so reusing an old state
     dir with a fresh checkpoint (ids restart at 0) skips genuinely new
     batches by design; start a fresh state dir with a fresh checkpoint.
+
+    Same driver-local-POSIX restriction as ``_write_state``: the
+    ``_CURRENT`` pointer is read with ``open``, so ``state_dir`` cannot be
+    an ``hdfs://``/``s3a://`` URI (it would mis-resolve to a local path).
     """
     import os
     from pyspark.errors import AnalysisException
@@ -261,7 +265,15 @@ def _write_state(df: DataFrame, batch_id: int, state_dir: str) -> None:
     The applied batch id is stamped as a COLUMN of the same parquet write
     (one atomic unit with the data — a sidecar id file could land after a
     crash window and replay would then double-count). Superseded versions
-    are garbage-collected after the pointer swap, best-effort."""
+    are garbage-collected after the pointer swap, best-effort.
+
+    RESTRICTION: ``state_dir`` must be a driver-local POSIX path. The
+    pointer swap and GC use ``open``/``os.replace``/``shutil.rmtree``,
+    which do not resolve Hadoop-FS URIs (``hdfs://``, ``s3a://``); on a
+    cluster, point state at shared POSIX storage (NFS) or swap these three
+    calls for the Hadoop FileSystem API (``create``+``rename``/``delete``
+    — rename is atomic on HDFS, and S3 callers should prefer a
+    conditional-put pointer object)."""
     import os
     import shutil
     version = f"v{batch_id}"

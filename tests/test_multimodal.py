@@ -464,3 +464,20 @@ def test_video_frame_features_stub_batch_shape(spark):
     assert by_key[(2, 0)].decode_ok == "empty_content"
     with pytest.raises(ValueError):
         multimodal.extract_video_frame_features(df, every_n=0)
+
+
+def test_parse_netpbm_crlf_header_rejected():
+    """ADVICE r6: a CRLF-terminated header ('255\\r\\n' + raster) used to
+    shift the raster one byte and return silently-corrupt pixels; now the
+    separator is validated and the leftover byte fails the exact-size
+    check."""
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_netpbm
+    crlf = b"P5\n2 2\n255\r\n" + bytes([10, 20, 30, 40])
+    with pytest.raises(ValueError):
+        _parse_netpbm(crlf)
+    # non-whitespace separator also rejected
+    with pytest.raises(ValueError):
+        _parse_netpbm(b"P5\n2 2\n255X" + bytes([10, 20, 30, 40]))
+    # trailing garbage after an otherwise-exact raster is rejected too
+    with pytest.raises(ValueError):
+        _parse_netpbm(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]) + b"\x00")

@@ -201,3 +201,34 @@ def test_read_sqlite_off_type_cell_degrades_to_null(spark, tmp_path):
     assert (got[0].id, got[0].score) == (1, 0.5)
     assert (got[1].id, got[1].score) == (7, 2.5)   # convertible text converts
     assert got[2].id is None and got[2].score is None  # off-type -> null
+
+
+def test_write_xlsx_quote_in_sheet_name_and_nonfinite_floats(tmp_path):
+    """ADVICE r6: a '\"' in the sheet name must produce well-formed
+    workbook.xml (quoteattr), and NaN/inf must not be written as numeric
+    <v> cells (Excel/openpyxl reject them) — they round-trip as text."""
+    p = str(tmp_path / "q.xlsx")
+    rows = [["k", "v"], ["a", float("nan")], ["b", float("inf")],
+            ["c", float("-inf")], ["d", 1.5]]
+    spreadsheets.write_xlsx(p, rows, sheet_name='she"et <1>')
+    back = spreadsheets.read_xlsx_rows(p, 'she"et <1>')
+    assert back[0] == ["k", "v"] and back[4] == ["d", 1.5]
+    assert back[1] == ["a", "nan"] and back[2] == ["b", "inf"]
+    assert back[3] == ["c", "-inf"]
+    # no numeric cell in the sheet XML carries a non-finite literal
+    import zipfile
+    with zipfile.ZipFile(p) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>nan</v>" not in xml and "<v>inf</v>" not in xml
+
+
+def test_read_sqlite_fractional_real_in_integer_column_nulls(spark, tmp_path):
+    """ADVICE r6: a REAL 3.9 stored in an INTEGER-declared column must
+    degrade to NULL (contract), not silently truncate to 3."""
+    db = str(tmp_path / "frac.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (id INTEGER)")
+        con.executemany("INSERT INTO t VALUES (?)", [(3.9,), (4.0,), (5,)])
+    got = sorted((r.id for r in sq.read_sqlite(spark, db, "t").collect()),
+                 key=lambda v: (v is None, v))
+    assert got == [4, 5, None]
