@@ -413,15 +413,30 @@ def keep_best_per_cluster(corpus: DataFrame, labels: DataFrame,
 
 def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
-                          candidates: DataFrame | None = None) -> DataFrame:
+                          candidates: DataFrame | None = None,
+                          pair_gen: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= threshold).
 
-    Brute-force O(n²) without candidates — gate behind LSH buckets at scale
-    (see similarity.hyperplane_buckets). Cosine computed with higher-order
-    functions in the JVM.
+    Pair generation is auto-gated (``pair_gen=None``, the default): below
+    ``similarity._BRUTE_PAIRGEN_MAX_ROWS`` corpus rows the exact O(n²)
+    enumeration runs (the oracle baseline); above it, candidates are
+    auto-derived from :func:`similarity.lsh_candidate_pairs` so no caller
+    silently hits n²/2 dot products at scale (recall < 1 by LSH nature —
+    every surviving pair is still EXACTLY verified against ``threshold``).
+    ``pair_gen="brute"`` / ``"lsh"`` force a form; an explicit
+    ``candidates`` frame (e.g. pre-bucketed and persisted across calls)
+    overrides everything. The auto path costs one count per call.
+    Cosine computed with higher-order functions in the JVM.
     """
+    from glamr_omics_pipelines_spark.operators import similarity
     from glamr_omics_pipelines_spark.operators.similarity import (
         as_double_vec, dot_col, norm_col)
+    if pair_gen not in (None, "brute", "lsh"):
+        raise ValueError(
+            f"pair_gen must be None|'brute'|'lsh', got {pair_gen!r}")
+    if candidates is None and pair_gen != "brute":
+        if pair_gen == "lsh" or emb.count() > similarity._BRUTE_PAIRGEN_MAX_ROWS:
+            candidates = similarity.lsh_candidate_pairs(emb, id_col, vec_col)
     # per-ROW norm + double-cast below the join: the n² join condition then
     # evaluates only a dot product and one divide per pair, not two norm
     # reductions + two array casts per pair.

@@ -60,15 +60,82 @@ def cosine_sim(a, b) -> Column:
     return F.try_divide(_dot(da, db), _norm(da) * _norm(db))
 
 
+# Auto-ceiling for exact all-pairs pair generation (mirrors pagerank's
+# _BROADCAST_RANKS_MAX_NODES gate, graph.py): n corpus rows enumerate
+# n(n-1)/2 candidate pairs, so 100k rows is already ~5e9 dot products —
+# past this the O(n²) plan stops being a "documented baseline" and becomes
+# the job. Above the gate the DEFAULT pair generator switches to
+# OR-amplified hyperplane-LSH bucket self-joins (recall < 1 by LSH nature —
+# tunable via num_planes/num_tables); exact stays one keyword away
+# (pair_gen="brute" / method="brute"), which is what the sf0.01 oracles
+# use implicitly (they sit far below the gate).
+_BRUTE_PAIRGEN_MAX_ROWS = 100_000
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row (metadata-scale driver job)."""
+    row = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    return 1 if row is None or row["d"] is None else int(row["d"])
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        num_planes: int = 12, num_tables: int = 4,
+                        dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) from OR-amplified
+    hyperplane LSH — the scale-path pair generator behind the
+    ``_BRUTE_PAIRGEN_MAX_ROWS`` auto-gate.
+
+    All ``num_tables`` bucket ids are computed in ONE projection (the
+    planes are expression-tree literals), posexploded to (table, bucket)
+    rows, and the pair list is an equi self-join on (table, bucket) —
+    quadratic per bucket, never in the corpus. Identical a/b subplans are
+    collapsed by Catalyst ReuseExchange (measured faster than an explicit
+    persist here). Distinct collapses pairs that collide in several
+    tables. Recall is the classic 1-(1-p^b)^L amplification curve; at the
+    default 12 planes × 4 tables, sim=0.95 pairs are found with p>0.999.
+    """
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    out = df.select(F.col(id_col).alias("_id"),
+                    as_double_vec(vec_col).alias("_v"))
+    for t in range(num_tables):
+        out = hyperplane_buckets(out, "_v", num_planes, dim,
+                                 seed=seed + 1000 * t, out=f"_b{t}")
+    buckets = F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
+    exploded = out.select(
+        "_id", F.posexplode(buckets).alias("lsh_table", "lsh_bucket"))
+    a = exploded.select(F.col("_id").alias("id_a"), "lsh_table", "lsh_bucket")
+    b = exploded.select(F.col("_id").alias("id_b"), "lsh_table", "lsh_bucket")
+    return (a.join(b, ["lsh_table", "lsh_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 5,
-                     query_id: str = "query_id") -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector.
+                     query_id: str = "query_id",
+                     method: str | None = None) -> DataFrame:
+    """Cosine top-k neighbors for each query vector.
 
     queries: (query_id, vec_col). Broadcast the (small) query side; rank per
     query with a deterministic tiebreak on neighbor id.
     Output: (query_id, neighbor_id, cosine, rank).
+
+    ``method``: None (default) auto-gates — corpora above
+    ``_BRUTE_PAIRGEN_MAX_ROWS`` route through :func:`lsh_topk_multi`
+    (same output schema, approximate recall) so no caller silently gets
+    the exact corpus×queries scan at scale; ``"brute"`` forces exact
+    (the oracle form); ``"lsh"`` forces the bucketed form at any size.
+    The auto path costs one corpus count per call — pass ``method``
+    explicitly in a loop.
     """
+    if method not in (None, "brute", "lsh"):
+        raise ValueError(f"method must be None|'brute'|'lsh', got {method!r}")
+    if method == "lsh" or (method is None
+                           and corpus.count() > _BRUTE_PAIRGEN_MAX_ROWS):
+        return lsh_topk_multi(corpus, queries, id_col, vec_col, k=k,
+                              dim=_vec_dim(corpus, vec_col),
+                              query_id=query_id)
     q = F.broadcast(queries.select(F.col(query_id),
                                    F.col(vec_col).alias("_qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -456,7 +523,8 @@ def top_principal_component(df: DataFrame, vec_col: str,
 
 def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
                   sim_eps: float = 0.999, min_pts: int = 2,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  pair_gen: str | None = None) -> DataFrame:
     """Density clustering (DBSCAN, Ester et al. 1996) with cosine-similarity
     neighborhoods over an embedding column: a point with >= ``min_pts``
     neighbors at similarity >= ``sim_eps`` is a CORE; connected cores form a
@@ -467,9 +535,10 @@ def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
 
     Built entirely on operators that already carry their own scale story:
     the neighbor graph comes from :func:`~glamr_omics_pipelines_spark.
-    operators.dedup.embedding_cosine_dups` (brute-force exact as baseline;
-    pass ``candidates`` from :func:`hyperplane_buckets` to keep the pair
-    generation bucket-bounded at corpus scale), degree counting is one
+    operators.dedup.embedding_cosine_dups` — AUTO-GATED: exact all-pairs
+    below ``_BRUTE_PAIRGEN_MAX_ROWS`` corpus rows, LSH-bucketed candidate
+    pairs above (``pair_gen`` forces a form; an explicit ``candidates``
+    frame overrides both) — degree counting is one
     partial agg on the pair list, and the core-core transitive closure is
     :func:`~glamr_omics_pipelines_spark.operators.dedup.dup_clusters`
     (min-label propagation, O(diameter) rounds). Pair lists, never a
@@ -478,7 +547,8 @@ def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
     from glamr_omics_pipelines_spark.operators import dedup
     pairs = dedup.embedding_cosine_dups(df, id_col, vec_col,
                                         threshold=sim_eps,
-                                        candidates=candidates)
+                                        candidates=candidates,
+                                        pair_gen=pair_gen)
     sym = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
            .unionAll(pairs.select(F.col("id_b").alias("u"),
                                   F.col("id_a").alias("v"))))

@@ -3,6 +3,7 @@ exact Jaccard ground truth, cosine top-k)."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from glamr_omics_pipelines_spark.operators import dedup, similarity
@@ -285,3 +286,66 @@ def test_dup_clusters_broadcast_and_shuffle_forms_agree(spark):
     assert a == b
     assert {(i, 1) for i in range(1, 10)} <= set(a)
     assert {(50, 50), (51, 50), (60, 50), (61, 50)} <= set(a)
+
+
+def test_lsh_candidate_pairs_recall_on_near_dups(spark):
+    """The auto-gate's pair generator: exact copies and very-near
+    duplicates must land in a shared bucket in at least one of the OR
+    tables, and every emitted pair is ordered and unique."""
+    import random
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.001) for x in base]
+    far = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = [(1, base), (2, list(base)), (3, near)] + \
+        [(10 + i, v) for i, v in enumerate(far)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           similarity.lsh_candidate_pairs(df, "id", "v", dim=16).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got
+    assert all(a < b for a, b in got)
+
+
+def test_embedding_cosine_dups_pairgen_gate(spark, monkeypatch):
+    """Auto-gate (VERDICT r6 #2): above _BRUTE_PAIRGEN_MAX_ROWS the
+    default pair generation must be the LSH candidate equi-join — no
+    BroadcastNestedLoop / CartesianProduct in the plan — while
+    pair_gen='brute' keeps the exact form at any size, and below the gate
+    brute and auto agree exactly."""
+    rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    monkeypatch.setattr(similarity, "_BRUTE_PAIRGEN_MAX_ROWS", 10)
+    gated = dedup.embedding_cosine_dups(df, "id", "v", threshold=0.999)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    brute = dedup.embedding_cosine_dups(df, "id", "v", threshold=0.999,
+                                        pair_gen="brute")
+    bplan = brute._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in bplan or "CartesianProduct" in bplan
+    monkeypatch.setattr(similarity, "_BRUTE_PAIRGEN_MAX_ROWS", 100_000)
+    auto = dedup.embedding_cosine_dups(df, "id", "v", threshold=0.999)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, brute.collect()))
+    with pytest.raises(ValueError):
+        dedup.embedding_cosine_dups(df, "id", "v", pair_gen="fast")
+
+
+def test_brute_force_topk_method_gate(spark, monkeypatch):
+    """cosine_topk's gate: above the ceiling the auto path routes through
+    lsh_topk_multi (same output schema); method='brute' forces exact."""
+    rows = [(i, [1.0, float(i), 0.5]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "id int, v array<double>")
+    queries = spark.createDataFrame([(100, [1.0, 3.0, 0.5])],
+                                    "query_id int, v array<double>")
+    monkeypatch.setattr(similarity, "_BRUTE_PAIRGEN_MAX_ROWS", 10)
+    gated = similarity.brute_force_topk(corpus, queries, "id", "v", k=3)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert gated.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    exact = similarity.brute_force_topk(corpus, queries, "id", "v", k=3,
+                                        method="brute")
+    assert [r.neighbor_id for r in exact.orderBy("rank").collect()][0] == 3
+    with pytest.raises(ValueError):
+        similarity.brute_force_topk(corpus, queries, "id", "v",
+                                    method="turbo")
