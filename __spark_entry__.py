@@ -609,6 +609,99 @@ def q_storage_reclaim(spark, sf_dir):
                       "eligible")
 
 
+def q_streaming_replay_rollup(spark, sf_dir):
+    """Batch-replay oracle row for the foreachBatch state machinery
+    (VERDICT r6 #3; streaming/ingest.py:streaming_rollup_ingest — the
+    always-on form of the reference's incremental re-aggregation,
+    postgres.Rmd:246-292): the lineitem slice is split into three parquet
+    files, drained by a REAL availableNow file-stream run with
+    maxFilesPerTrigger=1 (three micro-batches through the crash-atomic
+    versioned-snapshot state swap), and the FINAL state table is the
+    result — which must equal the one-shot batch rollup the oracle
+    computes over the same rows (sums of integral doubles are exact, so
+    the 3-way incremental merge cannot drift). n_batches pins that the
+    incremental path actually ran (three merges, not one pass-through)."""
+    import shutil
+    import tempfile
+    from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+    root = tempfile.mkdtemp(prefix="stream_replay_")
+    try:
+        src = os.path.join(root, "src")
+        for i in range(3):
+            (li.filter(F.col("l_orderkey") % 3 == i)
+             .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema(li.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        s_ingest.streaming_rollup_ingest(
+            stream, ["l_returnflag", "l_linestatus"], "l_quantity",
+            state_dir=os.path.join(root, "state"),
+            checkpoint=os.path.join(root, "ckpt"))
+        st, applied = s_ingest._read_state(spark, os.path.join(root, "state"))
+        # state is group-grain (a handful of rows) — materialize before
+        # the temp dir is removed; the lazy plan would otherwise read a
+        # deleted path at driver-collect time
+        out = spark.createDataFrame(st.collect(), st.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("agg_n").cast("bigint").alias("n"),
+        _r4("agg_sum").alias("sum_qty"),
+        _r4("agg_min").alias("min_qty"),
+        _r4("agg_max").alias("max_qty"),
+        _r4(F.col("agg_sum") / F.col("agg_n")).alias("mean_qty"))
+        .withColumn("n_batches", F.lit(int(applied) + 1).cast("bigint")))
+
+
+def q_benchmark_ledger(spark, sf_dir):
+    """Benchmark-harvest parity (pipelines/glamr.py:benchmark_ledger;
+    pypelib/post.py:763-935 collect_benchmarks): a deterministic synthetic
+    job history from `documents` — per-rule benchmark TSV paths (with a
+    retry attempt for every 7th job), slurm-only jobs with no benchmark
+    file, and an sacct accounting pull — composed through path-parse (S4)
+    → newest-per-(rule,sample) (W4) → union blanks → broadcast sacct
+    backfill. Both sides synthesize the identical history, so the hash
+    checks the relational core of the reference's ledger collection."""
+    from glamr_omics_pipelines_spark.pipelines.glamr import benchmark_ledger
+    doc = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    rule = (F.when(doc % 3 == 0, F.lit("assembly"))
+            .when(doc % 3 == 1, F.lit("mapping"))
+            .otherwise(F.lit("binning")))
+    s_val = ((doc * 13) % 997) / F.lit(10.0) + F.lit(1.0)
+    base = (d.filter(doc % 5 != 0).select(
+        F.format_string("benchmarks/%s/samp_%d.txt", rule, doc).alias("path"),
+        (F.lit(1700000000) + doc * 7).cast("long").alias("timestamp"),
+        F.when(doc % 2 == 0, 90000 + doc).cast("long").alias("slurm_job"),
+        s_val.alias("s"), (s_val * 0.8).alias("cpu_time"),
+        ((doc % 4000) / F.lit(4.0)).alias("max_rss")))
+    retry = (base.filter(
+        F.regexp_extract("path", r"samp_(\d+)\.txt$", 1).cast("long") % 7 == 0)
+        .select("path", (F.col("timestamp") + 1000).alias("timestamp"),
+                "slurm_job", (F.col("s") + 5.0).alias("s"),
+                "cpu_time", "max_rss"))
+    bm_files = base.unionByName(retry)
+    slurm_only = (d.filter(doc % 10 == 0).select(
+        rule.alias("rule"),
+        F.format_string("samp_%d", doc).alias("sample"),
+        (90000 + doc).cast("long").alias("slurm_job")))
+    sacct = (d.filter(doc % 2 == 0).select(
+        (90000 + doc).cast("long").alias("job_id"),
+        F.format_string("node%d", doc % 8).alias("node"),
+        ((doc % 600) + F.lit(10.0)).alias("elapsed_s"),
+        (((doc % 600) + F.lit(10.0)) * 2.0).alias("total_cpu_s"),
+        ((doc % 1000 + 1) * F.lit(1048576)).cast("long").alias("mem_bytes"),
+        (F.lit(1700005000) + doc).cast("long").alias("end_ts")))
+    led = benchmark_ledger(bm_files, slurm_only, sacct)
+    return led.select(
+        "rule", "sample", F.col("slurm_job").cast("bigint").alias("slurm_job"),
+        "node", F.col("timestamp").cast("bigint").alias("timestamp"),
+        _r4("s").alias("s"), _r4("cpu_time").alias("cpu_time"),
+        _r4("max_rss").alias("max_rss"))
+
+
 def q_attribution_join(spark, sf_dir):
     """Event-time-bounded attribution join (streaming/ingest.py:
     stream_interval_join, the stream-stream join shape with state-expiry
@@ -3013,21 +3106,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate checks the FIRST 50
-    # entries.  ROUND-6 WINDOW (VERDICT r5 #3): the embedding_covariance
-    # re-check (r5's one red row — signed-zero oracle fix; now also the
-    # BLAS-strategy flip), the 39 remaining never-driver-checked queries
-    # (rolling_corr .. ohlc_bars, incl. group_mode = SURVEY A8's driver
-    # row), the new storage_reclaim (reduce_storage.R parity), the new
-    # source round-trips xlsx_roundtrip / sqlite_roundtrip (S5/S10's first
-    # oracle-shaped driver rows) and a pagerank re-check (superstep-sizing
-    # plan change this round) — each new/changed entry displaced a banked
-    # re-check per the no-growth rule — plus 6 banked re-checks (incl. the
-    # two perf-flagged queries, lsh_ann and curation_pipeline).  After
-    # this round every queries() entry has had a driver row at least once.
-    # R7 PLAN: window = any r6 red rows first, then re-validate the
-    # oldest (r3-era) driver rows, then any new operators (each must
-    # displace a banked re-check the round it lands).
-    return {
+    # entries.  The full catalog lives in `full` (grouped by theme); the
+    # per-round check window is the explicit _R7_WINDOW reorder below —
+    # rotation = edit one list.  ROUND-7 WINDOW (VERDICT r6 #1, oldest
+    # rows first): all 46 r3-era driver rows (rel_abund .. embedding_dups
+    # — re-validated under the ANSI hardening / broadcast-iteration /
+    # codec changes that landed since r3), the two NEW oracle rows
+    # streaming_replay_rollup (the streaming family's first driver-oracle
+    # row — batch-replayed availableNow foreachBatch state vs a batch
+    # GROUP BY) and benchmark_ledger (pypelib/post.py:763-935 parity),
+    # plus cosine_topk and dbscan re-checks (their pair-gen gained the
+    # _BRUTE_PAIRGEN_MAX_ROWS auto-gate this round).  New entries
+    # displaced banked re-checks per the no-growth rule.  After this
+    # round the oldest remaining driver row is r4-era (44 rows, age 3) —
+    # the R8 window is those 44 + re-checks of whatever r8 touches.
+    full = {
         "embedding_covariance": q_embedding_covariance,
         "rolling_corr": q_rolling_corr,
         "cohort_retention": q_cohort_retention,
@@ -3220,7 +3313,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "na_handling": q_na_handling,
         "ivf_ann": q_ivf_ann,
         "embedding_dups": q_embedding_dups,
+        "streaming_replay_rollup": q_streaming_replay_rollup,
+        "benchmark_ledger": q_benchmark_ledger,
     }
+    window = [
+        # 46 r3-era rows, oldest bank first
+        "rel_abund", "rpkm", "tpm", "top1_per_group", "kingdom_priority_lca",
+        "multimodal_features", "topk_revenue", "anvio_stacked",
+        "subtree_rollup", "lca", "bin_summary_view", "sessionize",
+        "asof_join", "range_join", "windowed_counts", "coverage_stats",
+        "fasta_roundtrip", "fastq_roundtrip", "read_count_ladder",
+        "dna_reads_qc", "asv_matrix", "skew_join_salted", "pivot_wider",
+        "tie_discard_top1", "rollup_ladder", "retention_ladder",
+        "binner_completion", "newest_import", "xml_extract", "pivot_longer",
+        "anti_join", "semi_join", "threshold_filter", "weighted_mean",
+        "json_histogram", "date_multiformat", "separate_lineage",
+        "explode_csv", "cross_join_audit", "union_missing_cols",
+        "sequential_ids", "quality_bands", "distinct_catalog", "na_handling",
+        "ivf_ann", "embedding_dups",
+        # new oracle rows this round
+        "streaming_replay_rollup", "benchmark_ledger",
+        # touched by the r7 ANN auto-gate
+        "cosine_topk", "dbscan",
+    ]
+    assert len(window) == 50 and len(set(window)) == 50
+    return ({name: full[name] for name in window}
+            | {k: v for k, v in full.items() if k not in set(window)})
 
 
 # ---------------------------------------------------------------------------
@@ -3853,6 +3971,81 @@ def oracle_sql() -> dict[str, str]:
                          ELSE round((x.v - mm.lo) / (mm.hi - mm.lo) * 255)
                     END)::BIGINT AS q
             FROM x JOIN mm USING (dim)
+        """,
+        "streaming_replay_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(l_quantity) AS BIGINT) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(min(l_quantity), 4) AS min_qty,
+                   round(max(l_quantity), 4) AS max_qty,
+                   round(sum(l_quantity) / count(l_quantity), 4) AS mean_qty,
+                   CAST(3 AS BIGINT) AS n_batches
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "benchmark_ledger": """
+            WITH d AS (SELECT doc_id FROM documents),
+            base AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN 'assembly'
+                          WHEN doc_id % 3 = 1 THEN 'mapping'
+                          ELSE 'binning' END AS rule,
+                     'samp_' || CAST(doc_id AS VARCHAR) AS sample,
+                     doc_id,
+                     1700000000 + doc_id * 7 AS ts,
+                     CASE WHEN doc_id % 2 = 0 THEN 90000 + doc_id END
+                         AS slurm_job,
+                     ((doc_id * 13) % 997) / 10.0 + 1.0 AS s,
+                     (((doc_id * 13) % 997) / 10.0 + 1.0) * 0.8 AS cpu_time,
+                     (doc_id % 4000) / 4.0 AS max_rss
+              FROM d WHERE doc_id % 5 <> 0),
+            bm AS (
+              SELECT rule, sample, ts, slurm_job, s, cpu_time, max_rss
+              FROM base
+              UNION ALL
+              SELECT rule, sample, ts + 1000, slurm_job, s + 5.0,
+                     cpu_time, max_rss
+              FROM base WHERE doc_id % 7 = 0),
+            newest AS (
+              SELECT rule, sample, timestamp, slurm_job, s, cpu_time, max_rss
+              FROM (
+                SELECT rule, sample, ts AS timestamp, slurm_job, s,
+                       cpu_time, max_rss,
+                       row_number() OVER (PARTITION BY rule, sample
+                                          ORDER BY ts DESC, slurm_job DESC)
+                           AS rn
+                FROM bm) WHERE rn = 1),
+            blanks AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN 'assembly'
+                          WHEN doc_id % 3 = 1 THEN 'mapping'
+                          ELSE 'binning' END AS rule,
+                     'samp_' || CAST(doc_id AS VARCHAR) AS sample,
+                     CAST(NULL AS BIGINT) AS timestamp,
+                     90000 + doc_id AS slurm_job,
+                     CAST(NULL AS DOUBLE) AS s,
+                     CAST(NULL AS DOUBLE) AS cpu_time,
+                     CAST(NULL AS DOUBLE) AS max_rss
+              FROM d WHERE doc_id % 10 = 0),
+            ledger AS (
+              SELECT * FROM newest UNION ALL SELECT * FROM blanks),
+            acct AS (
+              SELECT 90000 + doc_id AS job_id,
+                     'node' || CAST(doc_id % 8 AS VARCHAR) AS node,
+                     (doc_id % 600) + 10.0 AS elapsed_s,
+                     ((doc_id % 600) + 10.0) * 2.0 AS total_cpu_s,
+                     (doc_id % 1000 + 1) * 1048576 AS mem_bytes,
+                     1700005000 + doc_id AS end_ts
+              FROM d WHERE doc_id % 2 = 0)
+            SELECT l.rule, l.sample,
+                   CAST(l.slurm_job AS BIGINT) AS slurm_job,
+                   coalesce(a.node, 'localhost') AS node,
+                   CAST(coalesce(l.timestamp, a.end_ts) AS BIGINT)
+                       AS timestamp,
+                   round(coalesce(l.s, a.elapsed_s), 4) AS s,
+                   round(coalesce(l.cpu_time, a.total_cpu_s), 4) AS cpu_time,
+                   round(coalesce(l.max_rss,
+                                  round(a.mem_bytes / 1048576.0, 2)), 4)
+                       AS max_rss
+            FROM ledger l LEFT JOIN acct a ON l.slurm_job = a.job_id
         """,
         "storage_reclaim": r"""
             WITH d AS (SELECT doc_id FROM documents),

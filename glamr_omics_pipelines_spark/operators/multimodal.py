@@ -8,10 +8,12 @@ never through the driver.
 Codecs are an OPTIONAL dependency: ``stub=True`` (default) yields
 deterministic fake features derived from the raw bytes — bit-stable, which
 is what the correctness oracle compares — while ``stub=False`` runs a real
-decode. Fully functional with NO third-party codec: netpbm (P5/P6) and
-uncompressed 24/32-bit BMP images via a numpy parser, RIFF/WAV PCM audio
+decode. Fully functional with NO third-party codec: netpbm (P5/P6),
+uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG
+(gray/gray+alpha/RGB/RGBA; stdlib zlib inflate + per-scanline unfilter)
+images via numpy parsers, RIFF/WAV PCM audio
 via the stdlib ``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via
-a numpy luma-plane parser. Other image formats (png/jpeg/...)
+a numpy luma-plane parser. Remaining image formats (jpeg, exotic PNGs)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -62,7 +64,8 @@ def _import_pil_image():
     except ImportError as exc:
         raise NotImplementedError(
             "real image decode requires PIL (pip install pillow) for this "
-            "format; netpbm (P5/P6) and uncompressed BMP decode without it; "
+            "format; netpbm (P5/P6), uncompressed BMP and non-interlaced "
+            "8-bit PNG decode without it; "
             "use stub=True for the deterministic fallback") from exc
     return Image
 
@@ -162,15 +165,104 @@ def _parse_bmp(buf: bytes):
     return _rgb_to_gray(px[..., [2, 1, 0]])    # stored BGR(A)
 
 
+def _unfilter_png_row(ftype: int, row, prev, ch: int):
+    """Reconstruct one PNG scanline (filter types 0-4, RFC 2083 §6).
+    None/Up are vectorized (uint8 addition wraps mod 256 exactly as the
+    spec requires); Sub/Average/Paeth carry a left-pixel serial dependence
+    and run as an int loop over the row."""
+    import numpy as np
+    if ftype == 0:
+        return row
+    if ftype == 2:
+        return (row + prev).astype(np.uint8)
+    if ftype not in (1, 3, 4):
+        raise ValueError(f"bad PNG filter type {ftype}")
+    r = row.astype(np.int32)
+    p = prev.astype(np.int32)
+    out = np.zeros_like(r)
+    for x in range(len(r)):
+        a = int(out[x - ch]) if x >= ch else 0
+        b = int(p[x])
+        if ftype == 1:
+            v = r[x] + a
+        elif ftype == 3:
+            v = r[x] + ((a + b) >> 1)
+        else:  # Paeth predictor
+            c = int(p[x - ch]) if x >= ch else 0
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = r[x] + pred
+        out[x] = v & 0xFF
+    return out.astype(np.uint8)
+
+
+def _parse_png(buf: bytes):
+    """Dependency-free PNG decode (stdlib zlib + numpy; VERDICT r6 #5):
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA → grayscale uint8
+    via the same 601-2 fixed-point luma as the other decoders (alpha is
+    ignored, matching PIL's convert("L")). Returns None when the magic
+    isn't PNG (caller falls through to PIL — now only jpeg and exotic PNG
+    variants need it); raises on truncated chunks, 16-bit / paletted /
+    interlaced images, and raster size mismatches."""
+    import struct
+    import zlib
+    import numpy as np
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, idat = 8, None, []
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError(f"unsupported PNG: depth={bit_depth} "
+                         f"color_type={color_type} interlace={interlace}")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"PNG raster size mismatch: {len(raw)} bytes for "
+                         f"{height} scanlines of {stride + 1}")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        row = np.frombuffer(raw, np.uint8, stride, offset=off + 1).copy()
+        prev = _unfilter_png_row(raw[off], row, prev, ch)
+        out[y] = prev
+    pix = out.reshape(height, width, ch)
+    if ch == 1:
+        return pix[:, :, 0]
+    if ch == 2:                       # gray + alpha: luma channel only
+        return pix[:, :, 0]
+    return _rgb_to_gray(pix[:, :, :3])  # RGB / RGBA (alpha ignored)
+
+
 def _decode_image_gray(buf: bytes):
-    """Dependency-free decode of the formats numpy can parse directly —
-    netpbm P5/P6 and uncompressed BMP — to a grayscale uint8 array. Returns
-    None for any other format (the caller falls through to PIL). Tried
-    FIRST even when PIL is installed, so a given blob decodes identically
-    in every environment."""
+    """Dependency-free decode of the formats the stdlib+numpy parsers
+    handle — netpbm P5/P6, uncompressed BMP, and non-interlaced 8-bit PNG
+    — to a grayscale uint8 array. Returns None for any other format (the
+    caller falls through to PIL, now needed only for jpeg and exotic PNG
+    variants). Tried FIRST even when PIL is installed, so a given blob
+    decodes identically in every environment."""
     arr = _parse_netpbm(buf)
     if arr is None:
         arr = _parse_bmp(buf)
+    if arr is None:
+        arr = _parse_png(buf)
     return arr
 
 

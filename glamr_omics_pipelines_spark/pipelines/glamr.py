@@ -361,3 +361,54 @@ def tax_subtree_rollup(contig_abund: DataFrame, tax_info: DataFrame) -> DataFram
            .agg(F.sum("tpm").alias("abund_w_subtax")))
     return (sub.join(direct, ["sample", "node"], "left")
             .na.fill({"abund_direct": 0.0}))
+
+
+def benchmark_ledger(bm_files: DataFrame, slurm_only: DataFrame,
+                     sacct: DataFrame,
+                     rule_re: str = r"benchmarks/([^/]+)/",
+                     sample_re: str = r"([^/]+)\.txt$") -> DataFrame:
+    """Post-production benchmark harvest (pypelib/post.py:763-935
+    collect_benchmarks): per-rule benchmark TSV rows are path-parsed to
+    (rule, sample), deduped to the NEWEST attempt per (rule, sample)
+    (retries append; the ledger keeps the last), unioned with blank rows
+    for slurm jobs that declared no benchmark file, and back-filled from a
+    single sacct pull keyed by slurm job id — elapsed seconds, cpu time,
+    max_rss (bytes → MB at 1/100 precision, the reference's rounding) and
+    the end timestamp fill ONLY the blank rows, while the execution node
+    from sacct OVERWRITES the local default whenever slurm knows it.
+
+    Inputs: ``bm_files`` (path, timestamp, slurm_job, s, cpu_time,
+    max_rss), ``slurm_only`` (rule, sample, slurm_job), ``sacct``
+    (job_id, node, elapsed_s, total_cpu_s, mem_bytes, end_ts).
+
+    Scale shape: path parse + newest-per-key are one shuffle on
+    (rule, sample) — Spark 4 rewrites the row_number()<=1 window into a
+    partial group-limit below the exchange — and sacct is a broadcast
+    left join (one accounting row per job; dimension-sized by nature).
+    """
+    parsed = bm_files.select(
+        F.regexp_extract("path", rule_re, 1).alias("rule"),
+        F.regexp_extract("path", sample_re, 1).alias("sample"),
+        "timestamp", "slurm_job", "s", "cpu_time", "max_rss")
+    w = Window.partitionBy("rule", "sample").orderBy(
+        F.col("timestamp").desc(), F.col("slurm_job").desc())
+    newest = (parsed.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    blanks = slurm_only.select(
+        "rule", "sample", F.lit(None).cast("long").alias("timestamp"),
+        "slurm_job", F.lit(None).cast("double").alias("s"),
+        F.lit(None).cast("double").alias("cpu_time"),
+        F.lit(None).cast("double").alias("max_rss"))
+    ledger = newest.unionByName(blanks)
+    acct = F.broadcast(sacct.select(
+        F.col("job_id").alias("slurm_job"), F.col("node").alias("_anode"),
+        "elapsed_s", "total_cpu_s", "mem_bytes", "end_ts"))
+    out = ledger.join(acct, "slurm_job", "left")
+    return out.select(
+        "rule", "sample", "slurm_job",
+        F.coalesce("_anode", F.lit("localhost")).alias("node"),
+        F.coalesce("timestamp", "end_ts").alias("timestamp"),
+        F.coalesce("s", F.col("elapsed_s")).alias("s"),
+        F.coalesce("cpu_time", F.col("total_cpu_s")).alias("cpu_time"),
+        F.coalesce("max_rss",
+                   F.round(F.col("mem_bytes") / 1048576.0, 2)).alias("max_rss"))

@@ -481,3 +481,116 @@ def test_parse_netpbm_crlf_header_rejected():
     # trailing garbage after an otherwise-exact raster is rejected too
     with pytest.raises(ValueError):
         _parse_netpbm(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]) + b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free PNG decode (stdlib zlib + numpy): closes the dominant
+# compressed-image gap — PIL is now needed only for jpeg.
+
+def _png(w, h, pixels, color_type=0, filters=None):
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced, one IDAT.
+    `pixels` is a flat list (row-major, channels interleaved); `filters`
+    picks the filter TYPE byte per scanline (default all 0) and applies
+    the matching forward filter so the decoder must invert it."""
+    import struct
+    import zlib
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * ch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        row = pixels[y * stride:(y + 1) * stride]
+        ft = filters[y]
+        raw.append(ft)
+        filtered = []
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - ((a + b) >> 1)
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = row[x] - pred
+            filtered.append(v & 0xFF)
+        raw.extend(filtered)
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_parse_png_gray_all_filter_types():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_png
+    import random
+    rng = random.Random(3)
+    w, h = 7, 5
+    pix = [rng.randrange(256) for _ in range(w * h)]
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                    [0, 1, 2, 3, 4]):
+        arr = _parse_png(_png(w, h, pix, filters=filters))
+        assert arr.reshape(-1).tolist() == pix, filters
+
+
+def test_parse_png_rgb_rgba_gray_alpha_match_luma():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_netpbm, _parse_png)
+    # RGB png == the same pixels through the P6 luma path
+    rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    flat = [v for t in rgb for v in t]
+    png_arr = _parse_png(_png(4, 1, flat, color_type=2, filters=[4]))
+    ppm_arr = _parse_netpbm(_ppm(4, 1, rgb))
+    assert png_arr.tolist() == ppm_arr.tolist()
+    # RGBA: alpha ignored
+    flat_a = [v for t in rgb for v in (*t, 128)]
+    assert _parse_png(_png(4, 1, flat_a, color_type=6,
+                           filters=[1])).tolist() == ppm_arr.tolist()
+    # gray+alpha: luma channel only
+    ga = [50, 0, 60, 255, 70, 10]
+    assert _parse_png(_png(3, 1, ga, color_type=4)).tolist() == [[50, 60, 70]]
+
+
+def test_parse_png_rejects_unsupported_and_truncated():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_png
+    import pytest as _pytest
+    ok = _png(2, 2, [1, 2, 3, 4])
+    assert _parse_png(b"notapng") is None
+    with _pytest.raises(ValueError):
+        _parse_png(ok[:30])                 # truncated chunk
+    import struct, zlib
+    # 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+           + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
+           + b"\0\0\0\0")
+    with _pytest.raises(ValueError):
+        _parse_png(bad)
+
+
+def test_image_features_real_path_png_end_to_end(spark):
+    """stub=False image features on PNG blobs with NO PIL in the
+    container (VERDICT r6 #5 done-criterion)."""
+    png = _png(4, 2, [0, 0, 0, 255, 255, 0, 0, 0], filters=[4, 2])
+    rows = [Row(media_id=1, media_type="image", content=png,
+                meta=Row(width=4, height=2, duration_ms=None, codec="png"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_image_features(df, feature_dim=4,
+                                            stub=False).collect()[0]
+    assert out.decode_ok == "ok"
+    assert out.feature == [6 / 8, 0.0, 0.0, 2 / 8]

@@ -124,3 +124,35 @@ def test_load_gene_abundance_prodigal_parse(spark, contigs, tmp_path_factory):
     assert 0.0 < r.gc_content < 1.0
     sums = out.groupBy("sample").agg(F.sum("tpm").alias("s")).collect()
     assert all(abs(x.s - 1e6) < 1e-3 for x in sums)
+
+
+def test_benchmark_ledger_newest_backfill_node_overwrite(spark):
+    """pypelib/post.py:763-935 parity core: retry rows dedup to the newest
+    per (rule, sample); slurm-only blank rows are back-filled from sacct
+    (elapsed/cpu/max_rss MB at 1/100, end timestamp); sacct's node
+    OVERWRITES the local default, absent slurm ids keep 'localhost'."""
+    bm = spark.createDataFrame(
+        [("benchmarks/assembly/s1.txt", 100, 901, 5.0, 4.0, 10.0),
+         ("benchmarks/assembly/s1.txt", 200, 901, 6.0, 4.5, 11.0),  # retry
+         ("benchmarks/mapping/s2.txt", 150, None, 2.0, 1.5, 3.0)],
+        "path string, timestamp long, slurm_job long, s double, "
+        "cpu_time double, max_rss double")
+    slurm_only = spark.createDataFrame(
+        [("binning", "s3", 903)], "rule string, sample string, slurm_job long")
+    sacct = spark.createDataFrame(
+        [(901, "nodeA", 99.0, 198.0, 3 * 1048576, 500),
+         (903, "nodeB", 42.0, 84.0, 5 * 1048576 + 524288, 600)],
+        "job_id long, node string, elapsed_s double, total_cpu_s double, "
+        "mem_bytes long, end_ts long")
+    out = {(r.rule, r.sample): r for r in
+           glamr.benchmark_ledger(bm, slurm_only, sacct).collect()}
+    assert len(out) == 3
+    a = out[("assembly", "s1")]
+    # newest retry won; bm metrics kept (not back-filled); node overwritten
+    assert (a.timestamp, a.s, a.cpu_time, a.max_rss) == (200, 6.0, 4.5, 11.0)
+    assert a.node == "nodeA"
+    m = out[("mapping", "s2")]
+    assert m.node == "localhost" and m.s == 2.0 and m.slurm_job is None
+    b = out[("binning", "s3")]
+    assert (b.s, b.cpu_time, b.max_rss) == (42.0, 84.0, 5.5)
+    assert b.node == "nodeB" and b.timestamp == 600
