@@ -1,0 +1,312 @@
+"""Baseline-sequential JPEG (ITU-T T.81) luma decoder — stdlib + numpy.
+
+The last piece of the dependency-free image path (netpbm/BMP/PNG landed
+earlier): decodes SOF0/SOF1 (baseline / extended-sequential huffman) 8-bit
+JPEGs — 1-3 components, any h/v sampling with a full-resolution Y plane
+(4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart intervals — and returns the Y
+(luma) plane as a uint8 array. Y *is* the 601 luma the sibling decoders
+compute from RGB, so grayscale features are consistent across formats
+without any chroma upsample/color-convert step; chroma blocks are still
+entropy-decoded (the bitstream interleaves them) but skip dequant/IDCT.
+
+Fidelity note: this uses the exact orthonormal float DCT-III, not
+libjpeg's scaled-integer IDCT approximations, so pixel values can differ
+from libjpeg/PIL by ±1. That is fine for feature extraction, and results
+are byte-stable across environments because only this implementation ever
+runs (the multimodal kernels try the stdlib decoders FIRST even when PIL
+is installed). Progressive (SOF2), arithmetic coding, hierarchical, and
+12-bit precision raise ValueError — the caller maps that to a row-level
+decode_error.
+
+Reference precedent: the pipeline treats images as opaque artifacts
+(multimodal columns are an engine extension, SURVEY §8); the decode
+contract matches operators/multimodal.py's other real-path codecs.
+"""
+
+from __future__ import annotations
+
+# Zigzag scan: index i in scan order -> position in the 8x8 block
+# (row-major natural order), ITU-T T.81 Figure A.6.
+_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_M = None  # lazy 8x8 orthonormal DCT-II basis (numpy import deferred)
+
+
+def _idct_matrix():
+    global _IDCT_M
+    if _IDCT_M is None:
+        import math
+
+        import numpy as np
+        m = np.empty((8, 8))
+        for u in range(8):
+            cu = math.sqrt(0.125) if u == 0 else math.sqrt(0.25)
+            for x in range(8):
+                m[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict:
+    """Canonical huffman: (code_length, code) -> symbol (T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.buf, self.cnt = data, 0, 0, 0
+
+    def read_bit(self) -> int:
+        if self.cnt == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.buf >> self.cnt) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _decode_block(reader: _BitReader, dc_tab: dict, ac_tab: dict,
+                  pred: int, coef_out=None) -> int:
+    """Decode one 8x8 block's coefficients; returns the new DC predictor.
+    coef_out (64 int list, natural order) is filled when given; passing
+    None entropy-decodes and discards (the chroma skip path)."""
+    t = _decode_huff(reader, dc_tab)
+    pred += _extend(reader.read_bits(t), t) if t else 0
+    if coef_out is not None:
+        coef_out[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:          # ZRL: 16 zeros
+                k += 16
+                continue
+            break                # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        v = _extend(reader.read_bits(s), s)
+        if coef_out is not None:
+            coef_out[_ZIGZAG[k]] = v
+        k += 1
+    return pred
+
+
+def _split_entropy(buf: bytes, start: int):
+    """Unstuff the scan's entropy data, splitting at RSTn markers.
+    Returns (segments, end_pos) where end_pos sits on the terminating
+    marker's 0xFF."""
+    segs, cur, i, n = [], bytearray(), start, len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = buf[i + 1]
+        if nxt == 0x00:              # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:    # restart marker: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                        # EOI or next marker: scan over
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg_luma(buf: bytes):
+    """Decode a baseline JPEG to its luma plane (uint8, height x width).
+    Returns None when the magic isn't JPEG; raises ValueError on
+    truncated or unsupported (progressive/arithmetic/12-bit) files."""
+    import numpy as np
+    if buf[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None           # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = buf[i + 1]
+        if marker == 0xFF:           # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:           # EOI before SOS
+            raise ValueError("JPEG ended before scan data")
+        seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+        seg = buf[i + 4:i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:           # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                tab = [0] * 64
+                for k in range(64):
+                    if pq:
+                        tab[_ZIGZAG[k]] = int.from_bytes(
+                            seg[p:p + 2], "big")
+                        p += 2
+                    else:
+                        tab[_ZIGZAG[k]] = seg[p]
+                        p += 1
+                qtables[tq] = tab
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            if seg[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {seg[0]}")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (marker 0xFF{marker:02X}): only "
+                "baseline/extended-sequential huffman (SOF0/SOF1) decodes")
+        elif marker == 0xC4:         # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                values = seg[p + 17:p + 17 + nv]
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(bits, values)
+                p += 17 + nv
+        elif marker == 0xDD:         # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:         # SOS — scan starts after this segment
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []                # (comp_idx, dc_table, ac_table)
+            height, width, comps = frame
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next((j for j, cm in enumerate(comps)
+                            if cm[0] == cs), None)
+                if idx is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            if len(scan) != len(comps):
+                raise ValueError("JPEG non-interleaved scans unsupported")
+            return _decode_scan(buf, i + 2 + seg_len, frame, scan, qtables,
+                                huff_dc, huff_ac, restart_interval, np)
+        # APPn / COM / others: skip
+        i += 2 + seg_len
+    raise ValueError("JPEG has no scan (truncated before SOS)")
+
+
+def _decode_scan(buf, data_start, frame, scan, qtables, huff_dc, huff_ac,
+                 restart_interval, np):
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y_idx = scan[0][0]
+    _, hy, vy, tq_y = comps[y_idx]
+    if (hy, vy) != (hmax, vmax):
+        raise ValueError("JPEG with subsampled luma unsupported")
+    if tq_y not in qtables:
+        raise ValueError("JPEG luma quant table missing")
+    q_y = np.array(qtables[tq_y], dtype=np.float64).reshape(8, 8)
+    m = _idct_matrix()
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-width // mcu_w)
+    mcus_y = -(-height // mcu_h)
+    plane = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w), dtype=np.uint8)
+
+    segments, _ = _split_entropy(buf, data_start)
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    for seg_data in segments:
+        if mcu >= n_mcus:
+            break
+        reader = _BitReader(seg_data)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for comp_idx, tdc, tac in scan:
+                _, h, v, _tq = comps[comp_idx]
+                dc_tab, ac_tab = huff_dc.get(tdc), huff_ac.get(tac)
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG huffman table missing")
+                for bv in range(v):
+                    for bh in range(h):
+                        if comp_idx == y_idx:
+                            coef = [0] * 64
+                            preds[comp_idx] = _decode_block(
+                                reader, dc_tab, ac_tab, preds[comp_idx],
+                                coef)
+                            blk = (np.array(coef, dtype=np.float64)
+                                   .reshape(8, 8) * q_y)
+                            pix = m.T @ blk @ m
+                            pix = np.clip(np.round(pix) + 128, 0, 255)
+                            r0 = my * mcu_h + bv * 8
+                            c0 = mx * mcu_w + bh * 8
+                            plane[r0:r0 + 8, c0:c0 + 8] = pix.astype("u1")
+                        else:
+                            # chroma: advance the bitstream, skip IDCT
+                            preds[comp_idx] = _decode_block(
+                                reader, dc_tab, ac_tab, preds[comp_idx])
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("JPEG truncated: "
+                         f"{mcu}/{n_mcus} MCUs decoded")
+    return plane[:height, :width]

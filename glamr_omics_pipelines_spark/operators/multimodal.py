@@ -253,16 +253,21 @@ def _parse_png(buf: bytes):
 
 def _decode_image_gray(buf: bytes):
     """Dependency-free decode of the formats the stdlib+numpy parsers
-    handle — netpbm P5/P6, uncompressed BMP, and non-interlaced 8-bit PNG
-    — to a grayscale uint8 array. Returns None for any other format (the
-    caller falls through to PIL, now needed only for jpeg and exotic PNG
-    variants). Tried FIRST even when PIL is installed, so a given blob
-    decodes identically in every environment."""
+    handle — netpbm P5/P6, uncompressed BMP, non-interlaced 8-bit PNG,
+    and baseline-sequential JPEG (luma plane; operators/_jpeg.py) — to a
+    grayscale uint8 array. Returns None for any other format (the caller
+    falls through to PIL, now needed only for exotic variants:
+    progressive JPEG, interlaced/16-bit PNG, palettized images). Tried
+    FIRST even when PIL is installed, so a given blob decodes identically
+    in every environment."""
+    from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
     arr = _parse_netpbm(buf)
     if arr is None:
         arr = _parse_bmp(buf)
     if arr is None:
         arr = _parse_png(buf)
+    if arr is None:
+        arr = decode_jpeg_luma(buf)
     return arr
 
 
