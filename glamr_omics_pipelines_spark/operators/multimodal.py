@@ -592,20 +592,84 @@ AUDIO_FEATURES_SCHEMA = StructType([
 _PCM_DTYPES = {1: "u1", 2: "<i2", 4: "<i4"}
 
 
+def _g711_luts():
+    """256-entry decode tables for G.711 companded audio (the CCITT
+    reference expansion, ITU-T G.711 / classic g711.c): returns
+    (ulaw_to_linear16, alaw_to_linear16) int32 numpy arrays."""
+    import numpy as np
+    b = np.arange(256, dtype=np.int32)
+    # mu-law
+    u = (~b) & 0xFF
+    seg = (u & 0x70) >> 4
+    t = (((u & 0x0F) << 3) + 0x84) << seg
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    # A-law
+    a = b ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, t, -t)   # sign bit SET means positive in A-law
+    return ulaw, alaw
+
+
+def _parse_wav_companded(buf: bytes):
+    """Manual RIFF parse for the G.711 formats the stdlib ``wave`` module
+    rejects (format tag 6 = A-law, 7 = mu-law): expand through the G.711
+    LUTs to linear 16-bit. Returns (samples_i32, nchannels) or None when
+    the container isn't RIFF/WAVE or the format tag isn't G.711."""
+    import numpy as np
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 4:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little") or 1
+    if audio_format not in (6, 7):
+        return None
+    ulaw, alaw = _g711_luts()
+    lut = alaw if audio_format == 6 else ulaw
+    return lut[np.frombuffer(data, dtype="u1")], nch
+
+
 def _decode_wav_samples(buf: bytes):
     """Real audio decode: parse a RIFF/WAV container with the stdlib
     ``wave`` module and return channel-averaged PCM samples as a float64
     numpy array (8-bit PCM is unsigned per the WAV spec and is centered at
-    128 before averaging). Raises on non-WAV / truncated buffers — the
+    128 before averaging). G.711 A-law/mu-law payloads (format tags 6/7,
+    which ``wave`` rejects) are expanded to linear 16-bit through the
+    CCITT reference tables. Raises on non-WAV / truncated buffers — the
     caller maps that to a row-level decode_error flag."""
     import io
     import wave
 
     import numpy as np
-    with wave.open(io.BytesIO(buf), "rb") as wf:
-        nch = wf.getnchannels()
-        width = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as wf:
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error:
+        companded = _parse_wav_companded(buf)
+        if companded is None:
+            raise
+        samples, nch = companded
+        samples = samples.astype("f8")
+        if nch > 1:
+            samples = samples[: (len(samples) // nch) * nch]
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        return samples
     if width == 3:  # 24-bit: pad each LE triplet to 4 bytes, arithmetic shift
         raw = np.frombuffer(frames, dtype="u1")
         raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
@@ -637,11 +701,12 @@ def extract_audio_windows(df: DataFrame, window_bytes: int | None = None,
     (default 1024), deterministic in content (exact integer arithmetic until
     one final sqrt) — what the correctness oracle pins. REAL kernel
     (``stub=False``): stdlib ``wave`` decode of RIFF/WAV PCM (8/16/24/32-bit,
-    multi-channel averaged) and RMS over ``window_samples``-sample windows
-    (default 1024) of the actual waveform — no third-party codec needed;
-    non-WAV or truncated blobs flag ``decode_error`` per row instead of
-    killing the task. Compressed formats (mp3/ogg) would slot into the same
-    kernel via librosa/ffmpeg, which this container does not ship.
+    multi-channel averaged) plus G.711 A-law/mu-law payloads (format tags
+    6/7, CCITT reference expansion) and RMS over ``window_samples``-sample
+    windows (default 1024) of the actual waveform — no third-party codec
+    needed; non-WAV or truncated blobs flag ``decode_error`` per row instead
+    of killing the task. Perceptual formats (mp3/ogg) would slot into the
+    same kernel via librosa/ffmpeg, which this container does not ship.
 
     The window size params are per-path (bytes of raw content vs decoded
     samples); passing the wrong one for the selected path raises rather

@@ -594,3 +594,58 @@ def test_image_features_real_path_png_end_to_end(spark):
                                             stub=False).collect()[0]
     assert out.decode_ok == "ok"
     assert out.feature == [6 / 8, 0.0, 0.0, 2 / 8]
+
+
+def _g711_wav(payload: bytes, fmt: int, nch: int = 1) -> bytes:
+    """Minimal RIFF/WAVE wrapper for a G.711 payload (fmt 6=A-law, 7=ulaw)."""
+    import struct
+    fmt_body = struct.pack("<HHIIHH", fmt, nch, 8000, 8000 * nch, nch, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_luts_reference_values():
+    from glamr_omics_pipelines_spark.operators.multimodal import _g711_luts
+    ulaw, alaw = _g711_luts()
+    # CCITT reference points: mu-law 0xFF is digital zero, 0x00 is the
+    # negative peak -32124, 0x80 the positive peak +32124
+    assert ulaw[0xFF] == 0 and ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    # A-law (after the 0x55 toggle, sign bit SET means positive): 0x55
+    # decodes to -8, 0xD5 to +8 (no true zero), 0xFF to +848, peaks
+    # +-32256 at bytes 0xAA/0x2A
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8 and alaw[0xFF] == 848
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256
+    # mirror symmetry of both tables
+    assert all(ulaw[i] == -ulaw[i ^ 0x80] for i in range(256))
+    assert all(alaw[i] == -alaw[i ^ 0x80] for i in range(256))
+
+
+def test_decode_wav_samples_g711_mono_and_stereo():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _decode_wav_samples)
+    # mu-law: constant digital-zero payload decodes to silence
+    out = _decode_wav_samples(_g711_wav(bytes([0xFF] * 16), fmt=7))
+    assert out.tolist() == [0.0] * 16
+    # A-law stereo: channels (+8, -8) average to 0
+    out = _decode_wav_samples(_g711_wav(bytes([0x55, 0xD5] * 8), fmt=6,
+                                        nch=2))
+    assert out.tolist() == [0.0] * 8
+    # mu-law peak alternation: |sample| == 32124
+    out = _decode_wav_samples(_g711_wav(bytes([0x00, 0x80] * 4), fmt=7))
+    assert [abs(v) for v in out.tolist()] == [32124.0] * 8
+
+
+def test_extract_audio_windows_g711_end_to_end(spark):
+    """stub=False audio windows on a mu-law WAV: constant-amplitude
+    payload gives a constant RMS window."""
+    blob = _g711_wav(bytes([0x80] * 2048), fmt=7)   # +32124 constant
+    rows = [Row(media_id=1, media_type="audio", content=blob,
+                meta=Row(width=None, height=None, duration_ms=256,
+                         codec="ulaw"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_audio_windows(df, stub=False,
+                                           window_samples=1024).collect()
+    assert len(out) == 2
+    assert all(r.decode_ok == "ok" for r in out)
+    assert all(abs(r.rms - 32124.0) < 1e-6 for r in out)
