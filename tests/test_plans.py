@@ -553,3 +553,30 @@ def test_catalog_wide_plan_lint(spark):
     # the allowlist must not rot: names that no longer exist (or no longer
     # plan a BNLJ) should be pruned so the lint stays meaningful
     assert BNLJ_ALLOWLIST <= set(qs), "allowlist names missing from catalog"
+
+
+def test_benchmark_ledger_broadcast_sacct_and_partial_window(spark):
+    """R7 ledger query: sacct (one accounting row per job — dimension-
+    sized) must attach via BroadcastHashJoin, and the newest-per-
+    (rule,sample) row_number()<=1 must carry the Partial WindowGroupLimit
+    below the exchange so retries never ship more than one row per key
+    per map partition."""
+    plan = _plan(spark, "benchmark_ledger")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+    body = plan.split("== Initial Plan ==")[0]
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 1, Partial", body)
+
+
+def test_embedding_dups_above_gate_plan_is_equi_join(spark, monkeypatch):
+    """VERDICT r6 #2 done-criterion at the catalog level: with the brute
+    ceiling forced below the sf0.001 corpus size, the embedding_dups
+    CATALOG query's plan must contain no nested-loop pair generation —
+    the auto-derived LSH candidates turn it into equi joins."""
+    from glamr_omics_pipelines_spark.operators import similarity
+    monkeypatch.setattr(similarity, "_BRUTE_PAIRGEN_MAX_ROWS", 10)
+    plan = _plan(spark, "embedding_dups")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
