@@ -1,0 +1,76 @@
+"""Property tests for the dependency-free image codecs: arbitrary pixel
+content / geometry / filter choices round-trip exactly (PNG) or within
+DCT rounding (JPEG), using the in-test encoders from the example-based
+suites. Driver-side only — no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
+from glamr_omics_pipelines_spark.operators.multimodal import (
+    _parse_netpbm, _parse_png)
+from tests.test_jpeg import _encode_jpeg
+from tests.test_multimodal import _pgm, _png
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1),
+       st.lists(st.integers(0, 4), min_size=12, max_size=12))
+def test_png_gray_roundtrip_any_filters(w, h, seed, filters):
+    rng = np.random.RandomState(seed % (2 ** 31))
+    pix = rng.randint(0, 256, w * h).tolist()
+    arr = _parse_png(_png(w, h, pix, filters=filters[:h]))
+    assert arr.shape == (h, w)
+    assert arr.reshape(-1).tolist() == pix
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 8), st.integers(1, 8), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([0, 1, 2, 3, 4]))
+def test_png_rgb_matches_netpbm_luma(w, h, seed, ftype):
+    """For ANY RGB content, PNG decode == the P6 netpbm path: both reduce
+    through the same 601-2 fixed-point luma."""
+    rng = np.random.RandomState(seed % (2 ** 31))
+    flat = rng.randint(0, 256, w * h * 3).tolist()
+    png_arr = _parse_png(_png(w, h, flat, color_type=2, filters=[ftype] * h))
+    head = f"P6 {w} {h} 255\n".encode()
+    ppm_arr = _parse_netpbm(head + bytes(flat))
+    assert png_arr.tolist() == ppm_arr.tolist()
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([0, 1, 2]))
+def test_jpeg_luma_roundtrip_within_dct_rounding(bw, bh, seed, restart):
+    """ANY pixel content at block-multiple geometry round-trips through
+    encode->decode within 1 level (quant tables are all ones, so the only
+    loss is float-DCT coefficient rounding), with and without restart
+    intervals."""
+    rng = np.random.RandomState(seed % (2 ** 31))
+    img = rng.randint(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    out = decode_jpeg_luma(_encode_jpeg(img, restart=restart))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2 ** 32 - 1))
+def test_jpeg_odd_geometry_crops_to_requested_size(w, h, seed):
+    rng = np.random.RandomState(seed % (2 ** 31))
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    out = decode_jpeg_luma(_encode_jpeg(img))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 40), st.integers(1, 6), st.integers(0, 2 ** 32 - 1))
+def test_pgm_roundtrip_any_geometry(w, h, seed):
+    rng = np.random.RandomState(seed % (2 ** 31))
+    pix = rng.randint(0, 256, w * h).tolist()
+    arr = _parse_netpbm(_pgm(w, h, pix))
+    assert arr.reshape(-1).tolist() == pix
