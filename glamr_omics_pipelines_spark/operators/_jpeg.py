@@ -14,9 +14,10 @@ libjpeg's scaled-integer IDCT approximations, so pixel values can differ
 from libjpeg/PIL by ±1. That is fine for feature extraction, and results
 are byte-stable across environments because only this implementation ever
 runs (the multimodal kernels try the stdlib decoders FIRST even when PIL
-is installed). Progressive (SOF2), arithmetic coding, hierarchical, and
-12-bit precision raise ValueError — the caller maps that to a row-level
-decode_error.
+is installed). Valid-but-out-of-scope files (progressive SOF2, arithmetic
+coding, hierarchical, 12-bit, subsampled luma, multi-scan baseline) return
+None so the caller can fall through to PIL; only CORRUPT files raise
+ValueError (mapped to a row-level decode_error).
 
 Reference precedent: the pipeline treats images as opaque artifacts
 (multimodal columns are an engine extension, SURVEY §8); the decode
@@ -164,8 +165,9 @@ def _split_entropy(buf: bytes, start: int):
 
 def decode_jpeg_luma(buf: bytes):
     """Decode a baseline JPEG to its luma plane (uint8, height x width).
-    Returns None when the magic isn't JPEG; raises ValueError on
-    truncated or unsupported (progressive/arithmetic/12-bit) files."""
+    Returns None when the magic isn't JPEG OR the file is valid but out
+    of scope (progressive/arithmetic/12-bit/subsampled-luma — the caller
+    falls through to PIL); raises ValueError on corrupt files."""
     import numpy as np
     if buf[:2] != b"\xff\xd8":
         return None
@@ -205,7 +207,7 @@ def decode_jpeg_luma(buf: bytes):
                 qtables[tq] = tab
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
             if seg[0] != 8:
-                raise ValueError(f"unsupported JPEG precision {seg[0]}")
+                return None          # 12-bit: valid but out of scope -> PIL
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -216,9 +218,10 @@ def decode_jpeg_luma(buf: bytes):
             frame = (height, width, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"unsupported JPEG coding (marker 0xFF{marker:02X}): only "
-                "baseline/extended-sequential huffman (SOF0/SOF1) decodes")
+            # progressive / arithmetic / hierarchical: a VALID file this
+            # decoder doesn't cover — return None so the caller falls
+            # through to PIL (or its NotImplementedError install hint)
+            return None
         elif marker == 0xC4:         # DHT
             p = 0
             while p < len(seg):
@@ -243,8 +246,8 @@ def decode_jpeg_luma(buf: bytes):
                 if idx is None:
                     raise ValueError("JPEG scan references unknown component")
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            if len(scan) != len(comps):
-                raise ValueError("JPEG non-interleaved scans unsupported")
+            if 1 < len(scan) < len(comps):
+                return None  # multi-scan baseline: valid, out of scope -> PIL
             return _decode_scan(buf, i + 2 + seg_len, frame, scan, qtables,
                                 huff_dc, huff_ac, restart_interval, np)
         # APPn / COM / others: skip
@@ -255,12 +258,18 @@ def decode_jpeg_luma(buf: bytes):
 def _decode_scan(buf, data_start, frame, scan, qtables, huff_dc, huff_ac,
                  restart_interval, np):
     height, width, comps = frame
+    if len(scan) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is ONE 8x8 data unit in raster order and the component's
+        # sampling factors do not shape the block layout.
+        comps = [(comps[scan[0][0]][0], 1, 1, comps[scan[0][0]][3])]
+        scan = [(0, scan[0][1], scan[0][2])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     y_idx = scan[0][0]
     _, hy, vy, tq_y = comps[y_idx]
     if (hy, vy) != (hmax, vmax):
-        raise ValueError("JPEG with subsampled luma unsupported")
+        return None              # subsampled luma: valid, out of scope -> PIL
     if tq_y not in qtables:
         raise ValueError("JPEG luma quant table missing")
     q_y = np.array(qtables[tq_y], dtype=np.float64).reshape(8, 8)

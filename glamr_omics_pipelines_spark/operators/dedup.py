@@ -425,7 +425,8 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     every surviving pair is still EXACTLY verified against ``threshold``).
     ``pair_gen="brute"`` / ``"lsh"`` force a form; an explicit
     ``candidates`` frame (e.g. pre-bucketed and persisted across calls)
-    overrides everything. The auto path costs one count per call.
+    overrides everything. The auto path costs one bounded
+    limit(N+1)-count per call.
     Cosine computed with higher-order functions in the JVM.
     """
     from glamr_omics_pipelines_spark.operators import similarity
@@ -435,7 +436,10 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
         raise ValueError(
             f"pair_gen must be None|'brute'|'lsh', got {pair_gen!r}")
     if candidates is None and pair_gen != "brute":
-        if pair_gen == "lsh" or emb.count() > similarity._BRUTE_PAIRGEN_MAX_ROWS:
+        # "more than N rows?" via limit(N+1).count(): short-circuits the
+        # scan on huge corpora instead of materializing a full count
+        gate = similarity._BRUTE_PAIRGEN_MAX_ROWS
+        if pair_gen == "lsh" or emb.limit(gate + 1).count() > gate:
             candidates = similarity.lsh_candidate_pairs(emb, id_col, vec_col)
     # per-ROW norm + double-cast below the join: the n² join condition then
     # evaluates only a dot product and one divide per pair, not two norm

@@ -13,7 +13,9 @@ uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG
 (gray/gray+alpha/RGB/RGBA; stdlib zlib inflate + per-scanline unfilter)
 images via numpy parsers, RIFF/WAV PCM audio
 via the stdlib ``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via
-a numpy luma-plane parser. Remaining image formats (jpeg, exotic PNGs)
+a numpy luma-plane parser, and baseline-sequential JPEG via
+``operators/_jpeg.py``. Valid-but-out-of-scope variants (progressive
+JPEG, palette/16-bit/interlaced PNG)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -114,19 +116,19 @@ def _parse_netpbm(buf: bytes):
     # Exactly ONE whitespace byte separates maxval from the raster (netpbm
     # spec).  A CRLF-terminated header (Windows text-mode writer) would
     # otherwise shift the raster by one byte and decode silently-corrupt
-    # pixels, so validate the separator instead of skipping blindly.
+    # pixels: validate the separator, and reject the CRLF pair explicitly
+    # (benign trailing bytes AFTER a complete raster remain accepted —
+    # some writers append a final newline).
     if not buf[pos:pos + 1].isspace():
         raise ValueError("netpbm: maxval not followed by whitespace")
+    if buf[pos:pos + 2] == b"\r\n":
+        raise ValueError("netpbm: CRLF-terminated header would shift the "
+                         "raster; rewrite the header with unix newlines")
     pos += 1
     ch = 1 if buf[:2] == b"P5" else 3
     need = w * h * ch
     if len(buf) - pos < need:
         raise ValueError("truncated netpbm raster")
-    if len(buf) - pos != need:
-        # Leftover header bytes (e.g. the '\n' of a '\r\n' pair) would
-        # mis-register every pixel — reject rather than guess.
-        raise ValueError(
-            f"netpbm raster size mismatch: {len(buf) - pos} bytes for {need}")
     data = np.frombuffer(buf, dtype="u1", count=need, offset=pos)
     if ch == 1:
         return data.reshape(h, w)
@@ -167,9 +169,9 @@ def _parse_bmp(buf: bytes):
 
 def _unfilter_png_row(ftype: int, row, prev, ch: int):
     """Reconstruct one PNG scanline (filter types 0-4, RFC 2083 §6).
-    None/Up are vectorized (uint8 addition wraps mod 256 exactly as the
-    spec requires); Sub/Average/Paeth carry a left-pixel serial dependence
-    and run as an int loop over the row."""
+    None/Up/Sub are vectorized (Up: uint8 wrap-add; Sub: per-lane cumsum
+    mod 256); Average/Paeth carry a non-linear left-pixel dependence and
+    run as an int loop over the row."""
     import numpy as np
     if ftype == 0:
         return row
@@ -177,15 +179,25 @@ def _unfilter_png_row(ftype: int, row, prev, ch: int):
         return (row + prev).astype(np.uint8)
     if ftype not in (1, 3, 4):
         raise ValueError(f"bad PNG filter type {ftype}")
+    if ftype == 1:
+        # Sub is a per-channel-lane prefix sum mod 256 — vectorize it:
+        # pad the row to a lane multiple, cumsum down each lane, trim.
+        n = len(row)
+        lanes = -(-n // ch)
+        padded = np.zeros(lanes * ch, dtype=np.int64)
+        padded[:n] = row
+        recon = padded.reshape(lanes, ch).cumsum(axis=0) & 0xFF
+        return recon.reshape(-1)[:n].astype(np.uint8)
+    # Average/Paeth have a non-linear left+up dependence — serial by
+    # nature. Fine for thumbnails/tiles (the multimodal scale contract);
+    # pre-resize giant photographic assets upstream or ship PIL.
     r = row.astype(np.int32)
     p = prev.astype(np.int32)
     out = np.zeros_like(r)
     for x in range(len(r)):
         a = int(out[x - ch]) if x >= ch else 0
         b = int(p[x])
-        if ftype == 1:
-            v = r[x] + a
-        elif ftype == 3:
+        if ftype == 3:
             v = r[x] + ((a + b) >> 1)
         else:  # Paeth predictor
             c = int(p[x - ch]) if x >= ch else 0
@@ -201,9 +213,9 @@ def _parse_png(buf: bytes):
     non-interlaced 8-bit gray / gray+alpha / RGB / RGBA → grayscale uint8
     via the same 601-2 fixed-point luma as the other decoders (alpha is
     ignored, matching PIL's convert("L")). Returns None when the magic
-    isn't PNG (caller falls through to PIL — now only jpeg and exotic PNG
-    variants need it); raises on truncated chunks, 16-bit / paletted /
-    interlaced images, and raster size mismatches."""
+    isn't PNG OR the file is a valid variant out of scope (palette /
+    16-bit / interlaced — the caller falls through to PIL); raises only
+    on CORRUPT files (truncated chunks, raster size mismatches)."""
     import struct
     import zlib
     import numpy as np
@@ -228,8 +240,10 @@ def _parse_png(buf: bytes):
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
-        raise ValueError(f"unsupported PNG: depth={bit_depth} "
-                         f"color_type={color_type} interlace={interlace}")
+        # palette / 16-bit / interlaced: a VALID PNG this decoder doesn't
+        # cover — return None so the caller falls through to PIL (or its
+        # NotImplementedError install hint); only CORRUPT files raise
+        return None
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = width * ch
@@ -627,6 +641,9 @@ def _parse_wav_companded(buf: bytes):
         cid = buf[pos:pos + 4]
         sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
         body = buf[pos + 8:pos + 8 + sz]
+        if cid in (b"fmt ", b"data") and len(body) < sz:
+            raise ValueError(f"truncated WAV {cid.decode().strip()} chunk: "
+                             f"{len(body)} of {sz} bytes")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

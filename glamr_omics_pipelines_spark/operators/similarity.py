@@ -78,6 +78,23 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     return 1 if row is None or row["d"] is None else int(row["d"])
 
 
+def _explode_table_buckets(df: DataFrame, vec_col: str, num_planes: int,
+                           dim: int, num_tables: int, seed: int,
+                           keep: list) -> DataFrame:
+    """Shared OR-amplification plumbing (used by both lsh_topk_multi and
+    lsh_candidate_pairs so seeding/packing can never diverge): compute all
+    ``num_tables`` bucket ids in ONE projection (the planes are
+    expression-tree literals) and posexplode to (lsh_table, lsh_bucket)
+    rows alongside the ``keep`` columns."""
+    out = df
+    for t in range(num_tables):
+        out = hyperplane_buckets(out, vec_col, num_planes, dim,
+                                 seed=seed + 1000 * t, out=f"_b{t}")
+    buckets = F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
+    return out.select(*keep,
+                      F.posexplode(buckets).alias("lsh_table", "lsh_bucket"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
                         num_planes: int = 12, num_tables: int = 4,
                         dim: int | None = None, seed: int = 42) -> DataFrame:
@@ -96,14 +113,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
     """
     if dim is None:
         dim = _vec_dim(df, vec_col)
-    out = df.select(F.col(id_col).alias("_id"),
+    pre = df.select(F.col(id_col).alias("_id"),
                     as_double_vec(vec_col).alias("_v"))
-    for t in range(num_tables):
-        out = hyperplane_buckets(out, "_v", num_planes, dim,
-                                 seed=seed + 1000 * t, out=f"_b{t}")
-    buckets = F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
-    exploded = out.select(
-        "_id", F.posexplode(buckets).alias("lsh_table", "lsh_bucket"))
+    exploded = _explode_table_buckets(pre, "_v", num_planes, dim, num_tables,
+                                      seed, keep=[F.col("_id")])
     a = exploded.select(F.col("_id").alias("id_a"), "lsh_table", "lsh_bucket")
     b = exploded.select(F.col("_id").alias("id_b"), "lsh_table", "lsh_bucket")
     return (a.join(b, ["lsh_table", "lsh_bucket"])
@@ -126,13 +139,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (same output schema, approximate recall) so no caller silently gets
     the exact corpus×queries scan at scale; ``"brute"`` forces exact
     (the oracle form); ``"lsh"`` forces the bucketed form at any size.
-    The auto path costs one corpus count per call — pass ``method``
-    explicitly in a loop.
+    The auto path costs one bounded limit(N+1)-count per call — pass
+    ``method`` explicitly in a loop.
     """
     if method not in (None, "brute", "lsh"):
         raise ValueError(f"method must be None|'brute'|'lsh', got {method!r}")
+    # the gate only needs "more than N rows?", not the exact count —
+    # limit(N+1) short-circuits the scan on huge corpora
     if method == "lsh" or (method is None
-                           and corpus.count() > _BRUTE_PAIRGEN_MAX_ROWS):
+                           and corpus.limit(_BRUTE_PAIRGEN_MAX_ROWS + 1)
+                           .count() > _BRUTE_PAIRGEN_MAX_ROWS):
         return lsh_topk_multi(corpus, queries, id_col, vec_col, k=k,
                               dim=_vec_dim(corpus, vec_col),
                               query_id=query_id)
@@ -286,15 +302,10 @@ def lsh_topk_multi(corpus: DataFrame, queries: DataFrame, id_col: str,
     reuse it across query batches.
     """
     def bucketed(df: DataFrame, keep_id: str, keep_vec: str) -> DataFrame:
-        out = df
-        for t in range(num_tables):
-            out = hyperplane_buckets(out, vec_col, num_planes, dim,
-                                     seed=seed + 1000 * t, out=f"_b{t}")
-        buckets = F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
-        return out.select(
-            F.col(df.columns[0]).alias(keep_id),
-            F.col(vec_col).alias(keep_vec),
-            F.posexplode(buckets).alias("lsh_table", "lsh_bucket"))
+        keep = [F.col(df.columns[0]).alias(keep_id),
+                F.col(vec_col).alias(keep_vec)]
+        return _explode_table_buckets(df, vec_col, num_planes, dim,
+                                      num_tables, seed, keep=keep)
 
     c = bucketed(corpus.select(id_col, vec_col), "neighbor_id", "_cv")
     q = F.broadcast(bucketed(queries.select(query_id, vec_col),

@@ -187,12 +187,12 @@ def test_jpeg_rejects_unsupported():
     blob = _encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(ValueError):
         decode_jpeg_luma(blob[:40])                   # truncated
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2 (progressive): a VALID file out of scope returns
+    # None so the caller falls through to PIL, never decode_error
     prog = bytearray(blob)
     idx = blob.index(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError):
-        decode_jpeg_luma(bytes(prog))
+    assert decode_jpeg_luma(bytes(prog)) is None
 
 
 def test_image_features_real_path_jpeg_end_to_end(spark):

@@ -478,9 +478,10 @@ def test_parse_netpbm_crlf_header_rejected():
     # non-whitespace separator also rejected
     with pytest.raises(ValueError):
         _parse_netpbm(b"P5\n2 2\n255X" + bytes([10, 20, 30, 40]))
-    # trailing garbage after an otherwise-exact raster is rejected too
-    with pytest.raises(ValueError):
-        _parse_netpbm(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]) + b"\x00")
+    # benign trailing bytes after a COMPLETE raster stay accepted (some
+    # writers append a final newline) — only the CRLF shift is an error
+    arr = _parse_netpbm(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]) + b"\n")
+    assert arr.tolist() == [[10, 20], [30, 40]]
 
 
 # ---------------------------------------------------------------------------
@@ -573,14 +574,21 @@ def test_parse_png_rejects_unsupported_and_truncated():
     with _pytest.raises(ValueError):
         _parse_png(ok[:30])                 # truncated chunk
     import struct, zlib
-    # 16-bit depth header
+    # 16-bit depth header: VALID variant out of scope -> None (PIL path)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    bad = (b"\x89PNG\r\n\x1a\n"
-           + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+            + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
+            + b"\0\0\0\0")
+    assert _parse_png(deep) is None
+    # palette color type likewise falls through to PIL, never decode_error
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr_p)) + b"IHDR" + ihdr_p
+           + b"\0\0\0\0"
            + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
            + b"\0\0\0\0")
-    with _pytest.raises(ValueError):
-        _parse_png(bad)
+    assert _parse_png(pal) is None
 
 
 def test_image_features_real_path_png_end_to_end(spark):
