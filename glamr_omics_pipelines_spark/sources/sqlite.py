@@ -68,6 +68,8 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
             return v if isinstance(v, str) else str(v)
         try:
             if t == "long":
+                if type(v) is int:     # the common case: no conversion work
+                    return v
                 if isinstance(v, bytes):
                     return None
                 # degrade-to-None contract: a fractional REAL in an
