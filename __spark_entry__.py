@@ -655,6 +655,82 @@ def q_streaming_replay_rollup(spark, sf_dir):
         .withColumn("n_batches", F.lit(int(applied) + 1).cast("bigint")))
 
 
+def q_streaming_attribution_join(spark, sf_dir):
+    """Batch-replay oracle row for the STREAM-STREAM join (VERDICT r7 #4;
+    streaming/ingest.py:stream_interval_join — the ad-tech attribution
+    shape, previously proven only by live availableNow tests): views and
+    purchases are each split into three TIME-ORDERED parquet files
+    (thirds of the event-time range, so replay is watermark-safe: no row
+    is ever late), drained by a REAL two-sided availableNow run with
+    maxFilesPerTrigger=1 — three micro-batches through the watermarked
+    interval-join state machine — and the drained pair set is rolled up
+    to the same last-touch frame as the batch `attribution_join` query.
+    The oracle computes the identical time-bounded join in one batch
+    pass; n_batches (max foreachBatch id + 1, stamped on every emitted
+    row) pins that the join actually ran incrementally: a view matching
+    a purchase two batches later can only be emitted if the join STATE
+    carried it across micro-batches."""
+    import shutil
+    import tempfile
+    from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
+    ev = _events(spark, sf_dir)
+    lo, hi = (ev.agg(F.min(F.unix_micros("ts")),
+                     F.max(F.unix_micros("ts"))).collect()[0])
+    third = F.least(F.lit(2), F.floor(
+        (F.unix_micros("ts") - F.lit(lo)) * 3 / F.lit(hi - lo + 1)))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("imp_ts"), third.alias("_third")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("conv_ts"), third.alias("_third")))
+    root = tempfile.mkdtemp(prefix="stream_attr_")
+    try:
+        vsrc = os.path.join(root, "views")
+        psrc = os.path.join(root, "purchases")
+        # sequential writes → strictly increasing mtimes → the file
+        # source replays the thirds oldest-first, one per trigger
+        for i in range(3):
+            (views.filter(F.col("_third") == i).drop("_third")
+             .coalesce(1).write.mode("append").parquet(vsrc))
+            (purch.filter(F.col("_third") == i).drop("_third")
+             .coalesce(1).write.mode("append").parquet(psrc))
+        v_schema = views.drop("_third").schema
+        p_schema = purch.drop("_third").schema
+        vs = (spark.readStream.schema(v_schema)
+              .option("maxFilesPerTrigger", 1).parquet(vsrc))
+        ps = (spark.readStream.schema(p_schema)
+              .option("maxFilesPerTrigger", 1).parquet(psrc))
+        j = s_ingest.stream_interval_join(vs, ps, "user_id",
+                                          "imp_ts", "conv_ts",
+                                          max_delay_seconds=1800)
+        out_dir = os.path.join(root, "out")
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            (batch.withColumn("_batch", F.lit(batch_id).cast("long"))
+             .write.mode("append").parquet(out_dir))
+
+        (j.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination())
+        pairs = spark.read.parquet(out_dir)
+        n_batches = pairs.agg(
+            F.max("_batch").alias("b")).collect()[0]["b"] + 1
+        agg = (pairs.groupBy("purchase_id")
+               .agg(F.count(F.lit(1)).alias("n_candidates"),
+                    F.max(F.struct("imp_ts", "view_id")).alias("_best"))
+               .select("purchase_id",
+                       F.col("_best.view_id").alias("view_id"),
+                       F.col("n_candidates").cast("bigint")
+                       .alias("n_candidates")))
+        # purchase-grain (small) — materialize before the temp dir goes
+        out = spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.withColumn("n_batches",
+                          F.lit(int(n_batches)).cast("bigint"))
+
+
 def q_benchmark_ledger(spark, sf_dir):
     """Benchmark-harvest parity (pipelines/glamr.py:benchmark_ledger;
     pypelib/post.py:763-935 collect_benchmarks): a deterministic synthetic
@@ -3314,27 +3390,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_dups": q_embedding_dups,
         "streaming_replay_rollup": q_streaming_replay_rollup,
+        "streaming_attribution_join": q_streaming_attribution_join,
         "benchmark_ledger": q_benchmark_ledger,
     }
     window = [
-        # 46 r3-era rows, oldest bank first
-        "rel_abund", "rpkm", "tpm", "top1_per_group", "kingdom_priority_lca",
-        "multimodal_features", "topk_revenue", "anvio_stacked",
-        "subtree_rollup", "lca", "bin_summary_view", "sessionize",
-        "asof_join", "range_join", "windowed_counts", "coverage_stats",
-        "fasta_roundtrip", "fastq_roundtrip", "read_count_ladder",
-        "dna_reads_qc", "asv_matrix", "skew_join_salted", "pivot_wider",
-        "tie_discard_top1", "rollup_ladder", "retention_ladder",
-        "binner_completion", "newest_import", "xml_extract", "pivot_longer",
-        "anti_join", "semi_join", "threshold_filter", "weighted_mean",
-        "json_histogram", "date_multiformat", "separate_lineage",
-        "explode_csv", "cross_join_audit", "union_missing_cols",
-        "sequential_ids", "quality_bands", "distinct_catalog", "na_handling",
-        "ivf_ann", "embedding_dups",
-        # new oracle rows this round
-        "streaming_replay_rollup", "benchmark_ledger",
-        # touched by the r7 ANN auto-gate
-        "cosine_topk", "dbscan",
+        # ROUND-8 WINDOW (VERDICT r7 #1): the 43 r4-era rows — at age 3,
+        # the ledger maximum; they predate the ANSI hardening and the ANN
+        # auto-gate that landed since r4.
+        "interval_overlap", "lsh_ann_multi", "dup_clusters_star",
+        "dup_clusters", "quantile_gate", "normalize_text",
+        "session_windows", "kmer_spectrum", "rolling_features",
+        "percent_rank_norm", "tfidf_topk", "winsorize", "funnel",
+        "snapshot_diff", "corr_stats", "mad_outliers", "label_centroids",
+        "profile_table", "simhash_dedup", "ngram_jaccard",
+        "ngram_containment", "line_dedup", "span_dedup",
+        "pmi_collocations", "geo_neighbors", "shannon_diversity",
+        "bray_curtis", "rarefaction", "chao1", "lang_id", "text_quality",
+        "token_counts", "doc_fingerprint", "vocab_topk", "hash_sample",
+        "stratified_split", "hypertable_rollup", "quality_window_trim",
+        "text_repetition", "pii_scrub", "doc_lm_score",
+        "split_contamination", "temperature_sample",
+        # new oracle row this round: the stream-stream join family's
+        # first driver-oracle row (availableNow two-sided replay)
+        "streaming_attribution_join",
+        # re-checks of queries whose code paths r8 touched: the ANN gate
+        # probe memoization (cosine_topk/dbscan/embedding_dups) and the
+        # palette-PNG / progressive-JPEG decoders (multimodal_features)
+        "cosine_topk", "dbscan", "embedding_dups", "multimodal_features",
+        # oldest banked r5-era rows fill the remaining slots
+        "pack_sequences", "curation_pipeline_v2",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     return ({name: full[name] for name in window}
@@ -3982,6 +4066,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_batches
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "streaming_attribution_join": """
+            WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
+                       FROM events WHERE event_type = 'view'),
+            p AS (SELECT user_id, event_id AS purchase_id, ts AS conv_ts
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT p.purchase_id, v.view_id, v.imp_ts
+                  FROM v JOIN p ON v.user_id = p.user_id
+                   AND v.imp_ts <= p.conv_ts
+                   AND v.imp_ts >= p.conv_ts - INTERVAL 1800 SECONDS)
+            SELECT purchase_id, view_id, n_candidates,
+                   CAST(3 AS BIGINT) AS n_batches FROM (
+              SELECT purchase_id, view_id,
+                     count(*) OVER (PARTITION BY purchase_id)::BIGINT
+                       AS n_candidates,
+                     row_number() OVER (PARTITION BY purchase_id
+                                        ORDER BY imp_ts DESC, view_id DESC)
+                       AS rn
+              FROM j) t WHERE rn = 1
         """,
         "benchmark_ledger": """
             WITH d AS (SELECT doc_id FROM documents),

@@ -248,6 +248,18 @@ def decode_jpeg_luma(buf: bytes):
                 scan.append((idx, tt >> 4, tt & 0x0F))
             if 1 < len(scan) < len(comps):
                 return None  # multi-scan baseline: valid, out of scope -> PIL
+            if len(scan) == 1 and len(comps) > 1:
+                # ADVICE r7: an Ns=1 FIRST scan of a multi-component frame
+                # is only decodable here when it is the frame's first
+                # (luma) component at full resolution — a chroma-only or
+                # subsampled first scan would otherwise be returned as
+                # luma on the wrong block grid (or raise on the size
+                # mismatch). Valid file, out of scope -> PIL.
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                idx = scan[0][0]
+                if idx != 0 or (comps[idx][1], comps[idx][2]) != (hmax, vmax):
+                    return None
             return _decode_scan(buf, i + 2 + seg_len, frame, scan, qtables,
                                 huff_dc, huff_ac, restart_interval, np)
         # APPn / COM / others: skip

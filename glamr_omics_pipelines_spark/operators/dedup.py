@@ -422,12 +422,16 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
     enumeration runs (the oracle baseline); above it, candidates are
     auto-derived from :func:`similarity.lsh_candidate_pairs` so no caller
     silently hits n²/2 dot products at scale (recall < 1 by LSH nature —
-    every surviving pair is still EXACTLY verified against ``threshold``).
+    every surviving pair is still EXACTLY verified against ``threshold``,
+    and the LSH shape is sized via
+    :func:`similarity.lsh_params_for_threshold` to reach ≥0.95 candidate
+    recall AT this threshold — ADVICE r7: the old fixed 12×4 shape
+    silently dropped ~27% of true pairs at threshold 0.95).
     ``pair_gen="brute"`` / ``"lsh"`` force a form; an explicit
     ``candidates`` frame (e.g. pre-bucketed and persisted across calls)
-    overrides everything. The auto path costs one bounded
-    limit(N+1)-count per call.
-    Cosine computed with higher-order functions in the JVM.
+    overrides everything. The auto probe (one bounded limit(N+1)-count)
+    is memoized per logical plan — repeated calls on the same corpus pay
+    it once. Cosine computed with higher-order functions in the JVM.
     """
     from glamr_omics_pipelines_spark.operators import similarity
     from glamr_omics_pipelines_spark.operators.similarity import (
@@ -436,11 +440,10 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
         raise ValueError(
             f"pair_gen must be None|'brute'|'lsh', got {pair_gen!r}")
     if candidates is None and pair_gen != "brute":
-        # "more than N rows?" via limit(N+1).count(): short-circuits the
-        # scan on huge corpora instead of materializing a full count
-        gate = similarity._BRUTE_PAIRGEN_MAX_ROWS
-        if pair_gen == "lsh" or emb.limit(gate + 1).count() > gate:
-            candidates = similarity.lsh_candidate_pairs(emb, id_col, vec_col)
+        if pair_gen == "lsh" or similarity._over_gate(emb):
+            candidates = similarity.lsh_candidate_pairs(
+                emb, id_col, vec_col,
+                **similarity.lsh_params_for_threshold(threshold))
     # per-ROW norm + double-cast below the join: the n² join condition then
     # evaluates only a dot product and one divide per pair, not two norm
     # reductions + two array casts per pair.

@@ -349,3 +349,89 @@ def test_brute_force_topk_method_gate(spark, monkeypatch):
     with pytest.raises(ValueError):
         similarity.brute_force_topk(corpus, queries, "id", "v",
                                     method="turbo")
+
+
+def test_gate_probe_memoized(spark, monkeypatch):
+    """VERDICT r7 #2: the auto-gate's limit(N+1).count() probe is a full
+    Spark job and must run at most ONCE per (session, logical plan) —
+    repeated calls with the same plan (bench reruns, dbscan chains) hit
+    the memo. Distinct plans and distinct gate values each get their own
+    probe."""
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    similarity.clear_gate_cache()
+    calls = []
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame
+    # under Spark 4) — the abstract pyspark.sql.DataFrame's limit is
+    # shadowed by the subclass override
+    cls = type(df)
+    orig = cls.limit
+
+    def spy(self, n):
+        calls.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(cls, "limit", spy)
+    assert similarity._over_gate(df, 10) is True
+    assert similarity._over_gate(df, 10) is True
+    assert calls == [11], "second call must hit the memo"
+    assert similarity._over_gate(df, 50) is False  # new gate -> new probe
+    assert calls == [11, 51]
+    other = df.filter(F.col("id") < 5)
+    assert similarity._over_gate(other, 10) is False  # new plan -> new probe
+    assert calls == [11, 51, 11]
+    similarity.clear_gate_cache()
+    assert similarity._over_gate(df, 10) is True  # cleared -> probes again
+    assert calls == [11, 51, 11, 11]
+
+
+def test_vec_dim_memoized(spark):
+    """_vec_dim (a one-row driver job) is memoized per (session, plan,
+    column) alongside the gate verdict."""
+    rows = [(1, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    similarity.clear_gate_cache()
+    assert similarity._vec_dim(df, "v") == 3
+    key = similarity._plan_key(df)
+    assert (*key, "v") in similarity._DIM_CACHE
+    assert similarity._vec_dim(df, "v") == 3
+
+
+def test_lsh_params_for_threshold_meets_recall():
+    """ADVICE r7: derived (num_planes, num_tables) must reach the recall
+    target across the threshold range where 16 tables suffice, and the
+    analytic curve must match the closed form."""
+    for t in (0.999, 0.99, 0.95, 0.9, 0.8):
+        p = similarity.lsh_params_for_threshold(t, target_recall=0.95)
+        r = similarity.lsh_candidate_recall(t, **p)
+        assert r >= 0.95, (t, p, r)
+        assert 4 <= p["num_planes"] <= 16
+        assert 1 <= p["num_tables"] <= 16
+    # the old fixed default really was ~0.73 at threshold 0.95
+    assert abs(similarity.lsh_candidate_recall(0.95, 12, 4) - 0.728) < 0.01
+    # exact-duplicate threshold needs a single table
+    assert similarity.lsh_params_for_threshold(1.0)["num_tables"] == 1
+
+
+def test_brute_force_topk_warns_on_auto_lsh(spark, monkeypatch, caplog):
+    """ADVICE r7: the silent exact->approximate flip must log a warning
+    naming the escape hatches; forced methods stay silent."""
+    import logging
+    rows = [(i, [1.0, float(i), 0.5]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "id int, v array<double>")
+    queries = spark.createDataFrame([(100, [1.0, 3.0, 0.5])],
+                                    "query_id int, v array<double>")
+    monkeypatch.setattr(similarity, "_BRUTE_PAIRGEN_MAX_ROWS", 10)
+    similarity.clear_gate_cache()
+    with caplog.at_level(logging.WARNING,
+                         logger="glamr_omics_pipelines_spark.operators"
+                                ".similarity"):
+        similarity.brute_force_topk(corpus, queries, "id", "v", k=3)
+    assert any("method='brute'" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="glamr_omics_pipelines_spark.operators"
+                                ".similarity"):
+        similarity.brute_force_topk(corpus, queries, "id", "v", k=3,
+                                    method="lsh")
+    assert not any("method='brute'" in r.message for r in caplog.records)

@@ -212,3 +212,34 @@ def test_image_features_real_path_jpeg_end_to_end(spark):
     # bins 0/1 -> slots 0/1; bins 254/255 -> slots 2/3
     assert out.feature[0] + out.feature[1] == pytest.approx(0.5)
     assert out.feature[2] + out.feature[3] == pytest.approx(0.5)
+
+
+def test_ns1_first_scan_of_multicomponent_frame_falls_through():
+    """ADVICE r7: an Ns=1 first scan of a multi-component file is only
+    decodable when it is the FULL-RESOLUTION LUMA component — a
+    chroma-only or subsampled-component first scan must return None (PIL
+    fall-through), never decode as luma on the wrong grid."""
+    import struct
+
+    def sof_sos(comps, scan_comp_id):
+        # comps: list of (id, h, v, tq)
+        sof_body = struct.pack(">BHHB", 8, 16, 16, len(comps))
+        for cid, h, v, tq in comps:
+            sof_body += bytes([cid, (h << 4) | v, tq])
+        sos_body = bytes([1, scan_comp_id, 0x00, 0, 63, 0])
+        return (b"\xff\xd8"
+                + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body))
+                + sof_body
+                + b"\xff\xda" + struct.pack(">H", 2 + len(sos_body))
+                + sos_body)
+
+    ycc = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    # chroma-component (id 3) first scan: valid, out of scope -> None
+    assert decode_jpeg_luma(sof_sos(ycc, scan_comp_id=3)) is None
+    # luma first but SUBSAMPLED relative to another component -> None
+    weird = [(1, 1, 1, 0), (2, 2, 2, 1), (3, 1, 1, 1)]
+    assert decode_jpeg_luma(sof_sos(weird, scan_comp_id=1)) is None
+    # unknown component id in the scan stays CORRUPT -> raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_jpeg_luma(sof_sos(ycc, scan_comp_id=9))

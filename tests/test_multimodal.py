@@ -482,20 +482,28 @@ def test_parse_netpbm_crlf_header_rejected():
     # writers append a final newline) — only the CRLF shift is an error
     arr = _parse_netpbm(b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40]) + b"\n")
     assert arr.tolist() == [[10, 20], [30, 40]]
+    # ADVICE r7: a spec-valid LONE-'\r' separator whose first raster byte
+    # happens to be 0x0A is only rejected when the raster would fit flush
+    # after skipping both bytes (the real-CRLF-writer signature); here the
+    # raster fits flush after skipping ONE byte, so it decodes.
+    lone_cr = b"P5\n2 2\n255\r" + bytes([10, 20, 30, 40])
+    assert _parse_netpbm(lone_cr).tolist() == [[10, 20], [30, 40]]
 
 
 # ---------------------------------------------------------------------------
 # Dependency-free PNG decode (stdlib zlib + numpy): closes the dominant
 # compressed-image gap — PIL is now needed only for jpeg.
 
-def _png(w, h, pixels, color_type=0, filters=None):
+def _png(w, h, pixels, color_type=0, filters=None, palette=None):
     """Minimal PNG encoder for tests: 8-bit, non-interlaced, one IDAT.
-    `pixels` is a flat list (row-major, channels interleaved); `filters`
-    picks the filter TYPE byte per scanline (default all 0) and applies
-    the matching forward filter so the decoder must invert it."""
+    `pixels` is a flat list (row-major, channels interleaved; palette
+    indices for color_type 3); `filters` picks the filter TYPE byte per
+    scanline (default all 0) and applies the matching forward filter so
+    the decoder must invert it; `palette` is the list of (r, g, b)
+    triples emitted as PLTE for color_type 3."""
     import struct
     import zlib
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = w * ch
     filters = filters or [0] * h
     raw = bytearray()
@@ -531,7 +539,9 @@ def _png(w, h, pixels, color_type=0, filters=None):
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    plte = (chunk(b"PLTE", bytes(v for t in palette for v in t))
+            if palette is not None else b"")
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
@@ -581,14 +591,46 @@ def test_parse_png_rejects_unsupported_and_truncated():
             + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
             + b"\0\0\0\0")
     assert _parse_png(deep) is None
-    # palette color type likewise falls through to PIL, never decode_error
-    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    # SUB-8-BIT palette (bit depth 4) falls through to PIL, never
+    # decode_error (8-bit palette now decodes natively — r8)
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
     pal = (b"\x89PNG\r\n\x1a\n"
            + struct.pack(">I", len(ihdr_p)) + b"IHDR" + ihdr_p
            + b"\0\0\0\0"
            + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
            + b"\0\0\0\0")
     assert _parse_png(pal) is None
+    # 8-bit palette WITHOUT a PLTE chunk is CORRUPT per RFC 2083 -> raises
+    ihdr_p8 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 0]))  # filter byte + one index
+    nop = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr_p8)) + b"IHDR" + ihdr_p8
+           + b"\0\0\0\0"
+           + struct.pack(">I", len(raw)) + b"IDAT" + raw + b"\0\0\0\0")
+    with _pytest.raises(ValueError):
+        _parse_png(nop)
+
+
+def test_parse_png_palette_decodes_via_plte_lookup():
+    """VERDICT r7 #3: 8-bit palette PNG decodes natively — index → PLTE
+    RGB → the same 601-2 luma as every other decoder — under every
+    filter type; an out-of-range index is CORRUPT and raises."""
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_netpbm, _parse_png)
+    import pytest as _pytest
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    for ft in (0, 1, 2, 3, 4):
+        got = _parse_png(_png(4, 2, idx, color_type=3, filters=[ft] * 2,
+                              palette=palette))
+        # identical RGB content through the netpbm luma path
+        rgb = [palette[i] for i in idx]
+        want = _parse_netpbm(f"P6 4 2 255\n".encode()
+                             + bytes(v for t in rgb for v in t))
+        assert got.tolist() == want.tolist(), ft
+    # index 7 with a 4-entry palette: corrupt
+    with _pytest.raises(ValueError):
+        _parse_png(_png(1, 1, [7], color_type=3, palette=palette))
 
 
 def test_image_features_real_path_png_end_to_end(spark):
