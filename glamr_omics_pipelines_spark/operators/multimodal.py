@@ -13,9 +13,9 @@ uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG
 (gray/gray+alpha/RGB/RGBA; stdlib zlib inflate + per-scanline unfilter)
 images via numpy parsers, RIFF/WAV PCM audio
 via the stdlib ``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via
-a numpy luma-plane parser, and baseline-sequential JPEG via
-``operators/_jpeg.py``. Valid-but-out-of-scope variants (progressive
-JPEG, palette/16-bit/interlaced PNG)
+a numpy luma-plane parser, and baseline + progressive JPEG via
+``operators/_jpeg.py``. Valid-but-out-of-scope variants (arithmetic/
+lossless JPEG, sub-8-bit-palette/16-bit/interlaced PNG)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -287,10 +287,10 @@ def _parse_png(buf: bytes):
 def _decode_image_gray(buf: bytes):
     """Dependency-free decode of the formats the stdlib+numpy parsers
     handle — netpbm P5/P6, uncompressed BMP, non-interlaced 8-bit PNG,
-    and baseline-sequential JPEG (luma plane; operators/_jpeg.py) — to a
+    and baseline/progressive JPEG (luma plane; operators/_jpeg.py) — to a
     grayscale uint8 array. Returns None for any other format (the caller
-    falls through to PIL, now needed only for exotic variants:
-    progressive JPEG, interlaced/16-bit PNG, sub-8-bit palettes). Tried
+    falls through to PIL, now needed only for exotic variants: arithmetic
+    /lossless JPEG, interlaced/16-bit PNG, sub-8-bit palettes). Tried
     FIRST even when PIL is installed, so a given blob decodes identically
     in every environment."""
     from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma

@@ -92,3 +92,25 @@ def test_pgm_roundtrip_any_geometry(w, h, seed):
     pix = rng.randint(0, 256, w * h).tolist()
     arr = _parse_netpbm(_pgm(w, h, pix))
     assert arr.reshape(-1).tolist() == pix
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2 ** 32 - 1),
+       st.integers(0, 2), st.integers(0, 2),
+       st.sampled_from([((1, 63),), ((1, 5), (6, 63)),
+                        ((1, 2), (3, 20), (21, 63))]),
+       st.sampled_from([0, 2]))
+def test_jpeg_progressive_equals_baseline(bw, bh, seed, dc_al, ac_al,
+                                          bands, restart):
+    """For ANY pixel content, band split, successive-approximation depth
+    and restart interval, progressive decode must EXACTLY equal baseline
+    decode of the same quantized coefficients (both encoders share the
+    forward DCT; quant = ones)."""
+    from tests.test_jpeg import _encode_jpeg
+    from tests.test_jpeg_progressive import _encode_jpeg_progressive
+    rng = np.random.RandomState(seed % (2 ** 31))
+    gray = rng.randint(0, 256, (8 * bh, 8 * bw)).astype(np.uint8)
+    want = decode_jpeg_luma(_encode_jpeg(gray))
+    got = decode_jpeg_luma(_encode_jpeg_progressive(
+        gray, dc_al=dc_al, ac_bands=bands, ac_al=ac_al, restart=restart))
+    assert np.array_equal(got, want)

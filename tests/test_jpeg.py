@@ -187,12 +187,18 @@ def test_jpeg_rejects_unsupported():
     blob = _encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(ValueError):
         decode_jpeg_luma(blob[:40])                   # truncated
-    # flip SOF0 -> SOF2 (progressive): a VALID file out of scope returns
-    # None so the caller falls through to PIL, never decode_error
+    # flip SOF0 -> SOF2: since r8 progressive is DECODED, and a baseline
+    # scan header (Ss=0, Se=63) is CORRUPT under SOF2 scan rules — raises
     prog = bytearray(blob)
     idx = blob.index(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    assert decode_jpeg_luma(bytes(prog)) is None
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(bytes(prog))
+    # arithmetic-coded (SOF9) stays a VALID file out of scope -> None so
+    # the caller falls through to PIL, never decode_error
+    arith = bytearray(blob)
+    arith[idx + 1] = 0xC9
+    assert decode_jpeg_luma(bytes(arith)) is None
 
 
 def test_image_features_real_path_jpeg_end_to_end(spark):
