@@ -731,6 +731,52 @@ def q_streaming_attribution_join(spark, sf_dir):
                           F.lit(int(n_batches)).cast("bigint"))
 
 
+def q_checkout_delta(spark, sf_dir):
+    """Checkout-file delta with mtime-versioned lineage
+    (pipelines/glamr.py:checkout_delta; pypelib/post.py:235-374
+    update_omics_checkout — the last post-production residue, VERDICT r7
+    missing #3): a deterministic synthetic output-file inventory from
+    `documents` (data-root files with a missing-mtime subset, plus
+    scratch files outside the data root), an existing checkout ledger
+    (equal / older / newer old-mtimes), and a 40-commit repository
+    timeline. Both sides synthesize the identical history, so the hash
+    checks path filtering, the ledger status classification
+    (new/no_change/regression/ignored/missing) and the as-of version
+    assignment (latest commit at-or-before each new file's mtime)."""
+    from glamr_omics_pipelines_spark.pipelines.glamr import checkout_delta
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    rule = (F.when(doc % 3 == 0, F.lit("assembly"))
+            .when(doc % 3 == 1, F.lit("mapping"))
+            .otherwise(F.lit("binning")))
+    base_mt = (F.lit(1700000000) + doc * 7).cast("long")
+    data_rows = d.select(
+        F.format_string("data/omics/samp_%d/out_%s.txt", "doc_id", rule)
+        .alias("path"),
+        rule.alias("rule"),
+        F.when(doc % 13 == 0, F.lit(None).cast("long"))
+        .otherwise(base_mt).alias("mtime"))
+    scratch = d.filter(doc % 10 == 0).select(
+        F.format_string("scratch/tmp_%d.txt", "doc_id").alias("path"),
+        rule.alias("rule"), base_mt.alias("mtime"))
+    inv = data_rows.unionByName(scratch)
+    rel = F.format_string("data/omics/samp_%d/out_%s.txt", "doc_id", rule)
+    ledger = (
+        d.filter(doc % 4 == 0).select(rel.alias("relpath"),
+                                      base_mt.alias("old_mtime"))
+        .unionByName(d.filter(doc % 4 == 1).select(
+            rel.alias("relpath"), (base_mt - 500).alias("old_mtime")))
+        .unionByName(d.filter(doc % 8 == 6).select(
+            rel.alias("relpath"), (base_mt + 500).alias("old_mtime"))))
+    commits = spark.createDataFrame(
+        [(1700000000 + i * 1000, f"v1.{i}") for i in range(40)],
+        "commit_ts long, version string")
+    out = checkout_delta(inv, ledger, commits)
+    return out.select("relpath", "rule",
+                      F.col("mtime").cast("bigint").alias("mtime"),
+                      "version", "status")
+
+
 def q_benchmark_ledger(spark, sf_dir):
     """Benchmark-harvest parity (pipelines/glamr.py:benchmark_ledger;
     pypelib/post.py:763-935 collect_benchmarks): a deterministic synthetic
@@ -3392,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_replay_rollup": q_streaming_replay_rollup,
         "streaming_attribution_join": q_streaming_attribution_join,
         "benchmark_ledger": q_benchmark_ledger,
+        "checkout_delta": q_checkout_delta,
     }
     window = [
         # ROUND-8 WINDOW (VERDICT r7 #1): the 43 r4-era rows — at age 3,
@@ -3413,12 +3460,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new oracle row this round: the stream-stream join family's
         # first driver-oracle row (availableNow two-sided replay)
         "streaming_attribution_join",
+        # new oracle row: the reference's last post-production residue
+        # (update_omics_checkout parity) — displaces a banked re-check
+        # per the no-growth rule
+        "checkout_delta",
         # re-checks of queries whose code paths r8 touched: the ANN gate
         # probe memoization (cosine_topk/dbscan/embedding_dups) and the
         # palette-PNG / progressive-JPEG decoders (multimodal_features)
         "cosine_topk", "dbscan", "embedding_dups", "multimodal_features",
-        # oldest banked r5-era rows fill the remaining slots
-        "pack_sequences", "curation_pipeline_v2",
+        # oldest banked r5-era row fills the remaining slot
+        "curation_pipeline_v2",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     return ({name: full[name] for name in window}
@@ -4066,6 +4117,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_batches
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "checkout_delta": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'assembly'
+                          WHEN doc_id % 3 = 1 THEN 'mapping'
+                          ELSE 'binning' END AS rule,
+                     1700000000 + doc_id * 7 AS base_mt
+              FROM documents),
+            inv AS (
+              SELECT 'data/omics/samp_' || CAST(doc_id AS VARCHAR)
+                       || '/out_' || rule || '.txt' AS path,
+                     rule,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE base_mt END AS mtime
+              FROM d
+              UNION ALL
+              SELECT 'scratch/tmp_' || CAST(doc_id AS VARCHAR) || '.txt',
+                     rule, base_mt
+              FROM d WHERE doc_id % 10 = 0),
+            led AS (
+              SELECT 'data/omics/samp_' || CAST(doc_id AS VARCHAR)
+                       || '/out_' || rule || '.txt' AS relpath,
+                     base_mt AS old FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT 'data/omics/samp_' || CAST(doc_id AS VARCHAR)
+                       || '/out_' || rule || '.txt', base_mt - 500
+              FROM d WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT 'data/omics/samp_' || CAST(doc_id AS VARCHAR)
+                       || '/out_' || rule || '.txt', base_mt + 500
+              FROM d WHERE doc_id % 8 = 6),
+            commits AS (
+              SELECT 1700000000 + i * 1000 AS ts,
+                     'v1.' || CAST(i AS VARCHAR) AS version
+              FROM (SELECT unnest(generate_series(0, 39)) AS i)),
+            j AS (
+              SELECT i.path, i.rule, i.mtime, l.old
+              FROM inv i LEFT JOIN led l ON i.path = l.relpath),
+            st AS (
+              SELECT path, rule, mtime,
+                     CASE WHEN path NOT LIKE 'data/%' THEN 'ignored'
+                          WHEN mtime IS NULL THEN 'missing'
+                          WHEN old IS NOT NULL AND mtime = old
+                            THEN 'no_change'
+                          WHEN old IS NOT NULL AND mtime < old
+                            THEN 'regression'
+                          ELSE 'new' END AS status
+              FROM j)
+            SELECT path AS relpath, rule, CAST(mtime AS BIGINT) AS mtime,
+                   CASE WHEN status = 'new' THEN
+                     (SELECT arg_max(version, ts) FROM commits c
+                      WHERE c.ts <= st.mtime)
+                   END AS version,
+                   status
+            FROM st
         """,
         "streaming_attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts

@@ -156,3 +156,50 @@ def test_benchmark_ledger_newest_backfill_node_overwrite(spark):
     b = out[("binning", "s3")]
     assert (b.s, b.cpu_time, b.max_rss) == (42.0, 84.0, 5.5)
     assert b.node == "nodeB" and b.timestamp == 600
+
+
+def test_checkout_delta_statuses_and_versioning(spark):
+    """update_omics_checkout parity (pypelib/post.py:235-374): status
+    classification precedence, as-of version stamping for NEW rows only,
+    and the declarative regression report (the reference raises)."""
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.pipelines.glamr import checkout_delta
+    inv = spark.createDataFrame(
+        [("data/a.txt", "r1", 1500),    # new, no ledger row
+         ("data/b.txt", "r1", 2000),    # no_change (ledger equal)
+         ("data/c.txt", "r2", 3000),    # updated (ledger older) -> new
+         ("data/d.txt", "r2", 1000),    # regression (ledger newer)
+         ("scratch/e.txt", "r3", 9999),  # ignored (outside data root)
+         ("data/f.txt", "r3", None),    # missing (stat failed)
+         ("data/g.txt", "r3", 50)],     # new, predates every commit
+        "path string, rule string, mtime long")
+    ledger = spark.createDataFrame(
+        [("data/b.txt", 2000), ("data/c.txt", 2500), ("data/d.txt", 1500)],
+        "relpath string, old_mtime long")
+    commits = spark.createDataFrame(
+        [(1000, "v1"), (2000, "v2"), (3000, "v3")],
+        "commit_ts long, version string")
+    out = {r.relpath: r for r in
+           checkout_delta(inv, ledger, commits).collect()}
+    assert out["data/a.txt"].status == "new"
+    assert out["data/a.txt"].version == "v1"      # as-of 1500 -> commit 1000
+    assert out["data/b.txt"].status == "no_change"
+    assert out["data/b.txt"].version is None
+    assert out["data/c.txt"].status == "new"
+    assert out["data/c.txt"].version == "v3"      # exact-ts commit matches
+    assert out["data/d.txt"].status == "regression"
+    assert out["scratch/e.txt"].status == "ignored"
+    assert out["data/f.txt"].status == "missing"
+    assert out["data/g.txt"].status == "new"
+    assert out["data/g.txt"].version is None      # before every commit
+    # stats = one groupBy, like the reference's returned dict
+    stats = {r.status: r["count"] for r in
+             checkout_delta(inv, ledger, commits)
+             .groupBy("status").count().collect()}
+    assert stats == {"new": 3, "no_change": 1, "regression": 1,
+                     "ignored": 1, "missing": 1}
+    # empty commit timeline: everything new stays unversioned
+    empty = commits.filter(F.lit(False))
+    out2 = {r.relpath: r.version for r in
+            checkout_delta(inv, ledger, empty).collect()}
+    assert all(v is None for v in out2.values())
