@@ -13,9 +13,10 @@ uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG
 (gray/gray+alpha/RGB/RGBA; stdlib zlib inflate + per-scanline unfilter)
 images via numpy parsers, RIFF/WAV PCM audio
 via the stdlib ``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via
-a numpy luma-plane parser, and baseline + progressive JPEG via
+a numpy luma-plane parser, complete PNG (all depths/palette/Adam7), and
+baseline + progressive JPEG via
 ``operators/_jpeg.py``. Valid-but-out-of-scope variants (arithmetic/
-lossless JPEG, sub-8-bit-palette/16-bit/interlaced PNG)
+lossless/12-bit JPEG)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -212,17 +213,63 @@ def _unfilter_png_row(ftype: int, row, prev, ch: int):
     return out.astype(np.uint8)
 
 
+# Adam7 interlace pass layout (RFC 2083 §2.6): (x_start, y_start,
+# x_step, y_step) per pass; pass sub-images are concatenated in the one
+# zlib stream, each filtered independently.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+# Valid (color_type -> bit depths) combinations, RFC 2083 §6
+_PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8},
+               4: {8, 16}, 6: {8, 16}}
+
+
+def _png_subimage(raw, off: int, w: int, h: int, depth: int, ch: int, np):
+    """Unfilter one (sub)image's scanlines starting at ``raw[off]``;
+    returns (uint16 sample array (h, w, ch), next offset). Filters
+    operate byte-wise with the spec's bpp (bytes per complete pixel,
+    rounded up to 1), independent of bit depth."""
+    if w == 0 or h == 0:
+        return None, off
+    bpp = max(1, (depth * ch + 7) // 8)
+    stride = (w * ch * depth + 7) // 8
+    need = (stride + 1) * h
+    if len(raw) - off < need:
+        raise ValueError(f"PNG raster size mismatch: {len(raw) - off} "
+                         f"bytes for {h} scanlines of {stride + 1}")
+    rows = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        o = off + y * (stride + 1)
+        row = np.frombuffer(raw, np.uint8, stride, offset=o + 1).copy()
+        prev = _unfilter_png_row(raw[o], row, prev, bpp)
+        rows[y] = prev
+    if depth == 16:
+        samples = (rows.view(">u2").astype(np.uint16)
+                   .reshape(h, w, ch))
+    elif depth == 8:
+        samples = rows.reshape(h, w, ch).astype(np.uint16)
+    else:                             # 1/2/4-bit: ch == 1 by the spec
+        bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        samples = ((bits.reshape(h, w, depth) * weights)
+                   .sum(axis=2, dtype=np.uint16).reshape(h, w, 1))
+    return samples, off + need
+
+
 def _parse_png(buf: bytes):
-    """Dependency-free PNG decode (stdlib zlib + numpy; VERDICT r6 #5):
-    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA / palette
-    (VERDICT r7 #3: PLTE is a ≤256×3 lookup on the same inflate/unfilter
-    path) → grayscale uint8 via the same 601-2 fixed-point luma as the
-    other decoders (alpha and tRNS are ignored, matching PIL's
-    convert("L") on the RGB content). Returns None when the magic isn't
-    PNG OR the file is a valid variant out of scope (sub-8-bit palette /
-    16-bit / interlaced — the caller falls through to PIL); raises only
-    on CORRUPT files (truncated chunks, raster size mismatches, missing
-    or malformed PLTE, out-of-range palette indices)."""
+    """Dependency-free PNG decode (stdlib zlib + numpy; VERDICT r6 #5,
+    completed r8): every valid PNG still image — gray / gray+alpha /
+    RGB / RGBA / palette, bit depths 1/2/4/8/16, non-interlaced and
+    Adam7-interlaced — → grayscale uint8 via the same 601-2 fixed-point
+    luma as the other decoders. Alpha and tRNS are ignored (matching
+    PIL's convert("L") on the color content); 16-bit samples reduce to
+    their high byte (PIL's I;16→L convention); sub-8-bit gray scales to
+    the full 0-255 range (x·255/(2^d−1), the spec's display mapping).
+    Returns None only when the magic isn't PNG; raises ValueError on
+    CORRUPT files (truncated chunks, bad depth/color combinations,
+    inflate failures, raster size mismatches, missing or malformed PLTE,
+    out-of-range palette indices)."""
     import struct
     import zlib
     import numpy as np
@@ -248,49 +295,60 @@ def _parse_png(buf: bytes):
         pos += 12 + length  # length + type + data + crc32
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
-        # sub-8-bit palette / 16-bit / interlaced: a VALID PNG this
-        # decoder doesn't cover — return None so the caller falls through
-        # to PIL (or its NotImplementedError install hint); only CORRUPT
-        # files raise
-        return None
+    if (color_type not in _PNG_DEPTHS
+            or bit_depth not in _PNG_DEPTHS[color_type]
+            or interlace not in (0, 1)):
+        raise ValueError(f"invalid PNG color/depth/interlace combination "
+                         f"({color_type}/{bit_depth}/{interlace})")
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG with missing/malformed PLTE")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * ch
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"PNG raster size mismatch: {len(raw)} bytes for "
-                         f"{height} scanlines of {stride + 1}")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        off = y * (stride + 1)
-        row = np.frombuffer(raw, np.uint8, stride, offset=off + 1).copy()
-        prev = _unfilter_png_row(raw[off], row, prev, ch)
-        out[y] = prev
-    pix = out.reshape(height, width, ch)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG inflate failed: {exc}") from None
+    if interlace == 0:
+        samples, off = _png_subimage(raw, 0, width, height, bit_depth,
+                                     ch, np)
+        if samples is None:
+            raise ValueError("zero-dimension PNG")
+    else:                             # Adam7: scatter each pass's grid
+        samples = np.zeros((height, width, ch), dtype=np.uint16)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            sub, off = _png_subimage(raw, off, pw, ph, bit_depth, ch, np)
+            if sub is not None:
+                samples[y0::ys, x0::xs] = sub
+    if off != len(raw):
+        raise ValueError(f"PNG raster size mismatch: {len(raw) - off} "
+                         "trailing bytes after the last scanline")
     if color_type == 3:               # palette: index → RGB → luma
-        idx = pix[:, :, 0]
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("PNG palette index out of range")
         return _rgb_to_gray(palette[idx])
-    if ch == 1:
-        return pix[:, :, 0]
-    if ch == 2:                       # gray + alpha: luma channel only
+    if bit_depth == 16:               # high byte, PIL's I;16→L convention
+        pix = (samples >> 8).astype(np.uint8)
+    elif bit_depth < 8:               # gray 1/2/4-bit: spec display scale
+        pix = (samples * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+    else:
+        pix = samples.astype(np.uint8)
+    if ch in (1, 2):                  # gray / gray+alpha: luma channel
         return pix[:, :, 0]
     return _rgb_to_gray(pix[:, :, :3])  # RGB / RGBA (alpha ignored)
 
 
 def _decode_image_gray(buf: bytes):
     """Dependency-free decode of the formats the stdlib+numpy parsers
-    handle — netpbm P5/P6, uncompressed BMP, non-interlaced 8-bit PNG,
-    and baseline/progressive JPEG (luma plane; operators/_jpeg.py) — to a
-    grayscale uint8 array. Returns None for any other format (the caller
-    falls through to PIL, now needed only for exotic variants: arithmetic
-    /lossless JPEG, interlaced/16-bit PNG, sub-8-bit palettes). Tried
+    handle — netpbm P5/P6, uncompressed BMP, every valid PNG (all depths,
+    palette, Adam7), and baseline/progressive JPEG (luma plane;
+    operators/_jpeg.py) — to a grayscale uint8 array. Returns None for
+    any other format (the caller falls through to PIL, now needed only
+    for arithmetic/lossless/12-bit JPEG). Tried
     FIRST even when PIL is installed, so a given blob decodes identically
     in every environment."""
     from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma

@@ -114,3 +114,31 @@ def test_jpeg_progressive_equals_baseline(bw, bh, seed, dc_al, ac_al,
     got = decode_jpeg_luma(_encode_jpeg_progressive(
         gray, dc_al=dc_al, ac_bands=bands, ac_al=ac_al, restart=restart))
     assert np.array_equal(got, want)
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 17), st.integers(1, 17), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([(0, 8), (0, 16), (0, 4), (0, 1), (2, 8), (2, 16),
+                        (6, 8), (3, 8), (3, 4)]))
+def test_png_adam7_equals_plain(w, h, seed, ct_depth):
+    """For ANY geometry (exercising empty Adam7 passes), color type and
+    depth, interlaced decode == non-interlaced decode of the same
+    samples, with all five filter types cycling across scanlines."""
+    from tests.test_multimodal import _png_ex
+    ct, depth = ct_depth
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    rng = np.random.RandomState(seed % (2 ** 31))
+    hi = 15 if ct == 3 and depth == 4 else (1 << depth) - 1
+    if ct == 3:
+        pal = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(hi + 1)]
+    else:
+        pal = None
+    samples = rng.randint(0, hi + 1, w * h * ch).tolist()
+    plain = _parse_png(_png_ex(w, h, samples, color_type=ct,
+                               bit_depth=depth, palette=pal,
+                               filters=[0, 1, 2, 3, 4]))
+    inter = _parse_png(_png_ex(w, h, samples, color_type=ct,
+                               bit_depth=depth, interlace=1, palette=pal,
+                               filters=[4, 3, 2, 1, 0]))
+    assert inter.tolist() == plain.tolist()

@@ -584,22 +584,24 @@ def test_parse_png_rejects_unsupported_and_truncated():
     with _pytest.raises(ValueError):
         _parse_png(ok[:30])                 # truncated chunk
     import struct, zlib
-    # 16-bit depth header: VALID variant out of scope -> None (PIL path)
+    # r8: every valid PNG variant now decodes; a 16-bit header with a
+    # TRUNCATED zlib stream is CORRUPT -> raises (inflate failure)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     deep = (b"\x89PNG\r\n\x1a\n"
             + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
             + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
             + b"\0\0\0\0")
-    assert _parse_png(deep) is None
-    # SUB-8-BIT palette (bit depth 4) falls through to PIL, never
-    # decode_error (8-bit palette now decodes natively — r8)
-    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
-    pal = (b"\x89PNG\r\n\x1a\n"
-           + struct.pack(">I", len(ihdr_p)) + b"IHDR" + ihdr_p
+    with _pytest.raises(ValueError):
+        _parse_png(deep)
+    # invalid color/depth combination (RGB at depth 4) is CORRUPT
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", len(ihdr_bad)) + b"IHDR" + ihdr_bad
            + b"\0\0\0\0"
            + struct.pack(">I", 1) + b"IDAT" + zlib.compress(b"x")[:1]
            + b"\0\0\0\0")
-    assert _parse_png(pal) is None
+    with _pytest.raises(ValueError):
+        _parse_png(bad)
     # 8-bit palette WITHOUT a PLTE chunk is CORRUPT per RFC 2083 -> raises
     ihdr_p8 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
     raw = zlib.compress(bytes([0, 0]))  # filter byte + one index
@@ -699,3 +701,142 @@ def test_extract_audio_windows_g711_end_to_end(spark):
     assert len(out) == 2
     assert all(r.decode_ok == "ok" for r in out)
     assert all(abs(r.rms - 32124.0) < 1e-6 for r in out)
+
+
+def _png_ex(w, h, samples, color_type=0, bit_depth=8, interlace=0,
+            palette=None, filters=None):
+    """General PNG encoder for tests: any valid depth (1/2/4/8/16),
+    palette, Adam7 interlace. `samples` is a flat row-major list of
+    sample values (channels interleaved; palette indices for color 3).
+    Filtering happens in the BYTE domain with the spec's bpp, matching
+    the decoder's inverse; `filters` picks the type per scanline
+    (cycled across all passes, default all 0)."""
+    import struct
+    import zlib
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    grid = [[samples[(y * w + x) * ch:(y * w + x) * ch + ch]
+             for x in range(w)] for y in range(h)]
+    passes = ([(0, 0, 1, 1)] if interlace == 0 else
+              [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)])
+    filters = filters or [0]
+    raw = bytearray()
+    row_no = 0
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw == 0 or ph == 0:
+            continue
+        bpp = max(1, (bit_depth * ch + 7) // 8)
+        stride = (pw * ch * bit_depth + 7) // 8
+        prev = [0] * stride
+        for py in range(ph):
+            pix = [grid[y0 + py * ys][x0 + px * xs] for px in range(pw)]
+            flat = [v for p in pix for v in p]
+            if bit_depth == 16:
+                rb = b"".join(struct.pack(">H", v) for v in flat)
+            elif bit_depth == 8:
+                rb = bytes(flat)
+            else:
+                bits = "".join(format(v, f"0{bit_depth}b") for v in flat)
+                bits += "0" * (-len(bits) % 8)
+                rb = bytes(int(bits[i:i + 8], 2)
+                           for i in range(0, len(bits), 8))
+            ft = filters[row_no % len(filters)]
+            row_no += 1
+            raw.append(ft)
+            out_row = []
+            for x in range(stride):
+                a = rb[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    v = rb[x]
+                elif ft == 1:
+                    v = rb[x] - a
+                elif ft == 2:
+                    v = rb[x] - b
+                elif ft == 3:
+                    v = rb[x] - ((a + b) >> 1)
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    v = rb[x] - pred
+                out_row.append(v & 0xFF)
+            raw.extend(out_row)
+            prev = list(rb)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       interlace)
+    plte = (chunk(b"PLTE", bytes(v for t in palette for v in t))
+            if palette is not None else b"")
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + plte
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_parse_png_16bit_high_byte():
+    """16-bit gray and RGB reduce to the high byte per channel (PIL's
+    I;16→L convention), under every filter type (byte-domain bpp)."""
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_netpbm, _parse_png)
+    vals16 = [0x1234, 0xFF00, 0x00FF, 0x8080, 0xABCD, 0x0000]
+    for ft in (0, 1, 2, 3, 4):
+        arr = _parse_png(_png_ex(3, 2, vals16, bit_depth=16,
+                                 filters=[ft]))
+        assert arr.reshape(-1).tolist() == [v >> 8 for v in vals16], ft
+    # RGB 16-bit == 8-bit high bytes through the netpbm luma path
+    rgb16 = [0xFF00, 0x0100, 0x00FF, 0x1234, 0xABCD, 0x8001]
+    arr = _parse_png(_png_ex(2, 1, rgb16, color_type=2, bit_depth=16,
+                             filters=[4]))
+    want = _parse_netpbm(b"P6 2 1 255\n" + bytes(v >> 8 for v in rgb16))
+    assert arr.tolist() == want.tolist()
+
+
+def test_parse_png_sub8bit_gray_and_palette():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_netpbm, _parse_png)
+    # 1-bit gray: 0 -> 0, 1 -> 255 (spec display scaling); width 10 pads
+    bits = [0, 1, 1, 0, 1, 0, 0, 1, 1, 1]
+    arr = _parse_png(_png_ex(10, 1, bits, bit_depth=1))
+    assert arr.reshape(-1).tolist() == [v * 255 for v in bits]
+    # 2-bit gray: x * 85
+    vals = [0, 1, 2, 3, 3, 0]
+    arr = _parse_png(_png_ex(3, 2, vals, bit_depth=2))
+    assert arr.reshape(-1).tolist() == [v * 85 for v in vals]
+    # 4-bit palette == expanded-RGB luma
+    palette = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    idx = [0, 15, 7, 3, 12, 1, 9, 14, 2]
+    arr = _parse_png(_png_ex(3, 3, idx, color_type=3, bit_depth=4,
+                             palette=palette))
+    rgb = [palette[i] for i in idx]
+    want = _parse_netpbm(b"P6 3 3 255\n" + bytes(v for t in rgb for v in t))
+    assert arr.tolist() == want.tolist()
+
+
+def test_parse_png_adam7_interlaced():
+    """Adam7 decode == non-interlaced decode of the same pixels, across
+    depths/color types and geometries that exercise empty passes."""
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_png
+    import random
+    rng = random.Random(9)
+    for w, h, ct, depth in [(11, 7, 0, 8), (8, 8, 2, 8), (3, 2, 0, 8),
+                            (1, 1, 0, 8), (5, 9, 6, 8), (11, 7, 0, 16),
+                            (9, 5, 3, 8), (10, 3, 0, 1)]:
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        hi = (1 << depth) - 1 if ct != 3 else 15
+        pal = ([(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(16)] if ct == 3 else None)
+        samples = [rng.randint(0, hi) for _ in range(w * h * ch)]
+        plain = _parse_png(_png_ex(w, h, samples, color_type=ct,
+                                   bit_depth=depth, palette=pal,
+                                   filters=[0, 1, 2, 3, 4]))
+        inter = _parse_png(_png_ex(w, h, samples, color_type=ct,
+                                   bit_depth=depth, interlace=1,
+                                   palette=pal, filters=[0, 1, 2, 3, 4]))
+        assert inter.tolist() == plain.tolist(), (w, h, ct, depth)
