@@ -61,6 +61,8 @@ def _idct_matrix():
 
 def _build_huffman(bits: list[int], values: bytes) -> dict:
     """Canonical huffman: (code_length, code) -> symbol (T.81 Annex C)."""
+    if sum(bits) > len(values):
+        raise ValueError("truncated JPEG huffman table")
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -192,7 +194,30 @@ def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
         p += 17 + nv
 
 
+
+def _validate_frame(height, width, comps) -> None:
+    """SOF sanity (T.81 B.2.2): nonzero dimensions, 1-4 components,
+    sampling factors in 1..4 — a zero factor would divide-by-zero the
+    MCU grid on a corrupt stream (r8 fuzz finding)."""
+    if height == 0 or width == 0 or not 1 <= len(comps) <= 4:
+        raise ValueError("invalid JPEG frame header")
+    for _cid, h, v, _tq in comps:
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError(f"invalid JPEG sampling factors {h}x{v}")
+
+
 def decode_jpeg_luma(buf: bytes):
+    """Public entry: see _decode_jpeg_luma_impl. A hostile/truncated byte
+    stream can index past a segment end anywhere in the marker parse —
+    normalize that to the documented corrupt-file contract (ValueError),
+    never a bare IndexError (r8 fuzz finding)."""
+    try:
+        return _decode_jpeg_luma_impl(buf)
+    except IndexError as exc:
+        raise ValueError(f"truncated/corrupt JPEG structure: {exc}") from None
+
+
+def _decode_jpeg_luma_impl(buf: bytes):
     """Decode a baseline or progressive JPEG to its luma plane (uint8,
     height x width). Returns None when the magic isn't JPEG OR the file
     is valid but out of scope (arithmetic/hierarchical/12-bit/
@@ -232,6 +257,7 @@ def decode_jpeg_luma(buf: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _validate_frame(height, width, comps)
             frame = (height, width, comps)
         elif marker == 0xC2:         # SOF2: progressive huffman (r8)
             return _decode_progressive(buf, np)
@@ -476,6 +502,7 @@ def _decode_progressive(buf, np):
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _validate_frame(height, width, comps)
             frame = (height, width, comps)
         elif marker == 0xDA:
             if frame is None:

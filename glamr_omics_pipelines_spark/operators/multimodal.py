@@ -284,8 +284,10 @@ def _parse_png(buf: bytes):
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
             (width, height, bit_depth, color_type,
-             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
             plte = data
         elif ctype == b"IDAT":

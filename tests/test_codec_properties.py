@@ -142,3 +142,40 @@ def test_png_adam7_equals_plain(w, h, seed, ct_depth):
                                bit_depth=depth, interlace=1, palette=pal,
                                filters=[4, 3, 2, 1, 0]))
     assert inter.tolist() == plain.tolist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1))
+def test_corrupt_bytes_never_escape_the_valueerror_contract(seed):
+    """r8 fuzz finding, pinned: random mutations of valid blobs must
+    decode, return None, or raise ValueError — never IndexError /
+    ZeroDivisionError / struct.error (the multimodal kernels map
+    ValueError to a row-level decode_error; anything else is a contract
+    breach even though the kernel's broad except would survive it)."""
+    import random
+    from tests.test_jpeg_progressive import _encode_jpeg_progressive
+    from tests.test_multimodal import _png_ex
+    rng = random.Random(seed)
+    npr = np.random.RandomState(seed % (2 ** 31))
+    gray = npr.randint(0, 256, (16, 16)).astype(np.uint8)
+    targets = [
+        (_encode_jpeg_progressive(gray, dc_al=1, ac_bands=((1, 5), (6, 63)),
+                                  ac_al=1), decode_jpeg_luma),
+        (_encode_jpeg(gray, subsample=True, restart=1), decode_jpeg_luma),
+        (_png_ex(9, 7, npr.randint(0, 256, 63).tolist(), interlace=1,
+                 filters=[0, 1, 2, 3, 4]), _parse_png),
+    ]
+    for blob, fn in targets:
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.5 and len(b) > 1:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8 and len(b) > 12:
+                del b[rng.randrange(len(b))]
+            elif len(b) > 12:
+                b = bytearray(b[:rng.randrange(11, len(b))])
+        try:
+            fn(bytes(b))
+        except ValueError:
+            pass
