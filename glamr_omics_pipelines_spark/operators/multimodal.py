@@ -9,14 +9,13 @@ Codecs are an OPTIONAL dependency: ``stub=True`` (default) yields
 deterministic fake features derived from the raw bytes — bit-stable, which
 is what the correctness oracle compares — while ``stub=False`` runs a real
 decode. Fully functional with NO third-party codec: netpbm (P5/P6),
-uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG
-(gray/gray+alpha/RGB/RGBA; stdlib zlib inflate + per-scanline unfilter)
-images via numpy parsers, RIFF/WAV PCM audio
-via the stdlib ``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via
-a numpy luma-plane parser, complete PNG (all depths/palette/Adam7), and
-baseline + progressive JPEG via
-``operators/_jpeg.py``. Valid-but-out-of-scope variants (arithmetic/
-lossless/12-bit JPEG)
+uncompressed 24/32-bit BMP, complete PNG (all bit depths, palette, Adam7
+interlace; stdlib zlib inflate + per-scanline unfilter), GIF (LZW, first
+frame) images via numpy parsers, baseline + progressive JPEG via
+``operators/_jpeg.py``, RIFF/WAV PCM + G.711 audio via the stdlib
+``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via a numpy
+luma-plane parser. Valid-but-out-of-scope variants (arithmetic/
+lossless/12-bit JPEG, compressed audio/video)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -344,11 +343,173 @@ def _parse_png(buf: bytes):
     return _rgb_to_gray(pix[:, :, :3])  # RGB / RGBA (alpha ignored)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END codes,
+    12-bit dictionary cap with deferred-clear tolerance) → list of
+    palette indices. Raises ValueError on malformed streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without END code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):          # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds raster size")
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+# GIF interlace passes (GIF89a spec appendix E): (row start, row step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _parse_gif(buf: bytes):
+    """Dependency-free GIF decode (r8): FIRST frame of a GIF87a/89a —
+    LZW, global/local color table, interlacing — → grayscale uint8 via
+    the same 601-2 fixed-point luma as the other decoders. Transparency
+    is ignored (the transparent index renders as its palette color,
+    consistent with the alpha-ignored PNG contract); pixels outside the
+    first frame's sub-rectangle take the background color. Returns None
+    when the magic isn't GIF; raises ValueError on corrupt files."""
+    import struct
+    import numpy as np
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(buf) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", buf[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-dimension GIF")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(buf) < pos + 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(buf, np.uint8, 3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(buf):
+                raise ValueError("truncated GIF sub-blocks")
+            n = buf[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x3B:             # trailer before any image
+            raise ValueError("GIF has no image data")
+        if block == 0x21:             # extension: label + sub-blocks
+            if pos + 2 > len(buf):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(buf):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1:pos + 10])
+        pos += 10
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF frame outside logical screen")
+        pal = gct
+        if ipacked & 0x80:            # local color table
+            n = 2 << (ipacked & 0x07)
+            if len(buf) < pos + 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(buf, np.uint8, 3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(buf):
+            raise ValueError("truncated GIF image data")
+        min_code = buf[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+        chunks = []
+        while True:
+            if pos >= len(buf):
+                raise ValueError("truncated GIF sub-blocks")
+            n = buf[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunks.append(buf[pos:pos + n])
+            if len(chunks[-1]) < n:
+                raise ValueError("truncated GIF sub-blocks")
+            pos += n
+        idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+        if len(idx) < w * h:
+            raise ValueError(f"GIF raster underflow: {len(idx)}/{w * h}")
+        arr = np.array(idx[:w * h], dtype=np.uint16)
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frame = np.empty((h, w), dtype=np.uint16)
+        if ipacked & 0x40:            # interlaced: 4-pass row shuffle
+            rows = arr.reshape(h, w)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, h, step))
+                frame[start::step] = rows[src:src + n_rows]
+                src += n_rows
+        else:
+            frame = arr.reshape(h, w)
+        # first frame only, composited onto the background color
+        screen_idx = np.full((sh, sw), bg if gct is not None
+                             and bg < len(gct) else 0, dtype=np.uint16)
+        screen = _rgb_to_gray(gct[screen_idx]) if gct is not None else \
+            np.zeros((sh, sw), dtype=np.uint8)
+        screen[top:top + h, left:left + w] = _rgb_to_gray(pal[frame])
+        return screen
+    raise ValueError("GIF has no image data")
+
+
 def _decode_image_gray(buf: bytes):
     """Dependency-free decode of the formats the stdlib+numpy parsers
     handle — netpbm P5/P6, uncompressed BMP, every valid PNG (all depths,
-    palette, Adam7), and baseline/progressive JPEG (luma plane;
-    operators/_jpeg.py) — to a grayscale uint8 array. Returns None for
+    palette, Adam7), GIF (LZW, first frame), and baseline/progressive
+    JPEG (luma plane; operators/_jpeg.py) — to a grayscale uint8 array. Returns None for
     any other format (the caller falls through to PIL, now needed only
     for arithmetic/lossless/12-bit JPEG). Tried
     FIRST even when PIL is installed, so a given blob decodes identically
@@ -359,6 +520,8 @@ def _decode_image_gray(buf: bytes):
         arr = _parse_bmp(buf)
     if arr is None:
         arr = _parse_png(buf)
+    if arr is None:
+        arr = _parse_gif(buf)
     if arr is None:
         arr = decode_jpeg_luma(buf)
     return arr

@@ -10,7 +10,7 @@ from hypothesis import given, settings, strategies as st
 
 from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
 from glamr_omics_pipelines_spark.operators.multimodal import (
-    _parse_netpbm, _parse_png)
+    _parse_gif, _parse_netpbm, _parse_png)
 from tests.test_jpeg import _encode_jpeg
 from tests.test_multimodal import _pgm, _png
 
@@ -144,6 +144,13 @@ def test_png_adam7_equals_plain(w, h, seed, ct_depth):
     assert inter.tolist() == plain.tolist()
 
 
+
+def _gif_blob(npr):
+    from tests.test_multimodal import _gif
+    palette = [tuple(int(v) for v in npr.randint(0, 256, 3))
+               for _ in range(16)]
+    return _gif(9, 7, npr.randint(0, 16, 63).tolist(), palette)
+
 @settings(max_examples=30, deadline=None)
 @given(st.integers(0, 2 ** 32 - 1))
 def test_corrupt_bytes_never_escape_the_valueerror_contract(seed):
@@ -164,6 +171,7 @@ def test_corrupt_bytes_never_escape_the_valueerror_contract(seed):
         (_encode_jpeg(gray, subsample=True, restart=1), decode_jpeg_luma),
         (_png_ex(9, 7, npr.randint(0, 256, 63).tolist(), interlace=1,
                  filters=[0, 1, 2, 3, 4]), _parse_png),
+        (_gif_blob(npr), _parse_gif),
     ]
     for blob, fn in targets:
         b = bytearray(blob)
@@ -179,3 +187,22 @@ def test_corrupt_bytes_never_escape_the_valueerror_contract(seed):
             fn(bytes(b))
         except ValueError:
             pass
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 2 ** 32 - 1),
+       st.booleans(), st.sampled_from([2, 4, 16, 256]))
+def test_gif_roundtrip_any_geometry(w, h, seed, interlace, ncol):
+    """ANY palette image round-trips through the in-test GIF LZW encoder
+    (giflib-aligned width timing) and equals the netpbm luma of the
+    expanded RGB, interlaced or not."""
+    from tests.test_multimodal import _gif
+    rng = np.random.RandomState(seed % (2 ** 31))
+    palette = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(ncol)]
+    idx = rng.randint(0, ncol, w * h).tolist()
+    arr = _parse_gif(_gif(w, h, idx, palette, interlace=interlace))
+    rgb = [palette[i] for i in idx]
+    want = _parse_netpbm(f"P6 {w} {h} 255\n".encode()
+                         + bytes(v for t in rgb for v in t))
+    assert arr.tolist() == want.tolist()

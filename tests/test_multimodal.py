@@ -840,3 +840,140 @@ def test_parse_png_adam7_interlaced():
                                    bit_depth=depth, interlace=1,
                                    palette=pal, filters=[0, 1, 2, 3, 4]))
         assert inter.tolist() == plain.tolist(), (w, h, ct, depth)
+
+
+def _gif(w, h, indices, palette, min_code_size=None, interlace=False,
+         left=0, top=0, screen=None, bg=0, extension=True):
+    """Minimal GIF89a encoder for tests: real variable-width LZW
+    (giflib-aligned width-bump timing: the check uses the next assignable
+    code BEFORE the insert), optional interlacing, frame offsets and a
+    global color table. `indices` is row-major for the frame."""
+    import struct
+    sw, sh = screen or (w, h)
+    ncol = max(2, len(palette))
+    bits = max(1, (ncol - 1).bit_length())
+    ncol = 1 << bits
+    mcs = min_code_size if min_code_size is not None else max(2, bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    out_bytes = bytearray()
+    acc = [0, 0]                      # accumulator, nbits
+
+    def put(code, width):
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out_bytes.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    width = mcs + 1
+    next_code = end + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+
+    def emit(code):
+        nonlocal width
+        put(code, width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    rows = [indices[y * w:(y + 1) * w] for y in range(h)]
+    if interlace:
+        order = ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+                 + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+        rows = [rows[y] for y in order]
+    stream = [px for row in rows for px in row]
+
+    emit(clear)
+    cur = b""
+    for px in stream:
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:                         # dictionary full: hard clear
+            emit(clear)
+            width = mcs + 1
+            next_code = end + 1
+            table = {bytes([i]): i for i in range(1 << mcs)}
+        cur = bytes([px])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if acc[1]:
+        out_bytes.append(acc[0] & 0xFF)
+
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00" * (3 * ncol - len(gct))
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", sw, sh,
+                                   0x80 | (bits - 1), bg, 0) + gct)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00" if extension else b""
+    desc = b"\x2c" + struct.pack("<HHHHB", left, top, w, h,
+                                 0x40 if interlace else 0)
+    data = bytes([mcs])
+    for i in range(0, len(out_bytes), 255):
+        chunk = bytes(out_bytes[i:i + 255])
+        data += bytes([len(chunk)]) + chunk
+    data += b"\x00"
+    return hdr + ext + desc + data + b"\x3b"
+
+
+def test_parse_gif_canonical_1x1():
+    """The classic 1x1 transparent-pixel GIF (a well-known external byte
+    string, NOT produced by our encoder) must decode — cross-validates
+    the LZW reader against a real-world writer."""
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_gif
+    blob = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+            b"!\xf9\x04\x01\x00\x00\x00\x00"
+            b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;")
+    arr = _parse_gif(blob)
+    assert arr.shape == (1, 1) and arr[0, 0] == 0   # palette[0] = black
+
+
+def test_parse_gif_roundtrip_palette_luma():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_gif, _parse_netpbm)
+    import random
+    rng = random.Random(11)
+    palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(256)]
+    w, h = 37, 23
+    idx = [rng.randrange(256) for _ in range(w * h)]  # forces width growth
+    arr = _parse_gif(_gif(w, h, idx, palette))
+    rgb = [palette[i] for i in idx]
+    want = _parse_netpbm(f"P6 {w} {h} 255\n".encode()
+                         + bytes(v for t in rgb for v in t))
+    assert arr.tolist() == want.tolist()
+    # interlaced form decodes to the same pixels
+    inter = _parse_gif(_gif(w, h, idx, palette, interlace=True))
+    assert inter.tolist() == want.tolist()
+
+
+def test_parse_gif_frame_offset_and_background():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_gif
+    palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0)]
+    blob = _gif(2, 1, [1, 1], palette, screen=(4, 3), left=1, top=1, bg=0)
+    arr = _parse_gif(blob)
+    assert arr.shape == (3, 4)
+    assert arr[1, 1] == 255 and arr[1, 2] == 255     # the frame
+    assert arr[0, 0] == 0 and arr[2, 3] == 0         # background color 0
+
+
+def test_parse_gif_corrupt_and_non_gif():
+    from glamr_omics_pipelines_spark.operators.multimodal import _parse_gif
+    import pytest as _pytest
+    assert _parse_gif(b"notagif") is None
+    palette = [(0, 0, 0), (255, 255, 255)]
+    good = _gif(3, 2, [0, 1, 0, 1, 0, 1], palette)
+    with _pytest.raises(ValueError):
+        _parse_gif(good[:20])                        # truncated
+    with _pytest.raises(ValueError):
+        _parse_gif(good[:-10] + b"\x3b")             # mangled stream
+    # frame escaping the logical screen is corrupt
+    with _pytest.raises(ValueError):
+        _parse_gif(_gif(3, 2, [0, 1, 0, 1, 0, 1], palette,
+                        screen=(2, 2)))
