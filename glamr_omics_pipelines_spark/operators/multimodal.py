@@ -871,10 +871,12 @@ def _g711_luts():
 
 
 def _parse_wav_companded(buf: bytes):
-    """Manual RIFF parse for the G.711 formats the stdlib ``wave`` module
-    rejects (format tag 6 = A-law, 7 = mu-law): expand through the G.711
-    LUTs to linear 16-bit. Returns (samples_i32, nchannels) or None when
-    the container isn't RIFF/WAVE or the format tag isn't G.711."""
+    """Manual RIFF parse for the compressed formats the stdlib ``wave``
+    module rejects: G.711 (format tag 6 = A-law, 7 = mu-law; expanded
+    through the CCITT LUTs) and IMA/DVI ADPCM (tag 0x11, the common
+    4-bit compressed WAV — r8), both to linear 16-bit. Returns
+    (samples_i32 interleaved, nchannels) or None when the container
+    isn't RIFF/WAVE or the format tag isn't one of these."""
     import numpy as np
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
@@ -895,11 +897,91 @@ def _parse_wav_companded(buf: bytes):
         raise ValueError("truncated WAV: missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     nch = int.from_bytes(fmt[2:4], "little") or 1
+    if audio_format == 0x11:              # IMA/DVI ADPCM (r8)
+        if len(fmt) < 16:
+            raise ValueError("truncated WAV fmt chunk")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        return _decode_ima_adpcm(data, nch, block_align), nch
     if audio_format not in (6, 7):
         return None
     ulaw, alaw = _g711_luts()
     lut = alaw if audio_format == 6 else ulaw
     return lut[np.frombuffer(data, dtype="u1")], nch
+
+
+# IMA ADPCM reference tables (IMA Digital Audio Focus Group, 1992 — the
+# same tables every implementation ships)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble → (new predictor, new step index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 0x0F]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(data: bytes, nch: int, block_align: int):
+    """IMA/DVI ADPCM (WAV format tag 0x11) → interleaved int16 samples.
+    Per block per channel: a 4-byte header (initial predictor i16le,
+    initial step index u8, reserved) — the predictor IS the block's
+    first output sample — then nibble payload in 4-byte per-channel
+    groups, low nibble first. Trailing partial blocks are decoded as far
+    as they go (encoders pad the final block)."""
+    import numpy as np
+    if nch not in (1, 2):
+        raise ValueError(f"unsupported IMA ADPCM channel count {nch}")
+    if block_align < 4 * nch or block_align % (4 * nch):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    out: list[int] = []
+    for boff in range(0, len(data) - 4 * nch + 1, block_align):
+        block = data[boff:boff + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            h = block[4 * c:4 * c + 4]
+            preds.append(int.from_bytes(h[0:2], "little", signed=True))
+            step_idx = h[2]
+            if step_idx > 88:
+                raise ValueError(f"bad IMA ADPCM step index {step_idx}")
+            idxs.append(step_idx)
+        out.extend(preds)                 # header predictor = sample 0
+        payload = block[4 * nch:]
+        # per-channel 4-byte groups, interleaved by channel
+        for g in range(0, len(payload), 4 * nch):
+            chunk = payload[g:g + 4 * nch]
+            if len(chunk) < 4 * nch:
+                break                     # truncated final group
+            frame = [[0] * 8 for _ in range(nch)]
+            for c in range(nch):
+                for b in range(4):
+                    byte = chunk[4 * c + b]
+                    for half, nib in ((0, byte & 0x0F), (1, byte >> 4)):
+                        preds[c], idxs[c] = _ima_step(nib, preds[c],
+                                                      idxs[c])
+                        frame[c][2 * b + half] = preds[c]
+            for s in range(8):            # re-interleave per sample
+                for c in range(nch):
+                    out.append(frame[c][s])
+    if not out:
+        raise ValueError("IMA ADPCM stream with no complete block header")
+    return np.array(out, dtype=np.int32)
 
 
 def _decode_wav_samples(buf: bytes):

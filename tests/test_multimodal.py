@@ -977,3 +977,99 @@ def test_parse_gif_corrupt_and_non_gif():
     with _pytest.raises(ValueError):
         _parse_gif(_gif(3, 2, [0, 1, 0, 1, 0, 1], palette,
                         screen=(2, 2)))
+
+
+def _ima_encode(samples, nch=1, spb=8):
+    """In-test IMA ADPCM encoder (independent direction of the decoder's
+    tables): per block per channel, header = first sample + running step
+    index, then nibbles chosen by the standard quantizer. `spb` = data
+    samples per block AFTER the header sample (multiple of 8)."""
+    import struct
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _IMA_INDEX, _IMA_STEPS)
+    chans = [samples[c::nch] for c in range(nch)]
+    n = min(len(c) for c in chans)
+    idxs = [0] * nch
+    out = bytearray()
+    pos = 0
+    while pos < n:
+        payload = [bytearray() for _ in range(nch)]
+        preds = []
+        for c in range(nch):
+            preds.append(chans[c][pos])
+            out += struct.pack("<hBB", chans[c][pos], idxs[c], 0)
+        for s in range(1, spb + 1):
+            for c in range(nch):
+                want = chans[c][pos + s] if pos + s < n else preds[c]
+                step = _IMA_STEPS[idxs[c]]
+                delta = want - preds[c]
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # run the DECODER update so encoder state tracks exactly
+                from glamr_omics_pipelines_spark.operators.multimodal \
+                    import _ima_step
+                preds[c], idxs[c] = _ima_step(nib, preds[c], idxs[c])
+                payload[c].append(nib)
+        for c in range(nch):            # pack nibbles into 4-byte groups
+            pb = bytearray()
+            for i in range(0, len(payload[c]), 2):
+                pb.append(payload[c][i] | (payload[c][i + 1] << 4))
+            payload[c] = pb
+        for g in range(0, spb // 2, 4):
+            for c in range(nch):
+                out += bytes(payload[c][g:g + 4])
+        pos += spb + 1
+    block_align = 4 * nch + (spb // 2) * nch
+    return bytes(out), block_align
+
+
+def _ima_wav(samples, nch=1, spb=8):
+    import struct
+    data, block_align = _ima_encode(samples, nch=nch, spb=spb)
+    fmt_body = struct.pack("<HHIIHHH", 0x11, nch, 8000,
+                           8000 * block_align // (spb + 1), block_align,
+                           4, spb + 1)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ima_adpcm_decodes_and_tracks_waveform():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _decode_wav_samples)
+    import math
+    # a cosine starts at zero slope, so the adaptive quantizer ramps with
+    # the signal instead of chasing a max-slope start (ADPCM's startup
+    # transient from step index 0 is real, not a decoder bug)
+    wave_s = [int(8000 * math.cos(2 * math.pi * i / 64)) for i in range(129)]
+    out = _decode_wav_samples(_ima_wav(wave_s, spb=16))
+    n = min(len(out), len(wave_s))
+    err = max(abs(float(out[i]) - wave_s[i]) for i in range(n))
+    assert err < 2000, err                 # tracks within quantizer bound
+    # first sample of each block is the header predictor, bit-exact
+    assert out[0] == wave_s[0]
+
+
+def test_ima_adpcm_stereo_interleave_and_errors():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _decode_wav_samples)
+    import pytest as _pytest
+    # constant channels: L=1000, R=-2000 -> mean stays (1000-2000)/2
+    inter = [1000, -2000] * 40
+    out = _decode_wav_samples(_ima_wav(inter, nch=2, spb=8))
+    assert abs(float(out[0]) - (-500.0)) < 1.0
+    assert max(abs(float(v) + 500.0) for v in out) < 60.0
+    # corrupt: step index > 88 raises
+    blob = bytearray(_ima_wav([0] * 17, spb=16))
+    hdr_off = blob.find(b"data") + 8
+    blob[hdr_off + 2] = 99
+    with _pytest.raises(ValueError):
+        _decode_wav_samples(bytes(blob))
