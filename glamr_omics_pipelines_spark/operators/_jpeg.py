@@ -194,7 +194,6 @@ def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
         p += 17 + nv
 
 
-
 def _validate_frame(height, width, comps) -> None:
     """SOF sanity (T.81 B.2.2): nonzero dimensions, 1-4 components,
     sampling factors in 1..4 — a zero factor would divide-by-zero the

@@ -159,19 +159,39 @@ def lsh_params_for_threshold(threshold: float, target_recall: float = 0.95,
     can't reach it (very low thresholds), returns the best effort
     (4 planes × max_tables) — callers promising recall should validate
     with :func:`lsh_candidate_recall`.
+
+    Scale caveat: the background candidate volume is ~L·n²/2^b pairs.
+    At LOW thresholds the recall-meeting shape drives L/2^b toward 1
+    (4 planes × 14 tables at threshold 0.5 ⇒ ~0.9·n² candidates — no
+    better than brute force); when the derived shape's background
+    fraction exceeds 25% a warning is logged — cosine LSH simply cannot
+    prune aggressively at low similarity, so pick a higher threshold or
+    a different blocking key there.
     """
     import math
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    params = {"num_planes": 4, "num_tables": max_tables}
     for b in (16, 14, 12, 10, 8, 6, 4):
         pb = p ** b
         if pb >= 1.0 - 1e-12:
-            return {"num_planes": b, "num_tables": 1}
+            params = {"num_planes": b, "num_tables": 1}
+            break
         if pb <= 0.0:
             continue
         L = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
         if 1 <= L <= max_tables:
-            return {"num_planes": b, "num_tables": L}
-    return {"num_planes": 4, "num_tables": max_tables}
+            params = {"num_planes": b, "num_tables": L}
+            break
+    if params["num_tables"] / 2 ** params["num_planes"] > 0.25:
+        import logging
+        logging.getLogger(__name__).warning(
+            "lsh_params_for_threshold: at threshold %.3g the recall-"
+            "meeting shape (%d planes x %d tables) leaves ~%.0f%% of all "
+            "pairs as candidates — LSH cannot prune at low similarity; "
+            "consider a higher threshold or different blocking.",
+            threshold, params["num_planes"], params["num_tables"],
+            100.0 * params["num_tables"] / 2 ** params["num_planes"])
+    return params
 
 
 def lsh_candidate_recall(threshold: float, num_planes: int,
