@@ -170,9 +170,11 @@ HEADLINE = [
     "xlsx_roundtrip",    # S5 write->read xlsx leg + per-lang rollup
     "sqlite_roundtrip",  # S10 write->read sqlite leg + per-lang rollup
     "benchmark_ledger",  # path-parse -> newest-per-key -> sacct backfill
-    # streaming_replay_rollup is deliberately NOT benched: its wall-clock
-    # is 3 availableNow micro-batch schedules + checkpoint commits (fixed
-    # streaming overhead), not data-path throughput.
+    "checkout_delta",    # ledger status join + literal-timeline as-of versioning
+    # streaming_replay_rollup and streaming_attribution_join are
+    # deliberately NOT benched: their wall-clock is availableNow
+    # micro-batch scheduling + checkpoint commits (fixed streaming
+    # overhead), not data-path throughput.
 ]
 
 # The r1-r3 headline set (exactly BENCH_r03's 30 queries): kept as a
