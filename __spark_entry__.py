@@ -3239,9 +3239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # GROUP BY) and benchmark_ledger (pypelib/post.py:763-935 parity),
     # plus cosine_topk and dbscan re-checks (their pair-gen gained the
     # _BRUTE_PAIRGEN_MAX_ROWS auto-gate this round).  New entries
-    # displaced banked re-checks per the no-growth rule.  After this
-    # round the oldest remaining driver row is r4-era (44 rows, age 3) —
-    # the R8 window is those 44 + re-checks of whatever r8 touches.
+    # displaced banked re-checks per the no-growth rule.
+    # ROUND-8 WINDOW (below): the 43 r4-era rows + 2 new oracle rows
+    # (streaming_attribution_join, checkout_delta) + 4 r8-touched
+    # re-checks + the oldest banked r5-era row.  After this round the
+    # oldest remaining driver row is r5-era (46 rows, age 3:
+    # attribution_join .. zorder_key, full list in ROUND8.md) — the R9
+    # window is those 46 + re-checks of whatever r9 touches.
     full = {
         "embedding_covariance": q_embedding_covariance,
         "rolling_corr": q_rolling_corr,
