@@ -714,8 +714,13 @@ def q_streaming_attribution_join(spark, sf_dir):
          .option("checkpointLocation", os.path.join(root, "ckpt"))
          .trigger(availableNow=True).start().awaitTermination())
         pairs = spark.read.parquet(out_dir)
-        n_batches = pairs.agg(
-            F.max("_batch").alias("b")).collect()[0]["b"] + 1
+        last_batch = pairs.agg(F.max("_batch").alias("b")).collect()[0]["b"]
+        if last_batch is None:
+            # sparser event data at another sf could legally emit zero
+            # pairs — fail diagnosably, never TypeError on None + 1
+            raise ValueError("stream-stream replay emitted zero joined "
+                             "pairs; cannot pin n_batches")
+        n_batches = int(last_batch) + 1
         agg = (pairs.groupBy("purchase_id")
                .agg(F.count(F.lit(1)).alias("n_candidates"),
                     F.max(F.struct("imp_ts", "view_id")).alias("_best"))

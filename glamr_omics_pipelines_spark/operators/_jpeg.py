@@ -18,8 +18,9 @@ are byte-stable across environments because only this implementation ever
 runs (the multimodal kernels try the stdlib decoders FIRST even when PIL
 is installed). Valid-but-out-of-scope files (arithmetic coding,
 hierarchical, lossless, 12-bit, subsampled luma, multi-scan baseline)
-return None so the caller can fall through to PIL; only CORRUPT files
-raise ValueError (mapped to a row-level decode_error).
+return None so the caller can fall through to PIL, as do 4-component
+(Adobe CMYK/YCCK) frames whose first component is Cyan, not luma; only
+CORRUPT files raise ValueError (mapped to a row-level decode_error).
 
 Reference precedent: the pipeline treats images as opaque artifacts
 (multimodal columns are an engine extension, SURVEY §8); the decode
@@ -257,6 +258,8 @@ def _decode_jpeg_luma_impl(buf: bytes):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             _validate_frame(height, width, comps)
+            if len(comps) == 4:
+                return None  # CMYK/YCCK: valid, out of scope -> PIL
             frame = (height, width, comps)
         elif marker == 0xC2:         # SOF2: progressive huffman (r8)
             return _decode_progressive(buf, np)
@@ -502,6 +505,11 @@ def _decode_progressive(buf, np):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             _validate_frame(height, width, comps)
+            if len(comps) == 4:
+                # CMYK/YCCK (Adobe 4-component): the first component is
+                # Cyan, not luma — returning it as gray would be silently
+                # wrong. Valid file, out of scope -> PIL (r8 review).
+                return None
             frame = (height, width, comps)
         elif marker == 0xDA:
             if frame is None:

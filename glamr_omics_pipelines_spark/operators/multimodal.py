@@ -127,7 +127,13 @@ def _parse_netpbm(buf: bytes):
         raise ValueError("netpbm: maxval not followed by whitespace")
     ch = 1 if buf[:2] == b"P5" else 3
     need = w * h * ch
-    if buf[pos:pos + 2] == b"\r\n" and len(buf) - (pos + 2) == need:
+    # Reject the CRLF pair whenever the raster would STILL FIT after
+    # skipping both bytes (r8 review: equality alone let a CRLF writer
+    # with a trailing final newline decode shifted, silently corrupt).
+    # The lone-'\r' + first-pixel-0x0A file is accepted only when the
+    # raster fits EXCLUSIVELY under the one-byte skip — when both
+    # readings fit, rejecting is the safe side of an inherent ambiguity.
+    if buf[pos:pos + 2] == b"\r\n" and len(buf) - (pos + 2) >= need:
         raise ValueError("netpbm: CRLF-terminated header would shift the "
                          "raster; rewrite the header with unix newlines")
     pos += 1
@@ -301,6 +307,10 @@ def _parse_png(buf: bytes):
             or interlace not in (0, 1)):
         raise ValueError(f"invalid PNG color/depth/interlace combination "
                          f"({color_type}/{bit_depth}/{interlace})")
+    if width == 0 or height == 0:
+        # both branches, uniformly (r8 review: the interlaced path used
+        # to return an empty 'ok' array for a zero-height file)
+        raise ValueError("zero-dimension PNG")
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG with missing/malformed PLTE")
@@ -313,9 +323,20 @@ def _parse_png(buf: bytes):
     if interlace == 0:
         samples, off = _png_subimage(raw, 0, width, height, bit_depth,
                                      ch, np)
-        if samples is None:
-            raise ValueError("zero-dimension PNG")
     else:                             # Adam7: scatter each pass's grid
+        # validate the EXACT interlaced raster length BEFORE allocating
+        # the sample grid: a hostile IHDR with dimensions near 2^32 must
+        # raise ValueError here, never attempt a multi-TiB np.zeros
+        # (r8 review: MemoryError broke the corrupt-file contract)
+        expected = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw and ph:
+                expected += ((pw * ch * bit_depth + 7) // 8 + 1) * ph
+        if expected != len(raw):
+            raise ValueError(f"PNG raster size mismatch: {len(raw)} bytes "
+                             f"for an interlaced raster of {expected}")
         samples = np.zeros((height, width, ch), dtype=np.uint16)
         off = 0
         for x0, y0, xs, ys in _ADAM7:

@@ -453,9 +453,13 @@ def checkout_delta(inventory: DataFrame, ledger: DataFrame,
             "array<struct<ts:bigint,version:string>>")
     inv = inventory.select(
         F.col("path"), F.col("rule"), F.col("mtime").cast("long").alias("mtime"))
-    led = F.broadcast(ledger.select(
+    # no broadcast hint: the ledger is FILE-grain (same cardinality class
+    # as the inventory, one row per previously checked-out file — r8
+    # review), so the join strategy is left to AQE /
+    # autoBroadcastJoinThreshold rather than forced driver collection
+    led = ledger.select(
         F.col("relpath").alias("path"),
-        F.col("old_mtime").cast("long").alias("_old")))
+        F.col("old_mtime").cast("long").alias("_old"))
     j = inv.join(led, "path", "left")
     status = (
         F.when(~F.col("path").startswith("data/"), F.lit("ignored"))

@@ -1073,3 +1073,51 @@ def test_ima_adpcm_stereo_interleave_and_errors():
     blob[hdr_off + 2] = 99
     with _pytest.raises(ValueError):
         _decode_wav_samples(bytes(blob))
+
+
+def test_r8_review_regressions():
+    """Code-review findings, pinned: (1) CRLF header + trailing bytes
+    must be rejected, not decoded shifted; (2) interlaced zero-dimension
+    and giant-IHDR PNGs raise ValueError (never MemoryError / empty-'ok'
+    arrays); (3) 4-component (CMYK) JPEG frames fall through to PIL
+    rather than returning Cyan as luma."""
+    import struct
+    import zlib
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_netpbm, _parse_png)
+    # (1) CRLF writer that appends a final newline: both bytes CRLF'd
+    crlf_trailing = b"P5\n2 2\n255\r\n" + bytes([10, 20, 30, 40]) + b"\r\n"
+    with _pytest.raises(ValueError):
+        _parse_netpbm(crlf_trailing)
+    # lone-'\r' with the raster fitting ONLY under the one-byte skip
+    # stays accepted (the ADVICE r7 case)
+    lone = _parse_netpbm(b"P5\n2 2\n255\r" + bytes([10, 20, 30, 40]))
+    assert lone.tolist() == [[10, 20], [30, 40]]
+
+    def png_hdr(w, h, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, interlace)
+        raw = zlib.compress(b"\x00" * 5)
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # (2) zero-height interlaced == zero-height plain: both raise
+    for interlace in (0, 1):
+        with _pytest.raises(ValueError):
+            _parse_png(png_hdr(4, 0, interlace))
+    # giant interlaced dimensions: ValueError BEFORE any allocation
+    with _pytest.raises(ValueError):
+        _parse_png(png_hdr(2 ** 31, 2 ** 31, 1))
+    # (3) 4-component CMYK frames: baseline and progressive -> None
+    for sof_marker in (0xC0, 0xC2):
+        comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4))
+        sof_body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([4]) + comps
+        blob = (b"\xff\xd8"
+                + bytes([0xFF, sof_marker])
+                + struct.pack(">H", 2 + len(sof_body)) + sof_body
+                + b"\xff\xd9")
+        assert decode_jpeg_luma(blob) is None, hex(sof_marker)
