@@ -12,10 +12,10 @@ decode. Fully functional with NO third-party codec: netpbm (P5/P6),
 uncompressed 24/32-bit BMP, complete PNG (all bit depths, palette, Adam7
 interlace; stdlib zlib inflate + per-scanline unfilter), GIF (LZW, first
 frame) images via numpy parsers, baseline + progressive JPEG via
-``operators/_jpeg.py``, RIFF/WAV PCM + G.711 audio via the stdlib
-``wave`` module, and YUV4MPEG2 (Y4M) uncompressed video via a numpy
-luma-plane parser. Valid-but-out-of-scope variants (arithmetic/
-lossless/12-bit JPEG, compressed audio/video)
+``operators/_jpeg.py``, RIFF/WAV PCM + G.711 + IMA ADPCM audio, and
+YUV4MPEG2 (Y4M) uncompressed + Motion-JPEG AVI video via numpy
+luma-plane parsers. Valid-but-out-of-scope image variants (arithmetic/
+lossless/12-bit/CMYK JPEG)
 fall through to PIL via an executor-side try-import that raises
 ``NotImplementedError`` only when a blob genuinely needs PIL and PIL is
 absent. The stdlib image decoder is tried FIRST even when PIL is
@@ -116,13 +116,10 @@ def _parse_netpbm(buf: bytes):
     # Exactly ONE whitespace byte separates maxval from the raster (netpbm
     # spec).  A CRLF-terminated header (Windows text-mode writer) would
     # otherwise shift the raster by one byte and decode silently-corrupt
-    # pixels: validate the separator, and reject the CRLF pair — but only
-    # when the raster fits EXACTLY after skipping both bytes (ADVICE r7:
-    # a spec-valid lone-'\r' separator whose first pixel happens to be
-    # 0x0A is indistinguishable by the two bytes alone; the length test
-    # disambiguates real CRLF writers, whose files end flush with the
-    # raster, from that case). Benign trailing bytes AFTER a complete
-    # raster remain accepted — some writers append a final newline.
+    # pixels: validate the separator and reject the CRLF pair per the
+    # length rule below (ADVICE r7 + r8 review). Benign trailing bytes
+    # AFTER a complete raster remain accepted — some writers append a
+    # final newline.
     if not buf[pos:pos + 1].isspace():
         raise ValueError("netpbm: maxval not followed by whitespace")
     ch = 1 if buf[:2] == b"P5" else 3
@@ -776,6 +773,62 @@ def _parse_y4m_luma_frames(buf: bytes):
     return frames
 
 
+def _parse_avi_mjpeg_frames(buf: bytes):
+    """Motion-JPEG AVI (r8): walk the RIFF chunk tree, collect the FIRST
+    video stream's '##dc'/'##db' frame chunks and decode each as a JPEG
+    through ``operators/_jpeg.py`` — compressed video with zero new codec
+    code. Returns [(frame_idx, h×w uint8 luma)], None when the magic
+    isn't RIFF/AVI, and raises ValueError for corrupt containers or
+    non-MJPEG payloads (video has no PIL fall-through; the kernel maps
+    the raise to a row-level decode_error)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
+    chunks: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            body_start = pos + 8
+            body_end = body_start + sz
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)   # skip the list type tag
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                chunks.append((cid[:2], buf[body_start:body_end]))
+            pos = body_end + (sz & 1)            # chunks are word-aligned
+
+    walk(12, len(buf))
+    if not chunks:
+        raise ValueError("AVI has no video frame chunks")
+    first_stream = chunks[0][0]
+    out = []
+    idx = 0
+    for stream, payload in chunks:
+        if stream != first_stream:
+            continue
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("AVI video stream is not MJPEG")
+        luma = decode_jpeg_luma(payload)
+        if luma is None:
+            raise ValueError("AVI MJPEG frame uses a JPEG variant outside "
+                             "the decoder's scope")
+        out.append((idx, luma))
+        idx += 1
+    return out
+
+
+def _parse_video_luma_frames(buf: bytes):
+    """Dispatch the dependency-free video parsers: Y4M (uncompressed),
+    then MJPEG AVI. None when no magic matches."""
+    frames = _parse_y4m_luma_frames(buf)
+    if frames is None:
+        frames = _parse_avi_mjpeg_frames(buf)
+    return frames
+
+
 VIDEO_FRAME_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("frame_idx", LongType()),
@@ -796,9 +849,11 @@ def extract_video_frame_features(df: DataFrame, every_n: int = 1,
     shared ``_fold_histogram`` — deterministic in content, what the oracle
     pins. REAL kernel (``stub=False``): dependency-free YUV4MPEG2 decode
     (420/422/444/mono chroma; only the luma plane is read) with the SAME
-    fold over each sampled frame's pixel histogram; non-Y4M or truncated
-    blobs flag ``decode_error`` per row. Compressed codecs (h264/vp9)
-    would slot in via ffmpeg, which this container does not ship.
+    fold over each sampled frame's pixel histogram, and Motion-JPEG AVI
+    (r8: RIFF walk + the _jpeg decoder per frame); unrecognized or
+    truncated blobs flag ``decode_error`` per row. Inter-frame codecs
+    (h264/vp9) would slot in via ffmpeg, which this container does not
+    ship.
 
     Scale: constant-memory batch streaming like the image/audio kernels;
     rows are emitted per batch, and only every_n-th frame's histogram is
@@ -831,9 +886,10 @@ def extract_video_frame_features(df: DataFrame, every_n: int = 1,
                         oks.append("ok")
                     continue
                 try:
-                    frames = _parse_y4m_luma_frames(b)
+                    frames = _parse_video_luma_frames(b)
                     if frames is None:
-                        raise ValueError("not a YUV4MPEG2 stream")
+                        raise ValueError("not a YUV4MPEG2 / MJPEG-AVI "
+                                         "stream")
                 except Exception:
                     ids.append(mid); idxs.append(0)
                     feats.append(None); oks.append("decode_error")

@@ -1121,3 +1121,68 @@ def test_r8_review_regressions():
                 + struct.pack(">H", 2 + len(sof_body)) + sof_body
                 + b"\xff\xd9")
         assert decode_jpeg_luma(blob) is None, hex(sof_marker)
+
+
+def _avi_mjpeg(jpeg_frames, junk_stream=False):
+    """Minimal MJPEG AVI for tests: RIFF/AVI with a LIST movi of 00dc
+    chunks (plus optional 01dc chunks from a second stream that the
+    decoder must ignore)."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    movi_body = b"movi"
+    for i, f in enumerate(jpeg_frames):
+        movi_body += chunk(b"00dc", f)
+        if junk_stream:
+            movi_body += chunk(b"01dc", b"\xff\xd8junk-not-decoded")
+    movi = chunk(b"LIST", movi_body)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 56))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frames_decode_through_jpeg_path(spark):
+    """Compressed video, real path: MJPEG AVI frames decode through the
+    shared JPEG luma decoder; per-frame features equal the image path's
+    features on the same JPEG blobs; every_n sampling holds."""
+    from tests.test_jpeg import _encode_jpeg
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_avi_mjpeg_frames)
+    imgs = []
+    for fill in (0, 128, 255):
+        img = np.full((8, 8), fill, dtype=np.uint8)
+        imgs.append(_encode_jpeg(img))
+    avi = _avi_mjpeg(imgs, junk_stream=True)
+    frames = _parse_avi_mjpeg_frames(avi)
+    assert [i for i, _ in frames] == [0, 1, 2]   # second stream ignored
+    from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
+    for (idx, luma), blob in zip(frames, imgs):
+        assert luma.tolist() == decode_jpeg_luma(blob).tolist()
+    rows = [Row(media_id=7, media_type="video", content=avi,
+                meta=Row(width=8, height=8, duration_ms=300, codec="mjpeg"))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_video_frame_features(
+        df, every_n=2, feature_dim=4, stub=False).collect()
+    got = {r.frame_idx: r for r in out}
+    assert sorted(got) == [0, 2] and all(r.decode_ok == "ok"
+                                         for r in got.values())
+    # frame 0 is all-black (DCT-exact for a constant plane): bin 0 only
+    assert got[0].feature[0] == pytest.approx(1.0)
+
+
+def test_avi_mjpeg_corrupt_and_foreign():
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_avi_mjpeg_frames)
+    assert _parse_avi_mjpeg_frames(b"notanavi") is None
+    from tests.test_jpeg import _encode_jpeg
+    img = _encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    good = _avi_mjpeg([img])
+    with pytest.raises(ValueError):
+        _parse_avi_mjpeg_frames(good[:30])           # truncated chunk
+    with pytest.raises(ValueError):                  # non-JPEG payload
+        _parse_avi_mjpeg_frames(_avi_mjpeg([b"h264-nal-units"]))
+    with pytest.raises(ValueError):                  # no frames at all
+        _parse_avi_mjpeg_frames(_avi_mjpeg([]))
