@@ -655,6 +655,74 @@ def q_streaming_replay_rollup(spark, sf_dir):
         .withColumn("n_batches", F.lit(int(applied) + 1).cast("bigint")))
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py:pq_encode /
+    pq_adc_topk — the memory-compression search path beside IVF and LSH):
+    the embeddings corpus is PQ-coded against DATA-INDEPENDENT seeded
+    codebooks (pq_codebooks_random — the oracle regenerates the identical
+    literals, so the encode + asymmetric-distance machinery gets a
+    value-exact SQL oracle without the non-SQL Lloyd loop mattering),
+    then each query ranks the coded corpus by ADC (m table lookups per
+    pair). train_pq_codebooks (the production path) is covered by
+    pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
+    codes = similarity.pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.pq_adc_topk(codes, queries, books, k=3)
+    return out.select("query_id", "neighbor_id", _r4("adc").alias("adc"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def _pq_ann_sql() -> str:
+    """Oracle for q_pq_ann: the SAME seeded codebooks as VALUES literals;
+    encode = deterministic argmin (struct-min over (dist, j)), ADC table
+    per (query, subspace, codeword), pair distance = sum of the m matched
+    table entries. (x-y)*(x-y), never ^2 — POW may differ in low bits
+    from the engine's multiply."""
+    from glamr_omics_pipelines_spark.operators import similarity as sim
+    books = sim.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
+    dsub = 16
+    values = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in cw)}]::DOUBLE[])"
+        for s, cb in enumerate(books) for j, cw in enumerate(cb))
+    return f"""
+        WITH cb(s, j, cw) AS (VALUES {values}),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        d AS (
+          SELECT e.vec_id, cb.s, cb.j,
+                 list_sum(list_transform(generate_series(1, {dsub}),
+                   i -> (e.embedding[cb.s * {dsub} + i]::DOUBLE - cw[i])
+                        * (e.embedding[cb.s * {dsub} + i]::DOUBLE - cw[i])))
+                   AS dist
+          FROM embeddings e, cb),
+        enc AS (
+          SELECT vec_id, s, (min(row(dist, j)))[2] AS code
+          FROM d GROUP BY vec_id, s),
+        adc AS (
+          SELECT q.query_id, cb.s, cb.j,
+                 list_sum(list_transform(generate_series(1, {dsub}),
+                   i -> (q.qv[cb.s * {dsub} + i] - cw[i])
+                        * (q.qv[cb.s * {dsub} + i] - cw[i]))) AS t
+          FROM q, cb),
+        pair AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id, sum(a.t) AS adc
+          FROM enc e JOIN adc a ON e.s = a.s AND e.code = a.j
+          WHERE e.vec_id <> a.query_id
+          GROUP BY a.query_id, e.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+          FROM pair)
+        SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def q_streaming_attribution_join(spark, sf_dir):
     """Batch-replay oracle row for the STREAM-STREAM join (VERDICT r7 #4;
     streaming/ingest.py:stream_interval_join — the ad-tech attribution
@@ -3448,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution_join": q_streaming_attribution_join,
         "benchmark_ledger": q_benchmark_ledger,
         "checkout_delta": q_checkout_delta,
+        "pq_ann": q_pq_ann,
     }
     window = [
         # ROUND-8 WINDOW (VERDICT r7 #1): the 43 r4-era rows — at age 3,
@@ -3477,8 +3546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probe memoization (cosine_topk/dbscan/embedding_dups) and the
         # palette-PNG / progressive-JPEG decoders (multimodal_features)
         "cosine_topk", "dbscan", "embedding_dups", "multimodal_features",
-        # oldest banked r5-era row fills the remaining slot
-        "curation_pipeline_v2",
+        # new oracle row: PQ encode + asymmetric-distance top-k (the
+        # memory-compression ANN path) — displaces the last banked
+        # re-check per the no-growth rule
+        "pq_ann",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     return ({name: full[name] for name in window}
@@ -4183,6 +4254,7 @@ def oracle_sql() -> dict[str, str]:
                    status
             FROM st
         """,
+        "pq_ann": _pq_ann_sql(),
         "streaming_attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
                        FROM events WHERE event_type = 'view'),

@@ -171,6 +171,7 @@ HEADLINE = [
     "sqlite_roundtrip",  # S10 write->read sqlite leg + per-lang rollup
     "benchmark_ledger",  # path-parse -> newest-per-key -> sacct backfill
     "checkout_delta",    # ledger status join + literal-timeline as-of versioning
+    "pq_ann",            # PQ encode (codegen argmin) + broadcast ADC top-k
     # streaming_replay_rollup and streaming_attribution_join are
     # deliberately NOT benched: their wall-clock is availableNow
     # micro-batch scheduling + checkpoint commits (fixed streaming

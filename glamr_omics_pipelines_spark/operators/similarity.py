@@ -722,3 +722,127 @@ def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
     return (df.select(F.col(id_col).alias("id"))
             .join(labeled, "id", "left")
             .withColumn("role", F.coalesce("role", F.lit("noise"))))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r8): the memory-compression ANN path — a 64-dim
+# float corpus stores as m small codes (m * ceil(log2 k) bits per vector),
+# and query-time distance is m table lookups (asymmetric distance, ADC).
+# Complements IVF (cell pruning) and LSH (candidate generation): at 100 TB
+# the PQ-coded corpus is what actually fits in executor memory.
+# ---------------------------------------------------------------------------
+
+
+def _subvec_sql(vec_col: str, s: int, dsub: int) -> str:
+    """SQL snippet: subspace ``s`` of the vector, cast to double."""
+    return (f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), "
+            "x -> cast(x as double))")
+
+
+def _nearest_codeword_expr(vec_sql: str, codebook: list[list[float]]) -> str:
+    """SQL expr: 0-based index of the nearest codeword to ``vec_sql`` by
+    squared L2 (index-asc tiebreak) — the per-subspace PQ encoder."""
+    cs = _centroids_sql(codebook)
+    dists = (f"transform({cs}, c -> aggregate(zip_with({vec_sql}, c,"
+             " (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
+    pairs = f"arrays_zip({dists}, sequence(0, {len(codebook) - 1}))"
+    ordered = (f"array_sort({pairs}, (l, r) -> CASE WHEN l['0'] < r['0'] "
+               f"THEN -1 WHEN l['0'] > r['0'] THEN 1 "
+               f"ELSE int(l['1']) - int(r['1']) END)")
+    return f"transform({ordered}, p -> p['1'])[0]"
+
+
+def pq_codebooks_random(m: int, k: int, dsub: int,
+                        seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic data-independent PQ codebooks (seeded gaussian) —
+    the oracle-reproducible form: both engines regenerate the identical
+    literals, so the encode/ADC MACHINERY gets a value-exact SQL oracle
+    without the (non-SQL) Lloyd loop mattering to the result.
+    :func:`train_pq_codebooks` is the production path."""
+    import random
+    rng = random.Random(seed)
+    return [[[rng.gauss(0.0, 1.0) for _ in range(dsub)] for _ in range(k)]
+            for _ in range(m)]
+
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 4,
+                       k: int = 16, iters: int = 5, sample_rows: int = 2048,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a bounded head sample (driver-side
+    numpy, same contract as train_ivf_centroids: the codebooks are a tiny
+    model — m·k·(d/m) floats — and training cost is independent of corpus
+    size; encode/search stay distributed)."""
+    import numpy as np
+    rows = (corpus.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
+            .limit(sample_rows).collect())
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    out = []
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        for _ in range(iters):
+            dist = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for j in range(len(cent)):
+                members = xs[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        out.append([list(map(float, c)) for c in cent])
+    return out
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """PQ-encode an embedding column: (id, pq_codes array<int>) — per
+    subspace, the 0-based index of the nearest codeword by squared L2
+    (index-asc tiebreak). The codebooks are expression-tree literals, so
+    encoding is row-local whole-stage codegen: zero shuffle, zero
+    driver→executor data movement, and the coded corpus is what a 100 TB
+    pipeline persists (m·log2(k) bits per vector instead of 4·d bytes)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    exprs = [F.expr(_nearest_codeword_expr(_subvec_sql(vec_col, s, dsub),
+                                           cb)).cast("int")
+             for s, cb in enumerate(codebooks)]
+    return df.select(F.col(id_col), F.array(*exprs).alias("pq_codes"))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id: str = "query_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-coded corpus: each
+    query's m×k table of squared L2 distances to every codeword is ONE
+    projection on the (small, broadcast) query side — codebook literals,
+    no collect — and the scan-side work per (query, vector) pair is m
+    array lookups + a sum. Ascending distance, id-asc tiebreak.
+    Output: (query_id, neighbor_id, adc, rank). Recall is bounded by the
+    quantizer (exact on the DECODED points); the oracle replicates the
+    identical encode+table math in SQL."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    tables = []
+    for s, cb in enumerate(codebooks):
+        cs = _centroids_sql(cb)
+        tables.append(
+            f"transform({cs}, c -> aggregate(zip_with("
+            f"{_subvec_sql(vec_col, s, dsub)}, c, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
+    tables_sql = "array(" + ",".join(tables) + ")"
+    q = F.broadcast(queries.select(F.col(query_id),
+                                   F.expr(tables_sql).alias("_adc")))
+    scored = (codes.join(q, F.col(id_col) != F.col(query_id))
+              .withColumn("adc", F.expr(
+                  "aggregate(zip_with(pq_codes, _adc, (c, t) -> t[c]), "
+                  "0D, (a, v) -> a + v)")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("adc"), 6).asc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, F.col(id_col).alias("neighbor_id"),
+                    "adc", "rank"))

@@ -435,3 +435,68 @@ def test_brute_force_topk_warns_on_auto_lsh(spark, monkeypatch, caplog):
         similarity.brute_force_topk(corpus, queries, "id", "v", k=3,
                                     method="lsh")
     assert not any("method='brute'" in r.message for r in caplog.records)
+
+
+def test_pq_encode_picks_nearest_codeword_and_adc_matches(spark):
+    """PQ (r8): encode must pick the squared-L2-nearest codeword per
+    subspace (index-asc tiebreak), and the ADC distance must equal the
+    exact distance from the query to the DECODED (codeword-concatenated)
+    point — the defining PQ identity."""
+    books = similarity.pq_codebooks_random(m=2, k=4, dsub=3, seed=3)
+    rows = [(1, [0.1] * 6), (2, [1.0, -1.0, 0.5, 0.0, 0.2, -0.3]),
+            (3, [v + 0.01 for v in books[0][2]] + list(books[1][1]))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    codes = {r.vec_id: list(r.pq_codes) for r in
+             similarity.pq_encode(df, "vec_id", "embedding",
+                                  books).collect()}
+    # brute-force the expected codes in python
+    def expect(vec):
+        out = []
+        for s, cb in enumerate(books):
+            sub = vec[s * 3:(s + 1) * 3]
+            dists = [sum((a - b) ** 2 for a, b in zip(sub, cw))
+                     for cw in cb]
+            out.append(min(range(len(cb)), key=lambda j: (dists[j], j)))
+        return out
+    for vid, vec in rows:
+        assert codes[vid] == expect(vec), vid
+    assert codes[3] == [2, 1]          # planted near-codeword vector
+    # ADC identity: distance(query, decode(codes)) == adc
+    queries = spark.createDataFrame([(99, [0.3] * 6)],
+                                    "query_id int, embedding array<double>")
+    cdf = similarity.pq_encode(df, "vec_id", "embedding", books)
+    got = {r.neighbor_id: r.adc for r in
+           similarity.pq_adc_topk(cdf, queries, books, k=3).collect()}
+    qv = [0.3] * 6
+    for vid, vec in rows:
+        decoded = [x for s, c in enumerate(expect(vec))
+                   for x in books[s][c]]
+        exact = sum((a - b) ** 2 for a, b in zip(qv, decoded))
+        assert abs(got[vid] - exact) < 1e-9, vid
+
+
+def test_train_pq_codebooks_beats_random_quantization(spark):
+    """The Lloyd-trained codebooks must reconstruct a clustered corpus
+    with lower quantization error than data-independent random books."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 8) * 3
+    vecs = [(i, (centers[i % 4] + rng.randn(8) * 0.1).tolist())
+            for i in range(160)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    trained = similarity.train_pq_codebooks(df, "embedding", m=2, k=4,
+                                            iters=6, sample_rows=160)
+    randomb = similarity.pq_codebooks_random(m=2, k=4, dsub=4, seed=1)
+
+    def mse(books):
+        codes = {r.vec_id: list(r.pq_codes) for r in
+                 similarity.pq_encode(df, "vec_id", "embedding",
+                                      books).collect()}
+        tot = 0.0
+        for vid, vec in vecs:
+            dec = [x for s, c in enumerate(codes[vid]) for x in books[s][c]]
+            tot += sum((a - b) ** 2 for a, b in zip(vec, dec))
+        return tot / len(vecs)
+    assert mse(trained) < mse(randomb) / 2
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebooks(df, "embedding", m=3)  # 8 % 3 != 0
