@@ -528,6 +528,10 @@ BNLJ_ALLOWLIST = {
     # dbscan's candidates= hook) and the literal cross join
     "cosine_topk", "embedding_dups", "dbscan", "tfidf_doc_pairs",
     "cross_join_audit",
+    # r8: the ADC scan — broadcast side is the QUERY frame carrying
+    # precomputed m×k tables (a handful of rows); the scan side reads
+    # only the PQ-coded corpus. The intended PQ shape at any scale.
+    "pq_ann",
 }
 
 
@@ -580,3 +584,27 @@ def test_embedding_dups_above_gate_plan_is_equi_join(spark, monkeypatch):
     plan = _plan(spark, "embedding_dups")
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_zero_shuffle_and_adc_broadcast(spark):
+    """PQ (r8): encoding is a pure projection — NO exchange, no python
+    eval, single codegen scan — and the ADC join broadcasts the query
+    side (never the coded corpus)."""
+    from glamr_omics_pipelines_spark.operators import similarity
+    rows = [(i, [float(i % 5), 1.0, 0.5, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = similarity.pq_codebooks_random(m=2, k=4, dsub=2, seed=1)
+    codes = similarity.pq_encode(df, "vec_id", "embedding", books)
+    cplan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in cplan
+    assert "EvalPython" not in cplan and "MapInPandas" not in cplan
+    q = spark.createDataFrame([(99, [1.0, 1.0, 0.5, 0.0])],
+                              "query_id int, embedding array<double>")
+    out = similarity.pq_adc_topk(codes, q, books, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan \
+        or "BroadcastNestedLoopJoin BuildLeft" in plan
+    # the broadcast build side must be the QUERY frame (query_id scan),
+    # never the coded corpus (vec_id scan)
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "query_id" in bcast and "vec_id" not in bcast
