@@ -655,6 +655,25 @@ def q_streaming_replay_rollup(spark, sf_dir):
         .withColumn("n_batches", F.lit(int(applied) + 1).cast("bigint")))
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer application (operators/text.py:bpe_encode — the
+    inference side of learn_bpe_merges, the step a frozen tokenizer runs
+    over the whole corpus): a FIXED merge list (the tokenizer model —
+    data-independent, so the oracle replicates it literally, while the
+    Lloyd-like trainer stays pytest-covered) with chained rules
+    ('t'+'h'→'th' then 'th'+'e</w>'→'the</w>') exercising iterative
+    merging and end-of-word merges. Output: token count + the first 12
+    tokens — pins both the merge fold and the word/marker framing."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"),
+              ("an", "d</w>"), ("e", "r"), ("o", "n"), ("in", "g</w>")]
+    out = text.bpe_encode(d, "text", merges)
+    return out.select(
+        "doc_id",
+        F.array_size("bpe_tokens").cast("bigint").alias("n_bpe"),
+        F.array_join(F.slice("bpe_tokens", 1, 12), " ").alias("head_toks"))
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py:pq_encode /
     pq_adc_topk — the memory-compression search path beside IVF and LSH):
@@ -3517,6 +3536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_ledger": q_benchmark_ledger,
         "checkout_delta": q_checkout_delta,
         "pq_ann": q_pq_ann,
+        # r8 catalog-only (the 50-slot window is fully claimed by the
+        # r4-era rotation + 3 new rows + 4 touched re-checks): first in
+        # line for the R9 window alongside the r5-era rotation
+        "bpe_encode": q_bpe_encode,
     }
     window = [
         # ROUND-8 WINDOW (VERDICT r7 #1): the 43 r4-era rows — at age 3,
@@ -4253,6 +4276,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS version,
                    status
             FROM st
+        """,
+        "bpe_encode": """
+            WITH toks AS (
+              SELECT doc_id,
+                     flatten(list_transform(
+                       list_filter(string_split_regex(
+                         lower(replace(text, chr(31), '')), '\\s+'),
+                         w -> w <> ''),
+                       x -> list_filter(string_split(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(x, '(.)', '\\1', 'g') || '</w>', 'th', 'th'), 'the</w>', 'the</w>'), 'in', 'in'), 'an', 'an'), 'and</w>', 'and</w>'), 'er', 'er'), 'on', 'on'), 'ing</w>', 'ing</w>'), ''),
+                                        s -> s <> ''))) AS bpe
+              FROM documents)
+            SELECT doc_id, CAST(len(bpe) AS BIGINT) AS n_bpe,
+                   array_to_string(bpe[1:12], ' ') AS head_toks
+            FROM toks
         """,
         "pq_ann": _pq_ann_sql(),
         "streaming_attribution_join": """

@@ -702,3 +702,44 @@ def js_divergence_pairs(df: DataFrame, class_col: str,
             / 2)
     return (u.groupBy("ca", "cb")
             .agg(F.round(F.sum(term), 6).alias("js_divergence")))
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               out: str = "bpe_tokens") -> DataFrame:
+    """Apply trained BPE merge rules to a corpus — the INFERENCE side of
+    :func:`learn_bpe_merges` (Sennrich et al. 2016), i.e. the operation a
+    training-data pipeline actually runs at full corpus scale once the
+    tokenizer is frozen. Adds ``out``: the document's BPE token array
+    (word-internal merges, ``</w>`` end-of-word markers).
+
+    Physical form — row-local whole-stage codegen, ZERO shuffle and zero
+    Python: each word is wrapped as ``\\x1f c \\x1f`` per symbol (one
+    regexp_replace) + the ``</w>`` marker, and every merge rule is ONE
+    plain string replace of ``\\x1fa\\x1f\\x1fb\\x1f`` → ``\\x1fab\\x1f``
+    — the per-symbol wrapping makes substring matches coincide exactly
+    with the reference fold's whole-symbol comparisons, and the JVM's
+    left-to-right non-overlapping replace scan IS the fold's
+    leftmost-first merge order (pytest asserts equality against the
+    aggregate-fold form on random corpora). The merge list is a frozen
+    tokenizer model (expression-tree literals); 0x1F bytes are stripped
+    from input text up front so symbols can never contain the wrapper.
+    """
+    sep = "\x1f"
+    word_enc = (f"concat(regexp_replace(x, '(.)', '{sep}$1{sep}'), "
+                f"'{sep}</w>{sep}')")
+    expr = word_enc
+    for a, b in merges:
+        a_l = a.replace("\\", "\\\\").replace("'", "\\'")
+        b_l = b.replace("\\", "\\\\").replace("'", "\\'")
+        ab = (a + b).replace("\\", "\\\\").replace("'", "\\'")
+        expr = (f"replace({expr}, '{sep}{a_l}{sep}{sep}{b_l}{sep}', "
+                f"'{sep}{ab}{sep}')")
+    clean = F.regexp_replace(
+        F.col(text_col) if isinstance(text_col, str) else F.col(text_col),
+        "\x1f", "")
+    return (df.withColumn("_bpe_words", lower_tokens(clean))
+            .withColumn(out, F.expr(
+                f"flatten(transform(_bpe_words, x -> "
+                f"filter(split({expr}, '{sep}'), s -> s <> '')))"))
+            .drop("_bpe_words"))

@@ -344,3 +344,62 @@ def test_js_divergence_identical_zero_disjoint_ln2(spark):
            text.js_divergence_pairs(df, "cls", "text").collect()}
     assert out[("a", "b")] == 0.0                       # identical dists
     assert abs(out[("a", "c")] - math.log(2)) < 1e-6    # disjoint supports
+
+
+def _bpe_reference(words, merges):
+    """Pure-python reference: the fold semantics (leftmost-first,
+    non-overlapping, rules applied in training order per word)."""
+    out = []
+    for w in words:
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            merged = []
+            for s in syms:
+                if merged and merged[-1] == a and s == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(s)
+            syms = merged
+        out.extend(syms)
+    return out
+
+
+def test_bpe_encode_matches_reference_fold(spark):
+    """r8: the replace-chain encoder (wrapped-symbol string replaces)
+    must equal the reference whole-symbol fold on adversarial content —
+    consecutive merge pairs, overlapping candidates ('aab'), merged
+    symbols re-merging in later rules, end-of-word rules."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    merges = [("a", "b"), ("ab", "ab"), ("a", "a"), ("t", "h"),
+              ("th", "e</w>"), ("abab", "c</w>")]
+    docs = [(1, "abab ababc aab aaab the theo"),
+            (2, "ababababab b a ab"),
+            (3, "the the the ababc"),
+            (4, ""), (5, "TH E ThE")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.doc_id: list(r.bpe_tokens) for r in
+           T.bpe_encode(df, "text", merges).collect()}
+    for doc_id, txt in docs:
+        words = [w for w in txt.lower().split() if w]
+        assert got[doc_id] == _bpe_reference(words, merges), doc_id
+
+
+def test_bpe_encode_random_property(spark):
+    """Random corpora over a tiny alphabet (maximizing merge collisions)
+    with merges LEARNED by learn_bpe_merges: applying them through
+    bpe_encode equals the reference fold — trainer and encoder agree."""
+    import random
+    from glamr_omics_pipelines_spark.operators import text as T
+    rng = random.Random(13)
+    docs = [(i, " ".join("".join(rng.choice("ab") for _ in
+                                 range(rng.randint(1, 6)))
+                         for _ in range(rng.randint(1, 10))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    merges = T.learn_bpe_merges(df, "text", num_merges=6)
+    assert merges, "training found no merges on an ab-corpus?"
+    got = {r.doc_id: list(r.bpe_tokens) for r in
+           T.bpe_encode(df, "text", merges).collect()}
+    for doc_id, txt in docs:
+        words = [w for w in txt.lower().split() if w]
+        assert got[doc_id] == _bpe_reference(words, merges), doc_id
