@@ -704,42 +704,214 @@ def js_divergence_pairs(df: DataFrame, class_col: str,
             .agg(F.round(F.sum(term), 6).alias("js_divergence")))
 
 
+_BPE_FOLD_AUTO_MAX = 1024
+_BPE_FOLD_CHUNK = 128
+
+
+def _rank_unsafe_rule(merges: list[tuple[str, str]]) -> int | None:
+    """Index of the first rule whose input symbol is PRODUCED by a later
+    rule — the one situation where min-rank merging (the GPT-2 apply
+    algorithm) can diverge from the sequential fold: the fold has already
+    passed rule i when rule j>i manufactures fresh ``a_i``/``b_i``
+    occurrences. Learned merge lists (learn_bpe_merges, every real
+    tokenizer) can never trip this: rule j's output symbol first exists at
+    step j, so no earlier rule can name it. Returns None when the list is
+    provably fold-equivalent under rank merging (conservative: a hit means
+    MAY diverge, not will)."""
+    last_producer: dict[str, int] = {}
+    for j, (a, b) in enumerate(merges):
+        last_producer[a + b] = j
+    for i, (a, b) in enumerate(merges):
+        if last_producer.get(a, -1) > i or last_producer.get(b, -1) > i:
+            return i
+    return None
+
+
+def _bpe_apply_word(word: str, ranks: dict[tuple[str, str], int],
+                    cache: dict[str, list[str]]) -> list[str]:
+    """Min-rank BPE merge of one word (symbols = chars + '</w>'): repeat
+    'merge every occurrence of the lowest-rank adjacent pair, leftmost
+    first' until no pair has a rule. Per-word cost O(L^2) worst case,
+    independent of merge-list size — the property that makes 32k-merge
+    vocabularies tractable where the O(M*L) fold is not."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    syms.append("</w>")
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        prev = syms[0]
+        for s in syms[1:]:
+            r = ranks.get((prev, s))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (prev, s)
+            prev = s
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    cache[word] = syms
+    return syms
+
+
 def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]],
-               out: str = "bpe_tokens") -> DataFrame:
+               out: str = "bpe_tokens",
+               strategy: str | None = None) -> DataFrame:
     """Apply trained BPE merge rules to a corpus — the INFERENCE side of
     :func:`learn_bpe_merges` (Sennrich et al. 2016), i.e. the operation a
     training-data pipeline actually runs at full corpus scale once the
     tokenizer is frozen. Adds ``out``: the document's BPE token array
     (word-internal merges, ``</w>`` end-of-word markers).
 
-    Physical form — row-local whole-stage codegen, ZERO shuffle and zero
-    Python: each word is wrapped as ``\\x1f c \\x1f`` per symbol (one
-    regexp_replace) + the ``</w>`` marker, and every merge rule is ONE
-    plain string replace of ``\\x1fa\\x1f\\x1fb\\x1f`` → ``\\x1fab\\x1f``
-    — the per-symbol wrapping makes substring matches coincide exactly
-    with the reference fold's whole-symbol comparisons, and the JVM's
-    left-to-right non-overlapping replace scan IS the fold's
-    leftmost-first merge order (pytest asserts equality against the
-    aggregate-fold form on random corpora). The merge list is a frozen
-    tokenizer model (expression-tree literals); 0x1F bytes are stripped
-    from input text up front so symbols can never contain the wrapper.
+    Two physical forms (``strategy``), auto-selected by merge-list size:
+
+    * ``"fold"`` (default for ≤1024 merges) — row-local JVM expressions,
+      ZERO shuffle, zero Python: the whole document is encoded once per
+      symbol as ``\\x1f c \\x1f`` (words joined by a bare space so no merge
+      pattern can cross a word boundary), and every merge rule is ONE plain
+      string ``replace`` of ``\\x1fa\\x1f\\x1fb\\x1f`` → ``\\x1fab\\x1f`` —
+      the per-symbol wrapping makes substring matches coincide exactly with
+      the reference fold's whole-symbol comparisons, and the JVM's
+      left-to-right non-overlapping replace scan IS the fold's
+      leftmost-first merge order. The chain is built as a COLUMN TREE
+      (functools-style reduce over ``F.replace`` — never a SQL string, so
+      the ANTLR parser's ~400-call nesting limit is out of the picture),
+      chunked into projections of ``_BPE_FOLD_CHUNK`` rules; each chunk
+      boundary references its input twice (a no-op ``when`` guard) so
+      CollapseProject cannot re-inline the chain into one
+      analyzer/codegen-breaking expression. Measured bound: 2,048 merges
+      pass under local[2] (tests), but per-row work is inherently
+      O(merges × doc_len) — the fold is the ORACLE form, not the
+      real-vocab form.
+    * ``"rank"`` (default above 1024 merges) — the real-tokenizer path:
+      one Arrow-batched ``mapInPandas`` scan (the codec-kernel pattern;
+      still zero shuffle), applying merges by minimum RANK per word
+      (the GPT-2 apply algorithm) with a per-partition word→tokens cache,
+      so per-doc cost is O(len) after the working vocabulary is warm and
+      independent of merge-list size — a 32k-merge GPT-2-class vocabulary
+      tokenizes in the scan stage (test pins sf0.01 × 32,000 merges).
+      Rank merging equals the sequential fold whenever no rule consumes a
+      symbol a LATER rule produces — true of every learned merge list by
+      construction (hypothesis test: fold == rank on learn_bpe_merges
+      output); auto mode refuses (ValueError) the pathological hand-built
+      lists where they could diverge rather than silently switch
+      semantics. Tokenization matches the fold form byte-for-byte:
+      ASCII-\\s+ split, lowercase, 0x1F stripped.
+
+    0x1F bytes are stripped from input text up front so symbols can never
+    contain the fold form's wrapper; NULL text stays NULL on both paths.
     """
     sep = "\x1f"
-    word_enc = (f"concat(regexp_replace(x, '(.)', '{sep}$1{sep}'), "
-                f"'{sep}</w>{sep}')")
-    expr = word_enc
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    if strategy is None:
+        if len(merges) <= _BPE_FOLD_AUTO_MAX:
+            strategy = "fold"
+        else:
+            bad = _rank_unsafe_rule(merges)
+            if bad is not None:
+                raise ValueError(
+                    f"bpe_encode: merge list is not rank-monotone (rule "
+                    f"{bad} consumes a symbol a later rule produces), so "
+                    f"the large-list rank path may diverge from the "
+                    f"sequential fold; pass strategy='fold' (exact, "
+                    f"O(merges*len) — tested to 2,048 merges) or "
+                    f"strategy='rank' (accept GPT-2 min-rank semantics)")
+            strategy = "rank"
+    if strategy == "rank":
+        return _bpe_encode_rank(df, text_col, merges, out)
+    if strategy != "fold":
+        raise ValueError(f"bpe_encode: unknown strategy {strategy!r}")
+
+    clean = F.regexp_replace(src, "\x1f", "")
+    word_enc = F.transform(
+        lower_tokens(clean),
+        lambda x: F.concat(F.regexp_replace(x, "(.)", f"{sep}$1{sep}"),
+                           F.lit(f"{sep}</w>{sep}")))
+    tmp = f"_{out}_doc"
+    d = df.withColumn(tmp, F.concat_ws(" ", word_enc))
+    col = F.col(tmp)
+    pending = 0
     for a, b in merges:
-        a_l = a.replace("\\", "\\\\").replace("'", "\\'")
-        b_l = b.replace("\\", "\\\\").replace("'", "\\'")
-        ab = (a + b).replace("\\", "\\\\").replace("'", "\\'")
-        expr = (f"replace({expr}, '{sep}{a_l}{sep}{sep}{b_l}{sep}', "
-                f"'{sep}{ab}{sep}')")
-    clean = F.regexp_replace(
-        F.col(text_col) if isinstance(text_col, str) else F.col(text_col),
-        "\x1f", "")
-    return (df.withColumn("_bpe_words", lower_tokens(clean))
-            .withColumn(out, F.expr(
-                f"flatten(transform(_bpe_words, x -> "
-                f"filter(split({expr}, '{sep}'), s -> s <> '')))"))
-            .drop("_bpe_words"))
+        col = F.replace(col, F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                        F.lit(f"{sep}{a + b}{sep}"))
+        pending += 1
+        if pending >= _BPE_FOLD_CHUNK:
+            # double-reference guard: length(tmp) >= 0 is always true, so
+            # the when() is the identity — but it pins a SECOND reference
+            # to the chunk input that the optimizer cannot fold away,
+            # which blocks CollapseProject from re-inlining every chunk
+            # into one optimizer-recursion-breaking expression tree.
+            # (isNotNull would NOT work: concat_ws is non-nullable, so
+            # NullPropagation folds the guard to TRUE, SimplifyConditionals
+            # drops it, and the single remaining reference collapses —
+            # measured as a StackOverflowError in CollapseProject output
+            # at 2,048 merges.)
+            d = d.withColumn(tmp, F.when(F.length(tmp) >= 0, col)
+                             .otherwise(F.lit("")))
+            col = F.col(tmp)
+            pending = 0
+    toks = F.filter(F.split(col, sep), lambda s: (s != "") & (s != " "))
+    return (d.withColumn(
+        out, F.when(src.isNull(), F.lit(None).cast("array<string>"))
+        .otherwise(toks)).drop(tmp))
+
+
+def _bpe_encode_rank(df: DataFrame, text_col: str,
+                     merges: list[tuple[str, str]],
+                     out: str = "bpe_tokens") -> DataFrame:
+    """Arrow-batched min-rank BPE application (see :func:`bpe_encode`
+    ``strategy="rank"``). One mapInPandas pass — zero shuffle; the merge
+    table rides the task closure (~1 MB at 32k rules); a per-partition
+    word cache makes warm-vocabulary cost O(doc_len) per document."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    if not isinstance(text_col, str):
+        raise TypeError("bpe_encode strategy='rank' needs a column NAME "
+                        "(the Arrow kernel reads it from the batch); "
+                        "select/alias the expression first")
+    base = df.drop(out) if out in df.columns else df
+    schema = T.StructType(list(base.schema.fields)
+                          + [T.StructField(out, T.ArrayType(T.StringType()),
+                                           True)])
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault((pair[0], pair[1]), i)
+    # Java regex \s is ASCII-only — mirror it exactly (Python \s would
+    # additionally split on unicode spaces and diverge from the fold form)
+    ws = _re.compile("[ \t\n\x0b\x0c\r]+")
+    name = text_col
+
+    def kernel(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            col = []
+            for text in pdf[name]:
+                if text is None:
+                    col.append(None)
+                    continue
+                toks: list[str] = []
+                for w in ws.split(text.replace("\x1f", "").lower()):
+                    if w:
+                        toks.extend(_bpe_apply_word(w, ranks, cache))
+                col.append(toks)
+            res = pdf.copy()
+            res[out] = col
+            yield res
+
+    return base.mapInPandas(kernel, schema=schema)
