@@ -808,6 +808,16 @@ def q_streaming_attribution_join(spark, sf_dir):
             raise ValueError("stream-stream replay emitted zero joined "
                              "pairs; cannot pin n_batches")
         n_batches = int(last_batch) + 1
+        if n_batches != 3:
+            # the oracle hard-codes 3; surface a scheduling change (file
+            # source coalescing triggers, a zero-pair final micro-batch at
+            # another sf) as a clear harness error, never an opaque
+            # value-hash mismatch (ADVICE r8)
+            raise ValueError(
+                f"stream-stream replay ran {n_batches} emitting "
+                f"micro-batches, expected 3 (maxFilesPerTrigger=1 over "
+                f"three time-ordered thirds); the incremental-path pin "
+                f"no longer holds at this scale factor")
         agg = (pairs.groupBy("purchase_id")
                .agg(F.count(F.lit(1)).alias("n_candidates"),
                     F.max(F.struct("imp_ts", "view_id")).alias("_best"))

@@ -785,8 +785,13 @@ def _parse_avi_mjpeg_frames(buf: bytes):
         return None
     from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
     chunks: list[tuple[bytes, bytes]] = []
-
-    def walk(pos: int, end: int) -> None:
+    # explicit stack, not recursion (ADVICE r8): a hostile AVI of ~12-byte
+    # nested LISTs reaches depth ~len/12 and a recursive walk would raise
+    # RecursionError, escaping the module's ValueError-only corrupt-bytes
+    # contract; the stack form is depth-unbounded by construction
+    stack: list[tuple[int, int]] = [(12, len(buf))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = buf[pos:pos + 4]
             sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
@@ -795,12 +800,15 @@ def _parse_avi_mjpeg_frames(buf: bytes):
             if body_end > end:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
-                walk(body_start + 4, body_end)   # skip the list type tag
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                # resume THIS level after the list body so frame chunks
+                # stay in container order (depth-first == byte order here:
+                # the list body precedes the resume point in the file)
+                stack.append((body_end + (sz & 1), end))
+                pos, end = body_start + 4, body_end  # skip the type tag
+                continue
+            if cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
                 chunks.append((cid[:2], buf[body_start:body_end]))
             pos = body_end + (sz & 1)            # chunks are word-aligned
-
-    walk(12, len(buf))
     if not chunks:
         raise ValueError("AVI has no video frame chunks")
     first_stream = chunks[0][0]

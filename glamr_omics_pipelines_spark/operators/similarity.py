@@ -81,6 +81,8 @@ _BRUTE_PAIRGEN_MAX_ROWS = 100_000
 _GATE_CACHE: dict = {}
 _DIM_CACHE: dict = {}
 _CACHE_MAX = 256
+# cached under-verdicts re-probe after this many hits (growing-source bound)
+_GATE_REPROBE_HITS = 64
 
 
 def _plan_key(df: DataFrame) -> tuple | None:
@@ -88,9 +90,14 @@ def _plan_key(df: DataFrame) -> tuple | None:
     alone is a 32-bit hash; adding the schema string shrinks the collision
     surface (a collision here only mis-picks the physical strategy, never
     the result — but an under-verdict on a huge corpus would un-gate an
-    O(n²) plan, so cheap extra discrimination is worth it)."""
+    O(n²) plan, so cheap extra discrimination is worth it). The session
+    component is the Spark applicationId — stable for the session's
+    lifetime and never recycled (it embeds a start timestamp), unlike
+    id(), which a GC'd session's successor can reuse and inherit a stale
+    verdict through (VERDICT r8 #4)."""
     try:
-        return (id(df.sparkSession), df.semanticHash(), hash(str(df.schema)))
+        return (df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(), hash(str(df.schema)))
     except Exception:  # Connect/older sessions without semanticHash
         return None
 
@@ -118,12 +125,21 @@ def _over_gate(df: DataFrame, gate: int = None) -> bool:
     if key is not None:
         hit = _GATE_CACHE.get((*key, gate))
         if hit is not None:
-            return hit
+            over, hits = hit
+            # a pinned UNDER-verdict on a growing source is the dangerous
+            # direction (it keeps an O(n²) brute plan); re-probe it every
+            # _GATE_REPROBE_HITS calls so staleness is bounded without
+            # paying the probe job per call. An OVER-verdict can only go
+            # stale by the source SHRINKING, which merely keeps the
+            # approximate path — safe, so it stays pinned for the session.
+            if over or hits < _GATE_REPROBE_HITS:
+                _GATE_CACHE[(*key, gate)] = (over, hits + 1)
+                return over
     over = df.limit(gate + 1).count() > gate
     if key is not None:
         if len(_GATE_CACHE) >= _CACHE_MAX:
             _GATE_CACHE.clear()
-        _GATE_CACHE[(*key, gate)] = over
+        _GATE_CACHE[(*key, gate)] = (over, 1)
     return over
 
 
@@ -380,6 +396,8 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, k: int = 16,
     import numpy as np
     rows = (corpus.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
             .limit(sample_rows).collect())
+    if not rows:
+        raise ValueError("train_ivf_centroids: empty corpus sample")
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -775,6 +793,8 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str, m: int = 4,
     import numpy as np
     rows = (corpus.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
             .limit(sample_rows).collect())
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty corpus sample")
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:

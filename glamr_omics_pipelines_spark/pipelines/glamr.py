@@ -445,6 +445,15 @@ def checkout_delta(inventory: DataFrame, ledger: DataFrame,
     declarative, so those rows surface as status='regression' for the
     caller to assert on — same detection, reporting instead of aborting.
     Stats (the reference's returned dict) = `groupBy("status").count()`.
+
+    DELIBERATE DEPARTURE (ADVICE r8): a file OLDER than every commit gets
+    version NULL here. The reference (pypelib/post.py:342) computes
+    ``bisect`` idx=0 and indexes ``git_commits[idx-1]`` — Python's
+    negative-index wraparound stamps the NEWEST commit on a file that
+    predates the whole timeline, which reads as a bug, not a contract
+    (a pre-history file cannot have been produced by the latest code).
+    NULL states "no commit was in effect"; parity audits should expect
+    this one divergence.
     """
     rows = sorted((r[0], r[1]) for r in commits.collect())
     lit_commits = F.array(*[

@@ -500,3 +500,46 @@ def test_train_pq_codebooks_beats_random_quantization(spark):
     assert mse(trained) < mse(randomb) / 2
     with pytest.raises(ValueError):
         similarity.train_pq_codebooks(df, "embedding", m=3)  # 8 % 3 != 0
+
+
+def test_gate_cache_key_is_application_id(spark):
+    """VERDICT r8 #4 / ADVICE r8: the memo key's session component must be
+    the applicationId (stable, never recycled — it embeds a start
+    timestamp), not id(sparkSession), which the allocator can reuse after
+    a GC'd session and leak a stale gate verdict through."""
+    df = spark.createDataFrame([(1, [1.0])], "id int, v array<double>")
+    key = similarity._plan_key(df)
+    assert key is not None
+    assert key[0] == spark.sparkContext.applicationId
+
+
+def test_gate_under_verdict_reprobes_after_hit_budget(spark, monkeypatch):
+    """ADVICE r8: a pinned UNDER-verdict on a growing source silently
+    keeps an O(n²) brute plan — so cached False re-probes after
+    _GATE_REPROBE_HITS hits, while a cached True (over) verdict stays
+    pinned (a shrink only keeps the safe approximate path)."""
+    rows = [(i, [float(i)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    similarity.clear_gate_cache()
+    calls = []
+    cls = type(df)
+    orig = cls.limit
+
+    def spy(self, n):
+        calls.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(cls, "limit", spy)
+    monkeypatch.setattr(similarity, "_GATE_REPROBE_HITS", 3)
+    assert similarity._over_gate(df, 50) is False
+    for _ in range(2):  # hits 2, 3 — still under budget
+        assert similarity._over_gate(df, 50) is False
+    assert calls == [51]
+    assert similarity._over_gate(df, 50) is False  # budget hit -> re-probe
+    assert calls == [51, 51]
+    # over-verdicts stay pinned past the budget
+    assert similarity._over_gate(df, 10) is True
+    for _ in range(5):
+        assert similarity._over_gate(df, 10) is True
+    assert calls == [51, 51, 11]
+    similarity.clear_gate_cache()

@@ -1186,3 +1186,35 @@ def test_avi_mjpeg_corrupt_and_foreign():
         _parse_avi_mjpeg_frames(_avi_mjpeg([b"h264-nal-units"]))
     with pytest.raises(ValueError):                  # no frames at all
         _parse_avi_mjpeg_frames(_avi_mjpeg([]))
+
+
+def test_avi_deep_list_nesting_no_recursion_error():
+    """ADVICE r8: a hostile AVI of minimal nested LISTs (depth ~ len/12)
+    must not escape the ValueError-only corrupt-bytes contract with a
+    RecursionError — the chunk walk is an explicit stack. Frames inside
+    and after deep nesting still come out in container byte order."""
+    import struct
+    import sys
+    from tests.test_jpeg import _encode_jpeg
+    from glamr_omics_pipelines_spark.operators.multimodal import (
+        _parse_avi_mjpeg_frames)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    depth = sys.getrecursionlimit() * 3
+    img0 = _encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))
+    img1 = _encode_jpeg(np.full((8, 8), 200, dtype=np.uint8))
+    # innermost LIST carries frame 0; frame 1 sits AFTER the nest at top
+    # level — order must be (0, 1) regardless of nesting
+    nested = chunk(b"LIST", b"movi" + chunk(b"00dc", img0))
+    for _ in range(depth):
+        nested = chunk(b"LIST", b"wrap" + nested)
+    body = b"AVI " + nested + chunk(b"00dc", img1)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    frames = _parse_avi_mjpeg_frames(avi)
+    assert [i for i, _ in frames] == [0, 1]
+    from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
+    assert frames[0][1].tolist() == decode_jpeg_luma(img0).tolist()
+    assert frames[1][1].tolist() == decode_jpeg_luma(img1).tolist()
