@@ -694,6 +694,109 @@ def q_pq_ann(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF+PQ composition (operators/similarity.py:ivfpq_encode /
+    ivfpq_adc_topk — IVFADC, the canonical memory-AND-compute-bounded
+    vector-store shape, VERDICT r8 #4): the corpus is indexed as
+    (id, ivf_cell, pq_codes) in one row-local projection against
+    DATA-INDEPENDENT seeded codebooks + centroids (the pq_ann oracle
+    pattern — both engines regenerate identical literals, so the
+    cell-assign + probe + ADC machinery is value-exact without the
+    non-SQL Lloyd loops mattering); each query probes its 3 nearest of 8
+    cells and ADC-ranks only those cells' rows through a broadcast EQUI
+    join on ivf_cell — never the flat scan's nested loop. The trained
+    forms (train_ivf_centroids + train_pq_codebooks) are pytest-covered,
+    including probe-all == flat-ADC exactness."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
+    cents = similarity.ivf_centroids_random(k=8, dim=64, seed=11)
+    idx = similarity.ivfpq_encode(emb, "vec_id", "embedding", books, cents)
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivfpq_adc_topk(idx, queries, books, cents, k=3,
+                                    nprobe=3)
+    return out.select("query_id", "neighbor_id", _r4("adc").alias("adc"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def _ivfpq_ann_sql() -> str:
+    """Oracle for q_ivfpq_ann: seeded codebooks AND centroids as VALUES
+    literals; cell = argmin squared-L2 over centroids (struct-min over
+    (dist, ci)), probes = the 3 nearest cells per query (row_number over
+    dist asc, ci asc), candidates = enc ⨝ probes on the cell, ADC as in
+    _pq_ann_sql. (x-y)*(x-y) and ascending-index sums on both sides so
+    float folds associate identically."""
+    from glamr_omics_pipelines_spark.operators import similarity as sim
+    books = sim.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
+    cents = sim.ivf_centroids_random(k=8, dim=64, seed=11)
+    dsub, dim, nprobe = 16, 64, 3
+    cb_vals = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in cw)}]::DOUBLE[])"
+        for s, cb in enumerate(books) for j, cw in enumerate(cb))
+    ct_vals = ", ".join(
+        f"({ci}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for ci, cv in enumerate(cents))
+    return f"""
+        WITH cb(s, j, cw) AS (VALUES {cb_vals}),
+        ct(ci, cv) AS (VALUES {ct_vals}),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        celld AS (
+          SELECT e.vec_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (e.embedding[i]::DOUBLE - cv[i])
+                        * (e.embedding[i]::DOUBLE - cv[i]))) AS dist
+          FROM embeddings e, ct),
+        cell AS (
+          SELECT vec_id, (min(row(dist, ci)))[2] AS ivf_cell
+          FROM celld GROUP BY vec_id),
+        qcelld AS (
+          SELECT q.query_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (q.qv[i] - cv[i]) * (q.qv[i] - cv[i]))) AS dist
+          FROM q, ct),
+        probes AS (
+          SELECT query_id, ci FROM (
+            SELECT query_id, ci,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist ASC, ci ASC) AS pr
+            FROM qcelld) WHERE pr <= {nprobe}),
+        d AS (
+          SELECT e.vec_id, cb.s, cb.j,
+                 list_sum(list_transform(generate_series(1, {dsub}),
+                   i -> (e.embedding[cb.s * {dsub} + i]::DOUBLE - cw[i])
+                        * (e.embedding[cb.s * {dsub} + i]::DOUBLE - cw[i])))
+                   AS dist
+          FROM embeddings e, cb),
+        enc AS (
+          SELECT vec_id, s, (min(row(dist, j)))[2] AS code
+          FROM d GROUP BY vec_id, s),
+        adc AS (
+          SELECT q.query_id, cb.s, cb.j,
+                 list_sum(list_transform(generate_series(1, {dsub}),
+                   i -> (q.qv[cb.s * {dsub} + i] - cw[i])
+                        * (q.qv[cb.s * {dsub} + i] - cw[i]))) AS t
+          FROM q, cb),
+        pair AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id, sum(a.t) AS adc
+          FROM enc e
+          JOIN cell c ON c.vec_id = e.vec_id
+          JOIN probes p ON p.ci = c.ivf_cell
+          JOIN adc a ON e.s = a.s AND e.code = a.j
+                    AND a.query_id = p.query_id
+          WHERE e.vec_id <> a.query_id
+          GROUP BY a.query_id, e.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+          FROM pair)
+        SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def _pq_ann_sql() -> str:
     """Oracle for q_pq_ann: the SAME seeded codebooks as VALUES literals;
     encode = deterministic argmin (struct-min over (dist, j)), ADC table
@@ -831,6 +934,109 @@ def q_streaming_attribution_join(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
     return out.withColumn("n_batches",
                           F.lit(int(n_batches)).cast("bigint"))
+
+
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Batch-replay oracle row for the streaming heavy-hitters vocabulary
+    (VERDICT r8 #3; streaming/ingest.py:streaming_vocab_ingest — the
+    always-on corpus-vocabulary tracker with top-k + exact-OTHERS-mass
+    truncation): the documents corpus is split into three files
+    (doc_id % 3) staged with STRICTLY INCREASING mtimes — truncation is
+    order-DEPENDENT, unlike the rollup's commutative sums, so the replay
+    pins the batch order the oracle simulates — and drained by a REAL
+    availableNow run with maxFilesPerTrigger=1 through three
+    head-30-plus-OTHERS merge/truncate steps. The oracle is the SAME
+    3-step lossy state machine unrolled as CTEs (the pagerank unrolled-
+    loop convention): borderline tokens lose mass to <OTHERS> differently
+    than a one-shot count would, so a state table that skipped the
+    incremental path CANNOT hash-match; n_batches==3 is asserted
+    engine-side (diagnosable, never an opaque mismatch)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_hh_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(3):
+            tmp = os.path.join(root, f"tmp{i}")
+            (docs.filter(F.col("doc_id") % 3 == i).select("text")
+             .coalesce(1).write.parquet(tmp))
+            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copyfile(part, dst)
+            # FileStreamSource drains oldest-mtime-first: pin batch order
+            # = split order (the truncation sequence the oracle unrolls)
+            os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+        stream = (spark.readStream.schema(docs.select("text").schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        s_ingest.streaming_vocab_ingest(
+            stream, "text", state_dir=os.path.join(root, "state"),
+            checkpoint=os.path.join(root, "ckpt"), top_k=30)
+        st, applied = s_ingest._read_state(spark,
+                                           os.path.join(root, "state"))
+        n_batches = int(applied) + 1
+        if n_batches != 3:
+            raise ValueError(
+                f"heavy-hitters replay ran {n_batches} micro-batches, "
+                f"expected 3 (maxFilesPerTrigger=1 over three mtime-"
+                f"ordered files); the incremental-path pin no longer "
+                f"holds at this scale factor")
+        # token-grain head+OTHERS (31 rows) — materialize before the temp
+        # dir is removed
+        out = spark.createDataFrame(st.collect(), st.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (out.select("token", F.col("n").cast("bigint").alias("n"))
+            .withColumn("n_batches", F.lit(3).cast("bigint")))
+
+
+def _streaming_heavy_hitters_sql(top_k: int = 30) -> str:
+    """Oracle for q_streaming_heavy_hitters: the 3-batch head-k+OTHERS
+    truncation state machine unrolled as CTEs — per step, merge the
+    incoming batch's token counts into the running state, keep the top-k
+    real tokens (count desc, token asc — the engine's exact tiebreak),
+    and fold everything else (including the prior <OTHERS> row) into
+    <OTHERS>. MATERIALIZED: each step references its predecessor twice
+    (head + anti mass)."""
+    steps = []
+    for step in (1, 2, 3):
+        b = step - 1
+        prev = (f"SELECT token, n FROM bc WHERE b = 0" if step == 1 else
+                f"SELECT token, n FROM s{step - 1} UNION ALL "
+                f"SELECT token, n FROM bc WHERE b = {b}")
+        steps.append(f"""
+        m{step} AS MATERIALIZED (
+          SELECT token, CAST(sum(n) AS BIGINT) AS n
+          FROM ({prev}) GROUP BY token),
+        h{step} AS MATERIALIZED (
+          SELECT token, n FROM (
+            SELECT token, n, row_number() OVER (
+              ORDER BY n DESC, token ASC) AS rk
+            FROM m{step} WHERE token <> '<OTHERS>')
+          WHERE rk <= {top_k}),
+        o{step} AS (
+          SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+          FROM m{step}
+          WHERE token NOT IN (SELECT token FROM h{step})),
+        s{step} AS MATERIALIZED (
+          SELECT token, n FROM h{step}
+          UNION ALL
+          SELECT '<OTHERS>', n FROM o{step} WHERE n > 0)""")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id % 3 AS b,
+                 unnest(list_filter(string_split_regex(lower(text),
+                        '\\s+'), x -> x <> '')) AS token
+          FROM documents),
+        bc AS MATERIALIZED (
+          SELECT b, token, CAST(count(*) AS BIGINT) AS n
+          FROM tok GROUP BY b, token),
+        {",".join(steps)}
+        SELECT token, n, CAST(3 AS BIGINT) AS n_batches FROM s3
+    """
 
 
 def q_checkout_delta(spark, sf_dir):
@@ -3543,46 +3749,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "streaming_replay_rollup": q_streaming_replay_rollup,
         "streaming_attribution_join": q_streaming_attribution_join,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "benchmark_ledger": q_benchmark_ledger,
         "checkout_delta": q_checkout_delta,
         "pq_ann": q_pq_ann,
+        "ivfpq_ann": q_ivfpq_ann,
         # r8 catalog-only (the 50-slot window is fully claimed by the
         # r4-era rotation + 3 new rows + 4 touched re-checks): first in
         # line for the R9 window alongside the r5-era rotation
         "bpe_encode": q_bpe_encode,
     }
     window = [
-        # ROUND-8 WINDOW (VERDICT r7 #1): the 43 r4-era rows — at age 3,
-        # the ledger maximum; they predate the ANSI hardening and the ANN
-        # auto-gate that landed since r4.
-        "interval_overlap", "lsh_ann_multi", "dup_clusters_star",
-        "dup_clusters", "quantile_gate", "normalize_text",
-        "session_windows", "kmer_spectrum", "rolling_features",
-        "percent_rank_norm", "tfidf_topk", "winsorize", "funnel",
-        "snapshot_diff", "corr_stats", "mad_outliers", "label_centroids",
-        "profile_table", "simhash_dedup", "ngram_jaccard",
-        "ngram_containment", "line_dedup", "span_dedup",
-        "pmi_collocations", "geo_neighbors", "shannon_diversity",
-        "bray_curtis", "rarefaction", "chao1", "lang_id", "text_quality",
-        "token_counts", "doc_fingerprint", "vocab_topk", "hash_sample",
-        "stratified_split", "hypertable_rollup", "quality_window_trim",
-        "text_repetition", "pii_scrub", "doc_lm_score",
-        "split_contamination", "temperature_sample",
-        # new oracle row this round: the stream-stream join family's
-        # first driver-oracle row (availableNow two-sided replay)
-        "streaming_attribution_join",
-        # new oracle row: the reference's last post-production residue
-        # (update_omics_checkout parity) — displaces a banked re-check
-        # per the no-growth rule
-        "checkout_delta",
-        # re-checks of queries whose code paths r8 touched: the ANN gate
-        # probe memoization (cosine_topk/dbscan/embedding_dups) and the
-        # palette-PNG / progressive-JPEG decoders (multimodal_features)
-        "cosine_topk", "dbscan", "embedding_dups", "multimodal_features",
-        # new oracle row: PQ encode + asymmetric-distance top-k (the
-        # memory-compression ANN path) — displaces the last banked
-        # re-check per the no-growth rule
-        "pq_ann",
+        # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
+        # the ledger maximum (they predate the WindowGroupLimit plan pins,
+        # the broadcast-iteration gates and the ANSI hardening that landed
+        # since r5)...
+        "attribution_join", "basket_rules", "bh_fdr", "bitset_semi_join",
+        "cap_per_source", "changepoint", "chi_square", "chunk_documents",
+        "clr_transform", "cube_report", "curation_pipeline_v2",
+        "data_quality", "deseq_size_factors", "enrichment_2x2",
+        "event_transitions", "fuzzy_name_pairs", "fuzzy_resolve",
+        "gaps_islands", "genome_coverage", "group_percentiles",
+        "gtdb_majority_vote", "incremental_agg", "interpolate",
+        "interval_merge", "interval_subtract", "inverted_index",
+        "key_skew", "mash_distance", "mixture_sample", "nearest_feature",
+        "ntile_buckets", "nx_ladder", "pack_sequences",
+        "quantile_normalize", "quantize_embeddings", "rank_sum_test",
+        "resample_fill", "scd2_history", "seasonal_anomaly",
+        "sensor_pipeline", "seqkit_stats", "translate_dna", "trend_fit",
+        "triangle_count", "weighted_sample", "welch_t", "zorder_key",
+        # ...plus the one catalog row with NO driver history (landed after
+        # the r8 window filled; its fold form was rebuilt this round —
+        # Column tree + rank path, VERDICT r8 #2)
+        "bpe_encode",
+        # new oracle row: IVFADC — cell-pruned equi join over the PQ-coded
+        # corpus with broadcast ADC tables (VERDICT r8 #4)
+        "ivfpq_ann",
+        # new oracle row: third stateful-streaming shape under the hard
+        # oracle — the head-k+OTHERS truncation state machine, unrolled
+        # 3-step CTE oracle, order-pinned replay (VERDICT r8 #3)
+        "streaming_heavy_hitters",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     return ({name: full[name] for name in window}
@@ -4302,6 +4508,8 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         """,
         "pq_ann": _pq_ann_sql(),
+        "ivfpq_ann": _ivfpq_ann_sql(),
+        "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "streaming_attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
                        FROM events WHERE event_type = 'view'),

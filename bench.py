@@ -172,6 +172,7 @@ HEADLINE = [
     "benchmark_ledger",  # path-parse -> newest-per-key -> sacct backfill
     "checkout_delta",    # ledger status join + literal-timeline as-of versioning
     "pq_ann",            # PQ encode (codegen argmin) + broadcast ADC top-k
+    "ivfpq_ann",         # IVFADC: cell-pruned equi join + ADC ranking
     "bpe_encode",        # frozen-tokenizer replace-chain, scan-stage
     # streaming_replay_rollup and streaming_attribution_join are
     # deliberately NOT benched: their wall-clock is availableNow
