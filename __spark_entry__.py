@@ -1039,6 +1039,119 @@ def _streaming_heavy_hitters_sql(top_k: int = 30) -> str:
     """
 
 
+def q_streaming_drift_monitor(spark, sf_dir):
+    """Batch-replay oracle row for the streaming drift gate
+    (streaming/ingest.py:streaming_drift_monitor — the fourth stateful
+    shape under the hard oracle, after rollup / stream-stream join /
+    heavy-hitters): lineitem quantities split into a STATIC reference
+    slice and a stream drained as three QUANTITY-BANDED files staged
+    with increasing mtimes (batch 0 = low quantities only → large PSI;
+    each later batch pulls the cumulative distribution toward the
+    reference, so the per-batch PSI sequence pins every cumulative
+    prefix, not just the final state). n_bins=8: quantile fractions at
+    exact binary 0.125 steps, so both engines interpolate bit-identical
+    edges and the v > edge binning cannot straddle an ulp. The oracle
+    recomputes edges, per-prefix cumulative bin counts and the
+    epsilon-clamped PSI in SQL; n_batches==3 asserted engine-side."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    ref = li.filter(F.col("l_orderkey") % 7 < 2).select("l_quantity")
+    strm = li.filter(F.col("l_orderkey") % 7 >= 2).select("l_quantity")
+    band = (F.when(F.col("l_quantity") <= 16, 0)
+            .when(F.col("l_quantity") <= 33, 1).otherwise(2))
+    root = tempfile.mkdtemp(prefix="stream_drift_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(3):
+            tmp = os.path.join(root, f"tmp{i}")
+            (strm.filter(band == i).coalesce(1).write.parquet(tmp))
+            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+        stream = (spark.readStream.schema(strm.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        state_dir = os.path.join(root, "state")
+        s_ingest.streaming_drift_monitor(
+            stream, ref, "l_quantity", state_dir=state_dir,
+            checkpoint=os.path.join(root, "ckpt"), n_bins=8)
+        log = spark.read.parquet(os.path.join(state_dir, "psi_log"))
+        rows = log.collect()
+        n_batches = 1 + max(r.batch_id for r in rows)
+        if n_batches != 3 or len(rows) != 3:
+            raise ValueError(
+                f"drift replay logged {len(rows)} rows over {n_batches} "
+                f"micro-batches, expected 3/3 (maxFilesPerTrigger=1 over "
+                f"three mtime-ordered files); the incremental-path pin "
+                f"no longer holds at this scale factor")
+        out = spark.createDataFrame(rows, log.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                      _r4("psi").alias("psi"),
+                      F.col("n_seen").cast("bigint").alias("n_seen"))
+
+
+def _streaming_drift_monitor_sql(n_bins: int = 8) -> str:
+    """Oracle for q_streaming_drift_monitor: quantile_cont edges over the
+    static reference (type-7 == Spark percentile; 0.125 fractions are
+    exact binary), bin index = count of edges strictly below the value
+    (the engine's sum((v > e)::int)), cumulative prefix counts per
+    replayed batch, and the epsilon-clamped PSI over the FULL bin domain
+    — the same formula as ingest.py (eps 1e-6 floors both sides so mass
+    in a reference-empty bin registers)."""
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    return f"""
+        WITH ref AS (SELECT l_quantity AS v FROM lineitem
+                     WHERE l_orderkey % 7 < 2),
+        strm AS (SELECT l_quantity AS v,
+                        CASE WHEN l_quantity <= 16 THEN 0
+                             WHEN l_quantity <= 33 THEN 1
+                             ELSE 2 END AS b
+                 FROM lineitem WHERE l_orderkey % 7 >= 2),
+        e AS MATERIALIZED (
+          SELECT unnest(quantile_cont(v, [{probs}])) AS edge FROM ref),
+        refc AS MATERIALIZED (
+          SELECT (SELECT count(*) FROM e WHERE r.v > e.edge) AS bin,
+                 count(*) AS n
+          FROM ref r GROUP BY 1),
+        reft AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM refc),
+        sb AS MATERIALIZED (
+          SELECT b, (SELECT count(*) FROM e WHERE s.v > e.edge) AS bin
+          FROM strm s),
+        cum AS MATERIALIZED (
+          SELECT k.k AS batch_id, sb.bin, count(*) AS n
+          FROM (VALUES (0), (1), (2)) k(k)
+          JOIN sb ON sb.b <= k.k GROUP BY k.k, sb.bin),
+        tot AS (SELECT batch_id, CAST(sum(n) AS DOUBLE) AS t,
+                       CAST(sum(n) AS BIGINT) AS n_seen
+                FROM cum GROUP BY batch_id),
+        dom AS (SELECT k.k AS batch_id, gs.b AS bin
+                FROM (VALUES (0), (1), (2)) k(k),
+                     (SELECT unnest(generate_series(0, {n_bins - 1}))
+                      AS b) gs),
+        psi AS (
+          SELECT d.batch_id,
+                 sum((greatest(coalesce(rc.n, 0) / reft.t, 1e-6)
+                      - greatest(coalesce(c.n, 0) / tot.t, 1e-6))
+                     * ln(greatest(coalesce(rc.n, 0) / reft.t, 1e-6)
+                          / greatest(coalesce(c.n, 0) / tot.t, 1e-6)))
+                   AS psi
+          FROM dom d
+          CROSS JOIN reft
+          JOIN tot ON tot.batch_id = d.batch_id
+          LEFT JOIN refc rc ON rc.bin = d.bin
+          LEFT JOIN cum c ON c.batch_id = d.batch_id AND c.bin = d.bin
+          GROUP BY d.batch_id)
+        SELECT p.batch_id, round(p.psi, 4) AS psi, t.n_seen
+        FROM psi p JOIN tot t ON t.batch_id = p.batch_id
+    """
+
+
 def q_checkout_delta(spark, sf_dir):
     """Checkout-file delta with mtime-versioned lineage
     (pipelines/glamr.py:checkout_delta; pypelib/post.py:235-374
@@ -3834,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution_join": q_streaming_attribution_join,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "versions_ledger": q_versions_ledger,
+        "streaming_drift_monitor": q_streaming_drift_monitor,
         "benchmark_ledger": q_benchmark_ledger,
         "checkout_delta": q_checkout_delta,
         "pq_ann": q_pq_ann,
@@ -4595,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ann": _ivfpq_ann_sql(),
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "versions_ledger": _versions_ledger_sql(),
+        "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """
             WITH v AS (SELECT user_id, event_id AS view_id, ts AS imp_ts
                        FROM events WHERE event_type = 'view'),
