@@ -706,6 +706,11 @@ def js_divergence_pairs(df: DataFrame, class_col: str,
 
 _BPE_FOLD_AUTO_MAX = 1024
 _BPE_FOLD_CHUNK = 128
+# rank-path per-partition word->tokens cache cap: ~1M entries is tens of MB
+# (executor-safe); past it, new words still tokenize — they just stop
+# memoizing, so a pathological unbounded-vocabulary partition degrades to
+# per-word cost instead of OOM
+_BPE_WORD_CACHE_MAX = 1_000_000
 
 
 def _rank_unsafe_rule(merges: list[tuple[str, str]]) -> int | None:
@@ -763,7 +768,8 @@ def _bpe_apply_word(word: str, ranks: dict[tuple[str, str], int],
                 merged.append(syms[i])
                 i += 1
         syms = merged
-    cache[word] = syms
+    if len(cache) < _BPE_WORD_CACHE_MAX:
+        cache[word] = syms
     return syms
 
 

@@ -608,3 +608,45 @@ def test_pq_encode_zero_shuffle_and_adc_broadcast(spark):
     # never the coded corpus (vec_id scan)
     bcast = plan.split("BroadcastExchange", 1)[1]
     assert "query_id" in bcast and "vec_id" not in bcast
+
+
+def test_bpe_encode_fold_plan_pure_jvm_zero_shuffle(spark):
+    """r9: the rebuilt fold form (Column tree + chunked projections) must
+    stay what the r8 form was — a pure-JVM scan-stage op: no Python eval,
+    no exchange, and the chunk barriers must SURVIVE optimization (more
+    than one codegen-stage projection would collapse back into one
+    optimizer-breaking expression only if the length-guard were folded
+    away — guard against a Catalyst rule change un-pinning it)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    merges = [("a", "b")] * 300   # 3 chunks of 128/128/44
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    out = T.bpe_encode(df, "text", merges, strategy="fold")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan
+    # the optimized plan keeps >= 2 chained Projects (the anti-collapse
+    # guard held) — a single Project means CollapseProject re-inlined
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Project") >= 2
+
+
+def test_bpe_encode_rank_plan_is_single_arrow_scan(spark):
+    """The real-vocab rank path is ONE Arrow-batched mapInPandas over the
+    scan — zero shuffle (the 100-TB tokenization story)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    merges = [(f"Qa{i}", f"Qb{i}") for i in range(1500)]
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id",
+                                                              "text")
+    out = T.bpe_encode(df, "text", merges)   # auto -> rank above 1024
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_versions_ledger_joins_stay_group_grain(spark):
+    """S19: both sides of the final env-grain join are aggregates of the
+    version x env x (rule|package) grain — no fact-table fan-out, and the
+    plan carries no nested loop."""
+    plan = _plan(spark, "versions_ledger")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
