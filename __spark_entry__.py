@@ -1004,7 +1004,7 @@ def _streaming_heavy_hitters_sql(top_k: int = 30) -> str:
     steps = []
     for step in (1, 2, 3):
         b = step - 1
-        prev = (f"SELECT token, n FROM bc WHERE b = 0" if step == 1 else
+        prev = ("SELECT token, n FROM bc WHERE b = 0" if step == 1 else
                 f"SELECT token, n FROM s{step - 1} UNION ALL "
                 f"SELECT token, n FROM bc WHERE b = {b}")
         steps.append(f"""

@@ -104,9 +104,11 @@ def _plan_key(df: DataFrame) -> tuple | None:
 
 def clear_gate_cache() -> None:
     """Drop all memoized gate verdicts and vector widths. Call after a
-    source a cached plan reads has grown past the gate mid-session — the
-    verdict is otherwise pinned at first observation (by design: the probe
-    is a Spark job and the gate sits on every auto-path call)."""
+    source a cached plan reads has grown past the gate mid-session to
+    re-gate IMMEDIATELY — without it an under-verdict still re-probes on
+    its own every ``_GATE_REPROBE_HITS`` calls (bounded staleness), while
+    an over-verdict stays pinned for the session (a shrink only keeps the
+    safe approximate path)."""
     _GATE_CACHE.clear()
     _DIM_CACHE.clear()
 
