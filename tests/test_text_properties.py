@@ -65,3 +65,65 @@ def test_token_counts_match_python(spark, ds):
     for i, s in enumerate(ds):
         assert got[i] == len(_tok(s))
         assert bpe[i] == len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", s))
+
+
+def _bpe_fold_ref(words, merges):
+    out = []
+    for w in words:
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == a and s == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(s)
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+_bpe_syms = st.sampled_from(list("abc"))
+
+
+@st.composite
+def _monotone_merges(draw):
+    """Rank-monotone merge lists built bottom-up: each rule's elements are
+    single chars or outputs of EARLIER rules (then filtered through the
+    engine's own conservative detector, since a later rule can still
+    coincidentally re-produce an earlier rule's input symbol). A much
+    wider class than learn_bpe_merges output — including end-of-word
+    rules — so the fold==rank equivalence is tested beyond what the
+    trainer can emit."""
+    avail = list("abc") + ["</w>"]
+    merges = []
+    for _ in range(draw(st.integers(1, 10))):
+        a = draw(st.sampled_from(avail))
+        b = draw(st.sampled_from(avail))
+        if a == "</w>":     # nothing follows the end-of-word marker
+            a = draw(_bpe_syms)
+        merges.append((a, b))
+        avail.append(a + b)
+    return merges
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=20),
+                min_size=1, max_size=5),
+       _monotone_merges())
+def test_bpe_fold_and_rank_agree_on_monotone_lists(spark, ds, merges):
+    """r9: the Column-tree fold and the mapInPandas min-rank apply must
+    agree (and match the pure-python fold) on ANY rank-monotone merge
+    list, not just trainer output."""
+    from hypothesis import assume
+    assume(T._rank_unsafe_rule(merges) is None)
+    df = spark.createDataFrame(list(enumerate(ds)),
+                               "doc_id int, text string")
+    fold = {r.doc_id: list(r.bpe_tokens) for r in
+            T.bpe_encode(df, "text", merges, strategy="fold").collect()}
+    rank = {r.doc_id: list(r.bpe_tokens) for r in
+            T.bpe_encode(df, "text", merges, strategy="rank").collect()}
+    for i, s in enumerate(ds):
+        want = _bpe_fold_ref(_tok(s), merges)
+        assert fold[i] == want, (i, s, merges)
+        assert rank[i] == want, (i, s, merges)
