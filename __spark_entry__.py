@@ -936,6 +936,35 @@ def q_streaming_attribution_join(spark, sf_dir):
                           F.lit(int(n_batches)).cast("bigint"))
 
 
+def _stage_replay_files(spark, root: str, splits) -> str:
+    """Stage each split DataFrame as ONE parquet file under root/src with
+    STRICTLY INCREASING mtimes — FileStreamSource drains oldest-first, so
+    batch order == split order (the order the unrolled oracles simulate).
+    Raises if a split stages empty: an order-pinned replay needs every
+    batch to carry rows (an empty band would run a micro-batch the
+    oracle's cumulative row domain never sees — r9 review: at another
+    scale factor that surfaced as an opaque 2-vs-3-row hash mismatch
+    instead of a diagnosable error). Shared by the heavy-hitters and
+    drift-monitor replay rows."""
+    import glob as _glob
+    import shutil
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, split in enumerate(splits):
+        tmp = os.path.join(root, f"tmp{i}")
+        split.coalesce(1).write.parquet(tmp)
+        part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+        if spark.read.parquet(dst).limit(1).count() == 0:
+            raise ValueError(
+                f"replay split {i} is empty at this scale factor; the "
+                f"order-pinned replay oracle requires every staged batch "
+                f"to carry rows")
+    return src
+
+
 def q_streaming_heavy_hitters(spark, sf_dir):
     """Batch-replay oracle row for the streaming heavy-hitters vocabulary
     (VERDICT r8 #3; streaming/ingest.py:streaming_vocab_ingest — the
@@ -951,25 +980,15 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     than a one-shot count would, so a state table that skipped the
     incremental path CANNOT hash-match; n_batches==3 is asserted
     engine-side (diagnosable, never an opaque mismatch)."""
-    import glob as _glob
     import shutil
     import tempfile
     from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="stream_hh_")
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        for i in range(3):
-            tmp = os.path.join(root, f"tmp{i}")
-            (docs.filter(F.col("doc_id") % 3 == i).select("text")
-             .coalesce(1).write.parquet(tmp))
-            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
-            dst = os.path.join(src, f"{i:03d}.parquet")
-            shutil.copyfile(part, dst)
-            # FileStreamSource drains oldest-mtime-first: pin batch order
-            # = split order (the truncation sequence the oracle unrolls)
-            os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+        src = _stage_replay_files(spark, root, [
+            docs.filter(F.col("doc_id") % 3 == i).select("text")
+            for i in range(3)])
         stream = (spark.readStream.schema(docs.select("text").schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         s_ingest.streaming_vocab_ingest(
@@ -1053,7 +1072,6 @@ def q_streaming_drift_monitor(spark, sf_dir):
     edges and the v > edge binning cannot straddle an ulp. The oracle
     recomputes edges, per-prefix cumulative bin counts and the
     epsilon-clamped PSI in SQL; n_batches==3 asserted engine-side."""
-    import glob as _glob
     import shutil
     import tempfile
     from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
@@ -1064,15 +1082,11 @@ def q_streaming_drift_monitor(spark, sf_dir):
             .when(F.col("l_quantity") <= 33, 1).otherwise(2))
     root = tempfile.mkdtemp(prefix="stream_drift_")
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        for i in range(3):
-            tmp = os.path.join(root, f"tmp{i}")
-            (strm.filter(band == i).coalesce(1).write.parquet(tmp))
-            part = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))[0]
-            dst = os.path.join(src, f"{i:03d}.parquet")
-            shutil.copyfile(part, dst)
-            os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+        # the empty-band guard in _stage_replay_files is load-bearing
+        # here: an empty band 0 would log an eps-only PSI row the
+        # oracle's cumulative domain never generates
+        src = _stage_replay_files(spark, root,
+                                  [strm.filter(band == i) for i in range(3)])
         stream = (spark.readStream.schema(strm.schema)
                   .option("maxFilesPerTrigger", 1).parquet(src))
         state_dir = os.path.join(root, "state")

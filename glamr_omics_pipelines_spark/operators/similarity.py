@@ -94,11 +94,20 @@ def _plan_key(df: DataFrame) -> tuple | None:
     component is the Spark applicationId — stable for the session's
     lifetime and never recycled (it embeds a start timestamp), unlike
     id(), which a GC'd session's successor can reuse and inherit a stale
-    verdict through (VERDICT r8 #4)."""
+    verdict through (VERDICT r8 #4). On Connect sessions (no
+    sparkContext) the same id comes from the spark.app.id conf — r9
+    review: raising there would silently disable memoization and
+    reintroduce the per-call probe job."""
     try:
-        return (df.sparkSession.sparkContext.applicationId,
-                df.semanticHash(), hash(str(df.schema)))
-    except Exception:  # Connect/older sessions without semanticHash
+        sess = df.sparkSession
+        try:
+            app = sess.sparkContext.applicationId
+        except Exception:  # Spark Connect: no driver-side sparkContext
+            app = sess.conf.get("spark.app.id")
+        if not app:
+            return None
+        return (app, df.semanticHash(), hash(str(df.schema)))
+    except Exception:  # sessions without semanticHash / app id
         return None
 
 
@@ -772,6 +781,34 @@ def _nearest_codeword_expr(vec_sql: str, codebook: list[list[float]]) -> str:
     return f"transform({ordered}, p -> p['1'])[0]"
 
 
+def _pq_code_exprs(vec_col: str,
+                   codebooks: list[list[list[float]]]) -> list:
+    """Per-subspace nearest-codeword index Columns — the ONE place the PQ
+    encode expression is built (pq_encode and ivfpq_encode share it, so a
+    tiebreak/fold-order fix cannot diverge the two paths — r9 review)."""
+    dsub = len(codebooks[0][0])
+    return [F.expr(_nearest_codeword_expr(_subvec_sql(vec_col, s, dsub),
+                                          cb)).cast("int")
+            for s, cb in enumerate(codebooks)]
+
+
+def _adc_tables_sql(vec_col: str,
+                    codebooks: list[list[list[float]]]) -> str:
+    """SQL expr: the query's m×k ADC table (per subspace, squared L2 to
+    every codeword) — the ONE place the table math is built (pq_adc_topk
+    and ivfpq_adc_topk share it; the ascending-index fold order is what
+    the DuckDB oracles replicate)."""
+    dsub = len(codebooks[0][0])
+    tables = []
+    for s, cb in enumerate(codebooks):
+        cs = _centroids_sql(cb)
+        tables.append(
+            f"transform({cs}, c -> aggregate(zip_with("
+            f"{_subvec_sql(vec_col, s, dsub)}, c, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
+    return "array(" + ",".join(tables) + ")"
+
+
 def pq_codebooks_random(m: int, k: int, dsub: int,
                         seed: int = 7) -> list[list[list[float]]]:
     """Deterministic data-independent PQ codebooks (seeded gaussian) —
@@ -826,12 +863,9 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     encoding is row-local whole-stage codegen: zero shuffle, zero
     driver→executor data movement, and the coded corpus is what a 100 TB
     pipeline persists (m·log2(k) bits per vector instead of 4·d bytes)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    exprs = [F.expr(_nearest_codeword_expr(_subvec_sql(vec_col, s, dsub),
-                                           cb)).cast("int")
-             for s, cb in enumerate(codebooks)]
-    return df.select(F.col(id_col), F.array(*exprs).alias("pq_codes"))
+    return df.select(F.col(id_col),
+                     F.array(*_pq_code_exprs(vec_col, codebooks))
+                     .alias("pq_codes"))
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame,
@@ -846,18 +880,9 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     Output: (query_id, neighbor_id, adc, rank). Recall is bounded by the
     quantizer (exact on the DECODED points); the oracle replicates the
     identical encode+table math in SQL."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    tables = []
-    for s, cb in enumerate(codebooks):
-        cs = _centroids_sql(cb)
-        tables.append(
-            f"transform({cs}, c -> aggregate(zip_with("
-            f"{_subvec_sql(vec_col, s, dsub)}, c, "
-            "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
-    tables_sql = "array(" + ",".join(tables) + ")"
-    q = F.broadcast(queries.select(F.col(query_id),
-                                   F.expr(tables_sql).alias("_adc")))
+    q = F.broadcast(queries.select(
+        F.col(query_id),
+        F.expr(_adc_tables_sql(vec_col, codebooks)).alias("_adc")))
     scored = (codes.join(q, F.col(id_col) != F.col(query_id))
               .withColumn("adc", F.expr(
                   "aggregate(zip_with(pq_codes, _adc, (c, t) -> t[c]), "
@@ -893,14 +918,10 @@ def ivfpq_encode(df: DataFrame, id_col: str, vec_col: str,
     At 100 TB this is the frame you persist PARTITIONED BY ivf_cell —
     m·log2(k) bits per vector of payload, and every later probe is a
     partition-pruned scan of nprobe cells instead of the corpus."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
-    codes = [F.expr(_nearest_codeword_expr(_subvec_sql(vec_col, s, dsub),
-                                           cb)).cast("int")
-             for s, cb in enumerate(codebooks)]
     return df.select(F.col(id_col), cell.alias("ivf_cell"),
-                     F.array(*codes).alias("pq_codes"))
+                     F.array(*_pq_code_exprs(vec_col, codebooks))
+                     .alias("pq_codes"))
 
 
 def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
@@ -923,22 +944,13 @@ def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
     Recall is bounded by the coarse quantizer (probe-all == the flat ADC
     scan exactly — pinned by test). Ascending distance, id-asc tiebreak.
     Output: (query_id, neighbor_id, adc, rank)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     if nprobe < 1:
         raise ValueError("ivfpq_adc_topk: nprobe must be >= 1")
-    tables = []
-    for s, cb in enumerate(codebooks):
-        cs = _centroids_sql(cb)
-        tables.append(
-            f"transform({cs}, c -> aggregate(zip_with("
-            f"{_subvec_sql(vec_col, s, dsub)}, c, "
-            "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))")
-    tables_sql = "array(" + ",".join(tables) + ")"
     probes = F.expr(_nearest_cells_expr(vec_col, centroids,
                                         min(nprobe, len(centroids))))
     q = F.broadcast(queries.select(
-        F.col(query_id), F.expr(tables_sql).alias("_adc"),
+        F.col(query_id),
+        F.expr(_adc_tables_sql(vec_col, codebooks)).alias("_adc"),
         F.explode(probes.cast("array<int>")).alias("ivf_cell")))
     scored = (index.join(q, "ivf_cell")
               .filter(F.col(id_col) != F.col(query_id))

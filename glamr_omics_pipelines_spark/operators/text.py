@@ -847,7 +847,11 @@ def bpe_encode(df: DataFrame, text_col: str,
         lower_tokens(clean),
         lambda x: F.concat(F.regexp_replace(x, "(.)", f"{sep}$1{sep}"),
                            F.lit(f"{sep}</w>{sep}")))
+    # collision-checked scratch name: an input column that happens to be
+    # named _<out>_doc must survive the pipeline untouched (r9 review)
     tmp = f"_{out}_doc"
+    while tmp in df.columns:
+        tmp += "_"
     d = df.withColumn(tmp, F.concat_ws(" ", word_enc))
     col = F.col(tmp)
     pending = 0

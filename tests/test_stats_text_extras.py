@@ -516,3 +516,14 @@ def test_bpe_encode_null_and_empty_text_both_paths(spark):
                for r in T.bpe_encode(df, "text", [("a", "b")],
                                      strategy=strat).collect()}
         assert got == {1: None, 2: [], 3: ["ab", "</w>"]}, strat
+
+
+def test_bpe_encode_fold_preserves_colliding_scratch_name(spark):
+    """r9 review: an input column named like the fold path's scratch
+    column must survive untouched."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "ab", "keepme")],
+                               "doc_id int, text string, _bpe_tokens_doc string")
+    r = T.bpe_encode(df, "text", [("a", "b")], strategy="fold").collect()[0]
+    assert r._bpe_tokens_doc == "keepme"
+    assert list(r.bpe_tokens) == ["ab", "</w>"]
