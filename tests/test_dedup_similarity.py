@@ -637,3 +637,32 @@ def test_ivfpq_empty_guards(spark):
     cents = similarity.ivf_centroids_random(k=2, dim=4, seed=1)
     with pytest.raises(ValueError, match="nprobe"):
         similarity.ivfpq_adc_topk(df, df, books, cents, nprobe=0)
+
+
+def test_plan_key_connect_fallback_uses_conf_app_id():
+    """r9 review fix: a Connect-style session (no driver-side
+    sparkContext) must still yield a stable memo key via the
+    spark.app.id conf — raising there would silently disable
+    memoization and reintroduce the per-call probe job."""
+    class _Conf:
+        def get(self, k):
+            assert k == "spark.app.id"
+            return "app-20260816-xyz"
+
+    class _Sess:
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("SPARK_CONNECT: no sparkContext")
+
+    class _DF:
+        sparkSession = _Sess()
+        schema = "struct<v:array<double>>"
+
+        def semanticHash(self):
+            return 424242
+
+    key = similarity._plan_key(_DF())
+    assert key == ("app-20260816-xyz", 424242,
+                   hash("struct<v:array<double>>"))
