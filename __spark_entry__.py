@@ -797,6 +797,48 @@ def _ivfpq_ann_sql() -> str:
     """
 
 
+def _semdedup_sql() -> str:
+    """Oracle for q_semdedup: seeded centroids as VALUES literals; cell =
+    argmin squared-L2 (struct-min over (dist, ci), index-asc on ties — the
+    ivfpq convention); within-cell pairs with round-6 cosine >= 0.95;
+    dup_of = min smaller same-cell id; keep = dup_of IS NULL."""
+    from glamr_omics_pipelines_spark.operators import similarity as sim
+    cents = sim.ivf_centroids_random(k=4, dim=64, seed=11)
+    dim = 64
+    ct_vals = ", ".join(
+        f"({ci}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for ci, cv in enumerate(cents))
+    return f"""
+        WITH ct(ci, cv) AS (VALUES {ct_vals}),
+        corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id < 100
+          UNION ALL
+          SELECT vec_id + 10000, embedding::DOUBLE[]
+          FROM embeddings WHERE vec_id < 100),
+        celld AS (
+          SELECT c.vec_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (c.e[i] - cv[i]) * (c.e[i] - cv[i]))) AS dist
+          FROM corpus c, ct),
+        cell AS (
+          SELECT vec_id, (min(row(dist, ci)))[2] AS ivf_cell
+          FROM celld GROUP BY vec_id),
+        base AS (
+          SELECT c.vec_id, cell.ivf_cell, c.e
+          FROM corpus c JOIN cell USING (vec_id)),
+        dups AS (
+          SELECT b.vec_id, min(a.vec_id) AS dup_of
+          FROM base a JOIN base b
+            ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.95
+          GROUP BY b.vec_id)
+        SELECT base.vec_id, CAST(base.ivf_cell AS BIGINT) AS ivf_cell,
+               dups.dup_of, dups.dup_of IS NULL AS keep
+        FROM base LEFT JOIN dups USING (vec_id)
+    """
+
+
 def _pq_ann_sql() -> str:
     """Oracle for q_pq_ann: the SAME seeded codebooks as VALUES literals;
     encode = deterministic argmin (struct-min over (dist, j)), ADC table
@@ -2172,6 +2214,25 @@ def q_embedding_dups(spark, sf_dir):
     out = dedup.embedding_cosine_dups(corpus, "vec_id", "embedding",
                                       threshold=0.999)
     return out.select("id_a", "id_b", _r4("cosine").alias("cosine"))
+
+
+def q_semdedup(spark, sf_dir):
+    """Cluster-scoped semantic dedup (operators/dedup.py:semdedup — the
+    SemDeDup shape): embeddings are assigned to DATA-INDEPENDENT seeded
+    k-means cells (ivf_centroids_random — both engines regenerate identical
+    literals, the pq_ann oracle pattern), pairwise cosine runs ONLY within
+    a cell (Σ|cell|² work through an EQUI join on the cell, never the
+    global n² nested loop), and each row with a smaller-id near-duplicate
+    (round-6 cosine >= 0.95) in its cell is marked dropped with the
+    survivor recorded in dup_of. Corpus = planted exact duplicates so the
+    drop set is non-trivial. Trained centroids (train_ivf_centroids /
+    kmeans_lloyd) are pytest-covered."""
+    corpus = _planted_embeddings(spark, sf_dir)
+    cents = similarity.ivf_centroids_random(k=4, dim=64, seed=11)
+    out = dedup.semdedup(corpus, "vec_id", "embedding", cents,
+                         threshold=0.95)
+    return out.select("vec_id", F.col("ivf_cell").cast("bigint")
+                      .alias("ivf_cell"), "dup_of", "keep")
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -3970,6 +4031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-era rotation + 3 new rows + 4 touched re-checks): first in
         # line for the R9 window alongside the r5-era rotation
         "bpe_encode": q_bpe_encode,
+        # r9 late-session catalog-only rows (the R9 window was already
+        # declared and gate-verified when these landed): never-checked,
+        # first in line for the next open window slots
+        "semdedup": q_semdedup,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -4721,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_ann": _pq_ann_sql(),
         "ivfpq_ann": _ivfpq_ann_sql(),
+        "semdedup": _semdedup_sql(),
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),

@@ -666,3 +666,58 @@ def test_plan_key_connect_fallback_uses_conf_app_id():
     key = similarity._plan_key(_DF())
     assert key == ("app-20260816-xyz", 424242,
                    hash("struct<v:array<double>>"))
+
+
+# ---------------------------------------------------------------------------
+# semdedup (cluster-scoped semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    # cells along axes: centroid 0 ~ +x, centroid 1 ~ +y
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),    # dup of 1, same cell
+        (3, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 1, same cell
+        (4, [0.0, 1.0, 0.0, 0.0]),    # other cell
+        (5, [0.0, 1.0, 0.0, 0.0]),    # dup of 4, other cell
+        (6, [0.0, 0.0, 1.0, 0.0]),    # alone-ish: nearest is cell 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+_SEM_CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def test_semdedup_drops_smaller_id_dups(spark):
+    out = dedup.semdedup(_semdedup_frame(spark), "vec_id", "embedding",
+                         _SEM_CENTS, threshold=0.95)
+    got = {r["vec_id"]: (r["dup_of"], r["keep"]) for r in out.collect()}
+    assert len(got) == 6                       # one row per input row
+    assert got[1] == (None, True)              # survivor of its group
+    assert got[2] == (1, False)                # exact dup -> dropped
+    assert got[3] == (1, False)                # near dup (cos ~0.9999)
+    assert got[4] == (None, True)
+    assert got[5] == (4, False)
+    assert got[6] == (None, True)              # orthogonal: no near-dup
+
+
+def test_semdedup_is_cell_scoped(spark):
+    # identical vectors in DIFFERENT cells are never compared: plant a
+    # vector equidistant trick — two exact dups forced apart by centroids
+    rows = [(1, [1.0, 0.05, 0.0, 0.0]), (2, [0.05, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.semdedup(df, "vec_id", "embedding", _SEM_CENTS,
+                         threshold=0.0)  # any compared pair would match
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert got == {1: True, 2: True}           # different cells -> no pair
+
+
+def test_semdedup_composes_with_trained_centroids(spark):
+    df = _semdedup_frame(spark)
+    cents = similarity.train_ivf_centroids(df, "embedding", k=2, iters=3,
+                                           sample_rows=6)
+    out = dedup.semdedup(df, "vec_id", "embedding", cents, threshold=0.999)
+    dropped = {r["vec_id"] for r in out.collect() if not r["keep"]}
+    # exact-duplicate pairs share a cell under ANY quantizer
+    assert 2 in dropped and 5 in dropped
