@@ -839,6 +839,59 @@ def _semdedup_sql() -> str:
     """
 
 
+def _kmeans_lloyd_sql() -> str:
+    """Oracle for q_kmeans_lloyd: both Lloyd iterations unrolled as CTEs
+    (assign = struct-min argmin over squared L2, index-asc ties; update =
+    per-(cell, pos) avg rounded to 6 — the engine's determinism barrier —
+    with empty cells inheriting the previous centroid via the (ci, pos)
+    grid left join)."""
+    from glamr_omics_pipelines_spark.operators import similarity as sim
+    cents = sim.ivf_centroids_random(k=4, dim=64, seed=19)
+    dim = 64
+    ct_vals = ", ".join(
+        f"({ci}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for ci, cv in enumerate(cents))
+    return f"""
+        WITH ct(ci, cv) AS (VALUES {ct_vals}),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        d1 AS (
+          SELECT c.vec_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (c.e[i] - cv[i]) * (c.e[i] - cv[i]))) AS dist
+          FROM corpus c, ct),
+        a1 AS (SELECT vec_id, (min(row(dist, ci)))[2] AS ci
+               FROM d1 GROUP BY vec_id),
+        m1 AS (
+          SELECT a1.ci, i - 1 AS pos, round(avg(c.e[i]), 6) AS m
+          FROM corpus c JOIN a1 USING (vec_id),
+               generate_series(1, {dim}) AS g(i)
+          GROUP BY a1.ci, i),
+        c0p AS (SELECT ci, i - 1 AS pos, cv[i] AS v
+                FROM ct, generate_series(1, {dim}) AS g(i)),
+        c1p AS (SELECT c0p.ci, c0p.pos, coalesce(m1.m, c0p.v) AS v
+                FROM c0p LEFT JOIN m1 USING (ci, pos)),
+        c1 AS (SELECT ci, list(v ORDER BY pos) AS cv
+               FROM c1p GROUP BY ci),
+        d2 AS (
+          SELECT c.vec_id, c1.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (c.e[i] - cv[i]) * (c.e[i] - cv[i]))) AS dist
+          FROM corpus c, c1),
+        a2 AS (SELECT vec_id, (min(row(dist, ci)))[2] AS ci
+               FROM d2 GROUP BY vec_id),
+        m2 AS (
+          SELECT a2.ci, i - 1 AS pos,
+                 round(round(avg(c.e[i]), 6), 4) AS val, count(*) AS n
+          FROM corpus c JOIN a2 USING (vec_id),
+               generate_series(1, {dim}) AS g(i)
+          GROUP BY a2.ci, i)
+        SELECT CAST(c1p.ci AS BIGINT) AS ci, CAST(c1p.pos AS BIGINT) AS pos,
+               coalesce(m2.val, round(c1p.v, 4)) AS val,
+               CAST(coalesce(m2.n, 0) AS BIGINT) AS n
+        FROM c1p LEFT JOIN m2 ON c1p.ci = m2.ci AND c1p.pos = m2.pos
+    """
+
+
 def _pq_ann_sql() -> str:
     """Oracle for q_pq_ann: the SAME seeded codebooks as VALUES literals;
     encode = deterministic argmin (struct-min over (dist, j)), ADC table
@@ -2233,6 +2286,28 @@ def q_semdedup(spark, sf_dir):
                          threshold=0.95)
     return out.select("vec_id", F.col("ivf_cell").cast("bigint")
                       .alias("ivf_cell"), "dup_of", "keep")
+
+
+def q_kmeans_lloyd(spark, sf_dir):
+    """Distributed full-corpus Lloyd k-means
+    (operators/similarity.py:kmeans_lloyd — what the SemDeDup/IVF
+    quantizers train with when a bounded sample is not enough): 2
+    iterations from DATA-INDEPENDENT seeded centroids over the embeddings
+    corpus; per iteration the assignment rides as expression literals and
+    the update is a map-side-combinable (cell, pos) avg — the k×dim
+    driver round-trip per iteration is the pagerank broadcast-iteration
+    convention. Round-6 means between iterations pin the argmin decisions
+    across partial-agg orders; the oracle unrolls both iterations as CTEs
+    (the pagerank unrolled-loop convention). Output: the final centroid
+    grid (ci, pos, val) + last-update cell sizes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    init = similarity.ivf_centroids_random(k=4, dim=64, seed=19)
+    final, sizes = similarity.kmeans_lloyd(emb, "embedding", init, iters=2)
+    rows = [(ci, pos, float(v), int(sizes[ci]))
+            for ci, c in enumerate(final) for pos, v in enumerate(c)]
+    out = spark.createDataFrame(
+        rows, "ci bigint, pos bigint, val double, n bigint")
+    return out.select("ci", "pos", _r4("val").alias("val"), "n")
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -4035,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared and gate-verified when these landed): never-checked,
         # first in line for the next open window slots
         "semdedup": q_semdedup,
+        "kmeans_lloyd": q_kmeans_lloyd,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -4787,6 +4863,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _pq_ann_sql(),
         "ivfpq_ann": _ivfpq_ann_sql(),
         "semdedup": _semdedup_sql(),
+        "kmeans_lloyd": _kmeans_lloyd_sql(),
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),

@@ -963,3 +963,58 @@ def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id, F.col(id_col).alias("neighbor_id"),
                     "adc", "rank"))
+
+
+def kmeans_lloyd(df: DataFrame, vec_col: str,
+                 init_centroids: list[list[float]], iters: int = 2,
+                 round_decimals: int = 6) -> tuple[list[list[float]],
+                                                   list[int]]:
+    """Distributed Lloyd iterations over the FULL corpus (the k-means the
+    SemDeDup/IVF quantizers are trained with when a bounded sample is not
+    enough — cf. :func:`train_ivf_centroids`, which Lloyd-iterates a
+    driver-side sample).
+
+    Each iteration: assign every row to its nearest centroid (the
+    centroids ride the plan as expression-tree literals — broadcast-style,
+    no second input), then recompute each centroid as the element-wise
+    mean via ``posexplode → groupBy(cell, pos).avg`` — avg partial-
+    aggregates map-side, so the exchange carries k×dim keys, not rows.
+    The per-iteration driver round-trip collects k×dim floats
+    (metadata-scale — the pagerank broadcast-iteration convention); an
+    empty cell keeps its previous centroid. Updated means are rounded to
+    ``round_decimals`` before the next assignment — a determinism barrier
+    so the argmin decisions are stable across partial-agg orders (and
+    engines): raw ~1-ulp mean differences cannot flip an assignment.
+
+    Returns ``(centroids, sizes)``: the final k×dim means (round-6) and
+    the row count of each cell at the LAST update (0 for empty cells).
+
+    Scale shape: per iteration one scan + one k×dim-key shuffle; cost is
+    O(n·k·dim) compute with no row-grain shuffle — the textbook
+    Lloyd-on-MapReduce plan. Beyond-reference operator (SURVEY §8).
+    """
+    if iters < 1:
+        raise ValueError("kmeans_lloyd: iters must be >= 1")
+    if not init_centroids:
+        raise ValueError("kmeans_lloyd: empty init_centroids")
+    centroids = [[float(x) for x in c] for c in init_centroids]
+    k, dim = len(centroids), len(centroids[0])
+    sizes = [0] * k
+    for _ in range(iters):
+        cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
+        stats = (df.select(cell.alias("ci"),
+                           F.posexplode(as_double_vec(vec_col))
+                           .alias("pos", "v"))
+                 .groupBy("ci", "pos")
+                 .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")))
+        means: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats.collect():     # k×dim rows — metadata-scale
+            means.setdefault(r["ci"], {})[r["pos"]] = r["m"]
+            counts[r["ci"]] = r["n"]
+        centroids = [
+            [round(means[ci][p], round_decimals) for p in range(dim)]
+            if ci in means else centroids[ci]
+            for ci in range(k)]
+        sizes = [counts.get(ci, 0) for ci in range(k)]
+    return centroids, sizes

@@ -721,3 +721,64 @@ def test_semdedup_composes_with_trained_centroids(spark):
     dropped = {r["vec_id"] for r in out.collect() if not r["keep"]}
     # exact-duplicate pairs share a cell under ANY quantizer
     assert 2 in dropped and 5 in dropped
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd (distributed full-corpus Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_two_clusters(spark):
+    rows = [(1, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+            (4, [10.0, 10.0]), (5, [10.2, 10.0]), (6, [10.0, 10.2])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, sizes = similarity.kmeans_lloyd(
+        df, "embedding", [[1.0, 1.0], [9.0, 9.0]], iters=3)
+    assert sizes == [3, 3]
+    assert cents[0] == [round(0.2 / 3, 6)] * 2
+    assert cents[1] == [round(10 + 0.2 / 3, 6)] * 2
+
+
+def test_kmeans_lloyd_empty_cell_keeps_centroid(spark):
+    rows = [(1, [0.0, 0.0]), (2, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, sizes = similarity.kmeans_lloyd(
+        df, "embedding", [[0.0, 0.0], [100.0, 100.0]], iters=2)
+    assert sizes == [2, 0]
+    assert cents[1] == [100.0, 100.0]          # inherited, never updated
+    assert cents[0] == [0.1, 0.0]
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    import random
+
+    import numpy as np
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    init = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got, sizes = similarity.kmeans_lloyd(df, "embedding", init, iters=2)
+
+    x = np.array([r[1] for r in rows])
+    cent = np.array(init)
+    ref_sizes = None
+    for _ in range(2):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = cent.copy()
+        ref_sizes = [int((assign == j).sum()) for j in range(3)]
+        for j in range(3):
+            if ref_sizes[j]:
+                new[j] = np.round(x[assign == j].mean(axis=0), 6)
+        cent = new
+    assert sizes == ref_sizes
+    for a, b in zip(got, cent):
+        assert a == pytest.approx(list(b), abs=1e-9)
+
+
+def test_kmeans_lloyd_guards(spark):
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.kmeans_lloyd(df, "embedding", [[0.0]], iters=0)
+    with pytest.raises(ValueError):
+        similarity.kmeans_lloyd(df, "embedding", [], iters=1)
