@@ -2288,6 +2288,24 @@ def q_semdedup(spark, sf_dir):
                       .alias("ivf_cell"), "dup_of", "keep")
 
 
+def q_bloom_novelty(spark, sf_dir):
+    """Bloom-filter novelty gate (operators/sketches.py:bloom_build /
+    bloom_novel — the incremental-ingestion dedup sketch): a 1024-bit
+    md5-position bitmap is aggregated over the even-doc_id half of the
+    corpus (one scan + a bit_or partial agg on <=32 word keys), then the
+    odd half probes it through a broadcast left join. The halves are
+    disjoint, so every maybe_seen=true row is a PURE false positive —
+    a deterministic, engine-reproducible set (the md5 positions are the
+    temperature_sample oracle convention); maybe_seen=false rows are
+    GUARANTEED novel (no false negatives — the property the 100 TB
+    ingestion gate relies on, pinned by pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    inc = d.filter(F.col("doc_id") % 2 == 1)
+    bloom = sketches.bloom_build(hist, "doc_id", m_bits=1024, k=3)
+    return sketches.bloom_novel(inc, "doc_id", bloom, m_bits=1024, k=3)
+
+
 def q_kmeans_lloyd(spark, sf_dir):
     """Distributed full-corpus Lloyd k-means
     (operators/similarity.py:kmeans_lloyd — what the SemDeDup/IVF
@@ -4111,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the next open window slots
         "semdedup": q_semdedup,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "bloom_novelty": q_bloom_novelty,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -4864,6 +4883,32 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ann": _ivfpq_ann_sql(),
         "semdedup": _semdedup_sql(),
         "kmeans_lloyd": _kmeans_lloyd_sql(),
+        "bloom_novelty": """
+            WITH pos AS (
+              SELECT CAST(concat('0x', substr(md5(concat('bloom', g.h, ':',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                     % 1024 AS pos
+              FROM documents, generate_series(0, 2) AS g(h)
+              WHERE doc_id % 2 = 0),
+            words AS (SELECT CAST(pos // 32 AS INT) AS word,
+                             bit_or(1::BIGINT << CAST(pos % 32 AS INT))
+                               AS bits
+                      FROM pos GROUP BY 1),
+            probes AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(concat('bloom', g.h, ':',
+                       CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                     % 1024 AS pos
+              FROM documents, generate_series(0, 2) AS g(h)
+              WHERE doc_id % 2 = 1)
+            SELECT p.doc_id,
+                   bool_and((coalesce(w.bits, 0)
+                             & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0)
+                     AS maybe_seen
+            FROM probes p
+            LEFT JOIN words w ON CAST(p.pos // 32 AS INT) = w.word
+            GROUP BY p.doc_id
+        """,
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),

@@ -189,3 +189,68 @@ def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str,
     return (probes.join(F.broadcast(cms), ["r", "b"], "left")
             .groupBy(item_col)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out)))
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 4096,
+                k: int = 3, salt: str = "bloom") -> DataFrame:
+    """Aggregate a Bloom-filter bitmap over ``key_col`` — the incremental-
+    ingestion dedup sketch: build it ONCE over the historical corpus, then
+    gate every new batch with :func:`bloom_novel` (a guaranteed-novel key
+    never needs the expensive exact/near-dup path; only maybe-seen keys do).
+
+    Representation: ``m_bits`` bits packed 32-per-row as (word, bits) —
+    ``m_bits/32`` rows, broadcastable at any realistic filter size (a
+    1-billion-key filter at 10 bits/key is ~400 MB of rows; shard by word
+    range if larger). Bit positions are md5-derived
+    (:func:`sampling.hash_bucket` with salts ``{salt}0..{salt}{k-1}``) so
+    any engine can reproduce them; the build is one scan + a ``bit_or``
+    partial agg on ≤ ``m_bits/32`` keys — no row-grain shuffle.
+
+    Beyond-reference training-data operator (SURVEY §8); reference
+    precedent: the exact-dedup family (Snakefile:429-473) whose 1 TB hash
+    table this sketch replaces for the cross-batch membership gate.
+    """
+    from glamr_omics_pipelines_spark.operators.sampling import hash_bucket
+    if m_bits % 32 != 0:
+        raise ValueError("bloom_build: m_bits must be a multiple of 32")
+    if k < 1:
+        raise ValueError("bloom_build: k must be >= 1")
+    positions = F.array(*[hash_bucket(key_col, m_bits, f"{salt}{h}")
+                          for h in range(k)])
+    return (df.select(F.explode(positions).alias("pos"))
+            .select(F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
+                    F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")
+                    .alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_novel(df: DataFrame, key_col: str, bloom: DataFrame,
+                m_bits: int = 4096, k: int = 3,
+                salt: str = "bloom") -> DataFrame:
+    """Test each row's key against a :func:`bloom_build` bitmap.
+
+    Output: one row per input row's key value grain — (``key_col``,
+    ``maybe_seen``). ``maybe_seen = false`` GUARANTEES the key was not in
+    the built corpus (no false negatives); ``true`` means probably-seen
+    (false-positive rate ~(1 - e^{-kn/m})^k). ``m_bits``/``k``/``salt``
+    must match the build.
+
+    Plan shape: k scan-stage hash positions per key, a BROADCAST left
+    join against the (word, bits) bitmap, and a ``bool_and`` over the k
+    probes — no shuffle beyond the per-key agg. The novelty gate for
+    100 TB incremental ingestion: only ``maybe_seen`` rows proceed to the
+    exact anti-join / near-dup stages.
+    """
+    from glamr_omics_pipelines_spark.operators.sampling import hash_bucket
+    positions = F.array(*[hash_bucket(key_col, m_bits, f"{salt}{h}")
+                          for h in range(k)])
+    probes = (df.select(key_col, F.explode(positions).alias("pos"))
+              .select(key_col,
+                      F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
+                      F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")
+                      .alias("mask")))
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+           != 0)
+    return (probes.join(F.broadcast(bloom), "word", "left")
+            .withColumn("_hit", hit)
+            .groupBy(key_col).agg(F.bool_and("_hit").alias("maybe_seen")))

@@ -96,3 +96,48 @@ def test_cms_weighted_build_matches_raw(spark):
                                   weight_col="w")
     assert (sorted(map(tuple, raw.collect()))
             == sorted(map(tuple, weighted.collect())))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (bloom_build / bloom_novel)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["k"])
+    bloom = sketches.bloom_build(keys, "k", m_bits=2048, k=3)
+    out = sketches.bloom_novel(keys, "k", bloom, m_bits=2048, k=3)
+    # every built key must test maybe_seen — the no-false-negative law
+    assert all(r["maybe_seen"] for r in out.collect())
+    assert out.count() == 200
+
+
+def test_bloom_novel_keys_mostly_pass(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    hist = spark.createDataFrame([(f"k{i}",) for i in range(100)], ["k"])
+    new = spark.createDataFrame([(f"n{i}",) for i in range(100)], ["k"])
+    bloom = sketches.bloom_build(hist, "k", m_bits=4096, k=3)
+    out = sketches.bloom_novel(new, "k", bloom, m_bits=4096, k=3)
+    got = {r["k"]: r["maybe_seen"] for r in out.collect()}
+    # at 100*3/4096 load the FP rate is ~0.03^3; allow a generous margin
+    assert sum(got.values()) <= 5
+
+
+def test_bloom_build_guards(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    df = spark.createDataFrame([("a",)], ["k"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sketches.bloom_build(df, "k", m_bits=100)   # not a multiple of 32
+    with _pytest.raises(ValueError):
+        sketches.bloom_build(df, "k", m_bits=64, k=0)
+
+
+def test_bloom_bitmap_is_word_packed(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"])
+    bloom = sketches.bloom_build(keys, "k", m_bits=1024, k=3).collect()
+    assert len(bloom) <= 1024 // 32              # at most m/32 words
+    assert all(0 <= r["word"] < 32 for r in bloom)
+    assert all(r["bits"] != 0 for r in bloom)
