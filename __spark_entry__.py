@@ -1153,6 +1153,68 @@ def _streaming_heavy_hitters_sql(top_k: int = 30) -> str:
     """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Batch-replay oracle row for STREAMING EXACT DEDUP — the fifth
+    stateful shape under the hard oracle (streaming/ingest.py:stream_dedup,
+    dropDuplicatesWithinWatermark): events are split into three files by
+    event_id % 3 (mtime-staged so batch order is pinned) and drained by a
+    REAL availableNow run with maxFilesPerTrigger=1; each micro-batch
+    emits only the (user_id, event_type, day) keys NOT already in the
+    dedup state, stamped with the batch id. first_batch therefore equals
+    the key's minimum split index — a per-batch re-dedup without carried
+    state would re-emit keys (row-count mismatch) and a one-shot dedup
+    would stamp everything batch 0 (value mismatch). The day component
+    keeps the key space growing — every batch carries new keys at every
+    test sf; the coarser (user, type) key saturates by batch 1 and the
+    n_batches pin below fires. The watermark delay (10 years) exceeds
+    the data's time span so no key expires and no row is late within the
+    replay; bounded-state expiry semantics are pytest-covered.
+    n_batches==3 asserted engine-side."""
+    import shutil
+    import tempfile
+    from glamr_omics_pipelines_spark.streaming import ingest as s_ingest
+    ev = (_events(spark, sf_dir)
+          .select("event_id", "user_id", "event_type", "ts",
+                  F.date_format("ts", "yyyy-MM-dd").alias("day")))
+    cols = ["user_id", "event_type", "day", "ts"]
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = _stage_replay_files(spark, root, [
+            ev.filter(F.col("event_id") % 3 == i).select(*cols)
+            for i in range(3)])
+        stream = (spark.readStream.schema(ev.select(*cols).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        deduped = s_ingest.stream_dedup(
+            stream, ["user_id", "event_type", "day"], ts_col="ts",
+            watermark="87600 hours")
+        out_dir = os.path.join(root, "out")
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            (batch.select("user_id", "event_type", "day")
+             .withColumn("_batch", F.lit(batch_id).cast("long"))
+             .write.mode("append").parquet(out_dir))
+
+        (deduped.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination())
+        keys = spark.read.parquet(out_dir)
+        last = keys.agg(F.max("_batch").alias("b")).collect()[0]["b"]
+        n_batches = int(last) + 1 if last is not None else 0
+        if n_batches != 3:
+            raise ValueError(
+                f"streaming-dedup replay emitted keys in {n_batches} "
+                f"micro-batches, expected 3 (maxFilesPerTrigger=1 over "
+                f"three mtime-ordered files; a batch with zero NEW keys "
+                f"at this scale factor breaks the incremental-path pin)")
+        # key-grain (<< events) — materialize before the temp dir goes
+        out = spark.createDataFrame(keys.collect(), keys.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select("user_id", "event_type", "day",
+                      F.col("_batch").alias("first_batch"),
+                      F.lit(3).cast("bigint").alias("n_batches"))
+
+
 def q_streaming_drift_monitor(spark, sf_dir):
     """Batch-replay oracle row for the streaming drift gate
     (streaming/ingest.py:streaming_drift_monitor — the fourth stateful
@@ -4130,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "kmeans_lloyd": q_kmeans_lloyd,
         "bloom_novelty": q_bloom_novelty,
+        "streaming_dedup": q_streaming_dedup,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -4883,6 +4946,14 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ann": _ivfpq_ann_sql(),
         "semdedup": _semdedup_sql(),
         "kmeans_lloyd": _kmeans_lloyd_sql(),
+        "streaming_dedup": """
+            SELECT user_id, event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(min(event_id % 3) AS BIGINT) AS first_batch,
+                   CAST(3 AS BIGINT) AS n_batches
+            FROM events
+            GROUP BY user_id, event_type, day
+        """,
         "bloom_novelty": """
             WITH pos AS (
               SELECT CAST(concat('0x', substr(md5(concat('bloom', g.h, ':',
