@@ -175,10 +175,12 @@ HEADLINE = [
     "pq_ann",            # PQ encode (codegen argmin) + broadcast ADC top-k
     "ivfpq_ann",         # IVFADC: cell-pruned equi join + ADC ranking
     "bpe_encode",        # frozen-tokenizer replace-chain, scan-stage
-    # streaming_replay_rollup and streaming_attribution_join are
-    # deliberately NOT benched: their wall-clock is availableNow
-    # micro-batch scheduling + checkpoint commits (fixed streaming
-    # overhead), not data-path throughput.
+    "semdedup",          # cell-scoped semantic dedup (SemDeDup shape)
+    "kmeans_lloyd",      # distributed Lloyd: literal assign + (cell,pos) avg
+    "bloom_novelty",     # word-packed bloom bitmap + broadcast probe
+    # streaming_* rows are deliberately NOT benched: their wall-clock is
+    # availableNow micro-batch scheduling + checkpoint commits (fixed
+    # streaming overhead), not data-path throughput.
 ]
 
 # The r1-r3 headline set (exactly BENCH_r03's 30 queries): kept as a

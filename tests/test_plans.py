@@ -650,3 +650,28 @@ def test_versions_ledger_joins_stay_group_grain(spark):
     plan = _plan(spark, "versions_ledger")
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_cell_scoped_equi_join_no_python(spark):
+    """semdedup's pair stage must be an EQUI join on ivf_cell (hash- or
+    broadcast-hash) — a nested-loop/cartesian pair generator would be the
+    global n^2 the cell scoping exists to avoid — and the whole plan stays
+    JVM-side (centroids are expression literals, not a Python stage)."""
+    plan = _plan(spark, "semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
+def test_bloom_novelty_broadcast_bitmap_no_python(spark):
+    """bloom_novel must attach the (word, bits) bitmap via a BROADCAST
+    join — the bitmap is m/32 rows, shuffling the probe side against it
+    would defeat the scan-stage gate — with md5 positions computed
+    JVM-side."""
+    plan = _plan(spark, "bloom_novelty")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
