@@ -839,6 +839,71 @@ def _semdedup_sql() -> str:
     """
 
 
+def _ann_recall_sql() -> str:
+    """Oracle for q_ann_recall: replicate the IVF partial probe (cell
+    argmin, top-2 probe cells per query by dist asc / ci asc, per-cell
+    candidate ranking) and the exact brute-force ranking, then the hit
+    join + query-grain recall arithmetic."""
+    from glamr_omics_pipelines_spark.operators import similarity as sim
+    cents = sim.ivf_centroids_random(k=8, dim=64, seed=11)
+    dim, nprobe, k = 64, 2, 5
+    ct_vals = ", ".join(
+        f"({ci}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for ci, cv in enumerate(cents))
+    return f"""
+        WITH ct(ci, cv) AS (VALUES {ct_vals}),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe
+              FROM corpus WHERE vec_id < 8),
+        celld AS (
+          SELECT c.vec_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (c.e[i] - cv[i]) * (c.e[i] - cv[i]))) AS dist
+          FROM corpus c, ct),
+        cell AS (SELECT vec_id, (min(row(dist, ci)))[2] AS ivf_cell
+                 FROM celld GROUP BY vec_id),
+        qcelld AS (
+          SELECT q.query_id, ct.ci,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (q.qe[i] - cv[i]) * (q.qe[i] - cv[i]))) AS dist
+          FROM q, ct),
+        probes AS (
+          SELECT query_id, ci FROM (
+            SELECT query_id, ci,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist ASC, ci ASC) AS r
+            FROM qcelld) WHERE r <= {nprobe}),
+        cand AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(c.e, q.qe) AS cosine
+          FROM corpus c
+          JOIN cell ON cell.vec_id = c.vec_id
+          JOIN probes p ON p.ci = cell.ivf_cell
+          JOIN q ON q.query_id = p.query_id
+          WHERE c.vec_id <> q.query_id),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cosine, 6) DESC, neighbor_id ASC) AS r
+            FROM cand) WHERE r <= {k}),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(c.e, q.qe), 6)
+                       DESC, c.vec_id ASC) AS r
+            FROM corpus c, q WHERE c.vec_id <> q.query_id) WHERE r <= {k})
+        SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
 def _kmeans_lloyd_sql() -> str:
     """Oracle for q_kmeans_lloyd: both Lloyd iterations unrolled as CTEs
     (assign = struct-min argmin over squared L2, index-asc ties; update =
@@ -2348,6 +2413,27 @@ def q_semdedup(spark, sf_dir):
                          threshold=0.95)
     return out.select("vec_id", F.col("ivf_cell").cast("bigint")
                       .alias("ivf_cell"), "dup_of", "keep")
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN recall harness (operators/similarity.py:ann_recall — the
+    measure-don't-guess eval every approximate index is tuned with):
+    IVF at a REAL partial probe (nprobe=2 of 8 seeded cells — recall < 1
+    for some queries by construction) evaluated against the exact
+    brute-force top-5. The oracle replicates the cell assignment, probe
+    ranking, per-cell candidate ranking AND the exact ranking, then the
+    hit join — so the recall arithmetic, the dropped-query handling, and
+    the IVF pruning are all under the hash. Centroids are
+    DATA-INDEPENDENT seeded literals (the pq_ann oracle pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_random(k=8, dim=64, seed=11)
+    queries_df = emb.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = similarity.ivf_topk(emb, queries_df, "vec_id", "embedding",
+                                 cents, k=5, nprobe=2)
+    exact = similarity.brute_force_topk(emb, queries_df, "vec_id",
+                                        "embedding", k=5, method="brute")
+    return similarity.ann_recall(approx, exact)
 
 
 def q_bloom_novelty(spark, sf_dir):
@@ -4193,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "bloom_novelty": q_bloom_novelty,
         "streaming_dedup": q_streaming_dedup,
+        "ann_recall": q_ann_recall,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -4946,6 +5033,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ann": _ivfpq_ann_sql(),
         "semdedup": _semdedup_sql(),
         "kmeans_lloyd": _kmeans_lloyd_sql(),
+        "ann_recall": _ann_recall_sql(),
         "streaming_dedup": """
             SELECT user_id, event_type,
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

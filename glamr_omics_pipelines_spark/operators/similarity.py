@@ -1018,3 +1018,33 @@ def kmeans_lloyd(df: DataFrame, vec_col: str,
             for ci in range(k)]
         sizes = [counts.get(ci, 0) for ci in range(k)]
     return centroids, sizes
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame,
+               query_id: str = "query_id",
+               neighbor_id: str = "neighbor_id") -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    eval harness every approximate index (LSH / IVF / PQ / IVFADC)
+    is tuned with ("measure, don't guess").
+
+    ``exact`` is the ground-truth neighbor set per query (e.g.
+    :func:`brute_force_topk` with ``method='brute'`` on a held-out
+    sample); ``approx`` the candidate set under test. Output: one row
+    per query — (query_id, n_exact, n_hit, recall) with
+    ``recall = n_hit / n_exact`` rounded to 4dp. Queries the approx
+    index returned NOTHING for still appear (n_hit=0) — dropped
+    queries are the failure mode recall tuning exists to catch.
+
+    Plan shape: one equi join on (query, neighbor) + a query-grain agg;
+    at scale both sides are index outputs (queries × k rows), so this
+    is metadata-sized relative to the corpus. Beyond-reference operator
+    (SURVEY §8)."""
+    e = exact.select(F.col(query_id), F.col(neighbor_id))
+    a = (approx.select(F.col(query_id), F.col(neighbor_id))
+         .withColumn("_hit", F.lit(1)))
+    return (e.join(a, [query_id, neighbor_id], "left")
+            .groupBy(query_id)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                 F.count("_hit").cast("bigint").alias("n_hit"))
+            .withColumn("recall",
+                        F.round(F.col("n_hit") / F.col("n_exact"), 4)))

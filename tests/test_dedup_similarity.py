@@ -782,3 +782,46 @@ def test_kmeans_lloyd_guards(spark):
         similarity.kmeans_lloyd(df, "embedding", [[0.0]], iters=0)
     with pytest.raises(ValueError):
         similarity.kmeans_lloyd(df, "embedding", [], iters=1)
+
+
+# ---------------------------------------------------------------------------
+# ann_recall (recall@k eval harness)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_arithmetic(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 7)],   # q1: 2/3 hit; q2: 0/2
+        ["query_id", "neighbor_id"])
+    out = similarity.ann_recall(approx, exact)
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+           for r in out.collect()}
+    assert got[1] == (3, 2, round(2 / 3, 4))
+    assert got[2] == (2, 0, 0.0)
+
+
+def test_ann_recall_dropped_query_still_reported(spark):
+    exact = spark.createDataFrame([(5, 1), (5, 2)],
+                                  ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame([], "query_id long, neighbor_id long")
+    out = similarity.ann_recall(approx, exact).collect()
+    assert len(out) == 1 and out[0]["n_hit"] == 0 and out[0]["recall"] == 0.0
+
+
+def test_ann_recall_probe_all_ivf_is_perfect(spark):
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.ivf_centroids_random(k=4, dim=8, seed=2)
+    q = emb.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                        k=4, method="brute")
+    full = similarity.ivf_topk(emb, q, "vec_id", "embedding", cents,
+                               k=4, nprobe=4)
+    out = similarity.ann_recall(full, exact).collect()
+    assert all(r["recall"] == 1.0 for r in out)   # probe-all == exact
