@@ -2415,6 +2415,27 @@ def q_semdedup(spark, sf_dir):
                       .alias("ivf_cell"), "dup_of", "keep")
 
 
+def q_hist_quantile(spark, sf_dir):
+    """Mergeable histogram quantile sketch (operators/sketches.py:
+    hist_sketch/hist_rollup/hist_quantiles — the quantile member of the
+    sketch family beside HLL/KMV/CMS): per-(event_type, day) fixed-width
+    bin sketches are MERGED to event_type grain and quantiles answered
+    from the merged bins. The oracle bins DIRECTLY at event_type grain —
+    the hash match proves the mergeability identity (rolled-up fine bins
+    == direct coarse bins), which is the property that lets a 100 TB
+    warehouse answer percentiles from stored sketches without fact
+    re-scans. Rank interpolation is exact integer+literal math on both
+    sides."""
+    ev = (_events(spark, sf_dir)
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    fine = sketches.hist_sketch(ev, ["event_type", "day"], "value",
+                                width=10.0)
+    merged = sketches.hist_rollup(fine, ["event_type"])
+    out = sketches.hist_quantiles(merged, ["event_type"],
+                                  [0.5, 0.9, 0.99], width=10.0)
+    return out.select("event_type", "q", _r4("est").alias("est"))
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN recall harness (operators/similarity.py:ann_recall — the
     measure-don't-guess eval every approximate index is tuned with):
@@ -4280,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_novelty": q_bloom_novelty,
         "streaming_dedup": q_streaming_dedup,
         "ann_recall": q_ann_recall,
+        "hist_quantile": q_hist_quantile,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5034,6 +5056,24 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "ann_recall": _ann_recall_sql(),
+        "hist_quantile": """
+            WITH b AS (
+              SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, bin, n,
+                     sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY bin) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM b),
+            g AS (SELECT c.*, q
+                  FROM c, (SELECT unnest([0.5, 0.9, 0.99]) AS q))
+            SELECT event_type, q,
+                   round(bin * 10.0
+                         + 10.0 * (q * tot - (cum - n)) / n, 4) AS est
+            FROM g WHERE (cum - n) < q * tot AND cum >= q * tot
+        """,
         "streaming_dedup": """
             SELECT user_id, event_type,
                    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -20,7 +20,7 @@ the last digits (same disposition as the reference's own approx paths).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -254,3 +254,67 @@ def bloom_novel(df: DataFrame, key_col: str, bloom: DataFrame,
     return (probes.join(F.broadcast(bloom), "word", "left")
             .withColumn("_hit", hit)
             .groupBy(key_col).agg(F.bool_and("_hit").alias("maybe_seen")))
+
+
+def hist_sketch(df: DataFrame, group_cols: list[str], value_col: str,
+                width: float = 1.0, bin_col: str = "bin",
+                n_col: str = "n") -> DataFrame:
+    """Fixed-width histogram sketch per group — the MERGEABLE quantile
+    sketch beside HLL (distinct), KMV (similarity) and count-min
+    (frequency): aggregate each ingest batch / fine partition into
+    (group, bin, n) rows ONCE, roll any coarser grain up with
+    :func:`hist_rollup` (bins sum — merging is exact, unlike quantile
+    values which don't compose), and answer percentiles from the merged
+    bins with :func:`hist_quantiles` at ±``width``/2 value error — no
+    fact re-scan, no exact sort of 100 TB.
+
+    Bins are data-INDEPENDENT (``floor(value/width)``), which is what
+    makes two sketches built at different times mergeable; pick
+    ``width`` from the domain (e.g. dollars for revenue), not the data.
+    Beyond-reference operator (SURVEY §8); reference precedent: the
+    median-heavy checkM/coverage aggregates (SURVEY §2.4 A4) re-cast in
+    sketch form for incremental warehouses.
+    """
+    if width <= 0:
+        raise ValueError("hist_sketch: width must be > 0")
+    b = F.floor(F.col(value_col) / F.lit(float(width))).cast("bigint")
+    return (df.groupBy(*group_cols, b.alias(bin_col))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_col)))
+
+
+def hist_rollup(sketches: DataFrame, coarse_cols: list[str],
+                bin_col: str = "bin", n_col: str = "n") -> DataFrame:
+    """Merge histogram sketches to a coarser grain: bins sum. Exact —
+    rolled-up bins equal the bins a direct scan at the coarse grain
+    would produce (the mergeability identity the driver oracle pins)."""
+    return (sketches.groupBy(*coarse_cols, bin_col)
+            .agg(F.sum(n_col).cast("bigint").alias(n_col)))
+
+
+def hist_quantiles(sketches: DataFrame, group_cols: list[str],
+                   qs: list[float], width: float,
+                   bin_col: str = "bin", n_col: str = "n") -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q in ``qs``
+    (0 < q <= 1), locate the bin containing rank ``q*N`` via a cumulative
+    window, then interpolate linearly inside the bin — error <= ``width``
+    per estimate. Output: (group_cols..., q, est).
+
+    Plan shape: one group-partitioned cumulative window over the BIN
+    table (bins << rows) + a literal-array explode for the q grid — cost
+    is sketch-sized, independent of the fact table."""
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError("hist_quantiles: each q must be in (0, 1]")
+    wcum = (Window.partitionBy(*group_cols).orderBy(bin_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy(*group_cols)
+    d = (sketches
+         .withColumn("_cum", F.sum(n_col).over(wcum))
+         .withColumn("_tot", F.sum(n_col).over(wtot))
+         .withColumn("q", F.explode(F.array(*[F.lit(float(q))
+                                              for q in qs]))))
+    r = F.col("q") * F.col("_tot")
+    prev = F.col("_cum") - F.col(n_col)
+    est = (F.col(bin_col) * F.lit(float(width))
+           + F.lit(float(width)) * (r - prev) / F.col(n_col))
+    return (d.filter((prev < r) & (F.col("_cum") >= r))
+            .select(*group_cols, "q", est.alias("est")))

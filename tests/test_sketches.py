@@ -6,6 +6,7 @@ Approximate operators carry pytest gates instead of DuckDB hash oracles
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from glamr_omics_pipelines_spark.operators import sketches
@@ -141,3 +142,64 @@ def test_bloom_bitmap_is_word_packed(spark):
     assert len(bloom) <= 1024 // 32              # at most m/32 words
     assert all(0 <= r["word"] < 32 for r in bloom)
     assert all(r["bits"] != 0 for r in bloom)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (hist_sketch / hist_rollup / hist_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantile_exact_on_bin_aligned_data(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    # 100 values 0.5, 1.5, ..., 99.5 with width 1: rank math is exact
+    df = spark.createDataFrame([("a", i + 0.5) for i in range(100)],
+                               ["g", "v"])
+    sk = sketches.hist_sketch(df, ["g"], "v", width=1.0)
+    out = sketches.hist_quantiles(sk, ["g"], [0.5, 0.9, 1.0], width=1.0)
+    got = {r["q"]: r["est"] for r in out.collect()}
+    # rank q*100 interpolated in a 1-count bin: est = bin + (r - prev)
+    assert got[0.5] == pytest.approx(50.0)
+    assert got[0.9] == pytest.approx(90.0)
+    assert got[1.0] == pytest.approx(100.0)
+
+
+def test_hist_rollup_equals_direct_sketch(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    import random
+    rng = random.Random(9)
+    rows = [("g1" if i % 2 else "g2", f"d{i % 5}", rng.uniform(0, 100))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "day", "v"])
+    fine = sketches.hist_sketch(df, ["g", "day"], "v", width=5.0)
+    merged = sketches.hist_rollup(fine, ["g"])
+    direct = sketches.hist_sketch(df, ["g"], "v", width=5.0)
+    a = {(r["g"], r["bin"]): r["n"] for r in merged.collect()}
+    b = {(r["g"], r["bin"]): r["n"] for r in direct.collect()}
+    assert a == b                       # the mergeability identity
+
+
+def test_hist_quantile_error_bound(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    import random
+    rng = random.Random(4)
+    vals = sorted(rng.uniform(0, 50) for _ in range(400))
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "v"])
+    width = 2.0
+    sk = sketches.hist_sketch(df, ["g"], "v", width=width)
+    out = sketches.hist_quantiles(sk, ["g"], [0.25, 0.5, 0.75, 0.95],
+                                  width=width)
+    for r in out.collect():
+        exact = vals[min(int(r["q"] * 400) - 1, 399)]
+        assert abs(r["est"] - exact) <= width + 1e-9
+
+
+def test_hist_sketch_guards(spark):
+    from glamr_omics_pipelines_spark.operators import sketches
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError):
+        sketches.hist_sketch(df, ["g"], "v", width=0.0)
+    sk = sketches.hist_sketch(df, ["g"], "v", width=1.0)
+    with pytest.raises(ValueError):
+        sketches.hist_quantiles(sk, ["g"], [0.0], width=1.0)
+    with pytest.raises(ValueError):
+        sketches.hist_quantiles(sk, ["g"], [], width=1.0)
