@@ -1048,3 +1048,43 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
                  F.count("_hit").cast("bigint").alias("n_hit"))
             .withColumn("recall",
                         F.round(F.col("n_hit") / F.col("n_exact"), 4)))
+
+
+def write_ivf_index(index: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an :func:`ivfpq_encode` index PARTITIONED BY ``ivf_cell`` —
+    the layout the IVF scale story rests on: each probe then reads only
+    its nprobe cell directories (a partition-pruned scan of
+    ~corpus·nprobe/n_cells), never the corpus. Write once, probe from
+    every query batch."""
+    index.write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivfpq_probe_partitioned(spark, path: str, queries: DataFrame,
+                            codebooks: list[list[list[float]]],
+                            centroids: list[list[float]], k: int = 5,
+                            nprobe: int = 2, vec_col: str = "embedding",
+                            query_id: str = "query_id") -> DataFrame:
+    """ADC top-k against a :func:`write_ivf_index` store with STATIC
+    partition pruning: the union of the query batch's probe cells
+    (nq × nprobe ints — metadata-scale) is collected into an IN literal
+    on ``ivf_cell``, which Spark pushes into the parquet scan as a
+    PartitionFilter — only the probed cell directories are listed and
+    read (pinned by plan test). The per-query cell routing inside the
+    pruned scan is :func:`ivfpq_adc_topk` unchanged.
+
+    This is the static twin of dynamic partition pruning: with a literal
+    filter the pruning is guaranteed at planning time instead of relying
+    on the runtime DPP reuse heuristic — the right call when the probe
+    set is known and tiny."""
+    probes = F.expr(_nearest_cells_expr(vec_col, centroids,
+                                        min(nprobe, len(centroids))))
+    cells = sorted({c for r in
+                    queries.select(F.explode(probes.cast("array<int>"))
+                                   .alias("c")).distinct().collect()
+                    for c in [r["c"]]})
+    index = (spark.read.parquet(path)
+             .filter(F.col("ivf_cell").isin(cells)))
+    return ivfpq_adc_topk(index, queries, codebooks, centroids, k=k,
+                          nprobe=nprobe, vec_col=vec_col,
+                          query_id=query_id)
