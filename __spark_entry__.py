@@ -2415,6 +2415,29 @@ def q_semdedup(spark, sf_dir):
                       .alias("ivf_cell"), "dup_of", "keep")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/test split (operators/sampling.py:
+    leakage_safe_split): the dup_clusters pipeline's cluster map decides
+    splits at the CLUSTER grain — every near-dup pair co-travels
+    (planted (d, d+10000) duplicates land together by construction,
+    pinned by pytest), so the test set can never hold a training doc's
+    near-duplicate. Split = md5 bucket of the cluster representative
+    (label for clustered docs, own id for singletons) — the
+    split-assignment half of the contamination story whose detection
+    half is split_contamination."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(corpus, "doc_id", "text",
+                                         num_hashes=32, bands=16,
+                                         shingle_n=4, dedup_pairs=False)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text",
+                                      shingle_n=4, threshold=0.9,
+                                      candidates=cands)
+    labels = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    out = sampling.leakage_safe_split(corpus, "doc_id", labels,
+                                      train_pct=80)
+    return out.select("doc_id", F.col("_rep").alias("rep"), "split")
+
+
 def q_hist_quantile(spark, sf_dir):
     """Mergeable histogram quantile sketch (operators/sketches.py:
     hist_sketch/hist_rollup/hist_quantiles — the quantile member of the
@@ -4302,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "ann_recall": q_ann_recall,
         "hist_quantile": q_hist_quantile,
+        "leakage_safe_split": q_leakage_safe_split,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -6212,6 +6236,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, doc_id ASC) AS rn
               FROM scored)
             SELECT doc_id, cluster_id, (rn = 1) AS kept FROM ranked
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+            pairs AS (
+              SELECT id_a, id_b FROM ({_jaccard_sql(_DUP_CORPUS_SQL, 0.9)}) j),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+            labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            rep AS (
+              SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS rep
+              FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id)
+            SELECT doc_id, rep,
+                   CASE WHEN CAST(concat('0x', substr(md5(concat('split:',
+                          CAST(rep AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM rep
         """,
         "quantile_gate": """
             WITH th AS (

@@ -287,3 +287,37 @@ def feature_hash(df: DataFrame, id_col: str, text_col: str,
                       for i in range(n_features)])
     return vec.select(F.col("_id").alias(id_col),
                       dense.alias("features"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, labels: DataFrame,
+                       train_pct: int = 80, salt: str = "split",
+                       out: str = "split") -> DataFrame:
+    """Dedup-aware train/test split: assign splits at the NEAR-DUP-CLUSTER
+    grain so no near-duplicate pair ever straddles the boundary — the
+    leakage a row-grain :func:`stratified_split` cannot prevent (a test
+    document with a training-set near-duplicate inflates eval scores).
+
+    ``labels`` is a cluster map as produced by
+    :func:`dedup.dup_clusters` / ``dup_clusters_star`` — (id, label)
+    rows for CLUSTERED docs only. Every row's split is decided by the
+    md5 bucket of its cluster representative (its cluster label, or its
+    own id for singletons), so cluster members co-travel by
+    construction. Output: ``df``'s columns + ``_rep`` (the
+    representative) + ``out`` ('train'/'test').
+
+    Plan shape: one left join against the (small — clustered docs only,
+    broadcastable) label map + a scan-stage md5 bucket; deterministic,
+    partition-layout independent. Beyond-reference operator (SURVEY §8)
+    — the split half of the contamination story whose detection half is
+    split_contamination.
+    """
+    if not (0 < train_pct < 100):
+        raise ValueError("leakage_safe_split: train_pct must be in (0,100)")
+    lab = labels.select(F.col("id").alias(id_col),
+                        F.col("label").alias("_lab"))
+    rep = (df.join(F.broadcast(lab), id_col, "left")
+           .withColumn("_rep", F.coalesce(F.col("_lab"), F.col(id_col)))
+           .drop("_lab"))
+    b = hash_bucket(F.col("_rep"), 100, salt)
+    return rep.withColumn(
+        out, F.when(b < train_pct, F.lit("train")).otherwise(F.lit("test")))

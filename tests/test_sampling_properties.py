@@ -85,3 +85,48 @@ def test_temperature_sample_membership_matches_python(spark, rows, alpha):
     # alpha=1 must be a no-op (every fraction is exactly 1)
     if alpha == 1.0:
         assert got == set(rows)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_cluster_members_cotravel(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(50)],
+                               ["doc_id", "text"])
+    # clusters: {1,2,3} labeled 1; {10,11} labeled 10
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["id", "label"])
+    out = sampling.leakage_safe_split(df, "doc_id", labels, train_pct=70)
+    got = {r["doc_id"]: (r["_rep"], r["split"]) for r in out.collect()}
+    assert len(got) == 50
+    assert got[1] == got[2] == got[3]          # same rep, same split
+    assert got[10] == got[11]
+    assert got[1][0] == 1 and got[10][0] == 10
+    # singleton keeps its own id as representative
+    assert got[42][0] == 42
+
+
+def test_leakage_safe_split_ratio_and_determinism(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([(i, "x") for i in range(1000)],
+                               ["doc_id", "text"])
+    empty = spark.createDataFrame([], "id long, label long")
+    out = sampling.leakage_safe_split(df, "doc_id", empty, train_pct=80)
+    frac = out.filter("split = 'train'").count() / 1000
+    assert 0.75 < frac < 0.85                  # md5 bucket ~ uniform
+    again = sampling.leakage_safe_split(df, "doc_id", empty, train_pct=80)
+    assert out.collect() == again.collect()    # deterministic
+
+
+def test_leakage_safe_split_guards(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "id long, label long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.leakage_safe_split(df, "doc_id", empty, train_pct=0)
+    with _pytest.raises(ValueError):
+        sampling.leakage_safe_split(df, "doc_id", empty, train_pct=100)
