@@ -839,6 +839,35 @@ def _semdedup_sql() -> str:
     """
 
 
+def _quality_classifier_sql() -> str:
+    """Oracle for q_quality_classifier: the identical seeded weight array
+    as a DOUBLE[] literal; per-token md5 bucket lookup summed per doc
+    (fold order differs from the engine's array fold — round-4 absorbs
+    the reassociation ulp, the standing convention); empty docs keep the
+    bias-only score via the left join."""
+    import random
+    rng = random.Random(13)
+    w = [rng.gauss(0.0, 0.5) for _ in range(256)]
+    wl = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 sum(({wl})[CAST(CAST(concat('0x', substr(md5(concat('feat:',
+                       tok)), 1, 8)) AS BIGINT) % 256 AS INT) + 1]) AS z
+          FROM t GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-(0.1 + coalesce(s.z, 0)))), 4)
+                 AS score,
+               (1.0 / (1.0 + exp(-(0.1 + coalesce(s.z, 0)))) >= 0.5) AS keep
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
 def _ann_recall_sql() -> str:
     """Oracle for q_ann_recall: replicate the IVF partial probe (cell
     argmin, top-2 probe cells per query by dist asc / ci asc, per-cell
@@ -2413,6 +2442,23 @@ def q_semdedup(spark, sf_dir):
                          threshold=0.95)
     return out.select("vec_id", F.col("ivf_cell").cast("bigint")
                       .alias("ivf_cell"), "dup_of", "keep")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-linear quality-classifier inference (operators/text.py:
+    hashed_linear_score — the fastText-style scan-stage filter of the
+    CCNet/LLaMA pipelines): DATA-INDEPENDENT seeded weights (both
+    engines regenerate the identical literal — the pq_ann pattern) score
+    every document as sigmoid(bias + sum of per-token hashed-bucket
+    weights); keep = score >= 0.5. The model IS the expression tree —
+    zero shuffle, zero Python, zero broadcast round-trip."""
+    import random
+    rng = random.Random(13)
+    w = [rng.gauss(0.0, 0.5) for _ in range(256)]
+    d = _t(spark, sf_dir, "documents")
+    out = text.hashed_linear_score(d, "text", w, bias=0.1)
+    return out.select("doc_id", _r4("score").alias("score"),
+                      (F.col("score") >= 0.5).alias("keep"))
 
 
 def q_leakage_safe_split(spark, sf_dir):
@@ -4326,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "hist_quantile": q_hist_quantile,
         "leakage_safe_split": q_leakage_safe_split,
+        "quality_classifier": q_quality_classifier,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5080,6 +5127,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "ann_recall": _ann_recall_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "hist_quantile": """
             WITH b AS (
               SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,

@@ -925,3 +925,40 @@ def _bpe_encode_rank(df: DataFrame, text_col: str,
             yield res
 
     return base.mapInPandas(kernel, schema=schema)
+
+
+def hashed_linear_score(df: DataFrame, text_col: str,
+                        weights: list[float], bias: float = 0.0,
+                        salt: str = "feat",
+                        out: str = "score") -> DataFrame:
+    """Hashed bag-of-words linear classifier INFERENCE at scan stage —
+    the fastText-style quality/domain filter shape (CCNet, LLaMA data
+    pipelines): each lowercased token hashes into one of
+    ``len(weights)`` buckets (md5, engine-reproducible) and the document
+    score is ``sigmoid(bias + Σ weights[bucket(t)])`` over its tokens.
+
+    The model rides the plan as an expression-tree literal (the weight
+    array), so scoring 100 TB is a pure projection: tokenize → per-token
+    array lookup inside one fold → sigmoid. Zero shuffle, zero Python,
+    zero model broadcast round-trip. Train wherever you like (the hashed
+    representation makes any trainer's weights portable); at typical
+    2^18–2^21 buckets the literal array is single-digit MB of plan — the
+    same budget as the IVF/PQ codebook literals.
+
+    Beyond-reference training-data operator (SURVEY §8); nearest
+    reference precedent is the rule-based quality banding (checkM §2.2
+    P8) upgraded to learned-model inference.
+    """
+    if not weights:
+        raise ValueError("hashed_linear_score: empty weights")
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    bucket = (f"CAST(conv(substring(md5(concat('{salt}:', t)), 1, 8), 16, 10)"
+              f" AS BIGINT) % {n}")
+    z = F.expr(
+        f"aggregate(transform(filter(split(lower({text_col}), '\\\\s+'),"
+        f" t -> t != ''), t -> element_at(_w, CAST(({bucket}) AS INT) + 1)),"
+        f" CAST({float(bias)!r} AS DOUBLE), (a, v) -> a + v)")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
+    return (df.withColumn("_w", warr).withColumn("_z", z)
+            .withColumn(out, score).drop("_w", "_z"))

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from glamr_omics_pipelines_spark.functions import bio
@@ -466,3 +468,34 @@ def test_chao1_hand_computed(spark):
     assert abs(out["s1"].chao1 - 3.5) < 1e-9
     # no singletons -> estimator equals observed richness
     assert out["s2"].chao1 == 1.0
+
+
+def test_hashed_linear_score_reference_math(spark):
+    """Score equals a hand-computed sigmoid over the hashed buckets, the
+    empty doc scores sigmoid(bias), and the plan stays scan-stage."""
+    import hashlib
+    import math
+    from glamr_omics_pipelines_spark.operators import text as T
+    w = [0.5, -1.0, 2.0, 0.25]
+    df = spark.createDataFrame([(1, "Alpha beta alpha"), (2, "")],
+                               ["doc_id", "text"])
+    out = T.hashed_linear_score(df, "text", w, bias=0.3)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(f"feat:{tok}".encode()).hexdigest()[:8],
+                   16) % 4
+    z = 0.3 + sum(w[bucket(t)] for t in ["alpha", "beta", "alpha"])
+    assert got[1] == pytest.approx(1 / (1 + math.exp(-z)))
+    assert got[2] == pytest.approx(1 / (1 + math.exp(-0.3)))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan            # pure projection
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_hashed_linear_score_guards(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        T.hashed_linear_score(df, "text", [])
