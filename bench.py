@@ -178,6 +178,10 @@ HEADLINE = [
     "semdedup",          # cell-scoped semantic dedup (SemDeDup shape)
     "kmeans_lloyd",      # distributed Lloyd: literal assign + (cell,pos) avg
     "bloom_novelty",     # word-packed bloom bitmap + broadcast probe
+    "ann_recall",        # recall@k eval: IVF partial probe vs brute truth
+    "hist_quantile",     # mergeable fixed-width histogram quantile sketch
+    "leakage_safe_split",  # cluster-grain split over the dup_clusters map
+    "quality_classifier",  # hashed-linear sigmoid scoring, pure projection
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.
