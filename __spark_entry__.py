@@ -2444,6 +2444,40 @@ def q_semdedup(spark, sf_dir):
                       .alias("ivf_cell"), "dup_of", "keep")
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection against a persisted LSH index
+    (operators/dedup.py:minhash_bands / minhash_lsh_candidates_vs — the
+    near-dup twin of bloom_novelty's incremental story): the historical
+    corpus's band-bucket rows are built once; the NEW batch (planted
+    copies of half the history + guaranteed-novel reversed texts) hashes
+    only itself and probes the stored bands through one (band, bucket)
+    equi join; survivors are exactly-verified with candidate-restricted
+    n-gram Jaccard. Oracle = exact cross-corpus Jaccard >= 0.9 over the
+    same union (the minhash_dedup convention: at this corpus every
+    qualifying pair is an exact duplicate, which LSH banding catches
+    with certainty)."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    new = (d.filter(F.col("doc_id") < 50)
+           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .unionByName(
+               d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+               .select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.reverse("text").alias("text"))))
+    hb = dedup.minhash_bands(hist, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    nb = dedup.minhash_bands(new, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id",
+                                            dedup_pairs=False)
+    union = hist.unionByName(new)
+    pairs = dedup.ngram_jaccard_pairs(
+        union, "doc_id", "text", shingle_n=4, threshold=0.9,
+        candidates=cands.select(F.col("id_hist").alias("id_a"),
+                                F.col("id_new").alias("id_b")))
+    return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-linear quality-classifier inference (operators/text.py:
     hashed_linear_score — the fastText-style scan-stage filter of the
@@ -4373,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile": q_hist_quantile,
         "leakage_safe_split": q_leakage_safe_split,
         "quality_classifier": q_quality_classifier,
+        "minhash_incremental": q_minhash_incremental,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5128,6 +5163,18 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "ann_recall": _ann_recall_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "minhash_incremental": f"""
+            SELECT * FROM ({_jaccard_sql('''
+                SELECT doc_id, text FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text FROM documents
+                WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 20000 AS doc_id, reverse(text) AS text
+                FROM documents WHERE doc_id >= 50 AND doc_id < 100
+            ''', 0.9)}) x
+            WHERE id_a < 10000 AND id_b >= 10000
+        """,
         "hist_quantile": """
             WITH b AS (
               SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,

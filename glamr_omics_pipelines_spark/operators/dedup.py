@@ -103,6 +103,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                       .alias("minhash_sig"))
 
 
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 32, bands: int = 8,
+                  shingle_n: int = 5) -> DataFrame:
+    """Per-doc (id, band, bucket) MinHash band-bucket rows — the
+    PERSISTABLE LSH index state: write the historical corpus's bands once
+    (partitioned/bucketed by (band, bucket) at scale), then each new
+    ingest batch hashes ONLY its own docs and probes the stored bands via
+    :func:`minhash_lsh_candidates_vs` — the near-dup twin of the
+    :mod:`sketches` bloom gate's incremental story. Band hash = xxhash64
+    of the signature slice, seeded by the band index."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(
+            ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
+                             lambda x: x.cast("string"))), b))
+    return sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_n: int = 5,
@@ -114,18 +134,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     shingle→minhash→band→bucket-join plan, one shuffle each side keyed by an
     8-byte bucket hash. Returns (id_a, id_b) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(
-            ",", F.transform(F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
-                             lambda x: x.cast("string"))), b))
     # both self-join sides read this; NO persist — the sides are identical
     # subplans above the signature agg's exchange, so Catalyst's
     # ReuseExchange serves one shuffle to both (A/B-measured equal-or-
     # faster than an explicit cache, which adds a materialization barrier)
-    buckets = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    buckets = minhash_bands(df, id_col, text_col, num_hashes, bands,
+                            shingle_n)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
@@ -133,6 +147,29 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # dedup_pairs=False skips the distinct's shuffle — sound whenever the
     # consumer is a semi-join (e.g. ngram_jaccard_pairs verification), which
     # ignores multiplicity; a pair repeats at most once per matching band.
+    return pairs.distinct() if dedup_pairs else pairs
+
+
+def minhash_lsh_candidates_vs(new_bands: DataFrame, hist_bands: DataFrame,
+                              id_col: str, hist_id: str = "id_hist",
+                              new_id: str = "id_new",
+                              dedup_pairs: bool = True) -> DataFrame:
+    """Cross-corpus LSH candidates: a NEW ingest batch's band rows probed
+    against a PERSISTED historical band index (both from
+    :func:`minhash_bands`) — incremental near-dup detection without
+    re-hashing history. Returns (``hist_id``, ``new_id``) pairs sharing
+    ≥1 band bucket; verify with :func:`ngram_jaccard_pairs` over the
+    union frame (candidate-restricted, so verification cost is bounded
+    by the candidate set, not the corpora).
+
+    Plan shape: one equi join on (band, bucket) — at scale the stored
+    index is bucketed by these keys so only the (small) new side
+    shuffles. The composition gate→candidates→verify with
+    :func:`sketches.bloom_novel` in front skips both stages for
+    guaranteed-novel keys."""
+    a = hist_bands.select(F.col(id_col).alias(hist_id), "band", "bucket")
+    b = new_bands.select(F.col(id_col).alias(new_id), "band", "bucket")
+    pairs = a.join(b, ["band", "bucket"]).select(hist_id, new_id)
     return pairs.distinct() if dedup_pairs else pairs
 
 

@@ -876,3 +876,49 @@ def test_write_ivf_index_layout(spark, tmp_path):
     similarity.write_ivf_index(idx, path)
     dirs = {d for d in _os.listdir(path) if d.startswith("ivf_cell=")}
     assert dirs == {"ivf_cell=0", "ivf_cell=1"}
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash (minhash_bands / minhash_lsh_candidates_vs)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bands_is_lsh_state(spark):
+    """bands(df) must carry exactly bands rows per doc, and the self-join
+    over it must equal minhash_lsh_candidates (the factored path)."""
+    df = _docs(spark)
+    bands = dedup.minhash_bands(df, "doc_id", "text", num_hashes=32,
+                                bands=16, shingle_n=4)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               bands.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert set(per_doc.values()) == {16}
+
+
+def test_minhash_incremental_vs_finds_planted_dup(spark):
+    hist = _docs(spark)                          # ids 1..4
+    new = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog"),  # dup of 1/4
+         (102, "zzz completely unrelated qqq text vvv here")],
+        ["doc_id", "text"])
+    hb = dedup.minhash_bands(hist, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    nb = dedup.minhash_bands(new, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id")
+    got = {(r["id_hist"], r["id_new"]) for r in cands.collect()}
+    assert (1, 101) in got and (4, 101) in got   # exact dups always collide
+    assert all(n != 102 for _, n in got) or (1, 102) not in got
+
+
+def test_minhash_incremental_only_cross_pairs(spark):
+    """The cross-corpus probe must never emit hist×hist or new×new pairs."""
+    hist = _docs(spark)
+    new = hist.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    hb = dedup.minhash_bands(hist, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    nb = dedup.minhash_bands(new, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id").collect()
+    assert cands
+    assert all(r["id_hist"] <= 4 and r["id_new"] >= 101 for r in cands)
