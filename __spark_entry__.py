@@ -863,7 +863,8 @@ def _quality_classifier_sql() -> str:
         SELECT d.doc_id,
                round(1.0 / (1.0 + exp(-(0.1 + coalesce(s.z, 0)))), 4)
                  AS score,
-               (1.0 / (1.0 + exp(-(0.1 + coalesce(s.z, 0)))) >= 0.5) AS keep
+               (round(1.0 / (1.0 + exp(-(0.1 + coalesce(s.z, 0)))), 4)
+                >= 0.5) AS keep
         FROM documents d LEFT JOIN s USING (doc_id)
     """
 
@@ -2491,8 +2492,11 @@ def q_quality_classifier(spark, sf_dir):
     w = [rng.gauss(0.0, 0.5) for _ in range(256)]
     d = _t(spark, sf_dir, "documents")
     out = text.hashed_linear_score(d, "text", w, bias=0.1)
+    # threshold the ROUNDED score (the round-before->= convention —
+    # semdedup's round-6 rationale): the raw sigmoid differs by ~1 ulp
+    # across fold orders, and a z within an ulp of 0 would flip keep
     return out.select("doc_id", _r4("score").alias("score"),
-                      (F.col("score") >= 0.5).alias("keep"))
+                      (_r4("score") >= 0.5).alias("keep"))
 
 
 def q_leakage_safe_split(spark, sf_dir):

@@ -182,6 +182,7 @@ HEADLINE = [
     "hist_quantile",     # mergeable fixed-width histogram quantile sketch
     "leakage_safe_split",  # cluster-grain split over the dup_clusters map
     "quality_classifier",  # hashed-linear sigmoid scoring, pure projection
+    "minhash_incremental",  # new-batch bands vs persisted index + verify
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

@@ -305,17 +305,20 @@ def leakage_safe_split(df: DataFrame, id_col: str, labels: DataFrame,
     construction. Output: ``df``'s columns + ``_rep`` (the
     representative) + ``out`` ('train'/'test').
 
-    Plan shape: one left join against the (small — clustered docs only,
-    broadcastable) label map + a scan-stage md5 bucket; deterministic,
-    partition-layout independent. Beyond-reference operator (SURVEY §8)
-    — the split half of the contamination story whose detection half is
-    split_contamination.
+    Plan shape: one left join against the label map (clustered docs
+    only — usually small, but UNBOUNDED on a heavy-duplication corpus,
+    which is exactly this operator's target regime, so the join strategy
+    is left to the optimizer: AQE auto-broadcasts a small map and falls
+    back to a shuffled join when it isn't) + a scan-stage md5 bucket;
+    deterministic, partition-layout independent. Beyond-reference
+    operator (SURVEY §8) — the split half of the contamination story
+    whose detection half is split_contamination.
     """
     if not (0 < train_pct < 100):
         raise ValueError("leakage_safe_split: train_pct must be in (0,100)")
     lab = labels.select(F.col("id").alias(id_col),
                         F.col("label").alias("_lab"))
-    rep = (df.join(F.broadcast(lab), id_col, "left")
+    rep = (df.join(lab, id_col, "left")
            .withColumn("_rep", F.coalesce(F.col("_lab"), F.col(id_col)))
            .drop("_lab"))
     b = hash_bucket(F.col("_rep"), 100, salt)

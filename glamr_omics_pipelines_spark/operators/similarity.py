@@ -1037,10 +1037,13 @@ def ann_recall(approx: DataFrame, exact: DataFrame,
 
     Plan shape: one equi join on (query, neighbor) + a query-grain agg;
     at scale both sides are index outputs (queries × k rows), so this
-    is metadata-sized relative to the corpus. Beyond-reference operator
-    (SURVEY §8)."""
-    e = exact.select(F.col(query_id), F.col(neighbor_id))
-    a = (approx.select(F.col(query_id), F.col(neighbor_id))
+    is metadata-sized relative to the corpus. Both sides are DISTINCTed
+    first — a duplicated (query, neighbor) row in either input (a
+    unioned ground-truth frame, an undeduped candidate list) would fan
+    the join out and silently corrupt the counts. Beyond-reference
+    operator (SURVEY §8)."""
+    e = exact.select(F.col(query_id), F.col(neighbor_id)).distinct()
+    a = (approx.select(F.col(query_id), F.col(neighbor_id)).distinct()
          .withColumn("_hit", F.lit(1)))
     return (e.join(a, [query_id, neighbor_id], "left")
             .groupBy(query_id)

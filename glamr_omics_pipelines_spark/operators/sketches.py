@@ -191,6 +191,12 @@ def cms_estimate(cms: DataFrame, items: DataFrame, item_col: str,
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out)))
 
 
+# auto-broadcast ceiling for the bloom probe join: 2^28 bits = 8M
+# (word, bits) rows — comfortably inside executor broadcast budgets;
+# larger bitmaps go through the optimizer's join choice instead.
+_BLOOM_BROADCAST_MAX_BITS = 1 << 28
+
+
 def bloom_build(df: DataFrame, key_col: str, m_bits: int = 4096,
                 k: int = 3, salt: str = "bloom") -> DataFrame:
     """Aggregate a Bloom-filter bitmap over ``key_col`` — the incremental-
@@ -199,9 +205,12 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 4096,
     never needs the expensive exact/near-dup path; only maybe-seen keys do).
 
     Representation: ``m_bits`` bits packed 32-per-row as (word, bits) —
-    ``m_bits/32`` rows, broadcastable at any realistic filter size (a
-    1-billion-key filter at 10 bits/key is ~400 MB of rows; shard by word
-    range if larger). Bit positions are md5-derived
+    ``m_bits/32`` rows. A 1-billion-key filter at 10 bits/key is 10^10
+    bits = ~312M (word, bits) rows (several GB as a relation) — NOT
+    broadcastable; :func:`bloom_novel` auto-broadcasts only below
+    ``_BLOOM_BROADCAST_MAX_BITS`` and otherwise leaves the probe join to
+    the optimizer (shard by word range / bucket the stored bitmap by
+    ``word`` at that scale). Bit positions are md5-derived
     (:func:`sampling.hash_bucket` with salts ``{salt}0..{salt}{k-1}``) so
     any engine can reproduce them; the build is one scan + a ``bit_or``
     partial agg on ≤ ``m_bits/32`` keys — no row-grain shuffle.
@@ -235,11 +244,14 @@ def bloom_novel(df: DataFrame, key_col: str, bloom: DataFrame,
     (false-positive rate ~(1 - e^{-kn/m})^k). ``m_bits``/``k``/``salt``
     must match the build.
 
-    Plan shape: k scan-stage hash positions per key, a BROADCAST left
-    join against the (word, bits) bitmap, and a ``bool_and`` over the k
-    probes — no shuffle beyond the per-key agg. The novelty gate for
-    100 TB incremental ingestion: only ``maybe_seen`` rows proceed to the
-    exact anti-join / near-dup stages.
+    Plan shape: k scan-stage hash positions per key, a left join against
+    the (word, bits) bitmap — broadcast when ``m_bits`` ≤
+    ``_BLOOM_BROADCAST_MAX_BITS`` (the common case: a 2^28-bit filter is
+    8M words ≈ low hundreds of MB), otherwise left to the optimizer so a
+    multi-GB bitmap never hits the 8 GB broadcast wall — and a
+    ``bool_and`` over the k probes. The novelty gate for 100 TB
+    incremental ingestion: only ``maybe_seen`` rows proceed to the exact
+    anti-join / near-dup stages.
     """
     from glamr_omics_pipelines_spark.operators.sampling import hash_bucket
     positions = F.array(*[hash_bucket(key_col, m_bits, f"{salt}{h}")
@@ -251,7 +263,9 @@ def bloom_novel(df: DataFrame, key_col: str, bloom: DataFrame,
                       .alias("mask")))
     hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
            != 0)
-    return (probes.join(F.broadcast(bloom), "word", "left")
+    bitmap = (F.broadcast(bloom) if m_bits <= _BLOOM_BROADCAST_MAX_BITS
+              else bloom)
+    return (probes.join(bitmap, "word", "left")
             .withColumn("_hit", hit)
             .groupBy(key_col).agg(F.bool_and("_hit").alias("maybe_seen")))
 

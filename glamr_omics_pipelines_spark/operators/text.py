@@ -952,13 +952,20 @@ def hashed_linear_score(df: DataFrame, text_col: str,
     if not weights:
         raise ValueError("hashed_linear_score: empty weights")
     n = len(weights)
+    # collision-checked scratch names: input columns named _w/_z must
+    # survive untouched (the bpe_encode scratch-column convention)
+    wtmp, ztmp = "_w", "_z"
+    while wtmp in df.columns:
+        wtmp += "_"
+    while ztmp in df.columns:
+        ztmp += "_"
     warr = F.array(*[F.lit(float(w)) for w in weights])
     bucket = (f"CAST(conv(substring(md5(concat('{salt}:', t)), 1, 8), 16, 10)"
               f" AS BIGINT) % {n}")
     z = F.expr(
         f"aggregate(transform(filter(split(lower({text_col}), '\\\\s+'),"
-        f" t -> t != ''), t -> element_at(_w, CAST(({bucket}) AS INT) + 1)),"
-        f" CAST({float(bias)!r} AS DOUBLE), (a, v) -> a + v)")
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
-    return (df.withColumn("_w", warr).withColumn("_z", z)
-            .withColumn(out, score).drop("_w", "_z"))
+        f" t -> t != ''), t -> element_at({wtmp}, CAST(({bucket}) AS INT)"
+        f" + 1)), CAST({float(bias)!r} AS DOUBLE), (a, v) -> a + v)")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(ztmp)))
+    return (df.withColumn(wtmp, warr).withColumn(ztmp, z)
+            .withColumn(out, score).drop(wtmp, ztmp))

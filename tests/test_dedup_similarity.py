@@ -908,7 +908,16 @@ def test_minhash_incremental_vs_finds_planted_dup(spark):
     cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id")
     got = {(r["id_hist"], r["id_new"]) for r in cands.collect()}
     assert (1, 101) in got and (4, 101) in got   # exact dups always collide
-    assert all(n != 102 for _, n in got) or (1, 102) not in got
+    # candidates MAY contain LSH false positives (2-hash bands collide on
+    # a few shared shingles) — the verification stage must kill them:
+    union = hist.unionByName(new)
+    verified = dedup.ngram_jaccard_pairs(
+        union, "doc_id", "text", shingle_n=4, threshold=0.9,
+        candidates=cands.select(F.col("id_hist").alias("id_a"),
+                                F.col("id_new").alias("id_b")))
+    vgot = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 101) in vgot and (4, 101) in vgot
+    assert all(b != 102 for _, b in vgot)        # the novel doc never survives
 
 
 def test_minhash_incremental_only_cross_pairs(spark):

@@ -499,3 +499,14 @@ def test_hashed_linear_score_guards(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         T.hashed_linear_score(df, "text", [])
+
+
+def test_hashed_linear_score_scratch_collision(spark):
+    """Input columns named _w/_z must survive the scoring untouched."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "hello world", 7, 9)],
+                               ["doc_id", "text", "_w", "_z"])
+    out = T.hashed_linear_score(df, "text", [0.1, -0.2, 0.3, 0.4])
+    row = out.collect()[0]
+    assert row["_w"] == 7 and row["_z"] == 9
+    assert 0.0 < row["score"] < 1.0
