@@ -532,6 +532,10 @@ BNLJ_ALLOWLIST = {
     # precomputed m×k tables (a handful of rows); the scan side reads
     # only the PQ-coded corpus. The intended PQ shape at any scale.
     "pq_ann",
+    # r9: the recall harness's EXACT ground-truth side is brute_force_topk
+    # (method='brute' — the declared baseline class, same as cosine_topk);
+    # the approx side under test is the IVF equi join.
+    "ann_recall",
 }
 
 
