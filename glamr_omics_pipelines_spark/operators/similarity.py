@@ -948,10 +948,15 @@ def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
         raise ValueError("ivfpq_adc_topk: nprobe must be >= 1")
     probes = F.expr(_nearest_cells_expr(vec_col, centroids,
                                         min(nprobe, len(centroids))))
-    q = F.broadcast(queries.select(
-        F.col(query_id),
-        F.expr(_adc_tables_sql(vec_col, codebooks)).alias("_adc"),
-        F.explode(probes.cast("array<int>")).alias("ivf_cell")))
+    # ADC tables in their OWN projection below the probe explode: a
+    # sibling column next to a generator re-evaluates per output element
+    # (the kmeans_lloyd finding) — nprobe× the m·k·dsub table build
+    q = F.broadcast(
+        queries.select(F.col(query_id),
+                       F.expr(_adc_tables_sql(vec_col, codebooks))
+                       .alias("_adc"),
+                       probes.cast("array<int>").alias("_probes"))
+        .select(query_id, "_adc", F.explode("_probes").alias("ivf_cell")))
     scored = (index.join(q, "ivf_cell")
               .filter(F.col(id_col) != F.col(query_id))
               .withColumn("adc", F.expr(
@@ -1002,9 +1007,14 @@ def kmeans_lloyd(df: DataFrame, vec_col: str,
     sizes = [0] * k
     for _ in range(iters):
         cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
-        stats = (df.select(cell.alias("ci"),
-                           F.posexplode(as_double_vec(vec_col))
-                           .alias("pos", "v"))
+        # assignment in its OWN projection below the generator: inlining
+        # the argmin into the posexplode select makes Generate re-evaluate
+        # it per exploded element (dim× per row) — measured 9× slower at
+        # sf0.1 (the Project under Generate survives CollapseProject)
+        assigned = df.select(cell.alias("ci"),
+                             as_double_vec(vec_col).alias("_v"))
+        stats = (assigned
+                 .select("ci", F.posexplode("_v").alias("pos", "v"))
                  .groupBy("ci", "pos")
                  .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")))
         means: dict[int, dict[int, float]] = {}
