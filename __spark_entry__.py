@@ -2479,6 +2479,58 @@ def q_minhash_incremental(spark, sf_dir):
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
 
 
+def q_incremental_curation(spark, sf_dir):
+    """END-TO-END incremental ingestion curation in ONE lazy plan — the
+    composition the session's incremental operators exist for: a new
+    batch (exact copies of part of the history + guaranteed-novel
+    reversed texts) is (a) exact-gated against the history's Bloom
+    bitmap on the text content (maybe_seen=false GUARANTEES no exact
+    match), (b) near-dup-probed against the history's persisted MinHash
+    band index (history never re-hashed), (c) LSH survivors exactly
+    verified with candidate-restricted Jaccard, and every new doc gets a
+    verdict: 'dup' (verified near/exact duplicate of history),
+    'flagged_exact' (Bloom hit but no verified near-dup — a false
+    positive or sub-threshold match), or 'novel'. The oracle recomputes
+    the Bloom bits (md5) and the exact cross-corpus Jaccard — verdict
+    logic, gate semantics and aggregation all under the hash (candidate
+    COUNTS are LSH-dependent and deliberately not output — the
+    minhash_dedup oracle convention)."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    new = (d.filter(F.col("doc_id") < 50)
+           .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+           .unionByName(
+               d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+               .select((F.col("doc_id") + 20000).alias("doc_id"),
+                       F.reverse("text").alias("text"))))
+    bloom = sketches.bloom_build(hist, "text", m_bits=4096, k=3)
+    gate = sketches.bloom_novel(new, "text", bloom, m_bits=4096, k=3)
+    hb = dedup.minhash_bands(hist, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    nb = dedup.minhash_bands(new, "doc_id", "text", num_hashes=32,
+                             bands=16, shingle_n=4)
+    cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id",
+                                            dedup_pairs=False)
+    union = hist.unionByName(new)
+    pairs = dedup.ngram_jaccard_pairs(
+        union, "doc_id", "text", shingle_n=4, threshold=0.9,
+        candidates=cands.select(F.col("id_hist").alias("id_a"),
+                                F.col("id_new").alias("id_b")))
+    dups = (pairs.groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+                 F.max("jaccard").alias("best_jaccard")))
+    out = (new.select("doc_id", "text")
+           .join(gate, "text", "left")
+           .join(dups, "doc_id", "left")
+           .withColumn("n_dups", F.coalesce("n_dups", F.lit(0)))
+           .withColumn("verdict",
+                       F.when(F.col("n_dups") > 0, F.lit("dup"))
+                       .when(F.col("maybe_seen"), F.lit("flagged_exact"))
+                       .otherwise(F.lit("novel"))))
+    return out.select("doc_id", "maybe_seen", "n_dups",
+                      _r4("best_jaccard").alias("best_jaccard"), "verdict")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-linear quality-classifier inference (operators/text.py:
     hashed_linear_score — the fastText-style scan-stage filter of the
@@ -4412,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "quality_classifier": q_quality_classifier,
         "minhash_incremental": q_minhash_incremental,
+        "incremental_curation": q_incremental_curation,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5167,6 +5220,68 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "ann_recall": _ann_recall_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "incremental_curation": """
+            WITH hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            new AS (
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 20000 AS doc_id, reverse(text) AS text
+              FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+            pos AS (
+              SELECT CAST(concat('0x', substr(md5(concat('bloom', g.h, ':',
+                       text)), 1, 8)) AS BIGINT) % 4096 AS pos
+              FROM hist, generate_series(0, 2) AS g(h)),
+            words AS (SELECT CAST(pos // 32 AS INT) AS word,
+                             bit_or(1::BIGINT << CAST(pos % 32 AS INT))
+                               AS bits
+                      FROM pos GROUP BY 1),
+            probes AS (
+              SELECT n.doc_id,
+                     CAST(concat('0x', substr(md5(concat('bloom', g.h, ':',
+                       n.text)), 1, 8)) AS BIGINT) % 4096 AS pos
+              FROM new n, generate_series(0, 2) AS g(h)),
+            gate AS (
+              SELECT doc_id,
+                     bool_and((coalesce(w.bits, 0)
+                       & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0)
+                       AS maybe_seen
+              FROM probes p
+              LEFT JOIN words w ON CAST(p.pos // 32 AS INT) = w.word
+              GROUP BY doc_id),
+            corpus AS (SELECT * FROM hist UNION ALL SELECT * FROM new),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 3, 1)),
+                       i -> substr(text, CAST(i AS INT), 4)))) AS s
+              FROM corpus),
+            sizes AS (SELECT doc_id, count(*) AS sz
+                      FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.s = b.s AND a.doc_id < 10000 AND b.doc_id >= 10000
+              GROUP BY a.doc_id, b.doc_id),
+            j AS (
+              SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b),
+            dups AS (
+              SELECT id_b AS doc_id, count(*)::BIGINT AS n_dups,
+                     round(max(jac), 4) AS best_jaccard
+              FROM j WHERE jac >= 0.9 GROUP BY id_b)
+            SELECT n.doc_id, g.maybe_seen,
+                   coalesce(d.n_dups, 0) AS n_dups, d.best_jaccard,
+                   CASE WHEN coalesce(d.n_dups, 0) > 0 THEN 'dup'
+                        WHEN g.maybe_seen THEN 'flagged_exact'
+                        ELSE 'novel' END AS verdict
+            FROM new n
+            JOIN gate g USING (doc_id)
+            LEFT JOIN dups d USING (doc_id)
+        """,
         "minhash_incremental": f"""
             SELECT * FROM ({_jaccard_sql('''
                 SELECT doc_id, text FROM documents WHERE doc_id < 100

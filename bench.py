@@ -183,6 +183,7 @@ HEADLINE = [
     "leakage_safe_split",  # cluster-grain split over the dup_clusters map
     "quality_classifier",  # hashed-linear sigmoid scoring, pure projection
     "minhash_incremental",  # new-batch bands vs persisted index + verify
+    "incremental_curation",  # bloom gate + band probe + verify, one plan
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.
