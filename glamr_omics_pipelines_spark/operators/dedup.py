@@ -755,9 +755,17 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     from glamr_omics_pipelines_spark.operators.similarity import (
         _nearest_centroid_expr, as_double_vec, dot_col, norm_col)
     cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
-    base = emb.select(F.col(id_col), cell.alias("ivf_cell"),
-                      as_double_vec(vec_col).alias("_v"),
-                      norm_col(vec_col).alias("_n"))
+    # the assignment frame feeds THREE subplans (pair sides a/b + the
+    # output grain) whose differing projections defeat ReuseExchange, so
+    # without a persist the O(n_cells·dim)-per-row argmin runs 3× — at
+    # production cell counts (SemDeDup scales cells with the corpus)
+    # assignment rivals the pair stage itself (measured in
+    # tools/semdedup_scale_sweep.py). At 100 TB, checkpoint this frame
+    # to parquet instead (it IS the write_ivf_index layout).
+    base = _cache.register(
+        emb.select(F.col(id_col), cell.alias("ivf_cell"),
+                   as_double_vec(vec_col).alias("_v"),
+                   norm_col(vec_col).alias("_n")))
     a = base.select(F.col(id_col).alias("id_a"), "ivf_cell",
                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = base.select(F.col(id_col).alias("id_b"), "ivf_cell",
