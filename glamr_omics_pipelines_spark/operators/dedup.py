@@ -720,7 +720,8 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def semdedup(emb: DataFrame, id_col: str, vec_col: str,
              centroids: list[list[float]], threshold: float = 0.95,
-             round_decimals: int = 6) -> DataFrame:
+             round_decimals: int = 6,
+             assign_strategy: str = "auto") -> DataFrame:
     """Cluster-scoped semantic deduplication (the SemDeDup shape, Abbas et
     al. 2023): assign every embedding to its nearest k-means cell, compute
     cosine similarity ONLY within a cell, and drop each row that has a
@@ -753,8 +754,7 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     (Snakefile:2529) applied at embedding grain.
     """
     from glamr_omics_pipelines_spark.operators.similarity import (
-        _nearest_centroid_expr, as_double_vec, dot_col, norm_col)
-    cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
+        as_double_vec, assign_cells, dot_col, norm_col)
     # the assignment frame feeds THREE subplans (pair sides a/b + the
     # output grain) whose differing projections defeat ReuseExchange, so
     # without a persist the O(n_cells·dim)-per-row argmin runs 3× — at
@@ -762,10 +762,17 @@ def semdedup(emb: DataFrame, id_col: str, vec_col: str,
     # assignment rivals the pair stage itself (measured in
     # tools/semdedup_scale_sweep.py). At 100 TB, checkpoint this frame
     # to parquet instead (it IS the write_ivf_index layout).
+    # ``assign_strategy``: 'auto' (default) stays on the value-exact
+    # expr form below 4096 model cells (every oracle row's regime) and
+    # switches to the BLAS arrow kernel at production cell counts
+    # (measured 26x at 220k rows x 800 cells); see
+    # similarity.assign_cells for the boundary-ulp contract.
     base = _cache.register(
-        emb.select(F.col(id_col), cell.alias("ivf_cell"),
-                   as_double_vec(vec_col).alias("_v"),
-                   norm_col(vec_col).alias("_n")))
+        assign_cells(
+            emb.select(F.col(id_col), as_double_vec(vec_col).alias("_v"),
+                       norm_col(vec_col).alias("_n")),
+            "_v", centroids, out="ivf_cell", strategy=assign_strategy)
+        .select(id_col, "ivf_cell", "_v", "_n"))
     a = base.select(F.col(id_col).alias("id_a"), "ivf_cell",
                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = base.select(F.col(id_col).alias("id_b"), "ivf_cell",

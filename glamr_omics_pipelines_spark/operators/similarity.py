@@ -972,8 +972,9 @@ def ivfpq_adc_topk(index: DataFrame, queries: DataFrame,
 
 def kmeans_lloyd(df: DataFrame, vec_col: str,
                  init_centroids: list[list[float]], iters: int = 2,
-                 round_decimals: int = 6) -> tuple[list[list[float]],
-                                                   list[int]]:
+                 round_decimals: int = 6,
+                 strategy: str = "auto") -> tuple[list[list[float]],
+                                                  list[int]]:
     """Distributed Lloyd iterations over the FULL corpus (the k-means the
     SemDeDup/IVF quantizers are trained with when a bounded sample is not
     enough — cf. :func:`train_ivf_centroids`, which Lloyd-iterates a
@@ -1005,14 +1006,20 @@ def kmeans_lloyd(df: DataFrame, vec_col: str,
     centroids = [[float(x) for x in c] for c in init_centroids]
     k, dim = len(centroids), len(centroids[0])
     sizes = [0] * k
+    src = df.select(as_double_vec(vec_col).alias("_v"))
     for _ in range(iters):
-        cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
         # assignment in its OWN projection below the generator: inlining
         # the argmin into the posexplode select makes Generate re-evaluate
         # it per exploded element (dim× per row) — measured 9× slower at
-        # sf0.1 (the Project under Generate survives CollapseProject)
-        assigned = df.select(cell.alias("ci"),
-                             as_double_vec(vec_col).alias("_v"))
+        # sf0.1 (the Project under Generate survives CollapseProject).
+        # ``strategy`` selects the assignment kernel (see assign_cells):
+        # 'auto' (default) = expr below 4096 model cells (the value-exact
+        # oracle regime), BLAS arrow above (26x at 800 cells); the
+        # ROUND-6 mean barrier
+        # then absorbs the kernels' ~1-ulp distance differences except on
+        # exact Voronoi boundaries.
+        assigned = assign_cells(src, "_v", centroids, out="ci",
+                                strategy=strategy)
         stats = (assigned
                  .select("ci", F.posexplode("_v").alias("pos", "v"))
                  .groupBy("ci", "pos")
@@ -1101,3 +1108,57 @@ def ivfpq_probe_partitioned(spark, path: str, queries: DataFrame,
     return ivfpq_adc_topk(index, queries, codebooks, centroids, k=k,
                           nprobe=nprobe, vec_col=vec_col,
                           query_id=query_id)
+
+
+def assign_cells(df: DataFrame, vec_col: str,
+                 centroids: list[list[float]], out: str = "ivf_cell",
+                 strategy: str = "auto") -> DataFrame:
+    """Nearest-centroid assignment of every row, as a column ``out`` —
+    the shared front stage of semdedup / kmeans_lloyd / IVF indexing.
+
+    - ``strategy='expr'``: the centroid literals ride the expression tree
+      (codegen-friendly, value-exact vs the SQL oracles). Per-row cost is
+      O(n_cells · dim) interpreted — fine for a coarse quantizer (tens of
+      cells), quadratic-feeling when cells scale with the corpus (the
+      SemDeDup shape: measured in tools/semdedup_scale_sweep.py).
+    - ``strategy='arrow'``: ONE Arrow-batched mapInPandas kernel computes
+      all distances as a BLAS matmul (‖x−c‖² = ‖x‖² − 2x·Cᵀ + ‖c‖², with
+      ‖x‖² constant per row so argmin needs only −2x·Cᵀ + ‖c‖²) — the
+      vectorized form the 100 TB assignment runs. Ties and Voronoi-
+      boundary rows: argmin takes the LOWEST index (the expr tiebreak),
+      but the float expansion differs from the expr form's (x−y)² fold
+      by ~1 ulp, so a row equidistant to machine precision may assign
+      differently — measure-zero on real data, and why oracle rows pin
+      ``strategy='expr'``.
+    - ``strategy='auto'``: 'arrow' when n_cells × dim ≥ 4096 (where the
+      interpreted scan starts to dominate), else 'expr'. The choice
+      depends only on the model shape — deterministic for a given call.
+    """
+    if strategy not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"assign_cells: strategy must be auto|expr|arrow, "
+            f"got {strategy!r}")
+    if strategy == "auto":
+        strategy = ("arrow" if len(centroids) * len(centroids[0]) >= 4096
+                    else "expr")
+    if strategy == "expr":
+        return df.withColumn(out, F.expr(
+            _nearest_centroid_expr(vec_col, centroids)).cast("int"))
+    cents = [[float(x) for x in c] for c in centroids]
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, `{out}` int"
+
+    def kernel(batches):
+        import numpy as np
+        C = np.array(cents, dtype=np.float64)          # k × d
+        c2 = (C * C).sum(axis=1)                       # ‖c‖²
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = -2.0 * (X @ C.T) + c2             # argmin-equivalent
+            pdf[out] = scores.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)

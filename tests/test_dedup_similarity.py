@@ -931,3 +931,66 @@ def test_minhash_incremental_only_cross_pairs(spark):
     cands = dedup.minhash_lsh_candidates_vs(nb, hb, "doc_id").collect()
     assert cands
     assert all(r["id_hist"] <= 4 and r["id_new"] >= 101 for r in cands)
+
+
+# ---------------------------------------------------------------------------
+# assign_cells (expr vs arrow BLAS assignment kernels)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_cells_strategies_agree(spark):
+    import random
+    rng = random.Random(17)
+    # well-separated data: rows near one of 3 distant anchors
+    anchors = [[10.0 * (a == j) for j in range(8)] for a in range(3)]
+    rows = [(i, [anchors[i % 3][j] + rng.gauss(0, 0.1) for j in range(8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {}
+    for strat in ("expr", "arrow"):
+        out = similarity.assign_cells(df, "embedding", anchors,
+                                      strategy=strat)
+        got[strat] = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    assert got["expr"] == got["arrow"]
+    assert all(got["expr"][i] == i % 3 for i in range(120))
+
+
+def test_assign_cells_auto_picks_by_model_size(spark):
+    df = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
+    small = similarity.assign_cells(df, "embedding",
+                                    [[0.0, 0.0], [0.0, 2.0]])
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan          # tiny model -> expr
+    big_cents = [[float(i == j) for j in range(64)] for i in range(64)]
+    df64 = spark.createDataFrame(
+        [(1, [float(j == 7) for j in range(64)])], ["vec_id", "embedding"])
+    big = similarity.assign_cells(df64, "embedding", big_cents)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan              # 64x64 >= 4096 -> arrow
+    assert big.collect()[0]["ivf_cell"] == 7  # still correct
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.assign_cells(df64, "embedding", big_cents,
+                                strategy="nope")
+
+
+def test_kmeans_lloyd_arrow_strategy_matches_expr(spark):
+    rows = [(1, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+            (4, [10.0, 10.0]), (5, [10.2, 10.0]), (6, [10.0, 10.2])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init = [[1.0, 1.0], [9.0, 9.0]]
+    a = similarity.kmeans_lloyd(df, "embedding", init, iters=3)
+    b = similarity.kmeans_lloyd(df, "embedding", init, iters=3,
+                                strategy="arrow")
+    assert a == b
+
+
+def test_semdedup_arrow_strategy_matches_expr(spark):
+    out_e = dedup.semdedup(_semdedup_frame(spark), "vec_id", "embedding",
+                           _SEM_CENTS, threshold=0.95)
+    out_a = dedup.semdedup(_semdedup_frame(spark), "vec_id", "embedding",
+                           _SEM_CENTS, threshold=0.95,
+                           assign_strategy="arrow")
+    key = lambda r: r["vec_id"]
+    assert sorted(out_e.collect(), key=key) == sorted(out_a.collect(),
+                                                      key=key)
