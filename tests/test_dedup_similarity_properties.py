@@ -126,3 +126,92 @@ def test_brute_force_topk_matches_numpy_cosines(spark, vs, k):
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, brute))
     for r in rows:
         assert abs(r.cosine - cos(vs[0], vs[r.neighbor_id])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Late-r9 operators: semdedup / bloom / hist sketch vs Python references
+# ---------------------------------------------------------------------------
+
+_vecs = st.lists(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=2, max_size=8)
+
+
+@settings(**SETTINGS)
+@given(_vecs)
+def test_semdedup_single_cell_matches_python_greedy(spark, vecs):
+    """With ONE cell covering everything, semdedup's drop rule reduces to
+    the global greedy keep-lowest-id law: row i is dropped iff some j < i
+    has round-6 cosine >= threshold, and dup_of is the SMALLEST such j —
+    verified against plain Python arithmetic."""
+    th = 0.9
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id int, embedding array<double>")
+    out = dedup.semdedup(df, "vec_id", "embedding",
+                         centroids=[[0.0, 0.0, 0.0]], threshold=th)
+    got = {r["vec_id"]: (r["dup_of"], r["keep"]) for r in out.collect()}
+    spark.catalog.clearCache()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return None if na == 0 or nb == 0 else num / (na * nb)
+
+    for i in range(len(vecs)):
+        dup_of = None
+        for j in range(i):
+            c = cos(vecs[j], vecs[i])
+            if c is not None and round(c, 6) >= th:
+                dup_of = j
+                break
+        assert got[i] == (dup_of, dup_of is None), (i, vecs)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="abcd", min_size=0, max_size=6),
+                min_size=1, max_size=20),
+       st.integers(1, 4))
+def test_bloom_no_false_negatives_property(spark, keys, k):
+    """The no-false-negative law on arbitrary key sets and hash counts:
+    every key that went INTO the filter tests maybe_seen."""
+    from glamr_omics_pipelines_spark.operators import sketches
+    df = spark.createDataFrame([(x,) for x in keys], ["key"])
+    bloom = sketches.bloom_build(df, "key", m_bits=256, k=k)
+    out = sketches.bloom_novel(df, "key", bloom, m_bits=256, k=k)
+    rows = out.collect()
+    spark.catalog.clearCache()
+    assert len(rows) == len(set(keys))
+    assert all(r["maybe_seen"] for r in rows)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40),
+       st.sampled_from([0.5, 1.0, 7.5]))
+def test_hist_quantile_bounds_property(spark, vals, width):
+    """On arbitrary inputs: rollup of singleton-group sketches equals the
+    direct sketch, and every quantile estimate lands within one bin width
+    of a true order statistic."""
+    from glamr_omics_pipelines_spark.operators import sketches
+    rows = [("g", f"p{i % 3}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "part", "v"])
+    fine = sketches.hist_sketch(df, ["g", "part"], "v", width=width)
+    merged = sketches.hist_rollup(fine, ["g"])
+    direct = sketches.hist_sketch(df, ["g"], "v", width=width)
+    a = {(r["g"], r["bin"]): r["n"] for r in merged.collect()}
+    b = {(r["g"], r["bin"]): r["n"] for r in direct.collect()}
+    assert a == b
+    out = sketches.hist_quantiles(merged, ["g"], [0.25, 0.5, 1.0],
+                                  width=width)
+    got = {r["q"]: r["est"] for r in out.collect()}
+    spark.catalog.clearCache()
+    svals = sorted(vals)
+    n = len(svals)
+    for q, est in got.items():
+        rank = max(math.ceil(q * n) - 1, 0)
+        assert abs(est - svals[rank]) <= width + 1e-9, (q, est, svals)
