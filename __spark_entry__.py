@@ -2479,6 +2479,34 @@ def q_minhash_incremental(spark, sf_dir):
     return pairs.select("id_a", "id_b", _r4("jaccard").alias("jaccard"))
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Budget/epoch mixture planning (operators/sampling.py:mixture_plan
+    — the data-mixing table a training run is configured from, completing
+    the sampling family: temperature_sample rate-limits, mixture_sample
+    hits target shares, mixture_plan PLANS the budget): α=0.5 weights
+    over per-lang token mass, budget = 2× the corpus, epochs capped at
+    2.5 with clipped domains' unused budget water-filled back over the
+    rest. The budget is integer-exact on both engines (2.0 × an exact
+    bigint sum), so the only cross-engine float drift is the 1-ulp
+    pow/sum class round-4 absorbs. The oracle unrolls TWO water-filling
+    rounds (idempotent when the fixed point lands in one); the engine
+    asserts rounds ≤ 2 diagnosably (the n_batches pin pattern) — at
+    sf0.01 round 1 clips 'de' and round 2 redistributes cleanly."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    plan, rounds = sampling.mixture_plan(
+        d, "lang", F.col("n_chars"), token_budget=2.0 * total,
+        alpha=0.5, max_epochs=2.5)
+    if rounds > 2:
+        raise ValueError(
+            f"mixture_plan ran {rounds} water-filling rounds at this "
+            f"scale factor; the oracle unrolls 2 — a round-2 clip means "
+            f"the fixture needs a deeper unroll, not a silent mismatch")
+    return plan.select(F.col("lang"), "n_tokens",
+                       _r4("epochs").alias("epochs"),
+                       _r4("share").alias("share"), "clipped")
+
+
 def q_incremental_curation(spark, sf_dir):
     """END-TO-END incremental ingestion curation in ONE lazy plan — the
     composition the session's incremental operators exist for: a new
@@ -4465,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "minhash_incremental": q_minhash_incremental,
         "incremental_curation": q_incremental_curation,
+        "mixture_plan": q_mixture_plan,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5220,6 +5249,33 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_lloyd": _kmeans_lloyd_sql(),
         "ann_recall": _ann_recall_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "mixture_plan": """
+            WITH c AS (SELECT lang, sum(n_chars)::DOUBLE AS n
+                       FROM documents GROUP BY lang),
+            p AS (SELECT 2.0 * (SELECT sum(n_chars) FROM documents) AS B),
+            r1 AS (
+              SELECT lang, n,
+                     (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM c))
+                       * (SELECT B FROM p) / n AS e1
+              FROM c),
+            c1 AS (SELECT lang, n, e1 > 2.5 AS clip1 FROM r1),
+            s AS (
+              SELECT (SELECT B FROM p)
+                       - coalesce(sum(CASE WHEN clip1 THEN 2.5 * n END), 0)
+                       AS brem,
+                     sum(CASE WHEN NOT clip1 THEN pow(n, 0.5) END) AS z2
+              FROM c1),
+            r2 AS (
+              SELECT c1.lang, c1.n, c1.clip1,
+                     CASE WHEN clip1 THEN 2.5
+                          ELSE (pow(n, 0.5) / s.z2) * s.brem / n
+                     END AS e2
+              FROM c1, s)
+            SELECT lang, n AS n_tokens, round(e2, 4) AS epochs,
+                   round(e2 * n / (SELECT B FROM p), 4) AS share,
+                   clip1 AS clipped
+            FROM r2
+        """,
         "incremental_curation": """
             WITH hist AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 100),

@@ -184,6 +184,7 @@ HEADLINE = [
     "quality_classifier",  # hashed-linear sigmoid scoring, pure projection
     "minhash_incremental",  # new-batch bands vs persisted index + verify
     "incremental_curation",  # bloom gate + band probe + verify, one plan
+    "mixture_plan",      # domain-grain agg + metadata-scale water-filling
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

@@ -324,3 +324,76 @@ def leakage_safe_split(df: DataFrame, id_col: str, labels: DataFrame,
     b = hash_bucket(F.col("_rep"), 100, salt)
     return rep.withColumn(
         out, F.when(b < train_pct, F.lit("train")).otherwise(F.lit("test")))
+
+
+def mixture_plan(df: DataFrame, group_col: str, size_col,
+                 token_budget: float, alpha: float = 0.5,
+                 max_epochs: float = 4.0,
+                 max_rounds: int = 8) -> tuple[DataFrame, int]:
+    """α-weighted corpus-mixture planning with epoch caps — the
+    data-mixing table a training run is configured from (the GPT-3 /
+    DoReMi shape): domain weights ∝ n_tokensᵅ (α < 1 upweights small
+    domains), scaled to ``token_budget``, with any domain that would
+    repeat more than ``max_epochs`` times CLIPPED at the cap and its
+    unused budget water-filled back over the unclipped domains
+    (iterated to a fixed point — each round clips at least one new
+    domain, so rounds ≤ #domains; ``max_rounds`` is a diagnostic
+    backstop).
+
+    Returns ``(plan, rounds)``: one row per domain — (``group_col``,
+    n_tokens, epochs, share, clipped) with ``share`` = the fraction of
+    the budget the domain receives — plus the number of water-filling
+    rounds actually run (callers replaying a fixed-round oracle pin it).
+
+    Scale shape: ONE partial-agg scan reduces the corpus to domain-grain
+    (group, n_tokens) rows; the water-filling fixed point runs on that
+    metadata-scale table driver-side (domains are tens-to-hundreds — the
+    kmeans_lloyd k×dim collect contract). Beyond-reference operator
+    (SURVEY §8); completes the sampling family: temperature_sample
+    rate-limits rows, mixture_sample hits target shares, mixture_plan
+    PLANS the budget.
+    """
+    if token_budget <= 0:
+        raise ValueError("mixture_plan: token_budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("mixture_plan: max_epochs must be > 0")
+    size = (F.sum(size_col).cast("double") if size_col is not None
+            else F.count(F.lit(1)).cast("double"))
+    rows = (df.groupBy(group_col).agg(size.alias("n"))
+            .filter(F.col("n") > 0).collect())     # domain-grain
+    if not rows:
+        raise ValueError("mixture_plan: empty corpus")
+    doms = sorted((r[group_col], float(r["n"])) for r in rows)
+    clipped: dict = {}
+    rounds = 0
+    while True:
+        rounds += 1
+        budget_rem = token_budget - sum(max_epochs * n
+                                        for g, n in doms if g in clipped)
+        free = [(g, n) for g, n in doms if g not in clipped]
+        z = sum(n ** alpha for _, n in free)
+        new_clip = False
+        epochs = {}
+        for g, n in free:
+            e = (n ** alpha / z) * budget_rem / n if z > 0 else 0.0
+            if e > max_epochs:
+                clipped[g] = True
+                new_clip = True
+            else:
+                epochs[g] = e
+        if not new_clip or len(clipped) == len(doms):
+            break
+        if rounds >= max_rounds:
+            raise ValueError(
+                f"mixture_plan: no fixed point in {max_rounds} rounds "
+                f"({len(clipped)}/{len(doms)} domains clipped)")
+    spark = df.sparkSession
+    out_rows = []
+    for g, n in doms:
+        e = max_epochs if g in clipped else epochs.get(g, 0.0)
+        out_rows.append((g, float(n), float(e),
+                         float(e * n / token_budget), g in clipped))
+    plan = spark.createDataFrame(
+        out_rows, f"`{group_col}` string, n_tokens double, epochs double,"
+                  " share double, clipped boolean")
+    return plan, rounds

@@ -5,10 +5,13 @@ from __future__ import annotations
 
 import hashlib
 import math
+
+import pytest
 from collections import Counter
 from decimal import Decimal, ROUND_HALF_UP
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from glamr_omics_pipelines_spark.operators import sampling
 
@@ -130,3 +133,64 @@ def test_leakage_safe_split_guards(spark):
         sampling.leakage_safe_split(df, "doc_id", empty, train_pct=0)
     with _pytest.raises(ValueError):
         sampling.leakage_safe_split(df, "doc_id", empty, train_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_plan_uncapped_matches_alpha_weights(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    rows = [("a", 100), ("a", 100), ("b", 800)]
+    df = spark.createDataFrame(rows, ["g", "n"])
+    plan, rounds = sampling.mixture_plan(
+        df, "g", F.col("n"), token_budget=1000.0, alpha=0.5,
+        max_epochs=100.0)
+    assert rounds == 1
+    got = {r["g"]: r for r in plan.collect()}
+    import math
+    z = math.sqrt(200) + math.sqrt(800)
+    ea = (math.sqrt(200) / z) * 1000 / 200
+    assert got["a"]["epochs"] == pytest.approx(ea)
+    assert not got["a"]["clipped"] and not got["b"]["clipped"]
+    # shares sum to 1 when nothing clips
+    assert sum(r["share"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_mixture_plan_waterfills_clipped_budget(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    # tiny domain would repeat far beyond the cap; its excess goes to b
+    rows = [("a", 10), ("b", 1000)]
+    df = spark.createDataFrame(rows, ["g", "n"])
+    plan, rounds = sampling.mixture_plan(
+        df, "g", F.col("n"), token_budget=2000.0, alpha=0.5,
+        max_epochs=2.0)
+    got = {r["g"]: r for r in plan.collect()}
+    assert rounds == 2
+    assert got["a"]["clipped"] and got["a"]["epochs"] == 2.0
+    # b absorbs the remaining budget exactly: (2000 - 20) / 1000
+    assert got["b"]["epochs"] == pytest.approx(1.98)
+    assert not got["b"]["clipped"]
+    # total allocation == budget when at least one domain is unclipped
+    alloc = sum(r["epochs"] * r["n_tokens"] for r in got.values())
+    assert alloc == pytest.approx(2000.0)
+
+
+def test_mixture_plan_all_clipped_and_guards(spark):
+    from glamr_omics_pipelines_spark.operators import sampling
+    df = spark.createDataFrame([("a", 10), ("b", 20)], ["g", "n"])
+    # budget so large every domain hits the cap: allocation < budget
+    plan, rounds = sampling.mixture_plan(
+        df, "g", F.col("n"), token_budget=1e9, alpha=0.5, max_epochs=3.0)
+    got = {r["g"]: r for r in plan.collect()}
+    assert all(r["clipped"] and r["epochs"] == 3.0 for r in got.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.mixture_plan(df, "g", F.col("n"), token_budget=0.0)
+    with _pytest.raises(ValueError):
+        sampling.mixture_plan(df, "g", F.col("n"), token_budget=10.0,
+                              max_epochs=0.0)
+    with _pytest.raises(ValueError):
+        sampling.mixture_plan(df.filter("n > 99"), "g", F.col("n"),
+                              token_budget=10.0)
