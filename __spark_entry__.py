@@ -3181,6 +3181,65 @@ def q_tfidf_topk(spark, sf_dir):
                       F.col("term_rank").cast("bigint").alias("term_rank"))
 
 
+# frozen BM25 query set — ONE canonical constant; the oracle's VALUES
+# clause is GENERATED from it (the translate_dna single-constant convention)
+_BM25_QUERIES = [("q1", "spark table scan"), ("q2", "dup filter"),
+                 ("q3", "fast vector query")]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-5 retrieval for a frozen 3-query set
+    (operators/text.py:bm25_topk — the decontamination-lookup /
+    targeted-audit retrieval step over the curation corpus): query-term
+    isin filter BEFORE the only data-grain shuffle, one-row N/avgdl
+    broadcast attach, ranking on round(score, 6) with doc-id tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.bm25_topk(d, "doc_id", "text", _BM25_QUERIES,
+                         k1=1.2, b=0.75, top_k=5)
+    return out.select("query_id", "doc_id", _r4("bm25").alias("bm25"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def _bm25_search_sql(k1: float = 1.2, b: float = 0.75,
+                     top_k: int = 5) -> str:
+    """Oracle for q_bm25_search: same tokenize → restricted-tf → df →
+    Lucene idf → BM25 sum → round-6-ranked top-k pipeline in DuckDB, the
+    query VALUES generated from _BM25_QUERIES."""
+    qrows = sorted({(qid, t) for qid, qtext in _BM25_QUERIES
+                    for t in qtext.lower().split()})
+    values = ", ".join(f"('{qid}', '{t}')" for qid, t in qrows)
+    terms = ", ".join(f"'{t}'" for t in sorted({t for _, t in qrows}))
+    return f"""
+        WITH q(query_id, term) AS (VALUES {values}),
+        base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM base),
+        tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+               FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 ln(1.0 + (s.n - d.dft + 0.5) / (d.dft + 0.5))
+                 * tf.tf * ({k1} + 1.0)
+                 / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) AS w
+          FROM tf JOIN dfreq d USING (term) JOIN q USING (term)
+          CROSS JOIN stats s),
+        agg AS (SELECT query_id, doc_id, sum(w) AS bm25
+                FROM scored GROUP BY query_id, doc_id),
+        r AS (SELECT query_id, doc_id, bm25, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+              FROM agg)
+        SELECT query_id, doc_id, round(bm25, 4) AS bm25,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= {top_k}
+    """
+
+
 def q_winsorize(spark, sf_dir):
     """Per-group winsorization (robust-stats companion of coverM's
     trimmed_mean, Snakefile:1663-1669): clip doc length into the per-lang
@@ -4494,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "incremental_curation": q_incremental_curation,
         "mixture_plan": q_mixture_plan,
+        "bm25_search": q_bm25_search,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5403,6 +5463,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
         """,
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
+        "bm25_search": _bm25_search_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

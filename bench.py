@@ -185,6 +185,7 @@ HEADLINE = [
     "minhash_incremental",  # new-batch bands vs persisted index + verify
     "incremental_curation",  # bloom gate + band probe + verify, one plan
     "mixture_plan",      # domain-grain agg + metadata-scale water-filling
+    "bm25_search",       # query-term-pruned tf shuffle + broadcast idf
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

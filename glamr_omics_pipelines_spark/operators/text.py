@@ -435,6 +435,77 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
                  .alias("postings")))
 
 
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              queries: list[tuple[str, str]], k1: float = 1.2,
+              b: float = 0.75, top_k: int = 10,
+              query_id: str = "query_id") -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck-Jones; the Lucene/Okapi
+    ranking) of corpus documents for a FROZEN query set — the retrieval
+    step a curation pipeline runs for decontamination lookups, targeted
+    quality audits, and eval-set neighborhood checks. ``queries`` is a
+    list of (query_id, query_text) pairs (the frozen query set, literal
+    like a tokenizer model — data-independent, so the oracle replicates
+    it). idf uses Lucene's non-negative form ln(1+(N−df+0.5)/(df+0.5)).
+
+    Scale shape: the corpus is tokenized ONCE per branch and the
+    query-term ``isin`` filter lands BEFORE the only data-grain shuffle —
+    term-frequency aggregation runs only over postings of the handful of
+    query terms, so the shuffle is bounded by Σ df(query terms), never
+    corpus-sized. Document length rides the explode scan as a sibling
+    column (O(1) array_size — the Generate-sibling re-eval is free);
+    corpus N/avgdl is a one-row broadcast attach (class_tfidf
+    convention); df(term) re-aggregates the tf exchange (ReuseExchange —
+    ≤ |query terms| rows, broadcast back). Final ranking is one bounded
+    row_number window per query, ordered by round(score, 6) desc with an
+    id tiebreak (the cosine_topk cross-engine-stable convention).
+
+    Output: (query_id, id_col, bm25, rank), rank ≤ ``top_k``. Documents
+    sharing no term with a query simply don't appear (score 0 rows are
+    not materialized — at web scale they are the corpus).
+    """
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
+    if top_k <= 0:
+        raise ValueError("bm25_topk: top_k must be positive")
+    qrows = sorted({(qid, t) for qid, qtext in queries
+                    for t in qtext.lower().split()})
+    if not qrows:
+        raise ValueError("bm25_topk: queries contain no terms")
+    qterms = sorted({t for _, t in qrows})
+    qdf = df.sparkSession.createDataFrame(
+        qrows, schema=f"{query_id} string, term string")
+    # one-row corpus stats (N, avgdl) — broadcast attach
+    stats = (df.select(F.array_size(lower_tokens(text_col)).alias("_dl"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.avg("_dl").alias("_avgdl")))
+    # tokenize-once scan; dl rides the explode as an O(1) sibling
+    base = df.select(F.col(id_col).alias("_doc"),
+                     lower_tokens(text_col).alias("_toks"))
+    toks = base.select("_doc", F.array_size("_toks").alias("_dl"),
+                       F.explode("_toks").alias("term"))
+    tf = (toks.filter(F.col("term").isin(qterms))
+          .groupBy("_doc", "term")
+          .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(qdf), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("_idf", F.log(
+                  F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5)))
+              .withColumn("_w", F.col("_idf") * F.col("_tf") * (k1 + 1.0)
+                          / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl")
+                                                  / F.col("_avgdl")))))
+    out = (scored.groupBy(query_id, F.col("_doc").alias(id_col))
+           .agg(F.sum("_w").alias("bm25")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("bm25"), 6).desc(), F.col(id_col).asc())
+    return (out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(query_id, id_col, "bm25", "rank"))
+
+
 def learn_bpe_merges(df: DataFrame, text_col: str,
                      num_merges: int = 10) -> list[tuple[str, str]]:
     """Learn byte-pair-encoding merge rules from a corpus (Sennrich et al.

@@ -191,3 +191,59 @@ def test_pmi_collocations_min_count_gate(spark):
     df = spark.createDataFrame([("a b a b", ), ("c d",)], ["text"])
     out = T.pmi_collocations(df, "text", min_count=2, top_k=10).collect()
     assert {(r["a"], r["b"]) for r in out} == {("a", "b")}  # (c,d) count 1 gated
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query over a 3-doc corpus: BM25 reduces to
+    idf·tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) — hand-checked, and the
+    shorter doc with equal tf must outrank the longer one."""
+    import math
+    from glamr_omics_pipelines_spark.operators import text as T
+    rows = [(1, "cat dog"), (2, "cat cat mouse fish"), (3, "bird fish")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.bm25_topk(df, "doc_id", "text", [("q", "cat")],
+                      k1=1.2, b=0.75, top_k=10).collect()
+    got = {r["doc_id"]: (r["bm25"], r["rank"]) for r in out}
+    assert set(got) == {1, 2}  # doc 3 shares no term
+    n, avgdl = 3, (2 + 4 + 2) / 3
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert math.isclose(got[1][0], score(1, 2), rel_tol=1e-9)
+    assert math.isclose(got[2][0], score(2, 4), rel_tol=1e-9)
+    # tf=2 in the longer doc still wins here; rank order checked explicitly
+    assert got[2][1] == 1 and got[1][1] == 2
+
+
+def test_bm25_multi_term_sum_and_topk_cut(spark):
+    """Multi-term query sums per-term contributions; top_k bounds rows per
+    query; a query whose terms are absent returns no rows (never 0-score
+    rows for the whole corpus)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    rows = [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(10)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               ["doc_id", "text"])
+    out = T.bm25_topk(df, "doc_id", "text",
+                      [("q1", "alpha gamma"), ("q2", "zzz")], top_k=4)
+    rows_out = out.collect()
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "q2" not in by_q  # absent terms → no rows
+    assert len(by_q["q1"]) == 4  # top_k cut
+    assert [r["rank"] for r in sorted(by_q["q1"], key=lambda r: r["rank"])] \
+        == [1, 2, 3, 4]
+
+
+def test_bm25_guards(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, "doc_id", "text", [])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, "doc_id", "text", [("q", "  ")])
+    with _pytest.raises(ValueError):
+        T.bm25_topk(df, "doc_id", "text", [("q", "a")], top_k=0)
