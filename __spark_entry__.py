@@ -22,7 +22,7 @@ from glamr_omics_pipelines_spark.operators import abundance, dedup, external, jo
 from glamr_omics_pipelines_spark.operators import diversity, entity, graph, intervals
 from glamr_omics_pipelines_spark.operators import layout, sketches, stats, validate
 from glamr_omics_pipelines_spark.operators import sampling, similarity, text, timeseries
-from glamr_omics_pipelines_spark.operators import taxonomy, windows
+from glamr_omics_pipelines_spark.operators import taxonomy, web, windows
 from glamr_omics_pipelines_spark.operators.reshape import (
     pivot_longer, pivot_wider, separate_longer_delim)
 from glamr_omics_pipelines_spark.functions import bio
@@ -3181,6 +3181,138 @@ def q_tfidf_topk(spark, sf_dir):
                       F.col("term_rank").cast("bigint").alias("term_rank"))
 
 
+# frozen domain blocklist — ONE canonical constant shared by the engine
+# query and the generated oracle (the translate_dna convention); includes a
+# nested pair (es.org ⊂ src0.es.org) so longest-match is exercised
+_DOMAIN_BLOCKLIST = ["es.org", "src0.es.org", "ads.src2.zh.org",
+                     "src1.en.org"]
+
+# raw-URL construction shared (conceptually) by q_url_dedup and its oracle:
+# variants that MUST collapse under normalization — scheme/host case, www.,
+# default port, tracking params + param order, fragment
+_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END, "
+    "source, '.Example.com', "
+    "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, "
+    "'/', lang, '/D', CAST(doc_id % 25 AS STRING), "
+    "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "     WHEN doc_id % 5 = 1 THEN '?a=1&b=2' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)")
+
+
+def q_url_dedup(spark, sf_dir):
+    """Exact dedup at normalized-URL grain (operators/web.py:normalize_url /
+    url_dedup — the first gate of a crawl-corpus pipeline): deterministic
+    raw-URL variants derived from documents (case/www/port/tracking-param/
+    fragment noise) collapse to canonical URLs; survivor = min doc_id.
+    Normalization is ONE row-local codegen column; the only shuffle is the
+    URL-grain partial agg."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    out = web.url_dedup(raw, "doc_id", "url")
+    return out.select("normalized_url",
+                      F.col("n_urls").cast("bigint").alias("n_urls"),
+                      F.col("canonical_id").cast("bigint")
+                      .alias("canonical_id"))
+
+
+_URL_DUCK = _URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _url_dedup_sql() -> str:
+    """Oracle for q_url_dedup: the same raw-URL construction (engine
+    expression string reused with one type-name swap) + the normalize_url
+    step chain in DuckDB list/string functions."""
+    return f"""
+        WITH raw AS (SELECT doc_id, {_URL_DUCK} AS u FROM documents),
+        s1 AS (SELECT doc_id, split_part(u, '#', 1) AS u1 FROM raw),
+        s2 AS (SELECT doc_id, u1, split_part(u1, '?', 1) AS pre,
+                      CASE WHEN len(u1) > len(split_part(u1, '?', 1))
+                           THEN substr(u1, len(split_part(u1, '?', 1)) + 2)
+                           ELSE '' END AS q
+               FROM s1),
+        s3 AS (SELECT doc_id, q, string_split(pre, '/') AS parts FROM s2),
+        s4 AS (SELECT doc_id, q,
+                      lower(parts[1] || '//' || parts[3]) AS sh0,
+                      CASE WHEN len(parts) > 3
+                           THEN '/' || array_to_string(parts[4:], '/')
+                           ELSE '' END AS path0
+               FROM s3),
+        s5 AS (SELECT doc_id, q, path0,
+                      regexp_replace(
+                        CASE WHEN starts_with(sh0, 'http://')
+                               THEN regexp_replace(sh0, ':80$', '')
+                             WHEN starts_with(sh0, 'https://')
+                               THEN regexp_replace(sh0, ':443$', '')
+                             ELSE sh0 END,
+                        '^(https?://)www\\.', '\\1') AS sh
+               FROM s4),
+        s6 AS (SELECT doc_id, sh,
+                      regexp_replace(path0, '/$', '') AS path,
+                      -- array_to_string([]) is NULL in DuckDB, not ''
+                      coalesce(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT starts_with(x, 'utm_')
+                             AND NOT starts_with(x, 'gclid=')
+                             AND NOT starts_with(x, 'fbclid=')
+                             AND NOT starts_with(x, 'ref='))), '&'), '')
+                        AS params
+               FROM s5),
+        norm AS (SELECT doc_id,
+                        sh || path || CASE WHEN params = '' THEN ''
+                                           ELSE '?' || params END AS n
+                 FROM s6)
+        SELECT n AS normalized_url, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id
+        FROM norm GROUP BY n
+    """
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Suffix-semantics domain-blocklist verdict
+    (operators/web.py:domain_blocklist_filter, literal scan-stage form —
+    zero shuffle, zero join, plan-pinned by test): hosts derived
+    deterministically from documents; matched_rule = the LONGEST (most
+    specific) matching rule, exercised by the nested es.org ⊂ src0.es.org
+    pair in the frozen blocklist."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select("doc_id", F.expr(
+        "concat(CASE WHEN doc_id % 4 = 0 THEN 'ads.' "
+        "            WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END, "
+        "source, '.', lang, '.org')").alias("host"))
+    out = web.domain_blocklist_filter(hosts, "host", _DOMAIN_BLOCKLIST)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "host", "matched_rule", "is_blocked")
+
+
+def _domain_blocklist_sql() -> str:
+    """Oracle for q_domain_blocklist: suffix list via range+list_slice;
+    matches preserve suffix order (longest first), so matched = first
+    filtered element; blocklist literal generated from _DOMAIN_BLOCKLIST."""
+    rules = ", ".join(f"'{r}'" for r in sorted(set(_DOMAIN_BLOCKLIST)))
+    return f"""
+        WITH hosts AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 4 = 0 THEN 'ads.'
+                       WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END)
+                 || source || '.' || lang || '.org' AS host
+          FROM documents),
+        sufs AS (
+          SELECT doc_id, host,
+                 list_filter(
+                   list_transform(range(1, len(string_split(host, '.')) + 1),
+                     i -> array_to_string(list_slice(string_split(host, '.'),
+                            i, len(string_split(host, '.'))), '.')),
+                   s -> list_contains([{rules}], s)) AS matches
+          FROM hosts)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+               CASE WHEN len(matches) > 0 THEN matches[1] END
+                 AS matched_rule,
+               len(matches) > 0 AS is_blocked
+        FROM sufs
+    """
+
+
 # frozen BM25 query set — ONE canonical constant; the oracle's VALUES
 # clause is GENERATED from it (the translate_dna single-constant convention)
 _BM25_QUERIES = [("q1", "spark table scan"), ("q2", "dup filter"),
@@ -4554,6 +4686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_curation": q_incremental_curation,
         "mixture_plan": q_mixture_plan,
         "bm25_search": q_bm25_search,
+        "url_dedup": q_url_dedup,
+        "domain_blocklist": q_domain_blocklist,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5464,6 +5598,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_heavy_hitters": _streaming_heavy_hitters_sql(),
         "bm25_search": _bm25_search_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "domain_blocklist": _domain_blocklist_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

@@ -186,6 +186,8 @@ HEADLINE = [
     "incremental_curation",  # bloom gate + band probe + verify, one plan
     "mixture_plan",      # domain-grain agg + metadata-scale water-filling
     "bm25_search",       # query-term-pruned tf shuffle + broadcast idf
+    "url_dedup",         # scan-stage URL canonicalization + one key agg
+    "domain_blocklist",  # literal suffix-match verdict, zero shuffle
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.
