@@ -3313,6 +3313,60 @@ def _domain_blocklist_sql() -> str:
     """
 
 
+def q_line_quality(spark, sf_dir):
+    """Per-line intrinsic quality filtering
+    (operators/text.py:line_quality_filter — the RefinedWeb/CCNet line-wise
+    rules, line_dedup's no-cross-doc-evidence complement): documents are
+    framed with synthetic web artifacts (a SHOUTY nav header, a digit
+    counter, a rights-reserved footer) that the row-local HOF filter must
+    strip while keeping the body — zero shuffle, scan-stage."""
+    d = _t(spark, sf_dir, "documents")
+    framed = d.select(
+        "doc_id",
+        F.concat(F.upper(F.substring("text", 1, 40)), F.lit("\n"),
+                 F.col("text"), F.lit("\nok.\n"),
+                 F.col("doc_id").cast("string"), F.lit(" 123 456"),
+                 F.lit("\nAll Rights Reserved")).alias("text"))
+    out = text.line_quality_filter(framed, "doc_id", "text")
+    return out.select("doc_id", "clean_text", "n_lines", "n_removed_lines")
+
+
+_LINE_QUALITY_SQL = """
+    WITH framed AS (
+      SELECT doc_id,
+             upper(substr(text, 1, 40)) || chr(10) || text || chr(10)
+             || 'ok.' || chr(10) || CAST(doc_id AS VARCHAR) || ' 123 456'
+             || chr(10) || 'All Rights Reserved' AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM framed),
+    kept AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x -> NOT (
+               (len(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0 AND
+                len(regexp_replace(x, '[^A-Z]', '', 'g')) >
+                  len(regexp_replace(x, '[^A-Za-z]', '', 'g')) * 0.6)
+               OR
+               (len(regexp_replace(x, '\\s', '', 'g')) > 0 AND
+                len(regexp_replace(x, '[^0-9]', '', 'g')) >
+                  len(regexp_replace(x, '\\s', '', 'g')) * 0.5)
+               OR
+               (len(list_filter(string_split_regex(x, '\\s+'),
+                                t -> t <> '')) < 3 AND
+                NOT regexp_matches(trim(x), '[.!?:]$'))
+               OR contains(lower(x), 'cookie')
+               OR contains(lower(x), 'javascript')
+               OR contains(lower(x), 'click here')
+               OR contains(lower(x), 'all rights reserved'))) AS keep
+      FROM split)
+    SELECT doc_id,
+           coalesce(array_to_string(keep, chr(10)), '') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(keep) AS BIGINT) AS n_removed_lines
+    FROM kept
+"""
+
+
 # frozen BM25 query set — ONE canonical constant; the oracle's VALUES
 # clause is GENERATED from it (the translate_dna single-constant convention)
 _BM25_QUERIES = [("q1", "spark table scan"), ("q2", "dup filter"),
@@ -4688,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "url_dedup": q_url_dedup,
         "domain_blocklist": q_domain_blocklist,
+        "line_quality": q_line_quality,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5600,6 +5655,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_search_sql(),
         "url_dedup": _url_dedup_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
+        "line_quality": _LINE_QUALITY_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

@@ -435,6 +435,67 @@ def inverted_index(df: DataFrame, id_col: str, text_col: str,
                  .alias("postings")))
 
 
+# marker phrases whose presence drops a line in line_quality_filter (the
+# RefinedWeb/CCNet "web-page artifact" line rules); lowercase substrings
+LINE_BOILERPLATE_MARKERS = ["cookie", "javascript", "click here",
+                            "all rights reserved"]
+
+
+def line_quality_filter(df: DataFrame, id_col: str, text_col: str,
+                        max_upper_ratio: float = 0.6,
+                        max_digit_ratio: float = 0.5,
+                        min_words: int = 3,
+                        out: str = "clean_text") -> DataFrame:
+    """Per-line INTRINSIC quality filtering (the RefinedWeb/CCNet line-wise
+    correction rules — the complement of line_dedup, which needs cross-doc
+    evidence; this one needs none): a line is dropped when it is
+    (1) mostly uppercase (> ``max_upper_ratio`` of its letters — nav bars,
+    SHOUTING headers), (2) mostly digits (> ``max_digit_ratio`` of its
+    non-space chars — like/view counters), (3) shorter than ``min_words``
+    words AND lacking terminal punctuation (stray fragments; short
+    sentences that END are kept), or (4) carrying a boilerplate marker
+    phrase (LINE_BOILERPLATE_MARKERS, case-insensitive). Surviving lines
+    are rejoined in order; a fully-boilerplate document comes back as the
+    empty string, never dropped.
+
+    Entirely row-local higher-order functions over the line array — ZERO
+    shuffle, no Python: at 100 TB this runs in the scan stage next to the
+    document-level quality gates. Rule thresholds are deterministic and
+    mirrored exactly by the DuckDB oracle.
+
+    Output: input columns + ``out`` (cleaned text), ``n_lines``,
+    ``n_removed_lines``.
+    """
+    def _letters(x):
+        return F.regexp_replace(x, "[^A-Za-z]", "")
+
+    def keep(x):
+        letters = _letters(x)
+        uppers = F.regexp_replace(x, "[^A-Z]", "")
+        nonspace = F.regexp_replace(x, "\\s", "")
+        digits = F.regexp_replace(x, "[^0-9]", "")
+        n_words = F.array_size(F.filter(F.split(x, "\\s+"),
+                                        lambda t: t != ""))
+        shouty = (F.length(letters) > 0) & \
+            (F.length(uppers) > F.length(letters) * max_upper_ratio)
+        county = (F.length(nonspace) > 0) & \
+            (F.length(digits) > F.length(nonspace) * max_digit_ratio)
+        fragment = (n_words < min_words) & \
+            ~F.trim(x).rlike("[.!?:]$")
+        marker = F.lit(False)
+        for m in LINE_BOILERPLATE_MARKERS:
+            marker = marker | F.lower(x).contains(m)
+        return ~(shouty | county | fragment | marker)
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, keep)
+    return (df.withColumn(out, F.array_join(kept, "\n"))
+            .withColumn("n_lines", F.array_size(lines).cast("bigint"))
+            .withColumn("n_removed_lines",
+                        (F.array_size(lines) - F.array_size(kept))
+                        .cast("bigint")))
+
+
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               queries: list[tuple[str, str]], k1: float = 1.2,
               b: float = 0.75, top_k: int = 10,

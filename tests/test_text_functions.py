@@ -247,3 +247,35 @@ def test_bm25_guards(spark):
         T.bm25_topk(df, "doc_id", "text", [("q", "  ")])
     with _pytest.raises(ValueError):
         T.bm25_topk(df, "doc_id", "text", [("q", "a")], top_k=0)
+
+
+def test_line_quality_filter_rules(spark):
+    """Each RefinedWeb-style line rule fires independently; survivors
+    rejoin in order; an all-boilerplate doc returns '' (never dropped)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    doc = "\n".join([
+        "NAVIGATION HOME ABOUT",          # shouty -> drop
+        "This line is a normal sentence body",  # keep
+        "ok.",                            # short but terminated -> keep
+        "17 123 456",                     # digit counter -> drop
+        "stray fragment",                 # <3 words, no terminal -> drop
+        "We use cookie banners here",     # marker -> drop
+        "Mixed Case Heading Line",        # keep (4 words, upper ratio low)
+    ])
+    df = spark.createDataFrame([(1, doc), (2, "CLICK HERE\n99 000")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           T.line_quality_filter(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == (
+        "This line is a normal sentence body\nok.\nMixed Case Heading Line")
+    assert (out[1]["n_lines"], out[1]["n_removed_lines"]) == (7, 4)
+    assert out[2]["clean_text"] == ""
+    assert (out[2]["n_lines"], out[2]["n_removed_lines"]) == (2, 2)
+
+
+def test_line_quality_filter_zero_shuffle(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    out = T.line_quality_filter(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
