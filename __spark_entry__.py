@@ -1310,6 +1310,139 @@ def q_streaming_dedup(spark, sf_dir):
                       F.lit(3).cast("bigint").alias("n_batches"))
 
 
+# second offsets for the streaming_late_data event-time construction, keyed
+# by event_id % 9 (batch = k % 3). Fixed hour buckets make the watermark
+# algebra data-independent: max(b0)=12:00 (k=6), max(b1)=14:00 (k=4),
+# max(all)=16:01 (k=8). ONE constant; the oracle CASE is generated from it.
+_LATE_OFFSETS = {
+    0: ("36000 + (event_id % 60) * 60", "10:xx on-time"),
+    3: ("39600 + (event_id % 60) * 60", "11:xx on-time"),
+    6: ("43200", "12:00 exact — pins max(batch0)"),
+    1: ("46800 + (event_id % 60) * 60", "13:xx on-time"),
+    4: ("50400", "14:00 exact — pins max(batch1)"),
+    7: ("48600", "13:30 on-time"),
+    2: ("28800 + (event_id % 60) * 60", "08:xx in batch 2 — TOO LATE"),
+    5: ("45000", "12:30 in batch 2 — late but inside the watermark"),
+    8: ("57660", "16:01 exact — pins the final watermark at 14:01"),
+}
+_LATE_TS_CASE = ("CASE CAST(event_id % 9 AS INT) "
+                 + " ".join(f"WHEN {k} THEN {expr}"
+                            for k, (expr, _) in _LATE_OFFSETS.items())
+                 + " END")
+_LATE_BASE = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def q_streaming_late_data(spark, sf_dir):
+    """Batch-replay oracle row for WATERMARKED APPEND-MODE WINDOWED
+    AGGREGATION (streaming/ingest.py:windowed_event_counts driven by a
+    REAL availableNow run — the sixth stateful shape under the hard
+    oracle, and the one that pins Spark's actual late-data machinery:
+    the late-row DROP and the append-mode EMISSION CUT, neither of which
+    a one-shot batch agg reproduces). Event times are synthesized into
+    fixed hour buckets (_LATE_OFFSETS) so the watermark algebra is
+    data-independent at every scale factor:
+
+    batch 0 = 10:xx/11:xx/12:00 rows, batch 1 = 13:xx/13:30/14:00,
+    batch 2 = 08:xx (too late), 12:30 (late but acceptable), 16:01.
+    With a 2 h delay: the 08:xx rows land below the late-events
+    watermark of batch 2 under BOTH watermark models Spark has shipped
+    (dual: max(b0)−2h = 10:00; single: max(b0,b1)−2h = 12:00) → dropped;
+    the 12:30 rows sit above both → kept (no batch-2 row is placed in
+    the ambiguous [10:00,12:00) zone, so the oracle is
+    implementation-robust — measured on this Spark: the dual-watermark
+    behavior, late filter lagging eviction by one batch). Final
+    watermark = 16:01−2h = 14:01 → append emits exactly the windows
+    ending ≤ 14:01 ([10,11),[11,12),[12,13),[13,14)); the 14:00 and
+    16:01 windows stay in state, and no window boundary sits AT 14:01,
+    so inclusive-vs-exclusive eviction cannot flip the cut. Window
+    [12,13) carries batch-0 AND late batch-2 rows — the hash can only
+    match if state survived across batches AND the drop AND the cut all
+    executed. Sums run in DECIMAL so reassociation is exact;
+    n_batches==4 (3 files + the no-data watermark-advance batch)
+    asserted engine-side."""
+    import shutil
+    import tempfile
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    e = ev.select(
+        (F.col("event_id") % 3).alias("_b"), "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.timestamp_seconds(F.lit(_LATE_BASE)
+                            + F.expr(_LATE_TS_CASE)).alias("ts"))
+    cols = ["ts", "event_type", "value"]
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        src = _stage_replay_files(spark, root, [
+            e.filter(F.col("_b") == i).select(*cols) for i in range(3)])
+        stream = (spark.readStream.schema(e.select(*cols).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        agg = windowed_event_counts(stream, ts_col="ts",
+                                    key_col="event_type",
+                                    window="1 hour", watermark="2 hours",
+                                    value_col="value")
+        out_dir = os.path.join(root, "out")
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            (batch.withColumn("_bid", F.lit(batch_id).cast("long"))
+             .write.mode("append").parquet(out_dir))
+
+        (agg.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination())
+        rows = spark.read.parquet(out_dir)
+        last = rows.agg(F.max("_bid").alias("b")).collect()[0]["b"]
+        n_batches = int(last) + 1 if last is not None else 0
+        if n_batches != 4:
+            raise ValueError(
+                f"late-data replay emitted through micro-batch "
+                f"{n_batches - 1}, expected the final append emission in "
+                f"batch 3 (3 mtime-ordered files + the no-data "
+                f"watermark-advance batch); the append/eviction pin no "
+                f"longer holds on this Spark")
+        # window-grain (handful of rows) — materialize before the temp
+        # dir is removed
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.lit(4).cast("bigint").alias("n_batches"))
+
+
+def _streaming_late_data_sql() -> str:
+    """Oracle for q_streaming_late_data: the watermark state machine in
+    SQL — per-batch maxes from the SAME event-time construction
+    (_LATE_TS_CASE reused verbatim), batch-2 rows below max(batch0)−2h
+    dropped (the late-events watermark; by construction also below the
+    single-watermark variant), windows ending after max(all)−2h withheld
+    (append cut)."""
+    return f"""
+        WITH e AS (
+          SELECT event_id % 3 AS b, event_type,
+                 CAST(value AS DECIMAL(18,6)) AS value,
+                 make_timestamp(({_LATE_BASE} + {_LATE_TS_CASE})
+                                * 1000000) AS ts
+          FROM events),
+        mx AS (SELECT max(CASE WHEN b = 0 THEN ts END) AS m0,
+                      max(ts) AS mall FROM e),
+        kept AS (
+          SELECT e.* FROM e, mx
+          WHERE NOT (e.b = 2 AND e.ts < mx.m0 - INTERVAL 2 HOUR)),
+        agg AS (
+          SELECT date_trunc('hour', ts) AS ws, event_type,
+                 count(*) AS n, sum(value) AS sv
+          FROM kept GROUP BY 1, 2)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, CAST(n AS BIGINT) AS n,
+               round(CAST(sv AS DOUBLE), 4) AS sum_value,
+               CAST(4 AS BIGINT) AS n_batches
+        FROM agg, mx
+        WHERE ws + INTERVAL 1 HOUR <= mall - INTERVAL 2 HOUR
+    """
+
+
 def q_streaming_drift_monitor(spark, sf_dir):
     """Batch-replay oracle row for the streaming drift gate
     (streaming/ingest.py:streaming_drift_monitor — the fourth stateful
@@ -4743,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_blocklist": q_domain_blocklist,
         "line_quality": q_line_quality,
+        "streaming_late_data": q_streaming_late_data,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5656,6 +5790,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "domain_blocklist": _domain_blocklist_sql(),
         "line_quality": _LINE_QUALITY_SQL,
+        "streaming_late_data": _streaming_late_data_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """
