@@ -3446,6 +3446,42 @@ def _domain_blocklist_sql() -> str:
     """
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→8
+    (operators/similarity.py:rp_project / rp_matrix_random — the
+    embedding-compression step upstream of ANN/clustering at index-budget
+    scale): seeded matrix literals regenerated by both engines; output
+    quantized to 1e-4 ints (CSV) so float rendering can't split the hash.
+    Entirely row-local — zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = similarity.rp_matrix_random(64, 8, seed=13)
+    out = similarity.rp_project(emb, "embedding", m)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.array_join(F.transform(
+            "proj", lambda x: F.round(x * 10000).cast("bigint")
+            .cast("string")), ",").alias("proj_q"))
+
+
+def _rp_project_sql() -> str:
+    """Oracle for q_rp_project: the same seeded matrix regenerated
+    (rp_matrix_random(64, 8, 13)) as a literal, applied with
+    list_dot_product per output component."""
+    from glamr_omics_pipelines_spark.operators.similarity import \
+        rp_matrix_random
+    m = rp_matrix_random(64, 8, seed=13)
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in r) + "]" for r in m)
+    return f"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               array_to_string(list_transform([{rows}],
+                 r -> CAST(CAST(round(list_dot_product(
+                        embedding::DOUBLE[], r) * 10000) AS BIGINT)
+                      AS VARCHAR)), ',') AS proj_q
+        FROM embeddings
+    """
+
+
 def q_line_quality(spark, sf_dir):
     """Per-line intrinsic quality filtering
     (operators/text.py:line_quality_filter — the RefinedWeb/CCNet line-wise
@@ -4877,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "line_quality": q_line_quality,
         "streaming_late_data": q_streaming_late_data,
+        "rp_project": q_rp_project,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5791,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_sql(),
         "line_quality": _LINE_QUALITY_SQL,
         "streaming_late_data": _streaming_late_data_sql(),
+        "rp_project": _rp_project_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

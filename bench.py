@@ -189,6 +189,7 @@ HEADLINE = [
     "url_dedup",         # scan-stage URL canonicalization + one key agg
     "domain_blocklist",  # literal suffix-match verdict, zero shuffle
     "line_quality",      # row-local HOF line rules, zero shuffle
+    "rp_project",        # JL projection, literal matrix, zero shuffle
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

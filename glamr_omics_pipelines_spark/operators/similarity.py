@@ -366,6 +366,45 @@ def hyperplane_buckets(df: DataFrame, vec_col: str, num_planes: int = 16,
     return df.withColumn(out, F.expr(expr))
 
 
+def rp_matrix_random(d_in: int, d_out: int,
+                     seed: int = 13) -> list[list[float]]:
+    """Deterministic seeded Gaussian Johnson–Lindenstrauss projection
+    matrix, rows pre-scaled by 1/√d_out so :func:`rp_project` is a plain
+    matrix–vector product. Data-independent (the pq_codebooks_random
+    convention): both engines regenerate the identical literals, so the
+    projection machinery gets a value-exact SQL oracle."""
+    import math
+    import random
+    if d_in <= 0 or d_out <= 0:
+        raise ValueError("rp_matrix_random: d_in and d_out must be positive")
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(d_out)
+    return [[rng.gauss(0.0, 1.0) * s for _ in range(d_in)]
+            for _ in range(d_out)]
+
+
+def rp_project(df: DataFrame, vec_col: str,
+               matrix: list[list[float]], out: str = "proj") -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    ``out[j] = Σ_i vec[i]·matrix[j][i]`` — the embedding-compression step
+    upstream of clustering/ANN when 64–1024-d vectors are too wide for
+    the index budget (pairwise distances preserved within 1±ε for
+    d_out = O(log n / ε²); distortion property pytest-pinned).
+
+    The matrix is a literal folded into ONE SQL expression (hyperplane_
+    buckets convention — one py4j roundtrip, zero driver→executor data
+    movement); the projection is entirely row-local, ZERO shuffle: at
+    100 TB this runs in the scan stage and only the narrow vectors ever
+    reach a shuffle or an index build downstream.
+    """
+    if not matrix or not matrix[0]:
+        raise ValueError("rp_project: matrix must be non-empty")
+    expr = (f"transform({_centroids_sql(matrix)}, "
+            f"r -> aggregate(zip_with({_vec_sql(vec_col)}, r, "
+            "(x, y) -> x * y), 0D, (a, v) -> a + v))")
+    return df.withColumn(out, F.expr(expr))
+
+
 def _vec_sql(vec_col: str) -> str:
     return f"transform(`{vec_col}`, x -> cast(x as double))"
 

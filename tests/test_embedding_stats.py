@@ -103,3 +103,53 @@ def test_top_principal_component_dominant_axis(spark):
     assert abs(v[0]) > 0.99            # PC1 ~ the x axis
     assert v[0] > 0                    # sign convention: pivot positive
     assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+
+
+def test_rp_project_hand_values(spark):
+    from glamr_omics_pipelines_spark.operators import similarity as S
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [0.0, -1.0])],
+                               ["vec_id", "embedding"])
+    m = [[1.0, 0.0], [0.5, 0.5], [0.0, 2.0]]
+    out = {r["vec_id"]: r["proj"] for r in
+           S.rp_project(df, "embedding", m).collect()}
+    assert out[1] == [1.0, 1.5, 4.0]
+    assert out[2] == [0.0, -0.5, -2.0]
+
+
+def test_rp_project_jl_distortion_and_plan(spark):
+    """Seeded 64→16 projection roughly preserves pairwise sq-distances
+    (generous JL band — deterministic, seeds fixed) and stays a single
+    zero-shuffle projection."""
+    import random
+    from glamr_omics_pipelines_spark.operators import similarity as S
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    m = S.rp_matrix_random(64, 16, seed=13)
+    out = S.rp_project(df, "embedding", m)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    orig = dict(rows)
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            ratios.append(sq(got[i], got[j]) / sq(orig[i], orig[j]))
+    assert all(0.3 < r < 2.2 for r in ratios), ratios
+    # mean distortion should be near 1 (unbiased estimator)
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.3, mean
+
+
+def test_rp_guards(spark):
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.operators import similarity as S
+    df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        S.rp_matrix_random(0, 4)
+    with _pytest.raises(ValueError):
+        S.rp_project(df, "embedding", [])
