@@ -3351,14 +3351,19 @@ def q_url_dedup(spark, sf_dir):
 
 _URL_DUCK = _URL_SPARK.replace("AS STRING", "AS VARCHAR")
 
+# host construction shared VERBATIM by the Spark queries and the DuckDB
+# oracles (concat/CASE parse identically on both engines)
+_HOST_EXPR = ("concat(CASE WHEN doc_id % 4 = 0 THEN 'ads.' "
+              "            WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END, "
+              "source, '.', lang, '.org')")
 
-def _url_dedup_sql() -> str:
-    """Oracle for q_url_dedup: the same raw-URL construction (engine
-    expression string reused with one type-name swap) + the normalize_url
-    step chain in DuckDB list/string functions."""
+
+def _url_norm_ctes(src: str = "raw") -> str:
+    """DuckDB CTE chain computing normalized_url ``n`` per doc_id from
+    ``{src}(doc_id, u)`` — the oracle mirror of web.normalize_url, shared
+    by the url_dedup and web_curation oracles. Yields CTE ``norm``."""
     return f"""
-        WITH raw AS (SELECT doc_id, {_URL_DUCK} AS u FROM documents),
-        s1 AS (SELECT doc_id, split_part(u, '#', 1) AS u1 FROM raw),
+        s1 AS (SELECT doc_id, split_part(u, '#', 1) AS u1 FROM {src}),
         s2 AS (SELECT doc_id, u1, split_part(u1, '?', 1) AS pre,
                       CASE WHEN len(u1) > len(split_part(u1, '?', 1))
                            THEN substr(u1, len(split_part(u1, '?', 1)) + 2)
@@ -3394,7 +3399,16 @@ def _url_dedup_sql() -> str:
         norm AS (SELECT doc_id,
                         sh || path || CASE WHEN params = '' THEN ''
                                            ELSE '?' || params END AS n
-                 FROM s6)
+                 FROM s6)"""
+
+
+def _url_dedup_sql() -> str:
+    """Oracle for q_url_dedup: the same raw-URL construction (engine
+    expression string reused with one type-name swap) + the shared
+    normalize_url CTE chain."""
+    return f"""
+        WITH raw AS (SELECT doc_id, {_URL_DUCK} AS u FROM documents),
+        {_url_norm_ctes('raw')}
         SELECT n AS normalized_url, CAST(count(*) AS BIGINT) AS n_urls,
                CAST(min(doc_id) AS BIGINT) AS canonical_id
         FROM norm GROUP BY n
@@ -3409,34 +3423,33 @@ def q_domain_blocklist(spark, sf_dir):
     specific) matching rule, exercised by the nested es.org ⊂ src0.es.org
     pair in the frozen blocklist."""
     d = _t(spark, sf_dir, "documents")
-    hosts = d.select("doc_id", F.expr(
-        "concat(CASE WHEN doc_id % 4 = 0 THEN 'ads.' "
-        "            WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END, "
-        "source, '.', lang, '.org')").alias("host"))
+    hosts = d.select("doc_id", F.expr(_HOST_EXPR).alias("host"))
     out = web.domain_blocklist_filter(hosts, "host", _DOMAIN_BLOCKLIST)
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "host", "matched_rule", "is_blocked")
 
 
-def _domain_blocklist_sql() -> str:
-    """Oracle for q_domain_blocklist: suffix list via range+list_slice;
-    matches preserve suffix order (longest first), so matched = first
-    filtered element; blocklist literal generated from _DOMAIN_BLOCKLIST."""
+def _host_matches_duck() -> str:
+    """DuckDB expression: ordered (longest-first) blocklist matches of the
+    ``host`` column's dot-suffixes — shared by the domain_blocklist and
+    web_curation oracles; rules generated from _DOMAIN_BLOCKLIST."""
     rules = ", ".join(f"'{r}'" for r in sorted(set(_DOMAIN_BLOCKLIST)))
-    return f"""
-        WITH hosts AS (
-          SELECT doc_id,
-                 (CASE WHEN doc_id % 4 = 0 THEN 'ads.'
-                       WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END)
-                 || source || '.' || lang || '.org' AS host
-          FROM documents),
-        sufs AS (
-          SELECT doc_id, host,
-                 list_filter(
+    return f"""list_filter(
                    list_transform(range(1, len(string_split(host, '.')) + 1),
                      i -> array_to_string(list_slice(string_split(host, '.'),
                             i, len(string_split(host, '.'))), '.')),
-                   s -> list_contains([{rules}], s)) AS matches
+                   s -> list_contains([{rules}], s))"""
+
+
+def _domain_blocklist_sql() -> str:
+    """Oracle for q_domain_blocklist: suffix list via range+list_slice;
+    matches preserve suffix order (longest first), so matched = first
+    filtered element."""
+    return f"""
+        WITH hosts AS (
+          SELECT doc_id, {_HOST_EXPR} AS host FROM documents),
+        sufs AS (
+          SELECT doc_id, host, {_host_matches_duck()} AS matches
           FROM hosts)
         SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
                CASE WHEN len(matches) > 0 THEN matches[1] END
@@ -3482,6 +3495,16 @@ def _rp_project_sql() -> str:
     """
 
 
+def _framed_text():
+    """Synthetic web-artifact framing (Spark side of _FRAMED_DUCK): SHOUTY
+    header / terminal-punct stub / digit counter / rights footer around the
+    document body — shared by q_line_quality and q_web_curation."""
+    return F.concat(F.upper(F.substring("text", 1, 40)), F.lit("\n"),
+                    F.col("text"), F.lit("\nok.\n"),
+                    F.col("doc_id").cast("string"), F.lit(" 123 456"),
+                    F.lit("\nAll Rights Reserved"))
+
+
 def q_line_quality(spark, sf_dir):
     """Per-line intrinsic quality filtering
     (operators/text.py:line_quality_filter — the RefinedWeb/CCNet line-wise
@@ -3490,28 +3513,90 @@ def q_line_quality(spark, sf_dir):
     counter, a rights-reserved footer) that the row-local HOF filter must
     strip while keeping the body — zero shuffle, scan-stage."""
     d = _t(spark, sf_dir, "documents")
-    framed = d.select(
-        "doc_id",
-        F.concat(F.upper(F.substring("text", 1, 40)), F.lit("\n"),
-                 F.col("text"), F.lit("\nok.\n"),
-                 F.col("doc_id").cast("string"), F.lit(" 123 456"),
-                 F.lit("\nAll Rights Reserved")).alias("text"))
+    framed = d.select("doc_id", _framed_text().alias("text"))
     out = text.line_quality_filter(framed, "doc_id", "text")
     return out.select("doc_id", "clean_text", "n_lines", "n_removed_lines")
 
 
-_LINE_QUALITY_SQL = """
-    WITH framed AS (
-      SELECT doc_id,
-             upper(substr(text, 1, 40)) || chr(10) || text || chr(10)
-             || 'ok.' || chr(10) || CAST(doc_id AS VARCHAR) || ' 123 456'
-             || chr(10) || 'All Rights Reserved' AS text
-      FROM documents),
-    split AS (
-      SELECT doc_id, string_split(text, chr(10)) AS lines FROM framed),
-    kept AS (
-      SELECT doc_id, lines,
-             list_filter(lines, x -> NOT (
+def q_web_curation(spark, sf_dir):
+    """Web-curation composition in ONE lazy plan (the crawl-side twin of
+    incremental_curation): domain blocklist (X168, literal scan-stage) →
+    URL normalization + canonical-per-URL (X167) → line-quality stats on
+    survivors (X169). Verdict per doc: 'blocked' (host matched),
+    'dup' (non-canonical variant of a surviving URL), 'kept' (canonical).
+    Canonical = min doc_id among NON-blocked group members (a blocked doc
+    is never a survivor), so the blocklist provably runs BEFORE dedup;
+    line stats are reported only for kept docs (cheap gates first — the
+    curation order a 100 TB pipeline runs). ONE data-grain exchange total
+    (the normalized-URL window); everything else is row-local."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id",
+                    F.expr(_URL_SPARK).alias("url"),
+                    F.expr(_HOST_EXPR).alias("host"),
+                    _framed_text().alias("text"))
+    flt = web.domain_blocklist_filter(base, "host", _DOMAIN_BLOCKLIST)
+    lq = text.line_quality_filter(flt, "doc_id", "text")
+    norm = lq.withColumn("normalized_url", web.normalize_url("url"))
+    w = Window.partitionBy("normalized_url")
+    canon = F.min(F.when(~F.col("is_blocked"),
+                         F.col("doc_id"))).over(w)
+    out = norm.withColumn("_canon", canon).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.when(F.col("is_blocked"), F.lit("blocked"))
+        .when(F.col("doc_id") != F.col("_canon"), F.lit("dup"))
+        .otherwise(F.lit("kept")).alias("verdict"),
+        "matched_rule",
+        F.when(~F.col("is_blocked"), F.col("_canon"))
+        .cast("bigint").alias("canonical_id"),
+        F.when((~F.col("is_blocked"))
+               & (F.col("doc_id") == F.col("_canon")),
+               F.col("n_removed_lines"))
+        .cast("bigint").alias("n_removed_lines"))
+    return out
+
+
+def _web_curation_sql() -> str:
+    """Oracle for q_web_curation: the shared URL-normalization CTE chain +
+    the shared host-match and line-keep fragments, composed with the same
+    blocked-never-canonical window rule."""
+    return f"""
+        WITH raw AS (SELECT doc_id, {_URL_DUCK} AS u FROM documents),
+        {_url_norm_ctes('raw')},
+        hosts AS (SELECT doc_id, {_HOST_EXPR} AS host FROM documents),
+        blk AS (
+          SELECT doc_id, m.matches FROM (
+            SELECT doc_id, {_host_matches_duck()} AS matches
+            FROM hosts) m),
+        fr AS (SELECT doc_id,
+                      string_split({_FRAMED_DUCK}, chr(10)) AS lines
+               FROM documents),
+        lq AS (SELECT doc_id,
+                      len(lines) - len({_LINE_KEEP_DUCK}) AS n_removed
+               FROM fr),
+        j AS (SELECT b.doc_id, len(b.matches) > 0 AS is_blocked,
+                     CASE WHEN len(b.matches) > 0 THEN b.matches[1] END
+                       AS matched_rule,
+                     norm.n, lq.n_removed
+              FROM blk b JOIN norm USING (doc_id) JOIN lq USING (doc_id)),
+        g AS (SELECT *, min(CASE WHEN NOT is_blocked THEN doc_id END)
+                          OVER (PARTITION BY n) AS canon
+              FROM j)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN is_blocked THEN 'blocked'
+                    WHEN doc_id <> canon THEN 'dup'
+                    ELSE 'kept' END AS verdict,
+               matched_rule,
+               CAST(CASE WHEN NOT is_blocked THEN canon END AS BIGINT)
+                 AS canonical_id,
+               CAST(CASE WHEN NOT is_blocked AND doc_id = canon
+                         THEN n_removed END AS BIGINT) AS n_removed_lines
+        FROM g
+    """
+
+
+# the line_quality_filter keep-predicate as a DuckDB list_filter lambda —
+# shared by the line_quality oracle and the web_curation composition oracle
+_LINE_KEEP_DUCK = """list_filter(lines, x -> NOT (
                (len(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0 AND
                 len(regexp_replace(x, '[^A-Z]', '', 'g')) >
                   len(regexp_replace(x, '[^A-Za-z]', '', 'g')) * 0.6)
@@ -3526,7 +3611,24 @@ _LINE_QUALITY_SQL = """
                OR contains(lower(x), 'cookie')
                OR contains(lower(x), 'javascript')
                OR contains(lower(x), 'click here')
-               OR contains(lower(x), 'all rights reserved'))) AS keep
+               OR contains(lower(x), 'all rights reserved')))"""
+
+# the synthetic web-artifact framing shared by q_line_quality and
+# q_web_curation (SHOUTY header / terminal-punct stub / digit counter /
+# rights footer)
+_FRAMED_DUCK = """upper(substr(text, 1, 40)) || chr(10) || text || chr(10)
+             || 'ok.' || chr(10) || CAST(doc_id AS VARCHAR) || ' 123 456'
+             || chr(10) || 'All Rights Reserved'"""
+
+_LINE_QUALITY_SQL = f"""
+    WITH framed AS (
+      SELECT doc_id, {_FRAMED_DUCK} AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM framed),
+    kept AS (
+      SELECT doc_id, lines,
+             {_LINE_KEEP_DUCK} AS keep
       FROM split)
     SELECT doc_id,
            coalesce(array_to_string(keep, chr(10)), '') AS clean_text,
@@ -4914,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_quality": q_line_quality,
         "streaming_late_data": q_streaming_late_data,
         "rp_project": q_rp_project,
+        "web_curation": q_web_curation,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5829,6 +5932,7 @@ def oracle_sql() -> dict[str, str]:
         "line_quality": _LINE_QUALITY_SQL,
         "streaming_late_data": _streaming_late_data_sql(),
         "rp_project": _rp_project_sql(),
+        "web_curation": _web_curation_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

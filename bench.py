@@ -190,6 +190,7 @@ HEADLINE = [
     "domain_blocklist",  # literal suffix-match verdict, zero shuffle
     "line_quality",      # row-local HOF line rules, zero shuffle
     "rp_project",        # JL projection, literal matrix, zero shuffle
+    "web_curation",      # blocklist -> url dedup -> line quality, 1 plan
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.
