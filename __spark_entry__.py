@@ -2389,6 +2389,54 @@ def q_multimodal_features(spark, sf_dir):
                     _r4("v").alias("feat")))
 
 
+def q_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup (operators/multimodal.py:phash_images
+    + operators/dedup.py:hamming_candidates — the image twin of
+    simhash_dedup): documents are rendered as REAL 32×32 P5 images (header
+    + ascii payload rpad'd to 1024 bytes with a constant pad), planted
+    copies (doc_id % 20) added, hashed through the full decode→resize→
+    DCT→sign pipeline, and paired by the banded Hamming equi join at
+    max_hamming=0. Oracle = equal-payload pairs: equal bytes ⇒ equal
+    phash exactly; unequal payloads collide only at ~2⁻⁶⁴ (the exact_dedup
+    dual-hash-class assumption, documented). Near-dup (hamming > 0)
+    behavior — brightness/resize invariance — is pytest-pinned where SQL
+    can't follow."""
+    d = _t(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
+    base = d.select("doc_id", F.rpad(ascii_text, 1024, ". ").alias("pix"))
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("P5\n32 32\n255\n"), F.col("pix")),
+                 "UTF-8").alias("content"))
+    copies = (media.filter(F.col("media_id") % 20 == 0)
+              .select((F.col("media_id") + 100000).alias("media_id"),
+                      "content"))
+    hashes = multimodal.phash_images(media.unionByName(copies), stub=False)
+    pairs = dedup.hamming_candidates(hashes, "media_id", "phash",
+                                     bands=4, max_hamming=0)
+    return pairs.select(F.col("id_a").cast("bigint").alias("id_a"),
+                        F.col("id_b").cast("bigint").alias("id_b"),
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
+_PHASH_DEDUP_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             rpad(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),
+                  1024, '. ') AS pix
+      FROM documents),
+    allm AS (
+      SELECT doc_id AS media_id, pix FROM base
+      UNION ALL
+      SELECT doc_id + 100000, pix FROM base WHERE doc_id % 20 = 0)
+    SELECT CAST(a.media_id AS BIGINT) AS id_a,
+           CAST(b.media_id AS BIGINT) AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM allm a JOIN allm b
+      ON a.pix = b.pix AND a.media_id < b.media_id
+"""
+
+
 def _docs_tag(spark, sf_dir) -> str:
     """Cache key for document-derived gate fixtures: path digest PLUS a
     content fingerprint (row count + xxhash64 over id/length), so a
@@ -5017,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": q_streaming_late_data,
         "rp_project": q_rp_project,
         "web_curation": q_web_curation,
+        "phash_dedup": q_phash_dedup,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5933,6 +5982,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_late_data": _streaming_late_data_sql(),
         "rp_project": _rp_project_sql(),
         "web_curation": _web_curation_sql(),
+        "phash_dedup": _PHASH_DEDUP_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

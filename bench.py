@@ -191,6 +191,7 @@ HEADLINE = [
     "line_quality",      # row-local HOF line rules, zero shuffle
     "rp_project",        # JL projection, literal matrix, zero shuffle
     "web_curation",      # blocklist -> url dedup -> line quality, 1 plan
+    "phash_dedup",       # P5 decode + DCT phash + banded hamming join
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

@@ -330,6 +330,55 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     return pairs.distinct() if dedup_pairs else pairs  # see minhash note
 
 
+def hamming_candidates(sig: DataFrame, id_col: str, hash_col: str,
+                       bands: int = 4, max_hamming: int | None = None,
+                       dedup_pairs: bool = True) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (simhash, pHash,
+    audio fingerprint) via the banded pigeonhole: two hashes within
+    Hamming distance ``bands − 1`` must agree exactly on ≥ 1 of the
+    ``bands`` equal-width bit slices, so candidates come from a band
+    equi self-join — never an all-pairs scan. With ``max_hamming`` set,
+    candidates are verified row-locally (``bit_count(a XOR b)``) and the
+    output carries ``hamming``; the signature rides the bucket explode
+    (+8 B per row) so verification needs NO join back to the hash table.
+
+    Generalization of the simhash band machinery to signature-agnostic
+    input (the pHash image-dedup consumer, SURVEY X173); recall contract:
+    pairs at Hamming > bands−1 may still surface (same band by luck) and
+    are kept only if they pass ``max_hamming``; pairs within bands−1 are
+    ALWAYS candidates (pigeonhole, property-tested).
+    """
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(hash_col, i * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for i in range(bands)])
+    buckets = _cache.register(
+        sig.select(id_col, F.col(hash_col).alias("_h"),
+                   F.explode(band_arr).alias("bb"))
+        .select(id_col, "_h", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+    a = buckets.select(F.col(id_col).alias("id_a"),
+                       F.col("_h").alias("_ha"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"),
+                       F.col("_h").alias("_hb"), "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                     .alias("hamming")))
+    if dedup_pairs:
+        pairs = pairs.groupBy("id_a", "id_b") \
+            .agg(F.min("hamming").alias("hamming"))
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
+
+
 # Auto-ceiling for broadcasting the node-grain label frame into each
 # min-label round (same rationale as pagerank's rank broadcast: a
 # (node, label) row is ~25 B, 1M nodes ≈ 25 MB per executor). Above it the

@@ -1218,3 +1218,87 @@ def test_avi_deep_list_nesting_no_recursion_error():
     from glamr_omics_pipelines_spark.operators._jpeg import decode_jpeg_luma
     assert frames[0][1].tolist() == decode_jpeg_luma(img0).tolist()
     assert frames[1][1].tolist() == decode_jpeg_luma(img1).tolist()
+
+
+# ---------------------------------------------------------------------------
+# pHash image near-dup (X173)
+# ---------------------------------------------------------------------------
+
+def _p5(w, h, pix):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+
+def _gradient(w, h):
+    # smooth NON-separable scene sampled on pixel centers: a plain linear
+    # ramp has DCT coefficients tied EXACTLY at the median (ulp noise then
+    # flips sign bits), and values stay <= 230 so the +10 brightness case
+    # never clips (clipping would make the shift non-uniform)
+    import math
+    out = []
+    for y in range(h):
+        for x in range(w):
+            u, v = x / (w - 1), y / (h - 1)
+            out.append(int(120 + 50 * math.sin(3 * u + 1)
+                           + 35 * math.cos(2 * v + 0.5)
+                           + 25 * math.sin(2 * u + 3 * v)))
+    return out
+
+
+def test_phash_identical_and_invariances(spark):
+    """Identical images → identical hash; brightness shift (DC-only) →
+    IDENTICAL hash; same scene at 2× resolution → small Hamming distance;
+    a different image → far."""
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    g32 = _gradient(32, 32)
+    rows = [
+        (1, _p5(32, 32, g32)),
+        (2, _p5(32, 32, g32)),                                  # exact copy
+        (3, _p5(32, 32, [min(255, p + 10) for p in g32])),      # brightness
+        (4, _p5(64, 64, _gradient(64, 64))),                    # 2x scale
+        (5, _p5(32, 32, [(7 * i * i) % 256 for i in range(1024)])),  # other
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["phash"]
+           for r in M.phash_images(df, stub=False).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[1] == got[2]
+    assert got[1] == got[3]           # DC shift cannot flip any bit
+    # resize-normalized: measured 10/64 (uint8 quantization differs at the
+    # two resolutions) — well inside a near-dup ball, far from unrelated
+    assert ham(got[1], got[4]) <= 12
+    assert ham(got[1], got[5]) > 16
+
+
+def test_phash_decode_error_and_null(spark):
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    df = spark.createDataFrame(
+        [(1, b"P5\n9 9\n255\nshort"), (2, None), (3, b"")],
+        "media_id long, content binary")
+    got = {r["media_id"]: (r["phash"], r["decode_ok"])
+           for r in M.phash_images(df, stub=True).collect()}
+    assert got[2] == (None, "null_content")
+    assert got[3] == (None, "decode_error")  # empty stub content
+    # stub mode never decodes: row 1 hashes the raw bytes fine
+    assert got[1][1] == "ok"
+
+
+def test_hamming_candidates_pigeonhole_and_verify(spark):
+    """Pairs within bands−1 are ALWAYS candidates; max_hamming filters;
+    min-dedup collapses multi-band hits."""
+    from glamr_omics_pipelines_spark.operators import dedup as D
+    rows = [(1, 0), (2, 1), (3, 0b111), (4, -1)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hamming_candidates(df, "media_id", "phash",
+                                         bands=4).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 3 and out[(2, 3)] == 2
+    assert (1, 4) not in out  # hamming 64: no shared band
+    filt = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.hamming_candidates(df, "media_id", "phash", bands=4,
+                                          max_hamming=1).collect()}
+    assert filt == {(1, 2): 1}
+    with __import__("pytest").raises(ValueError):
+        D.hamming_candidates(df, "media_id", "phash", bands=5)
