@@ -520,6 +520,8 @@ BNLJ_ALLOWLIST = {
     "benford", "rfm_segments", "mixture_sample", "temperature_sample",
     "tfidf_topk", "pmi_collocations", "basket_rules", "enrichment_2x2",
     "psi_drift", "class_tfidf",
+    # r9: bm25's N/avgdl corpus stats — the same 1-row scalar attach
+    "bm25_search",
     # group-grain pair fan-out (aggregate pairs, corpus-size independent)
     "bray_curtis", "js_divergence", "mash_distance",
     # broadcast-dimension argmin / small-side attach
@@ -679,3 +681,52 @@ def test_bloom_novelty_broadcast_bitmap_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bm25_query_term_filter_before_tf_shuffle(spark):
+    """bm25_search: the query-term isin filter must sit DIRECTLY on the
+    token explode (pre-aggregation — the tf shuffle carries only query-term
+    postings), every multi-row join must be broadcast hash (the only BNLJ
+    is the allowlisted 1-row stats attach), and the per-query top-k gets
+    the WindowGroupLimit partial pre-cut."""
+    plan = _plan(spark, "bm25_search")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # top-down print: the Filter line prints immediately above its child
+    # Generate — pin the adjacency (filter pre-agg, on the explode itself)
+    f = plan.index(" IN (")
+    g = plan.index("Generate explode", f)
+    assert g - f < 300, plan[f:g]
+    assert "WindowGroupLimit" in plan
+
+
+def test_url_dedup_single_exchange(spark):
+    """url_dedup: normalization is row-local; the URL-grain agg is the ONLY
+    exchange (partial agg map-side)."""
+    plan = _plan(spark, "url_dedup")
+    assert plan.count("Exchange") <= 2  # final agg + AQE read side at most
+    assert "Join" not in plan and "InPandas" not in plan
+
+
+def test_web_curation_one_data_exchange_no_python(spark):
+    """web_curation: blocklist/normalize/line-rules row-local; the
+    normalized-URL window is the only data-grain exchange; no Python."""
+    plan = _plan(spark, "web_curation")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # window sort exchange (+AQE reuse)
+
+
+def test_phash_single_arrow_scan_banded_join(spark):
+    """phash_dedup: the Arrow-batched hash pass feeds a PERSISTED bucket
+    table (both self-join sides read the cache — the kernel runs once per
+    materialization, the simhash convention); candidates via equi join on
+    (band,bucket) — no nested loop."""
+    plan = _plan(spark, "phash_dedup")
+    assert "MapInPandas" in plan and "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rp_project_catalog_row_zero_shuffle(spark):
+    plan = _plan(spark, "rp_project")
+    assert "Exchange" not in plan and "InPandas" not in plan
