@@ -2437,6 +2437,42 @@ _PHASH_DEDUP_SQL = """
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (operators/layout.py:compaction_plan
+    — the OPTIMIZE/rewrite-data-files maintenance step): a synthetic file
+    listing derived from documents (path f{doc_id}, bytes n_chars,
+    partitioned by source) binned toward a 4000-byte target via ONE
+    exclusive-cumsum window at file-listing (metadata) scale."""
+    d = _t(spark, sf_dir, "documents")
+    files = d.select("source",
+                     F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+                     .alias("path"),
+                     F.col("n_chars").cast("bigint").alias("bytes"))
+    out = layout.compaction_plan(files, "path", "bytes", 4000, ["source"])
+    return out.select("source", F.col("bin").cast("bigint").alias("bin"),
+                      F.col("n_files").cast("bigint").alias("n_files"),
+                      "bin_bytes", "needs_compaction")
+
+
+_COMPACTION_PLAN_SQL = """
+    WITH files AS (
+      SELECT source, 'f' || CAST(doc_id AS VARCHAR) AS path,
+             CAST(n_chars AS BIGINT) AS bytes
+      FROM documents),
+    a AS (
+      SELECT source, bytes,
+             CAST(floor(coalesce(sum(bytes) OVER (
+               PARTITION BY source ORDER BY path
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 4000.0) AS BIGINT) AS bin
+      FROM files)
+    SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           count(*) > 1 AS needs_compaction
+    FROM a GROUP BY source, bin
+"""
+
+
 def _docs_tag(spark, sf_dir) -> str:
     """Cache key for document-derived gate fixtures: path digest PLUS a
     content fingerprint (row count + xxhash64 over id/length), so a
@@ -5066,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "web_curation": q_web_curation,
         "phash_dedup": q_phash_dedup,
+        "compaction_plan": q_compaction_plan,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -5983,6 +6020,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_project": _rp_project_sql(),
         "web_curation": _web_curation_sql(),
         "phash_dedup": _PHASH_DEDUP_SQL,
+        "compaction_plan": _COMPACTION_PLAN_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

@@ -192,6 +192,7 @@ HEADLINE = [
     "rp_project",        # JL projection, literal matrix, zero shuffle
     "web_curation",      # blocklist -> url dedup -> line quality, 1 plan
     "phash_dedup",       # P5 decode + DCT phash + banded hamming join
+    "compaction_plan",   # exclusive-cumsum file binning, metadata scale
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

@@ -58,3 +58,36 @@ def compact_zorder(df: DataFrame, cols: list[str], out_path: str,
      .sortWithinPartitions("_zkey")
      .drop("_zkey")
      .write.mode("overwrite").parquet(out_path))
+
+
+def compaction_plan(files: DataFrame, path_col: str, bytes_col: str,
+                    target_bytes: int,
+                    partition_cols: list[str] | None = None) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite-data-files step
+    of lakehouse table maintenance): assign each file to a compaction bin
+    so bins approach ``target_bytes``, deterministically — bin =
+    floor(exclusive-cumsum(bytes) / target) over files ordered by path
+    within a partition. The streaming bin-assignment rule: no
+    driver-side greedy loop, one window over the FILE LISTING (metadata
+    scale — millions of rows for a 100 TB table, the sequential_ids
+    contract class), and a file larger than the target simply spans its
+    own bin(s) without stalling the assignment.
+
+    Output is bin-grain: partition cols + ``bin``, ``n_files``,
+    ``bin_bytes``, ``needs_compaction`` (more than one file in the bin —
+    single-file bins are already compact). Feed the bin → file mapping
+    (the same window, pre-aggregation) to the rewrite job.
+    """
+    if target_bytes <= 0:
+        raise ValueError("compaction_plan: target_bytes must be positive")
+    pcols = partition_cols or []
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*pcols).orderBy(path_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pre = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    assigned = files.withColumn(
+        "bin", F.floor(pre / F.lit(target_bytes)).cast("bigint"))
+    return (assigned.groupBy(*pcols, "bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(bytes_col).cast("bigint").alias("bin_bytes"))
+            .withColumn("needs_compaction", F.col("n_files") > 1))

@@ -62,3 +62,30 @@ def test_compact_zorder_preserves_rows_and_tightens_files(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def test_compaction_plan_bins_and_oversize(spark):
+    """Exclusive-cumsum binning: small files pack toward the target; an
+    oversize file occupies its own bin without stalling assignment."""
+    from glamr_omics_pipelines_spark.operators import layout as L
+    rows = [("p", "a", 40), ("p", "b", 40), ("p", "c", 40),
+            ("p", "d", 250),            # oversize (target 100)
+            ("p", "e", 40), ("q", "f", 10)]
+    df = spark.createDataFrame(rows, ["part", "path", "bytes"])
+    out = {(r["part"], r["bin"]): (r["n_files"], r["bin_bytes"],
+                                   r["needs_compaction"])
+           for r in L.compaction_plan(df, "path", "bytes", 100,
+                                      ["part"]).collect()}
+    # pre-cumsums: a=0 b=40 c=80 -> bin 0; d=120 -> bin 1; e=370 -> bin 3
+    assert out[("p", 0)] == (3, 120, True)
+    assert out[("p", 1)] == (1, 250, False)
+    assert out[("p", 3)] == (1, 40, False)
+    assert out[("q", 0)] == (1, 10, False)
+
+
+def test_compaction_plan_guard(spark):
+    from glamr_omics_pipelines_spark.operators import layout as L
+    import pytest as _pytest
+    df = spark.createDataFrame([("a", 1)], ["path", "bytes"])
+    with _pytest.raises(ValueError):
+        L.compaction_plan(df, "path", "bytes", 0)
