@@ -2437,6 +2437,78 @@ _PHASH_DEDUP_SQL = """
 """
 
 
+def _wav_header(n: int) -> bytes:
+    """44-byte RIFF header for a mono 8-bit-PCM 8 kHz WAV with exactly
+    ``n`` data bytes, generated ONCE via the stdlib wave writer (sizes in
+    the header are payload-length dependent, so the payload length is
+    pinned to the rpad width). The afp row uses n=8192: a 1024-byte clip
+    yields ONE spectrogram frame (16 band values — far fewer than 64
+    independent sign bits, measured payload collisions at sf0.01); 8192
+    gives 15 frames x 16 bands, enough entropy that unequal payloads
+    separate."""
+    import io
+    import wave
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(n))
+    return bio.getvalue()[:-n]
+
+
+def q_afp_dedup(spark, sf_dir):
+    """Audio-fingerprint near-dup (operators/multimodal.py:afp_signatures
+    + dedup.hamming_candidates — the audio member of the signature
+    triangle beside simhash and phash): documents rendered as REAL mono
+    8-bit PCM WAVs (stdlib-generated RIFF header + 1024 ascii sample
+    bytes), planted copies added, decoded and fingerprinted through the
+    full frame→rFFT→band→log→spectrogram-pHash pipeline, paired at
+    max_hamming=0. Oracle = equal-payload pairs (the phash_dedup
+    assumption class); gain invariance and discrimination are
+    pytest-pinned where SQL can't follow."""
+    d = _t(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
+    # pad by cycling the TEXT ITSELF: a constant pad gives short docs a
+    # shared periodic 8 KB tail that DOMINATES the spectrogram (measured:
+    # 20k+ collision pairs at sf0.01); the oracle keys on pix equality, so
+    # text-cycling stays consistent by construction
+    base = (d.select("doc_id", ascii_text.alias("t"))
+            .filter(F.length("t") > 0)
+            .select("doc_id", F.rpad("t", 8192, F.col("t")).alias("pix")))
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_wav_header(8192)),
+                 F.encode("pix", "UTF-8")).alias("content"))
+    copies = (media.filter(F.col("media_id") % 20 == 1)
+              .select((F.col("media_id") + 100000).alias("media_id"),
+                      "content"))
+    sig = multimodal.afp_signatures(media.unionByName(copies), stub=False)
+    pairs = dedup.hamming_candidates(sig, "media_id", "afp",
+                                     bands=4, max_hamming=0)
+    return pairs.select(F.col("id_a").cast("bigint").alias("id_a"),
+                        F.col("id_b").cast("bigint").alias("id_b"),
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
+_AFP_DEDUP_SQL = """
+    WITH base AS (
+      SELECT doc_id, rpad(t, 8192, t) AS pix FROM (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS t
+        FROM documents) WHERE len(t) > 0),
+    allm AS (
+      SELECT doc_id AS media_id, pix FROM base
+      UNION ALL
+      SELECT doc_id + 100000, pix FROM base WHERE doc_id % 20 = 1)
+    SELECT CAST(a.media_id AS BIGINT) AS id_a,
+           CAST(b.media_id AS BIGINT) AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM allm a JOIN allm b
+      ON a.pix = b.pix AND a.media_id < b.media_id
+"""
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/layout.py:compaction_plan
     — the OPTIMIZE/rewrite-data-files maintenance step): a synthetic file
@@ -5103,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation": q_web_curation,
         "phash_dedup": q_phash_dedup,
         "compaction_plan": q_compaction_plan,
+        "afp_dedup": q_afp_dedup,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -6021,6 +6094,7 @@ def oracle_sql() -> dict[str, str]:
         "web_curation": _web_curation_sql(),
         "phash_dedup": _PHASH_DEDUP_SQL,
         "compaction_plan": _COMPACTION_PLAN_SQL,
+        "afp_dedup": _AFP_DEDUP_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

@@ -193,6 +193,7 @@ HEADLINE = [
     "web_curation",      # blocklist -> url dedup -> line quality, 1 plan
     "phash_dedup",       # P5 decode + DCT phash + banded hamming join
     "compaction_plan",   # exclusive-cumsum file binning, metadata scale
+    "afp_dedup",         # WAV decode + spectrogram phash + hamming join
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

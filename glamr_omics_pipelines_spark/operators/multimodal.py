@@ -712,6 +712,88 @@ def _phash_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
                          "decode_ok": oks})
 
 
+AFP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("afp", LongType()),
+    StructField("decode_ok", StringType()),
+])
+
+
+def _afp_of_samples(samples, frame: int = 1024, hop: int = 512,
+                    bands: int = 16) -> int:
+    """64-bit audio fingerprint: spectrogram pHash. Frames of ``frame``
+    samples every ``hop`` → |rFFT|² → ``bands`` equal bin groups →
+    log1p energy matrix (frames × bands) → per-clip min-max affine to
+    uint8 → the SAME resize→DCT→sign pipeline as the image hash
+    (_phash_of_gray). Volume scaling multiplies energies by c², i.e.
+    shifts the log matrix by a constant, which the affine normalization
+    removes EXACTLY — gain-invariant by construction (pytest-pinned).
+    Constant (silent) clips normalize to the all-zero matrix."""
+    import numpy as np
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < frame:
+        raise ValueError("clip shorter than one analysis frame")
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = (np.arange(frame)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    spec = np.abs(np.fft.rfft(x[idx], axis=1)) ** 2
+    # drop the DC bin, group the rest into equal bands
+    usable = (spec.shape[1] - 1) // bands * bands
+    e = spec[:, 1:1 + usable].reshape(n_frames, bands, -1).sum(axis=2)
+    m = np.log1p(e)
+    rng = m.max() - m.min()
+    if rng > 0:
+        m = (m - m.min()) / rng * 255.0
+    else:
+        m = np.zeros_like(m)
+    return _phash_of_gray(m.astype(np.uint8))
+
+
+def _afp_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
+    """Per-batch audio-fingerprint kernel. STUB: raw bytes re-centered as
+    crude 8-bit samples (no decode — framing/FFT/hash still real). REAL:
+    _decode_wav_samples (PCM 8/16/24/32, G.711, IMA ADPCM; stereo
+    averaged), same row-level decode_error contract as the image path."""
+    import numpy as np
+    out, oks = [], []
+    for buf in pdf["content"]:
+        if buf is None:
+            out.append(None)
+            oks.append("null_content")
+            continue
+        b = bytes(buf)
+        try:
+            if stub:
+                samples = np.frombuffer(b, dtype=np.uint8).astype(
+                    np.float64) - 128.0
+            else:
+                samples = _decode_wav_samples(b)
+                if samples is None:
+                    raise ValueError("not a decodable WAV")
+            out.append(_afp_of_samples(samples))
+            oks.append("ok")
+        except Exception:
+            out.append(None)
+            oks.append("decode_error")
+    return pd.DataFrame({"media_id": pdf["media_id"],
+                         "afp": pd.array(out, dtype="Int64"),
+                         "decode_ok": oks})
+
+
+def afp_signatures(df: DataFrame, stub: bool = True) -> DataFrame:
+    """binary audio content → 64-bit gain-invariant fingerprint via
+    Arrow-batched mapInPandas — the audio member of the signature-dedup
+    triangle (text simhash / image phash / audio afp); near-dup pairs
+    come from dedup.hamming_candidates' banded equi join. Scale shape:
+    hashing is scan-stage; only the 8-byte fingerprint reaches a
+    shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _afp_batch(pdf, stub)
+
+    return df.select("media_id", "content").mapInPandas(run, AFP_SCHEMA)
+
+
 def phash_images(df: DataFrame, stub: bool = True) -> DataFrame:
     """binary content → 64-bit perceptual hash (pHash: 32×32 bilinear →
     2-D DCT-II → 8×8 low-frequency signs vs median) via Arrow-batched

@@ -1302,3 +1302,51 @@ def test_hamming_candidates_pigeonhole_and_verify(spark):
     assert filt == {(1, 2): 1}
     with __import__("pytest").raises(ValueError):
         D.hamming_candidates(df, "media_id", "phash", bands=5)
+
+
+def test_afp_gain_invariance_and_discrimination(spark):
+    """Identical clips → identical fingerprint; a 2× gain → IDENTICAL
+    (log-affine removed exactly); a different waveform → far; a clip
+    shorter than one frame → decode_error."""
+    import math
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    n = 4096
+    tone = [int(8000 * math.sin(2 * math.pi * 440 * i / 8000))
+            + int(3000 * math.sin(2 * math.pi * 97 * i / 8000))
+            for i in range(n)]
+    other = [int(9000 * math.sin(2 * math.pi * 1313 * i / 8000)
+                 * (1 + 0.5 * math.sin(2 * math.pi * 3 * i / 8000)))
+             for i in range(n)]
+    rows = [(1, _wav_bytes(tone)),
+            (2, _wav_bytes(tone)),
+            (3, _wav_bytes([max(-32768, min(32767, 2 * s)) for s in tone])),
+            (4, _wav_bytes(other)),
+            (5, _wav_bytes(tone[:512]))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["afp"], r["decode_ok"])
+           for r in M.afp_signatures(df, stub=False).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[1] == got[2]
+    assert got[1][0] == got[3][0]     # exact gain invariance
+    assert ham(got[1][0], got[4][0]) > 12
+    assert got[5] == (None, "decode_error")
+
+
+def test_afp_stub_path_and_hamming_composition(spark):
+    """Stub path hashes raw bytes (no decode); composed with
+    hamming_candidates the planted copy pairs at distance 0."""
+    from glamr_omics_pipelines_spark.operators import dedup as D
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    blob_a = bytes([(i * 37) % 256 for i in range(2048)])
+    blob_b = bytes([(i * 11 + 5) % 256 for i in range(2048)])
+    df = spark.createDataFrame(
+        [(1, blob_a), (2, blob_a), (3, blob_b)],
+        "media_id long, content binary")
+    sig = M.afp_signatures(df, stub=True)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.hamming_candidates(sig, "media_id", "afp", bands=4,
+                                           max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
