@@ -2509,6 +2509,102 @@ _AFP_DEDUP_SQL = """
 """
 
 
+# frozen WordPiece vocabulary — ONE canonical constant; the oracle VALUES
+# are generated from it. Includes nested pieces (spark ⊃ sp ⊃ s, so vs s)
+# so greedy longest-match-first is load-bearing, continuation pieces, and
+# enough coverage gaps that [UNK] words occur.
+_WP_VOCAB = ["a", "the", "spark", "sp", "##ark", "s", "##park", "so",
+             "##rt", "##ort", "table", "scan", "sc", "##an", "custom",
+             "##er", "fil", "##ter", "da", "##ta", "key", "merge"]
+_WP_STEPS = 12  # ≥ longest corpus word (8 chars) ⇒ the step cap is inert
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece tokenizer application (operators/text.py:wordpiece_encode
+    — BERT greedy longest-match-first, the second frozen-tokenizer family
+    beside bpe_encode): the fold form (vocab = ONE literal struct array,
+    greedy loop = ONE aggregate over sequence — runtime iteration, the
+    expression tree does not grow with steps) over the corpus with the
+    frozen 22-piece vocab. Output pins token count + the first 12 pieces
+    (merge order, continuation framing, whole-word UNK)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.wordpiece_encode(d, "text", _WP_VOCAB,
+                                max_steps=_WP_STEPS, strategy="fold")
+    return out.select(
+        "doc_id",
+        F.array_size("wp_tokens").cast("bigint").alias("n_wp"),
+        F.array_join(F.slice("wp_tokens", 1, 12), " ").alias("head_toks"))
+
+
+def _wordpiece_sql() -> str:
+    """Oracle for q_wordpiece_encode: the greedy state machine unrolled as
+    _WP_STEPS CTE rounds at DISTINCT-WORD grain (the k_core unrolled-loop
+    convention — corpus-size independent: the recursion runs on the
+    vocabulary of words, then joins back to token positions). Per round:
+    best match via max_by(piece, len(body)) over the LEFT-joined vocab
+    (a length tie is impossible — same length + same prefix ⇒ identical
+    body, and cont separates x from ##x); no match on a live word ⇒
+    whole-word [UNK] (dead flag); rest unconsumed after the cap ⇒ [UNK]
+    (the engine's step-capped contract, inert at 12 ≥ max word length)."""
+    vals = ", ".join(
+        f"({_dq(p)}, {_dq(p[2:] if p.startswith('##') else p)}, "
+        f"{'true' if p.startswith('##') else 'false'})"
+        for p in _WP_VOCAB)
+    steps = []
+    for i in range(1, _WP_STEPS + 1):
+        steps.append(f"""
+        s{i} AS MATERIALIZED (
+          SELECT word,
+                 CASE WHEN prev_rest = '' OR prev_dead THEN prev_rest
+                      WHEN bp IS NULL THEN ''
+                      ELSE substr(prev_rest, length(bb) + 1) END AS rest,
+                 CASE WHEN prev_rest = '' OR prev_dead THEN prev_toks
+                      WHEN bp IS NULL THEN ['[UNK]']
+                      ELSE list_append(prev_toks, bp) END AS toks,
+                 CASE WHEN prev_dead THEN true
+                      WHEN prev_rest <> '' AND bp IS NULL THEN true
+                      ELSE false END AS dead
+          FROM (
+            SELECT s.word, s.rest AS prev_rest, s.toks AS prev_toks,
+                   s.dead AS prev_dead,
+                   max_by(v.piece, length(v.body)) AS bp,
+                   max_by(v.body, length(v.body)) AS bb
+            FROM s{i - 1} s LEFT JOIN voc v
+              ON v.cont = (len(s.toks) > 0)
+                 AND starts_with(s.rest, v.body)
+                 AND s.rest <> '' AND NOT s.dead
+            GROUP BY s.word, s.rest, s.toks, s.dead))""")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS wpos
+          FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS ws
+                FROM documents)),
+        words AS (SELECT DISTINCT w FROM tok),
+        voc(piece, body, cont) AS (VALUES {vals}),
+        s0 AS (SELECT w AS word, w AS rest,
+                      CAST([] AS VARCHAR[]) AS toks, false AS dead
+               FROM words),
+        {",".join(steps)},
+        fin AS (SELECT word,
+                       CASE WHEN rest <> '' THEN ['[UNK]'] ELSE toks END
+                         AS toks
+                FROM s{_WP_STEPS}),
+        docs AS (SELECT t.doc_id,
+                        flatten(list(f.toks ORDER BY t.wpos)) AS flat
+                 FROM tok t JOIN fin f ON t.w = f.word
+                 GROUP BY t.doc_id)
+        SELECT d.doc_id, CAST(coalesce(len(flat), 0) AS BIGINT) AS n_wp,
+               coalesce(array_to_string(flat[1:12], ' '), '') AS head_toks
+        FROM documents d LEFT JOIN docs USING (doc_id)
+    """
+
+
+def _dq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/layout.py:compaction_plan
     — the OPTIMIZE/rewrite-data-files maintenance step): a synthetic file
@@ -5176,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "compaction_plan": q_compaction_plan,
         "afp_dedup": q_afp_dedup,
+        "wordpiece_encode": q_wordpiece_encode,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -6095,6 +6192,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_dedup": _PHASH_DEDUP_SQL,
         "compaction_plan": _COMPACTION_PLAN_SQL,
         "afp_dedup": _AFP_DEDUP_SQL,
+        "wordpiece_encode": _wordpiece_sql(),
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

@@ -194,6 +194,7 @@ HEADLINE = [
     "phash_dedup",       # P5 decode + DCT phash + banded hamming join
     "compaction_plan",   # exclusive-cumsum file binning, metadata scale
     "afp_dedup",         # WAV decode + spectrogram phash + hamming join
+    "wordpiece_encode",  # greedy fold, literal vocab, zero shuffle
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

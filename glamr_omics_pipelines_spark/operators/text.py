@@ -496,6 +496,167 @@ def line_quality_filter(df: DataFrame, id_col: str, text_col: str,
                         .cast("bigint")))
 
 
+# wordpiece_encode: vocab size above which the literal-array fold form
+# gives way to the Arrow-batched greedy path (a 30k-piece literal array
+# would dominate the plan; the fold is the oracle form)
+_WP_FOLD_AUTO_MAX = 512
+
+
+def _wp_vocab_parts(vocab: list[str]) -> list[tuple[str, str, bool]]:
+    """Validate a WordPiece vocab and split into (body, piece, cont)."""
+    out = []
+    seen = set()
+    for p in vocab:
+        if p in seen:
+            raise ValueError(f"wordpiece_encode: duplicate piece {p!r}")
+        seen.add(p)
+        cont = p.startswith("##")
+        body = p[2:] if cont else p
+        if not body:
+            raise ValueError(f"wordpiece_encode: empty-bodied piece {p!r}")
+        out.append((body, p, cont))
+    if not out:
+        raise ValueError("wordpiece_encode: vocab is empty")
+    return out
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def wordpiece_encode(df: DataFrame, text_col: str, vocab: list[str],
+                     out: str = "wp_tokens", unk: str = "[UNK]",
+                     max_steps: int = 12,
+                     strategy: str | None = None) -> DataFrame:
+    """Apply a frozen WordPiece vocabulary to a corpus (the BERT greedy
+    longest-match-first tokenizer — the second tokenizer family beside
+    BPE's bpe_encode): per lowercased whitespace word, repeatedly take the
+    LONGEST vocab piece matching a prefix of the remainder (continuation
+    pieces are the ``##``-prefixed entries); a word with no match at any
+    step — or one still unconsumed after ``max_steps`` pieces — becomes a
+    single ``unk`` token (whole-word UNK, the BERT rule; with max_steps ≥
+    the longest word length the cap is inert, since every step consumes
+    ≥ 1 char).
+
+    Two physical forms (``strategy``), auto-selected by vocab size:
+
+    * ``"fold"`` (default ≤ 512 pieces) — row-local JVM expressions, ZERO
+      shuffle, zero Python: the vocab is ONE literal array of
+      (body, piece, cont) structs bound once, and the greedy loop is ONE
+      ``aggregate`` over ``sequence(1, max_steps)`` whose lambda picks the
+      longest match via filter + array_max (runtime iteration — the
+      expression tree does NOT grow with max_steps, the bpe_encode
+      CollapseProject lesson applied pre-emptively). The oracle form: the
+      same state machine unrolls as ``max_steps`` SQL CTE rounds at
+      DISTINCT-WORD grain.
+    * ``"pandas"`` (default above 512) — the real-vocab path: one
+      Arrow-batched ``mapInPandas`` scan (zero shuffle) running the
+      standard greedy with a piece set + per-partition word cache; per-doc
+      cost independent of vocab size (30k-piece BERT vocabs tokenize in
+      the scan stage). Byte-for-byte equal to the fold (property-tested).
+
+    A tie between two matches is impossible: same length + same prefix ⇒
+    identical body, and the cont flag separates ``x`` from ``##x``.
+    NULL text stays NULL on both paths.
+    """
+    parts = _wp_vocab_parts(vocab)
+    if max_steps <= 0:
+        raise ValueError("wordpiece_encode: max_steps must be positive")
+    if strategy is None:
+        strategy = "fold" if len(parts) <= _WP_FOLD_AUTO_MAX else "pandas"
+    if strategy not in ("fold", "pandas"):
+        raise ValueError(f"strategy must be fold|pandas, got {strategy!r}")
+    if strategy == "pandas":
+        return _wordpiece_pandas(df, text_col, parts, out, unk, max_steps)
+    vlit = "array(" + ",".join(
+        f"named_struct('body', {_sql_str(b)}, 'piece', {_sql_str(p)}, "
+        f"'cont', {'true' if c else 'false'})"
+        for b, p, c in parts) + ")"
+    best = (f"array_max(transform(filter({vlit}, "
+            "v -> v.cont = (size(acc.toks) > 0) "
+            "AND startswith(acc.rest, v.body)), "
+            "v -> named_struct('l', length(v.body), 'body', v.body, "
+            "'piece', v.piece)))")
+    u = _sql_str(unk)
+    fold = (
+        f"aggregate(sequence(1, {max_steps}), "
+        "named_struct('rest', w, 'toks', cast(array() as array<string>)), "
+        f"(acc, i) -> CASE WHEN acc.rest = '' THEN acc "
+        f"WHEN {best} IS NULL THEN "
+        f"named_struct('rest', '', 'toks', array({u})) "
+        f"ELSE named_struct("
+        f"'rest', substring(acc.rest, length({best}.body) + 1), "
+        f"'toks', concat(acc.toks, array({best}.piece))) END, "
+        f"acc -> CASE WHEN acc.rest <> '' THEN array({u}) "
+        f"ELSE acc.toks END)")
+    # one self-contained SQL expression (the learn_bpe_merges convention:
+    # a single F.expr = one py4j roundtrip, and the inner fold's free
+    # variable w binds to the outer transform lambda naturally)
+    words = (f"filter(split(lower(`{text_col}`), '\\\\s+'), "
+             "t -> t <> '')")
+    return df.withColumn(out, F.expr(
+        f"flatten(transform({words}, w -> {fold}))"))
+
+
+def _wordpiece_pandas(df: DataFrame, text_col, parts, out: str,
+                      unk: str, max_steps: int) -> DataFrame:
+    """Arrow-batched greedy WordPiece (identical semantics to the fold)."""
+    import pandas as pd
+    starts = {b: p for b, p, c in parts if not c}
+    conts = {b: p for b, p, c in parts if c}
+    max_len = max(len(b) for b, _, _ in parts)
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    d = df.withColumn("_wp_words",
+                      lower_tokens(src))
+    cols = d.columns
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        rest, toks = word, []
+        for _ in range(max_steps):
+            if not rest:
+                break
+            table = conts if toks else starts
+            piece = None
+            for ln in range(min(len(rest), max_len), 0, -1):
+                piece = table.get(rest[:ln])
+                if piece is not None:
+                    rest = rest[ln:]
+                    toks.append(piece)
+                    break
+            if piece is None:
+                toks, rest = [unk], ""
+                break
+        if rest:
+            toks = [unk]
+        cache[word] = toks
+        return toks
+
+    def run(batches):
+        cache: dict = {}
+        for pdf in batches:
+            res = []
+            for words in pdf["_wp_words"]:
+                if words is None:
+                    res.append(None)
+                    continue
+                toks: list[str] = []
+                for word in words:
+                    toks.extend(encode_word(word, cache))
+                res.append(toks)
+            pdf = pdf.copy()
+            pdf[out] = res
+            yield pdf.drop(columns=["_wp_words"])
+
+    from pyspark.sql.types import ArrayType, StringType, StructType
+    schema = StructType(
+        [f for f in d.schema.fields if f.name != "_wp_words"]).add(
+        out, ArrayType(StringType()))
+    return d.mapInPandas(run, schema)
+
+
 def bm25_topk(df: DataFrame, id_col: str, text_col: str,
               queries: list[tuple[str, str]], k1: float = 1.2,
               b: float = 0.75, top_k: int = 10,

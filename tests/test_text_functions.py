@@ -279,3 +279,86 @@ def test_line_quality_filter_zero_shuffle(spark):
     out = T.line_quality_filter(df, "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+WP_VOCAB = ["a", "the", "spark", "sp", "##ark", "s", "##park", "so", "##rt",
+            "##ort", "table", "scan", "sc", "##an", "custom", "##er",
+            "fil", "##ter", "da", "##ta"]
+
+
+def test_wordpiece_hand_cases_both_paths(spark):
+    """Greedy longest-match: 'scan' whole beats sc+##an; 'sort' takes
+    so+##rt (so > s at step 1); no-match word → whole-word [UNK]; NULL
+    stays NULL; fold == pandas."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame(
+        [(1, "Spark table scan"), (2, "sort the data"), (3, "fast stream"),
+         (4, None)], "doc_id long, text string")
+    want = {1: ["spark", "table", "scan"],
+            2: ["so", "##rt", "the", "da", "##ta"],
+            3: ["[UNK]", "[UNK]"], 4: None}
+    for strat in ("fold", "pandas"):
+        got = {r["doc_id"]: r["wp_tokens"] for r in
+               T.wordpiece_encode(df, "text", WP_VOCAB,
+                                  strategy=strat).collect()}
+        assert got == want, strat
+
+
+def test_wordpiece_step_cap_unk(spark):
+    """A word needing more than max_steps pieces becomes [UNK] on BOTH
+    paths (the step-capped-greedy contract)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "aaaa aa")], "doc_id long, text string")
+    vocab = ["a", "##a"]
+    for strat in ("fold", "pandas"):
+        got = T.wordpiece_encode(df, "text", vocab, max_steps=3,
+                                 strategy=strat).collect()[0]["wp_tokens"]
+        assert got == ["[UNK]", "a", "##a"], strat
+
+
+def test_wordpiece_fold_equals_pandas_random(spark):
+    """Property: fold == pandas on a randomized vocab + corpus."""
+    import random
+    from glamr_omics_pipelines_spark.operators import text as T
+    rng = random.Random(17)
+    alphabet = "abcd"
+    pieces = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 3)))
+              for _ in range(25)}
+    vocab = sorted(pieces) + sorted("##" + p for p in pieces
+                                    if rng.random() < 0.7)
+    docs = [(i, " ".join("".join(rng.choice(alphabet)
+                                 for _ in range(rng.randint(1, 8)))
+                         for _ in range(6))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r["doc_id"]: r["wp_tokens"] for r in
+         T.wordpiece_encode(df, "text", vocab, strategy="fold").collect()}
+    b = {r["doc_id"]: r["wp_tokens"] for r in
+         T.wordpiece_encode(df, "text", vocab, strategy="pandas").collect()}
+    assert a == b
+
+
+def test_wordpiece_guards(spark):
+    import pytest as _pytest
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        T.wordpiece_encode(df, "text", [])
+    with _pytest.raises(ValueError):
+        T.wordpiece_encode(df, "text", ["a", "a"])
+    with _pytest.raises(ValueError):
+        T.wordpiece_encode(df, "text", ["##"])
+    with _pytest.raises(ValueError):
+        T.wordpiece_encode(df, "text", ["a"], max_steps=0)
+    with _pytest.raises(ValueError):
+        T.wordpiece_encode(df, "text", ["a"], strategy="nope")
+
+
+def test_wordpiece_fold_zero_shuffle_pandas_single_scan(spark):
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    pf = T.wordpiece_encode(df, "text", ["a", "b"], strategy="fold") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in pf and "InPandas" not in pf
+    pp = T.wordpiece_encode(df, "text", ["a", "b"], strategy="pandas") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in pp and pp.count("MapInPandas") == 1
