@@ -568,6 +568,10 @@ def wordpiece_encode(df: DataFrame, text_col: str, vocab: list[str],
         raise ValueError(f"strategy must be fold|pandas, got {strategy!r}")
     if strategy == "pandas":
         return _wordpiece_pandas(df, text_col, parts, out, unk, max_steps)
+    if not isinstance(text_col, str):
+        raise TypeError("wordpiece_encode fold strategy needs a column "
+                        "NAME (the vocab fold is spliced into one SQL "
+                        "expression); pass strategy='pandas' for a Column")
     vlit = "array(" + ",".join(
         f"named_struct('body', {_sql_str(b)}, 'piece', {_sql_str(p)}, "
         f"'cont', {'true' if c else 'false'})"

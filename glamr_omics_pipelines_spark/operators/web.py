@@ -150,18 +150,23 @@ def domain_blocklist_filter(df: DataFrame, host_col: str,
         spark = df.sparkSession
         bdf = F.broadcast(spark.createDataFrame(
             [(r,) for r in rules], schema="_rule string"))
-        # collision-checked scratch name (bpe_encode convention)
-        sc = "_dbf_suffix"
-        while sc in df.columns:
-            sc += "_"
-        sufs = df.select(F.col(host_col).alias("_h")).distinct() \
-            .select("_h", F.explode(host_suffixes("_h")).alias(sc))
+        # collision-checked scratch names (bpe_encode convention): the
+        # join-back frame's columns must never shadow caller columns
+        def _scratch(base: str) -> str:
+            name = base
+            while name in df.columns:
+                name += "_"
+            return name
+        hc, bc, sc = (_scratch("_dbf_host"), _scratch("_dbf_best"),
+                      _scratch("_dbf_suffix"))
+        sufs = df.select(F.col(host_col).alias(hc)).distinct() \
+            .select(hc, F.explode(host_suffixes(hc)).alias(sc))
         hits = (sufs.join(bdf, sufs[sc] == bdf["_rule"])
-                .groupBy("_h")
+                .groupBy(hc)
                 .agg(F.max(F.struct(F.length("_rule").alias("l"),
                                     F.col("_rule").alias("rule")))
-                     .alias("_best")))
-        d = (df.join(hits, df[host_col] == hits["_h"], "left")
-             .withColumn("matched_rule", F.col("_best")["rule"])
-             .drop("_h", "_best"))
+                     .alias(bc)))
+        d = (df.join(hits, df[host_col] == hits[hc], "left")
+             .withColumn("matched_rule", F.col(bc)["rule"])
+             .drop(hc, bc))
     return d.withColumn("is_blocked", F.col("matched_rule").isNotNull())

@@ -362,3 +362,12 @@ def test_wordpiece_fold_zero_shuffle_pandas_single_scan(spark):
     pp = T.wordpiece_encode(df, "text", ["a", "b"], strategy="pandas") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in pp and pp.count("MapInPandas") == 1
+
+
+def test_wordpiece_fold_rejects_column_arg(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(TypeError):
+        T.wordpiece_encode(df, F.col("text"), ["a"], strategy="fold")

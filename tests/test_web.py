@@ -96,3 +96,15 @@ def test_blocklist_literal_is_single_projection(spark):
     out = web.domain_blocklist_filter(df, "host", BLOCK, method="literal")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_blocklist_join_form_scratch_collision_safe(spark):
+    """Caller columns named like the join form's scratch names must
+    survive untouched (the r9 hashed_linear_score lesson)."""
+    df = spark.createDataFrame(
+        [(1, "x.es.org", "keepme", "alsokeep")],
+        ["doc_id", "host", "_dbf_host", "_dbf_best"])
+    out = web.domain_blocklist_filter(df, "host", BLOCK,
+                                      method="join").collect()[0]
+    assert out["_dbf_host"] == "keepme" and out["_dbf_best"] == "alsokeep"
+    assert out["matched_rule"] == "es.org" and out["is_blocked"]
