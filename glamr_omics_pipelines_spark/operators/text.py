@@ -605,14 +605,16 @@ def wordpiece_encode(df: DataFrame, text_col: str, vocab: list[str],
 def _wordpiece_pandas(df: DataFrame, text_col, parts, out: str,
                       unk: str, max_steps: int) -> DataFrame:
     """Arrow-batched greedy WordPiece (identical semantics to the fold)."""
-    import pandas as pd
     starts = {b: p for b, p, c in parts if not c}
     conts = {b: p for b, p, c in parts if c}
     max_len = max(len(b) for b, _, _ in parts)
     src = F.col(text_col) if isinstance(text_col, str) else text_col
-    d = df.withColumn("_wp_words",
-                      lower_tokens(src))
-    cols = d.columns
+    if out in df.columns:          # withColumn-replace semantics, like fold
+        df = df.drop(out)
+    wc = "_wp_words"               # collision-checked scratch name
+    while wc in df.columns:
+        wc += "_"
+    d = df.withColumn(wc, lower_tokens(src))
 
     def encode_word(word: str, cache: dict) -> list[str]:
         hit = cache.get(word)
@@ -642,7 +644,7 @@ def _wordpiece_pandas(df: DataFrame, text_col, parts, out: str,
         cache: dict = {}
         for pdf in batches:
             res = []
-            for words in pdf["_wp_words"]:
+            for words in pdf[wc]:
                 if words is None:
                     res.append(None)
                     continue
@@ -652,11 +654,11 @@ def _wordpiece_pandas(df: DataFrame, text_col, parts, out: str,
                 res.append(toks)
             pdf = pdf.copy()
             pdf[out] = res
-            yield pdf.drop(columns=["_wp_words"])
+            yield pdf.drop(columns=[wc])
 
     from pyspark.sql.types import ArrayType, StringType, StructType
     schema = StructType(
-        [f for f in d.schema.fields if f.name != "_wp_words"]).add(
+        [f for f in d.schema.fields if f.name != wc]).add(
         out, ArrayType(StringType()))
     return d.mapInPandas(run, schema)
 

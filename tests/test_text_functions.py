@@ -371,3 +371,14 @@ def test_wordpiece_fold_rejects_column_arg(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(TypeError):
         T.wordpiece_encode(df, F.col("text"), ["a"], strategy="fold")
+
+
+def test_wordpiece_pandas_scratch_and_replace_semantics(spark):
+    """Pandas path: a caller column named _wp_words survives; an existing
+    out column is REPLACED (withColumn semantics, matching the fold)."""
+    from glamr_omics_pipelines_spark.operators import text as T
+    df = spark.createDataFrame([(1, "a b", "keep", "old")],
+                               ["doc_id", "text", "_wp_words", "wp_tokens"])
+    r = T.wordpiece_encode(df, "text", ["a", "b"],
+                           strategy="pandas").collect()[0]
+    assert r["_wp_words"] == "keep" and r["wp_tokens"] == ["a", "b"]
