@@ -215,3 +215,34 @@ def test_hist_quantile_bounds_property(spark, vals, width):
     for q, est in got.items():
         rank = max(math.ceil(q * n) - 1, 0)
         assert abs(est - svals[rank]) <= width + 1e-9, (q, est, svals)
+
+
+def test_hamming_candidates_pigeonhole_property(spark):
+    """Property (pigeonhole): ANY pair within Hamming distance bands-1
+    shares at least one exact band slice, so it is ALWAYS a candidate."""
+    import random
+    from glamr_omics_pipelines_spark.operators import dedup as D
+    rng = random.Random(23)
+    rows, want = [], set()
+    mid = 0
+    for trial in range(12):
+        base = rng.getrandbits(64)
+        # partner at hamming d <= 3 (bands=4 -> always caught)
+        d = rng.randint(0, 3)
+        partner = base
+        for bit in rng.sample(range(64), d):
+            partner ^= 1 << bit
+        def sgn(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+        a, b = mid, mid + 1
+        mid += 2
+        rows += [(a, sgn(base)), (b, sgn(partner))]
+        want.add((a, b, d))
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hamming_candidates(df, "media_id", "phash",
+                                         bands=4).collect()}
+    for a, b, d in want:
+        if d == 0 and a != b:
+            pass
+        assert got.get((a, b)) == d, (a, b, d, got.get((a, b)))

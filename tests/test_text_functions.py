@@ -382,3 +382,32 @@ def test_wordpiece_pandas_scratch_and_replace_semantics(spark):
     r = T.wordpiece_encode(df, "text", ["a", "b"],
                            strategy="pandas").collect()[0]
     assert r["_wp_words"] == "keep" and r["wp_tokens"] == ["a", "b"]
+
+
+def test_wordpiece_real_vocab_scale(spark):
+    """The pandas path tokenizes the sf0.01 corpus under a 30,000-piece
+    vocabulary (BERT-class size) — the capability the fold form
+    deliberately does not claim; warm per-doc cost is vocab-size
+    independent (per-partition word cache)."""
+    import random
+    import time
+    from glamr_omics_pipelines_spark.operators import text as T
+    rng = random.Random(3)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    pieces: set = set()
+    while len(pieces) < 31000:
+        pieces.add("".join(rng.choice(letters)
+                           for _ in range(rng.randint(3, 10))))
+    ordered = sorted(pieces)
+    vocab = (list(letters) + ["##" + c for c in letters]
+             + ordered[:23000]
+             + ["##" + p for p in ordered[23000:31000]])
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    t0 = time.time()
+    out = T.wordpiece_encode(df, "text", vocab, max_steps=32)
+    n = out.selectExpr("sum(size(wp_tokens)) s").collect()[0]["s"]
+    dt = time.time() - t0
+    assert len(vocab) >= 30000 and n > 0
+    # generous bound: the 500-doc corpus must tokenize in seconds, not
+    # minutes (the old bpe failure mode was a hard crash, not slowness)
+    assert dt < 120, dt
