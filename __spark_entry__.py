@@ -2605,6 +2605,81 @@ def _dq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def q_video_dedup(spark, sf_dir):
+    """Video near-dup (operators/multimodal.py:vhash_frames /
+    video_dup_pairs — completing the signature family across text/image/
+    audio/VIDEO): documents rendered as REAL mono Y4M clips (4 × 16×16
+    luma frames windowed from the text-cycled payload), planted exact
+    copies AND re-cut variants (frames shifted one window — the classic
+    subsequence dup), decoded frame-by-frame through the Y4M parser +
+    the DCT pHash kernel, paired by the frame-hash inverted-index join.
+    Oracle = distinct-frame-payload intersection counts (equal payload ⇒
+    equal hash exactly; distinct payloads measured collision-free at
+    sf0.01 — the phash_dedup assumption class). Re-cuts land at
+    containment 0.75 with the copies at 1.0."""
+    d = _t(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
+    base = (d.select("doc_id", ascii_text.alias("t"))
+            .filter(F.length("t") > 0)
+            .select("doc_id", F.rpad("t", 1280, F.col("t")).alias("pix")))
+
+    def clip(off: int):
+        return F.concat(
+            F.lit("YUV4MPEG2 W16 H16 F25:1 Cmono\n"),
+            *[c for o in range(off, off + 1024, 256)
+              for c in (F.lit("FRAME\n"),
+                        F.substring("pix", o + 1, 256))])
+
+    media = base.select(F.col("doc_id").alias("media_id"),
+                        F.encode(clip(0), "UTF-8").alias("content"))
+    copies = (base.filter(F.col("doc_id") % 20 == 5)
+              .select((F.col("doc_id") + 100000).alias("media_id"),
+                      F.encode(clip(0), "UTF-8").alias("content")))
+    recuts = (base.filter(F.col("doc_id") % 20 == 2)
+              .select((F.col("doc_id") + 200000).alias("media_id"),
+                      F.encode(clip(256), "UTF-8").alias("content")))
+    allm = media.unionByName(copies).unionByName(recuts)
+    fr = multimodal.vhash_frames(allm, stub=False)
+    out = multimodal.video_dup_pairs(fr, min_shared=2)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"),
+                      F.col("n_shared").cast("bigint").alias("n_shared"),
+                      "containment")
+
+
+_VIDEO_DEDUP_SQL = """
+    WITH base AS (
+      SELECT doc_id, rpad(t, 1280, t) AS pix FROM (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS t
+        FROM documents) WHERE len(t) > 0),
+    clips AS (
+      SELECT doc_id AS media_id, 0 AS off, pix FROM base
+      UNION ALL
+      SELECT doc_id + 100000, 0, pix FROM base WHERE doc_id % 20 = 5
+      UNION ALL
+      SELECT doc_id + 200000, 256, pix FROM base WHERE doc_id % 20 = 2),
+    frames AS (
+      SELECT DISTINCT media_id,
+             substr(pix, off + f * 256 + 1, 256) AS fr
+      FROM clips, (SELECT unnest([0, 1, 2, 3]) AS f)),
+    counts AS (SELECT media_id, count(*) AS n FROM frames
+               GROUP BY media_id),
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             count(*) AS n_shared
+      FROM frames a JOIN frames b
+        ON a.fr = b.fr AND a.media_id < b.media_id
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / least(ca.n, cb.n), 6) AS containment
+    FROM pairs
+    JOIN counts ca ON ca.media_id = id_a
+    JOIN counts cb ON cb.media_id = id_b
+"""
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/layout.py:compaction_plan
     — the OPTIMIZE/rewrite-data-files maintenance step): a synthetic file
@@ -5273,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "afp_dedup": q_afp_dedup,
         "wordpiece_encode": q_wordpiece_encode,
+        "video_dedup": q_video_dedup,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -6193,6 +6269,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _COMPACTION_PLAN_SQL,
         "afp_dedup": _AFP_DEDUP_SQL,
         "wordpiece_encode": _wordpiece_sql(),
+        "video_dedup": _VIDEO_DEDUP_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

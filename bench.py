@@ -195,6 +195,7 @@ HEADLINE = [
     "compaction_plan",   # exclusive-cumsum file binning, metadata scale
     "afp_dedup",         # WAV decode + spectrogram phash + hamming join
     "wordpiece_encode",  # greedy fold, literal vocab, zero shuffle
+    "video_dedup",       # Y4M decode + frame phash + inverted-index join
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.

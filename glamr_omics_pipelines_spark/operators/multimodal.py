@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
                                StringType, StructField, StructType)
 
+from glamr_omics_pipelines_spark.operators import _cache
+
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("media_type", StringType()),   # image|audio|video
@@ -1031,6 +1033,119 @@ VIDEO_FRAME_SCHEMA = StructType([
     StructField("feature", ArrayType(DoubleType())),
     StructField("decode_ok", StringType()),
 ])
+
+
+VHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("vhash", LongType()),
+    StructField("decode_ok", StringType()),
+])
+
+
+def vhash_frames(df: DataFrame, every_n: int = 1,
+                 stub: bool = True) -> DataFrame:
+    """binary video content → one 64-bit perceptual hash per sampled frame
+    (every ``every_n``-th) via Arrow-batched mapInPandas — the video
+    member of the signature-dedup family: each sampled luma plane goes
+    through the SAME resize→DCT→sign kernel as the image hash
+    (_phash_of_gray), so re-encodes and uniform brightness shifts of a
+    frame land on the same hash (the image-kernel invariances carry over).
+
+    STUB kernel: consecutive 1024-byte windows of the raw content as
+    32×32 pseudo-frames (partial tail window dropped) — no decode, the
+    1→N shape and hashing real. REAL kernel (``stub=False``):
+    dependency-free Y4M / MJPEG-AVI luma decode
+    (_parse_video_luma_frames); unrecognized/truncated blobs flag ONE
+    ``decode_error`` row.
+
+    Scale: hashing is scan-stage; a clip collapses to ~n_frames × 8
+    bytes of signature — what :func:`video_dup_pairs`' inverted-index
+    join actually shuffles at 100 TB of video.
+    """
+    if every_n < 1:
+        raise ValueError("vhash_frames: every_n must be >= 1")
+    import numpy as np
+
+    def one(buf):
+        if buf is None:
+            return [(None, None, "null_content")]
+        b = bytes(buf)
+        rows = []
+        try:
+            if stub:
+                flat = np.frombuffer(b, dtype=np.uint8)
+                frames = ((i, flat[i * 1024:(i + 1) * 1024]
+                           .reshape(32, 32))
+                          for i in range(len(flat) // 1024))
+            else:
+                frames = _parse_video_luma_frames(b)
+                if frames is None:
+                    raise ValueError("unrecognized video container")
+            for idx, plane in frames:
+                if idx % every_n:
+                    continue
+                rows.append((idx, _phash_of_gray(plane), "ok"))
+        except Exception:
+            return [(None, None, "decode_error")]
+        if not rows:
+            return [(None, None, "empty_content")]
+        return rows
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, oks = [], [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                for idx, h, ok in one(buf):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    hs.append(h)
+                    oks.append(ok)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": pd.array(idxs, dtype="Int64"),
+                "vhash": pd.array(hs, dtype="Int64"),
+                "decode_ok": oks})
+
+    return df.select("media_id", "content").mapInPandas(run, VHASH_SCHEMA)
+
+
+def video_dup_pairs(frames: DataFrame, min_shared: int = 1,
+                    id_col: str = "media_id",
+                    hash_col: str = "vhash") -> DataFrame:
+    """Clip-level near-dup pairs from per-frame hashes: two clips pair
+    when they share ≥ ``min_shared`` DISTINCT frame hashes; containment =
+    shared / min(|A|, |B|) over distinct-hash counts (1.0 when one clip's
+    sampled frames all appear in the other — the re-cut/subsequence case).
+
+    Scale shape: distinct (clip, hash) pairs partial-agg map-side, then
+    ONE equi self-join on the 8-byte frame hash (the inverted-index
+    shape — candidate volume bounded by per-hash clip-list sizes, never
+    all-pairs) + a pair-grain count; per-clip distinct counts broadcast
+    back. Output: (id_a, id_b, n_shared, containment).
+    """
+    if min_shared < 1:
+        raise ValueError("video_dup_pairs: min_shared must be >= 1")
+    fh = (frames.filter(F.col(hash_col).isNotNull())
+          .select(F.col(id_col).alias("_id"),
+                  F.col(hash_col).alias("_h")).distinct())
+    fh = _cache.register(fh)
+    counts = fh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = fh.select(F.col("_id").alias("id_a"), "_h")
+    b = fh.select(F.col("_id").alias("id_b"), "_h")
+    pairs = (a.join(b, "_h").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    ca = F.broadcast(counts.select(F.col("_id").alias("id_a"),
+                                   F.col("_n").alias("_na")))
+    cb = F.broadcast(counts.select(F.col("_id").alias("id_b"),
+                                   F.col("_n").alias("_nb")))
+    return (pairs.join(ca, "id_a").join(cb, "id_b")
+            .select("id_a", "id_b", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.least("_na", "_nb"), 6)
+                    .alias("containment")))
 
 
 def extract_video_frame_features(df: DataFrame, every_n: int = 1,

@@ -1350,3 +1350,54 @@ def test_afp_stub_path_and_hamming_composition(spark):
              for r in D.hamming_candidates(sig, "media_id", "afp", bands=4,
                                            max_hamming=0).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def _y4m(frames, w=16, h=16):
+    """Mono-chroma Y4M: header + FRAME blocks of raw w*h luma."""
+    head = b"YUV4MPEG2 W%d H%d F25:1 Cmono\n" % (w, h)
+    return head + b"".join(b"FRAME\n" + bytes(f) for f in frames)
+
+
+def test_vhash_frames_real_y4m_and_recut_pairs(spark):
+    """Real Y4M decode: identical clips share every frame hash; a re-cut
+    sharing 3 of 4 source frames pairs at containment 0.75+; an unrelated
+    clip does not pair at min_shared=2."""
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    f = [[(i * 7 + k * 13) % 251 for i in range(256)] for k in range(5)]
+    rows = [(1, _y4m(f[0:4])), (2, _y4m(f[0:4])),       # exact copy
+            (3, _y4m(f[1:5])),                          # re-cut: shares 3
+            (4, _y4m([[(i * 31) % 241 for i in range(256)]] * 4))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    fr = M.vhash_frames(df, stub=False)
+    got = fr.collect()
+    assert all(r["decode_ok"] == "ok" for r in got)
+    assert sum(1 for r in got if r["media_id"] == 1) == 4
+    pairs = {(r["id_a"], r["id_b"]): (r["n_shared"], r["containment"])
+             for r in M.video_dup_pairs(fr, min_shared=2).collect()}
+    assert pairs[(1, 2)][0] == 4 and pairs[(1, 2)][1] == 1.0
+    assert pairs[(1, 3)][0] == 3 and pairs[(2, 3)][0] == 3
+    assert not any(4 in p for p in pairs)
+    # clip 4 repeats ONE frame 4x: distinct-hash grain, so no self-inflation
+
+
+def test_vhash_stub_and_degenerate_rows(spark):
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 8), (2, None), (3, b"xx"),
+         (4, b"YUV4MPEG2 W16 H16\nFRAME\nshort")],
+        "media_id long, content binary")
+    got = {}
+    for r in M.vhash_frames(df, stub=True).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    assert len(got[1]) == 2 and all(r["decode_ok"] == "ok" for r in got[1])
+    assert got[2][0]["decode_ok"] == "null_content"
+    assert got[3][0]["decode_ok"] == "empty_content"  # < 1 stub window
+    real = {r["media_id"]: r["decode_ok"]
+            for r in M.vhash_frames(df.filter("media_id = 4"),
+                                    stub=False).collect()}
+    assert real[4] == "decode_error"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        M.vhash_frames(df, every_n=0)
+    with _pytest.raises(ValueError):
+        M.video_dup_pairs(M.vhash_frames(df), min_shared=0)
