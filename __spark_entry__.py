@@ -2680,6 +2680,81 @@ _VIDEO_DEDUP_SQL = """
 """
 
 
+def q_dataset_card(spark, sf_dir):
+    """Dataset-card report (composition — the per-source corpus summary a
+    training-data release publishes): ONE pass over documents through
+    quality_features, then a source-grain agg (docs, total/mean/median
+    tokens, exact-dup rate via count-distinct text, mean quality score)
+    plus the dominant language and its share (value-grain counts + one
+    bounded rank window). At 100 TB the distinct-text term becomes
+    count_distinct(xxhash64(text)) — the exact_dedup hash-grain contract;
+    everything else is partial-agg map-side."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_features(d, "text")
+    agg = (q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _r4(F.avg("n_tokens")).alias("mean_tokens"),
+        _r4(F.expr("percentile(n_tokens, 0.5)")).alias("p50_tokens"),
+        _r4(F.lit(1.0) - F.count_distinct("text")
+            / F.count(F.lit(1))).alias("dup_rate"),
+        _r4(F.avg("quality_score")).alias("mean_quality")))
+    lc = (d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.partitionBy("source").orderBy(F.col("_n").desc(),
+                                             F.col("lang").asc())
+    top = (lc.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1)
+           .select("source", F.col("lang").alias("top_lang"),
+                   F.col("_n").alias("_topn")))
+    return (agg.join(top, "source")
+            .select("source", F.col("n_docs").cast("bigint").alias("n_docs"),
+                    "total_tokens", "mean_tokens", "p50_tokens",
+                    "dup_rate", "mean_quality", "top_lang",
+                    _r4(F.col("_topn") / F.col("n_docs"))
+                    .alias("top_lang_share")))
+
+
+_DATASET_CARD_SQL = """
+    WITH f AS (
+      SELECT source, lang, text,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> x <> '')) AS n_tok,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x IN ('the','a','an','and','or','of','to','in',
+                            'is','it'))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT source, lang, text, n_tok,
+             0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - punct::DOUBLE / greatest(n_chars, 1))
+             + 0.3 * least(n_stop::DOUBLE / greatest(n_tok, 1) * 5, 1.0)
+               AS score
+      FROM f),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             round(avg(n_tok), 4) AS mean_tokens,
+             round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+             round(1.0 - count(DISTINCT text) * 1.0 / count(*), 4)
+               AS dup_rate,
+             round(avg(score), 4) AS mean_quality
+      FROM q GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang, n FROM (
+        SELECT source, lang, n, row_number() OVER (
+          PARTITION BY source ORDER BY n DESC, lang ASC) AS rk
+        FROM lc) WHERE rk = 1)
+    SELECT agg.source, n_docs, total_tokens, mean_tokens, p50_tokens,
+           dup_rate, mean_quality, top_lang,
+           round(top.n * 1.0 / n_docs, 4) AS top_lang_share
+    FROM agg JOIN top USING (source)
+"""
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (operators/layout.py:compaction_plan
     — the OPTIMIZE/rewrite-data-files maintenance step): a synthetic file
@@ -5349,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "afp_dedup": q_afp_dedup,
         "wordpiece_encode": q_wordpiece_encode,
         "video_dedup": q_video_dedup,
+        "dataset_card": q_dataset_card,
     }
     window = [
         # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
@@ -6270,6 +6346,7 @@ def oracle_sql() -> dict[str, str]:
         "afp_dedup": _AFP_DEDUP_SQL,
         "wordpiece_encode": _wordpiece_sql(),
         "video_dedup": _VIDEO_DEDUP_SQL,
+        "dataset_card": _DATASET_CARD_SQL,
         "versions_ledger": _versions_ledger_sql(),
         "streaming_drift_monitor": _streaming_drift_monitor_sql(),
         "streaming_attribution_join": """

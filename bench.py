@@ -196,6 +196,7 @@ HEADLINE = [
     "afp_dedup",         # WAV decode + spectrogram phash + hamming join
     "wordpiece_encode",  # greedy fold, literal vocab, zero shuffle
     "video_dedup",       # Y4M decode + frame phash + inverted-index join
+    "dataset_card",      # one-pass per-source release summary
     # streaming_* rows are deliberately NOT benched: their wall-clock is
     # availableNow micro-batch scheduling + checkpoint commits (fixed
     # streaming overhead), not data-path throughput.
