@@ -1352,7 +1352,7 @@ def test_afp_stub_path_and_hamming_composition(spark):
     assert pairs == {(1, 2): 0}
 
 
-def _y4m(frames, w=16, h=16):
+def _y4m_mono(frames, w=16, h=16):
     """Mono-chroma Y4M: header + FRAME blocks of raw w*h luma."""
     head = b"YUV4MPEG2 W%d H%d F25:1 Cmono\n" % (w, h)
     return head + b"".join(b"FRAME\n" + bytes(f) for f in frames)
@@ -1364,9 +1364,9 @@ def test_vhash_frames_real_y4m_and_recut_pairs(spark):
     clip does not pair at min_shared=2."""
     from glamr_omics_pipelines_spark.operators import multimodal as M
     f = [[(i * 7 + k * 13) % 251 for i in range(256)] for k in range(5)]
-    rows = [(1, _y4m(f[0:4])), (2, _y4m(f[0:4])),       # exact copy
-            (3, _y4m(f[1:5])),                          # re-cut: shares 3
-            (4, _y4m([[(i * 31) % 241 for i in range(256)]] * 4))]
+    rows = [(1, _y4m_mono(f[0:4])), (2, _y4m_mono(f[0:4])),  # exact copy
+            (3, _y4m_mono(f[1:5])),                     # re-cut: shares 3
+            (4, _y4m_mono([[(i * 31) % 241 for i in range(256)]] * 4))]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     fr = M.vhash_frames(df, stub=False)
     got = fr.collect()
