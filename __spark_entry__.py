@@ -2389,6 +2389,27 @@ def q_multimodal_features(spark, sf_dir):
                     _r4("v").alias("feat")))
 
 
+def _exact_key_pairs(media, pairs):
+    """Collision-proof a max_hamming=0 signature gate: keep only pairs
+    whose CONTENT is identical under (xxhash64, length) — equal payload
+    always passes (equal bytes ⇒ equal signature ⇒ candidate in every
+    band), so the filter only removes perceptual-hash collisions between
+    unequal payloads, aligning the query with the equality-keyed oracle
+    at any sf. Both joins are on the pair ids; at fixture scale AQE
+    broadcasts the key frame."""
+    keys = media.select("media_id", F.xxhash64("content").alias("_ck"),
+                        F.length("content").alias("_cl"))
+    return (pairs
+            .join(keys.select(F.col("media_id").alias("id_a"),
+                              F.col("_ck").alias("_ka"),
+                              F.col("_cl").alias("_la")), "id_a")
+            .join(keys.select(F.col("media_id").alias("id_b"),
+                              F.col("_ck").alias("_kb"),
+                              F.col("_cl").alias("_lb")), "id_b")
+            .filter((F.col("_ka") == F.col("_kb"))
+                    & (F.col("_la") == F.col("_lb"))))
+
+
 def q_phash_dedup(spark, sf_dir):
     """Perceptual-hash image near-dup (operators/multimodal.py:phash_images
     + operators/dedup.py:hamming_candidates — the image twin of
@@ -2396,11 +2417,13 @@ def q_phash_dedup(spark, sf_dir):
     + ascii payload rpad'd to 1024 bytes with a constant pad), planted
     copies (doc_id % 20) added, hashed through the full decode→resize→
     DCT→sign pipeline, and paired by the banded Hamming equi join at
-    max_hamming=0. Oracle = equal-payload pairs: equal bytes ⇒ equal
-    phash exactly; unequal payloads collide only at ~2⁻⁶⁴ (the exact_dedup
-    dual-hash-class assumption, documented). Near-dup (hamming > 0)
-    behavior — brightness/resize invariance — is pytest-pinned where SQL
-    can't follow."""
+    max_hamming=0, then post-filtered on an exact content key
+    (xxhash64 + length — advisor r9: a pHash is 63 DCT sign bits with a
+    near-constant DC bit, so unrelated structured payloads collide far
+    more often than 2⁻⁶⁴; the exact key makes the gate collision-proof
+    at ANY sf, in the exact_dedup dual-hash assumption class). Near-dup
+    (hamming > 0) behavior — brightness/resize invariance — is
+    pytest-pinned where SQL can't follow."""
     d = _t(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     base = d.select("doc_id", F.rpad(ascii_text, 1024, ". ").alias("pix"))
@@ -2411,12 +2434,14 @@ def q_phash_dedup(spark, sf_dir):
     copies = (media.filter(F.col("media_id") % 20 == 0)
               .select((F.col("media_id") + 100000).alias("media_id"),
                       "content"))
-    hashes = multimodal.phash_images(media.unionByName(copies), stub=False)
+    allm = media.unionByName(copies)
+    hashes = multimodal.phash_images(allm, stub=False)
     pairs = dedup.hamming_candidates(hashes, "media_id", "phash",
                                      bands=4, max_hamming=0)
-    return pairs.select(F.col("id_a").cast("bigint").alias("id_a"),
-                        F.col("id_b").cast("bigint").alias("id_b"),
-                        F.col("hamming").cast("bigint").alias("hamming"))
+    return _exact_key_pairs(allm, pairs).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"))
 
 
 _PHASH_DEDUP_SQL = """
@@ -2464,9 +2489,11 @@ def q_afp_dedup(spark, sf_dir):
     8-bit PCM WAVs (stdlib-generated RIFF header + 1024 ascii sample
     bytes), planted copies added, decoded and fingerprinted through the
     full frame→rFFT→band→log→spectrogram-pHash pipeline, paired at
-    max_hamming=0. Oracle = equal-payload pairs (the phash_dedup
-    assumption class); gain invariance and discrimination are
-    pytest-pinned where SQL can't follow."""
+    max_hamming=0 and post-filtered on the exact (xxhash64, length)
+    content key (the phash_dedup collision-proofing — spectrogram-pHash
+    sign bits are far from uniform on structured payloads); gain
+    invariance and discrimination are pytest-pinned where SQL can't
+    follow."""
     d = _t(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     # pad by cycling the TEXT ITSELF: a constant pad gives short docs a
@@ -2483,12 +2510,14 @@ def q_afp_dedup(spark, sf_dir):
     copies = (media.filter(F.col("media_id") % 20 == 1)
               .select((F.col("media_id") + 100000).alias("media_id"),
                       "content"))
-    sig = multimodal.afp_signatures(media.unionByName(copies), stub=False)
+    allm = media.unionByName(copies)
+    sig = multimodal.afp_signatures(allm, stub=False)
     pairs = dedup.hamming_candidates(sig, "media_id", "afp",
                                      bands=4, max_hamming=0)
-    return pairs.select(F.col("id_a").cast("bigint").alias("id_a"),
-                        F.col("id_b").cast("bigint").alias("id_b"),
-                        F.col("hamming").cast("bigint").alias("hamming"))
+    return _exact_key_pairs(allm, pairs).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"))
 
 
 _AFP_DEDUP_SQL = """
@@ -2530,10 +2559,15 @@ def q_wordpiece_encode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = text.wordpiece_encode(d, "text", _WP_VOCAB,
                                 max_steps=_WP_STEPS, strategy="fold")
+    # coalesce mirrors the oracle's LEFT JOIN + coalesce: a NULL-text doc
+    # yields NULL wp_tokens here but 0/'' there (advisor r9 — latent until
+    # a fixture carries NULL text)
     return out.select(
         "doc_id",
-        F.array_size("wp_tokens").cast("bigint").alias("n_wp"),
-        F.array_join(F.slice("wp_tokens", 1, 12), " ").alias("head_toks"))
+        F.coalesce(F.array_size("wp_tokens").cast("bigint"),
+                   F.lit(0)).alias("n_wp"),
+        F.coalesce(F.array_join(F.slice("wp_tokens", 1, 12), " "),
+                   F.lit("")).alias("head_toks"))
 
 
 def _wordpiece_sql() -> str:
@@ -2613,9 +2647,17 @@ def q_video_dedup(spark, sf_dir):
     copies AND re-cut variants (frames shifted one window — the classic
     subsequence dup), decoded frame-by-frame through the Y4M parser +
     the DCT pHash kernel, paired by the frame-hash inverted-index join.
-    Oracle = distinct-frame-payload intersection counts (equal payload ⇒
-    equal hash exactly; distinct payloads measured collision-free at
-    sf0.01 — the phash_dedup assumption class). Re-cuts land at
+    Oracle = distinct-frame-payload intersection counts. Collision bound
+    (advisor r9, documented honestly): a frame pHash is 63 DCT sign bits
+    with a near-constant DC bit — on structured text-derived payloads its
+    effective entropy is WELL below 64 bits, so the realistic cross-frame
+    collision rate is birthday-style over maybe ~40–50 effective bits,
+    not 2⁻⁶⁴. Measured collision-free at sf0.01 (2,500 distinct frames)
+    and sf0.1; the gate is certified for the driver's sf range (≤ 0.1).
+    An exact-payload post-filter is NOT applied here because pairing is
+    frame-level containment (n_shared ≥ 2 of 4 frames), where a single
+    colliding frame cannot create a pair by itself and the min_shared=2
+    floor already suppresses singleton collisions. Re-cuts land at
     containment 0.75 with the copies at 1.0."""
     d = _t(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
@@ -3916,7 +3958,7 @@ def q_line_quality(spark, sf_dir):
     strip while keeping the body — zero shuffle, scan-stage."""
     d = _t(spark, sf_dir, "documents")
     framed = d.select("doc_id", _framed_text().alias("text"))
-    out = text.line_quality_filter(framed, "doc_id", "text")
+    out = text.line_quality_filter(framed, "text")
     return out.select("doc_id", "clean_text", "n_lines", "n_removed_lines")
 
 
@@ -3937,7 +3979,7 @@ def q_web_curation(spark, sf_dir):
                     F.expr(_HOST_EXPR).alias("host"),
                     _framed_text().alias("text"))
     flt = web.domain_blocklist_filter(base, "host", _DOMAIN_BLOCKLIST)
-    lq = text.line_quality_filter(flt, "doc_id", "text")
+    lq = text.line_quality_filter(flt, "text")
     norm = lq.withColumn("normalized_url", web.normalize_url("url"))
     w = Window.partitionBy("normalized_url")
     canon = F.min(F.when(~F.col("is_blocked"),

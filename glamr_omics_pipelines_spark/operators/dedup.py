@@ -307,17 +307,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select(id_col, packed.alias("simhash")))
 
 
+def _band_bucket(col, i: int, width: int):
+    """Bit slice i of a 64-bit signature as a bucket key. width == 64
+    (bands=1) short-circuits to the raw column: the (1<<64)-1 mask would
+    overflow Spark's signed LongType literal, and masking the full word
+    is a no-op anyway."""
+    if width == 64:
+        return F.col(col) if isinstance(col, str) else col
+    return (F.shiftrightunsigned(col, i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)))
+
+
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        bands: int = 4, dedup_pairs: bool = True) -> DataFrame:
     """Near-dup candidates: equal 16-bit slice of the 64-bit simhash in ≥1 of
     ``bands`` bands (catches pairs within Hamming distance ~bands-1)."""
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
     sig = simhash_signatures(df, id_col, text_col)
     width = 64 // bands
-    mask = (1 << width) - 1
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("simhash", i * width)
-                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+                 _band_bucket("simhash", i, width).alias("bucket"))
         for i in range(bands)])
     buckets = _cache.register(
         sig.select(id_col, F.explode(band_arr).alias("bb"))
@@ -351,11 +362,9 @@ def hamming_candidates(sig: DataFrame, id_col: str, hash_col: str,
     if not 1 <= bands <= 64 or 64 % bands != 0:
         raise ValueError("bands must divide 64")
     width = 64 // bands
-    mask = (1 << width) - 1
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned(hash_col, i * width)
-                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+                 _band_bucket(hash_col, i, width).alias("bucket"))
         for i in range(bands)])
     buckets = _cache.register(
         sig.select(id_col, F.col(hash_col).alias("_h"),

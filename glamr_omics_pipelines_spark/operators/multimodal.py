@@ -725,11 +725,14 @@ def _afp_of_samples(samples, frame: int = 1024, hop: int = 512,
                     bands: int = 16) -> int:
     """64-bit audio fingerprint: spectrogram pHash. Frames of ``frame``
     samples every ``hop`` → |rFFT|² → ``bands`` equal bin groups →
-    log1p energy matrix (frames × bands) → per-clip min-max affine to
-    uint8 → the SAME resize→DCT→sign pipeline as the image hash
-    (_phash_of_gray). Volume scaling multiplies energies by c², i.e.
-    shifts the log matrix by a constant, which the affine normalization
-    removes EXACTLY — gain-invariant by construction (pytest-pinned).
+    log energy matrix (frames × bands; floored at 1e-12·peak so the
+    floor itself scales with gain) → per-clip min-max affine to uint8
+    → the SAME resize→DCT→sign pipeline as the image hash
+    (_phash_of_gray). Volume scaling multiplies energies AND the
+    gain-relative floor by c², i.e. shifts the log matrix by the
+    constant log(c²), which the affine normalization removes EXACTLY —
+    gain-invariant by construction even on quiet clips (pytest-pinned;
+    log1p would only approximate this when band energies >> 1).
     Constant (silent) clips normalize to the all-zero matrix."""
     import numpy as np
     x = np.asarray(samples, dtype=np.float64)
@@ -742,7 +745,11 @@ def _afp_of_samples(samples, frame: int = 1024, hop: int = 512,
     # drop the DC bin, group the rest into equal bands
     usable = (spec.shape[1] - 1) // bands * bands
     e = spec[:, 1:1 + usable].reshape(n_frames, bands, -1).sum(axis=2)
-    m = np.log1p(e)
+    peak = e.max()
+    if peak > 0:
+        m = np.log(np.maximum(e, 1e-12 * peak))
+    else:
+        m = np.zeros_like(e)
     rng = m.max() - m.min()
     if rng > 0:
         m = (m - m.min()) / rng * 255.0

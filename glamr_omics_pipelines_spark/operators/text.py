@@ -441,7 +441,7 @@ LINE_BOILERPLATE_MARKERS = ["cookie", "javascript", "click here",
                             "all rights reserved"]
 
 
-def line_quality_filter(df: DataFrame, id_col: str, text_col: str,
+def line_quality_filter(df: DataFrame, text_col: str,
                         max_upper_ratio: float = 0.6,
                         max_digit_ratio: float = 0.5,
                         min_words: int = 3,

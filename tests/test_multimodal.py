@@ -1302,6 +1302,14 @@ def test_hamming_candidates_pigeonhole_and_verify(spark):
     assert filt == {(1, 2): 1}
     with __import__("pytest").raises(ValueError):
         D.hamming_candidates(df, "media_id", "phash", bands=5)
+    # bands=1 (width 64): the full hash is the bucket — no mask literal,
+    # which would overflow signed long. Only exact-equal hashes pair.
+    rows1 = [(1, 0), (2, 1), (5, -1), (6, -1)]
+    df1 = spark.createDataFrame(rows1, "media_id long, phash long")
+    one = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.hamming_candidates(df1, "media_id", "phash",
+                                         bands=1).collect()}
+    assert one == {(5, 6): 0}
 
 
 def test_afp_gain_invariance_and_discrimination(spark):
@@ -1317,11 +1325,16 @@ def test_afp_gain_invariance_and_discrimination(spark):
     other = [int(9000 * math.sin(2 * math.pi * 1313 * i / 8000)
                  * (1 + 0.5 * math.sin(2 * math.pi * 3 * i / 8000)))
              for i in range(n)]
+    quiet = [int(20 * math.sin(2 * math.pi * 440 * i / 8000))
+             + int(7 * math.sin(2 * math.pi * 97 * i / 8000))
+             for i in range(n)]
     rows = [(1, _wav_bytes(tone)),
             (2, _wav_bytes(tone)),
             (3, _wav_bytes([max(-32768, min(32767, 2 * s)) for s in tone])),
             (4, _wav_bytes(other)),
-            (5, _wav_bytes(tone[:512]))]
+            (5, _wav_bytes(tone[:512])),
+            (6, _wav_bytes(quiet)),
+            (7, _wav_bytes([10 * s for s in quiet]))]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: (r["afp"], r["decode_ok"])
            for r in M.afp_signatures(df, stub=False).collect()}
@@ -1333,6 +1346,9 @@ def test_afp_gain_invariance_and_discrimination(spark):
     assert got[1][0] == got[3][0]     # exact gain invariance
     assert ham(got[1][0], got[4][0]) > 12
     assert got[5] == (None, "decode_error")
+    # quiet clip (band energies nowhere near >>1): 10x gain must STILL be
+    # exact — this is what the gain-relative log floor buys over log1p
+    assert got[6][0] == got[7][0]
 
 
 def test_afp_stub_path_and_hamming_composition(spark):

@@ -265,7 +265,7 @@ def test_line_quality_filter_rules(spark):
     df = spark.createDataFrame([(1, doc), (2, "CLICK HERE\n99 000")],
                                ["doc_id", "text"])
     out = {r["doc_id"]: r for r in
-           T.line_quality_filter(df, "doc_id", "text").collect()}
+           T.line_quality_filter(df, "text").collect()}
     assert out[1]["clean_text"] == (
         "This line is a normal sentence body\nok.\nMixed Case Heading Line")
     assert (out[1]["n_lines"], out[1]["n_removed_lines"]) == (7, 4)
@@ -276,7 +276,7 @@ def test_line_quality_filter_rules(spark):
 def test_line_quality_filter_zero_shuffle(spark):
     from glamr_omics_pipelines_spark.operators import text as T
     df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
-    out = T.line_quality_filter(df, "doc_id", "text")
+    out = T.line_quality_filter(df, "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
