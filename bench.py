@@ -238,6 +238,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         probe_best = dt if probe_best is None else min(probe_best, dt)
 
+    # MULTITHREADED calibration probe (r10): a fixed 32-task hash+shuffle
+    # mini-job whose plan never changes round-to-round. The single-thread
+    # probe above cannot see THREAD-SCALING drift (r9: the box ran
+    # multithreaded work ~1.5x slower at a similar single-thread probe, and
+    # the evidence lived only in ROUND9.md prose). With both probes recorded,
+    # cross-round comparisons normalize for either kind of box drift from
+    # BENCH_DETAILS.json alone.
+    from pyspark.sql import functions as _F
+    probe_mt_best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(0, 16_000_000, 1, 32)
+         .select((_F.col("id") % 997).alias("k"),
+                 (_F.xxhash64("id") % 1_000_003).alias("h"))  # bounded: ANSI sum can't overflow
+         .groupBy("k").agg(_F.sum("h").alias("s"),
+                           _F.count(_F.lit(1)).alias("n"))
+         .collect())
+        dt = time.perf_counter() - t0
+        probe_mt_best = dt if probe_mt_best is None else min(probe_mt_best, dt)
+
     # three measured runs per query, report the min: steady-state plan cost,
     # not first-run codegen compilation / JIT / page-cache / GC noise.
     # Each query is failure-isolated: one broken query must never erase the
@@ -281,6 +301,7 @@ def main() -> None:
         "errors": errors,
         "runs_per_query": 3,
         "calibration_probe_sec": round(probe_best, 3),
+        "calibration_probe_mt_sec": round(probe_mt_best, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -299,6 +320,7 @@ def main() -> None:
         "unit": "sec",
         "runs_per_query": 3,
         "calibration_probe_sec": round(probe_best, 3),
+        "calibration_probe_mt_sec": round(probe_mt_best, 3),
         # a total over FEWER queries is not comparable across rounds; these
         # make a shrunken denominator impossible to miss
         "n_queries_timed": len(timings),

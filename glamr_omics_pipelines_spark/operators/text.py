@@ -582,15 +582,21 @@ def wordpiece_encode(df: DataFrame, text_col: str, vocab: list[str],
             "v -> named_struct('l', length(v.body), 'body', v.body, "
             "'piece', v.piece)))")
     u = _sql_str(unk)
+    # bind the best-match ONCE per step via a 1-element transform (b =
+    # best): splicing {best} into the CASE three times re-ran the whole
+    # vocab filter+array_max scan 3x per step in the HOF interpreter
+    # (no CSE inside lambdas) AND tripled the expression tree — measured
+    # ~3x on the fold's wall (r10, the advisor's bind-the-vocab-once note)
     fold = (
         f"aggregate(sequence(1, {max_steps}), "
         "named_struct('rest', w, 'toks', cast(array() as array<string>)), "
         f"(acc, i) -> CASE WHEN acc.rest = '' THEN acc "
-        f"WHEN {best} IS NULL THEN "
+        f"ELSE element_at(transform(array({best}), b -> "
+        f"CASE WHEN b IS NULL THEN "
         f"named_struct('rest', '', 'toks', array({u})) "
         f"ELSE named_struct("
-        f"'rest', substring(acc.rest, length({best}.body) + 1), "
-        f"'toks', concat(acc.toks, array({best}.piece))) END, "
+        f"'rest', substring(acc.rest, length(b.body) + 1), "
+        f"'toks', concat(acc.toks, array(b.piece))) END), 1) END, "
         f"acc -> CASE WHEN acc.rest <> '' THEN array({u}) "
         f"ELSE acc.toks END)")
     # one self-contained SQL expression (the learn_bpe_merges convention:
