@@ -269,9 +269,15 @@ def main() -> None:
         if fn is None:
             errors[name] = "missing from queries()"
             continue
+        # stable30 rows gate the cross-round 2x comparison, so they get 5
+        # runs: measured first-run codegen/JIT inflation is 2-4x the steady
+        # state, and under transient box load even run 3 can still carry it
+        # (r10: lang_id bench'd 2.1 s min-of-3 vs 0.84 s steady min-of-5).
+        # The extra ~2 runs x 30 rows is bounded; the full catalog stays at 3.
+        n_runs = 5 if name in STABLE30_SET else 3
         best = None
         try:
-            for _ in range(3):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
@@ -300,6 +306,7 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "runs_per_query": 3,
+        "runs_stable30": 5,
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -319,6 +326,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "runs_per_query": 3,
+        "runs_stable30": 5,
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
         # a total over FEWER queries is not comparable across rounds; these
