@@ -10,6 +10,7 @@ Usage: python tools/check.py [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,7 +19,9 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# default sf0.01 = the driver's gate; override for one-off
+# robustness passes at other scales (r10: sf0.1 full-catalog run)
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
