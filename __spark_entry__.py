@@ -74,6 +74,16 @@ def _r4(c):
     return F.round(c, 4)
 
 
+def _r4n(c):
+    """4dp round with a +1e-9 boundary nudge (see q_text_quality): for
+    values whose exact double sits within ~1e-12 of a .xxxx5 decimal
+    boundary, Spark (BigDecimal HALF_UP) and DuckDB (x*10^4 multiply
+    then round) can disagree by one rendered digit; nudging both engines
+    identically off the boundary makes the rendered values agree."""
+    return F.round(F.col(c) + F.lit(1e-9) if isinstance(c, str)
+                   else c + F.lit(1e-9), 4)
+
+
 # ---------------------------------------------------------------------------
 # Core relational operators (SURVEY §2.2-§2.7)
 # ---------------------------------------------------------------------------
@@ -2396,9 +2406,12 @@ def _exact_key_pairs(media, pairs):
     band), so the filter only removes perceptual-hash collisions between
     unequal payloads, aligning the query with the equality-keyed oracle
     at any sf. Both joins are on the pair ids; at fixture scale AQE
-    broadcasts the key frame."""
+    broadcasts the key frame. The key frame is persisted so the media
+    lineage (documents scan + rpad/encode synthesis) is computed once,
+    not once per join side; at warehouse scale the key would be a stored
+    content-hash column, not a query-time recompute."""
     keys = media.select("media_id", F.xxhash64("content").alias("_ck"),
-                        F.length("content").alias("_cl"))
+                        F.length("content").alias("_cl")).persist()
     return (pairs
             .join(keys.select(F.col("media_id").alias("id_a"),
                               F.col("_ck").alias("_ka"),
@@ -2655,10 +2668,13 @@ def q_video_dedup(spark, sf_dir):
     not 2⁻⁶⁴. Measured collision-free at sf0.01 (2,500 distinct frames)
     and sf0.1; the gate is certified for the driver's sf range (≤ 0.1).
     An exact-payload post-filter is NOT applied here because pairing is
-    frame-level containment (n_shared ≥ 2 of 4 frames), where a single
-    colliding frame cannot create a pair by itself and the min_shared=2
-    floor already suppresses singleton collisions. Re-cuts land at
-    containment 0.75 with the copies at 1.0."""
+    frame-level containment, not whole-clip equality, so an exact key has
+    no clean place to sit. The min_shared=2 floor suppresses only pairs
+    whose SOLE overlap is one colliding frame; a pair sharing 1 genuine
+    frame + 1 collision would still surface — the load-bearing defense is
+    the measured collision-free frame population at the certified sf
+    range, not the floor. Re-cuts land at containment 0.75 with the
+    copies at 1.0."""
     d = _t(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     base = (d.select("doc_id", ascii_text.alias("t"))
@@ -3568,14 +3584,22 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """Quality scoring: token/punct/stopword features + composite score."""
+    """Quality scoring: token/punct/stopword features + composite score.
+
+    Rounded through _r4n (epsilon-nudged) on BOTH sides: the composite's
+    small-denominator rationals land EXACTLY on .xxxx5 decimal boundaries
+    (score 0.84024999... at sf0.1 doc 1828), where Spark's exact-decimal
+    HALF_UP and DuckDB's multiply-based round disagree by one ulp of the
+    x*10^4 product. The +1e-9 shifts every value decisively off the
+    boundary identically in both engines (both compute the same IEEE
+    double), so the rendered 4dp values agree at any sf."""
     d = _t(spark, sf_dir, "documents")
     out = text.quality_features(d, "text")
     return out.select("doc_id",
                       F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                      _r4("punct_ratio").alias("punct_ratio"),
-                      _r4("stopword_ratio").alias("stopword_ratio"),
-                      _r4("quality_score").alias("quality_score"))
+                      _r4n("punct_ratio").alias("punct_ratio"),
+                      _r4n("stopword_ratio").alias("stopword_ratio"),
+                      _r4n("quality_score").alias("quality_score"))
 
 
 def q_token_counts(spark, sf_dir):
@@ -4257,9 +4281,12 @@ def q_label_centroids(spark, sf_dir):
     carries labels × dims partial sums, independent of corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.label_centroids(emb, "label", "embedding")
+    # + 0.0 normalizes IEEE -0.0: a centroid component whose mean rounds
+    # to zero from below renders '-0.0' (r10 sf0.1 robustness pass);
+    # the oracle applies the same + 0.0
     return out.select(F.col("label").cast("bigint").alias("label"),
                       F.col("dim").cast("bigint").alias("dim"),
-                      _r4("mean_val").alias("mean_val"), "n")
+                      (_r4("mean_val") + F.lit(0.0)).alias("mean_val"), "n")
 
 
 def q_profile_table(spark, sf_dir):
@@ -7631,7 +7658,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,
                    CAST(dim - 1 AS BIGINT) AS dim,
-                   round(avg(v), 4) AS mean_val, count(*) AS n
+                   round(avg(v), 4) + 0.0 AS mean_val, count(*) AS n
             FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
                          generate_subscripts(embedding, 1) AS dim
                   FROM embeddings)
@@ -7950,12 +7977,16 @@ def oracle_sql() -> dict[str, str]:
                        AS n_stop
               FROM documents)
             SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-                   round(punct::DOUBLE / greatest(n_chars, 1), 4) AS punct_ratio,
-                   round(n_stop::DOUBLE / greatest(n_tok, 1), 4) AS stopword_ratio,
+                   -- + 1e-9 = the engine's _r4n boundary nudge (identical
+                   -- doubles both sides, so the shift is identical too)
+                   round(punct::DOUBLE / greatest(n_chars, 1) + 1e-9, 4)
+                     AS punct_ratio,
+                   round(n_stop::DOUBLE / greatest(n_tok, 1) + 1e-9, 4)
+                     AS stopword_ratio,
                    round(0.4 * least(n_tok / 100.0, 1.0)
                          + 0.3 * (1.0 - punct::DOUBLE / greatest(n_chars, 1))
-                         + 0.3 * least(n_stop::DOUBLE / greatest(n_tok, 1) * 5, 1.0),
-                         4) AS quality_score
+                         + 0.3 * least(n_stop::DOUBLE / greatest(n_tok, 1) * 5, 1.0)
+                         + 1e-9, 4) AS quality_score
             FROM f
         """,
         "token_counts": """
@@ -8288,11 +8319,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM top WHERE rk <= 64 GROUP BY 1, 2)
             SELECT ga, gb, CAST(shared AS BIGINT) AS shared,
                    CAST(union_k AS BIGINT) AS union_k,
-                   round(shared * 1.0 / union_k, 6) AS jaccard_est,
+                   round(shared * 1.0 / union_k, 6) + 0.0 AS jaccard_est,
                    round(CASE WHEN shared > 0 THEN
                          -ln(2.0 * (shared * 1.0 / union_k)
                              / (1 + shared * 1.0 / union_k)) / 4 END, 6)
-                     AS mash_dist
+                     + 0.0 AS mash_dist
             FROM agg
         """,
         "dbscan": """

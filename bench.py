@@ -263,26 +263,34 @@ def main() -> None:
     # Each query is failure-isolated: one broken query must never erase the
     # whole bench (this exact fragility cost round 2 its BENCH file).
     timings: dict[str, float] = {}
+    timings_min5: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             errors[name] = "missing from queries()"
             continue
-        # stable30 rows gate the cross-round 2x comparison, so they get 5
-        # runs: measured first-run codegen/JIT inflation is 2-4x the steady
-        # state, and under transient box load even run 3 can still carry it
-        # (r10: lang_id bench'd 2.1 s min-of-3 vs 0.84 s steady min-of-5).
-        # The extra ~2 runs x 30 rows is bounded; the full catalog stays at 3.
+        # stable30 rows additionally get runs 4-5: measured first-run
+        # codegen/JIT inflation is 2-4x steady state, and under transient box
+        # load even run 3 can still carry it (r10: lang_id bench'd 2.1 s
+        # min-of-3 under load vs 0.84 s steady min-of-5). PROTOCOL
+        # COMPATIBILITY: timings[name] (and every *_total built from it)
+        # stays min over the FIRST 3 runs — identical to every prior round's
+        # protocol, so cross-round comparisons are apples-to-apples; the
+        # min-of-5 lands ONLY in the separate stable30_total_min5 /
+        # queries_min5 fields (min over more runs is monotonically
+        # non-increasing — folding it into the headline number would fake a
+        # speedup the code never earned).
         n_runs = 5 if name in STABLE30_SET else 3
-        best = None
+        runs: list[float] = []
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs[:3]), 3)
+            if n_runs > 3:
+                timings_min5[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 - isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
@@ -297,16 +305,20 @@ def main() -> None:
     # denominator moves round-to-round).
     stable30 = STABLE30_SET & set(timings)
     stable30_total = round(sum(timings[n] for n in stable30), 3)
+    # the noise-robust companion number (NOT protocol-comparable to r1-r9)
+    stable30_total_min5 = round(sum(timings_min5.get(n, timings[n])
+                                    for n in stable30), 3)
 
     # Per-query detail goes to a sidecar file + separate stdout lines; the
     # FINAL stdout line must stay tiny (<1KB) — round 4's single ~6KB JSON
     # line overflowed the driver's tail capture and the bench gate was
     # unevaluable (BENCH_r04.json parsed=null).
     details = {
-        "queries": timings,
+        "queries": timings,          # min over first 3 runs (r1-r9 protocol)
+        "queries_min5": timings_min5,  # stable30 rows only: min over all 5
         "errors": errors,
-        "runs_per_query": 3,
-        "runs_stable30": 5,
+        "runs_per_query": 3,           # the protocol runs behind `queries`
+        "runs_stable30": 5,            # total runs taken on stable30 rows
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -329,6 +341,7 @@ def main() -> None:
         "runs_stable30": 5,
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
+        "stable30_total_min5": stable30_total_min5,
         # a total over FEWER queries is not comparable across rounds; these
         # make a shrunken denominator impossible to miss
         "n_queries_timed": len(timings),

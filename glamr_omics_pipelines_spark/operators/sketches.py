@@ -125,11 +125,15 @@ def mash_distance(sketches: DataFrame, k: int = 64,
                 F.count(F.lit(1)).alias("union_k")))
     j = F.col("shared") / F.col("union_k")
     dist = F.when(j > 0, -F.log(2 * j / (1 + j)) / F.lit(float(kmer_k)))
+    # + 0.0 normalizes IEEE negative zero: at j = 1 the formula is
+    # -ln(1)/k = -0.0, which renders '-0.0' and splits a rendered-value
+    # hash from an engine that normalizes (caught by the r10 sf0.1
+    # robustness pass; the oracle applies the same + 0)
     return (agg.select("ga", "gb", F.col("shared").cast("bigint")
                        .alias("shared"),
                        F.col("union_k").cast("bigint").alias("union_k"),
-                       F.round(j, 6).alias("jaccard_est"),
-                       F.round(dist, 6).alias("mash_dist")))
+                       (F.round(j, 6) + F.lit(0.0)).alias("jaccard_est"),
+                       (F.round(dist, 6) + F.lit(0.0)).alias("mash_dist")))
 
 
 def cms_build(df: DataFrame, item_col: str, depth: int = 4,
