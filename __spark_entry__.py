@@ -5496,35 +5496,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
     }
     window = [
-        # ROUND-9 WINDOW (VERDICT r8 #1): the 47 r5-era rows — at age 3,
-        # the ledger maximum (they predate the WindowGroupLimit plan pins,
-        # the broadcast-iteration gates and the ANSI hardening that landed
-        # since r5)...
-        "attribution_join", "basket_rules", "bh_fdr", "bitset_semi_join",
-        "cap_per_source", "changepoint", "chi_square", "chunk_documents",
-        "clr_transform", "cube_report", "curation_pipeline_v2",
-        "data_quality", "deseq_size_factors", "enrichment_2x2",
-        "event_transitions", "fuzzy_name_pairs", "fuzzy_resolve",
-        "gaps_islands", "genome_coverage", "group_percentiles",
-        "gtdb_majority_vote", "incremental_agg", "interpolate",
-        "interval_merge", "interval_subtract", "inverted_index",
-        "key_skew", "mash_distance", "mixture_sample", "nearest_feature",
-        "ntile_buckets", "nx_ladder", "pack_sequences",
-        "quantile_normalize", "quantize_embeddings", "rank_sum_test",
-        "resample_fill", "scd2_history", "seasonal_anomaly",
-        "sensor_pipeline", "seqkit_stats", "translate_dna", "trend_fit",
-        "triangle_count", "weighted_sample", "welch_t", "zorder_key",
-        # ...plus the one catalog row with NO driver history (landed after
-        # the r8 window filled; its fold form was rebuilt this round —
-        # Column tree + rank path, VERDICT r8 #2)
-        "bpe_encode",
-        # new oracle row: IVFADC — cell-pruned equi join over the PQ-coded
-        # corpus with broadcast ADC tables (VERDICT r8 #4)
-        "ivfpq_ann",
-        # new oracle row: third stateful-streaming shape under the hard
-        # oracle — the head-k+OTHERS truncation state machine, unrolled
-        # 3-step CTE oracle, order-pinned replay (VERDICT r8 #3)
-        "streaming_heavy_hitters",
+        # ROUND-10 WINDOW (VERDICT r9 #2): all 26 catalog rows that have
+        # NEVER been driver-checked (landed r9 after the window was drawn;
+        # never-checked rows outrank banked re-checks — the bpe_encode
+        # precedent)...
+        "versions_ledger", "streaming_drift_monitor", "semdedup",
+        "kmeans_lloyd", "bloom_novelty", "streaming_dedup", "ann_recall",
+        "hist_quantile", "leakage_safe_split", "quality_classifier",
+        "minhash_incremental", "incremental_curation", "mixture_plan",
+        "bm25_search", "url_dedup", "domain_blocklist", "line_quality",
+        "streaming_late_data", "rp_project", "web_curation", "phash_dedup",
+        "compaction_plan", "afp_dedup", "wordpiece_encode", "video_dedup",
+        "dataset_card",
+        # ...plus 24 of the 50 r6-era banked rows (age 3, the ledger
+        # maximum) — the ones whose machinery has NO newer green sibling,
+        # so a driver re-check is the only fresh evidence available.  The
+        # 26 deferred r6-era rows (age 4 for one round, front of R11) each
+        # have a documented newer-green re-proof — full per-row rationale
+        # in ROUND10.md's age ledger.
+        "benford", "cms_counts", "cohort_retention", "debruijn_stats",
+        "dedup_keep_best", "doc_bigram_lm", "embedding_covariance",
+        "expanding_distinct", "feature_hash", "geo_clusters", "gini",
+        "k_core", "kl_top_terms", "ks_test", "lsh_ann", "metagenome_qc",
+        "minhash_dedup", "nearest_station", "ohlc_bars", "oov_rate",
+        "orf_count", "pagerank", "rolling_corr", "session_stats",
     ]
     assert len(window) == 50 and len(set(window)) == 50
     return ({name: full[name] for name in window}
