@@ -96,6 +96,25 @@ def main() -> int:
               for n in HEADLINE}
     flagged = {n: r for n, r in report.items()
                if r["factor"] > ALLOWED_FACTOR.get(n, lambda kk: 2 * kk)(k)}
+    if flagged:
+        # Retry-on-flag (r10): a ~350-query session accumulates GC /
+        # broadcast-cleanup pressure that can inflate a single row's x8
+        # runs long after its own plan finished (observed:
+        # pmi_collocations 15.6 s mid-sweep vs 1.3 s min-of-3 isolated —
+        # factor 19.6 vs 1.35). Re-measure ONLY the flagged rows fresh at
+        # both scales and keep the flag only if it survives.
+        retry_base = run(spark, qs, list(flagged), SRC)
+        retry_big = run(spark, qs, list(flagged), DST)
+        for n in list(flagged):
+            b = min(base[n], retry_base[n])
+            g = min(big[n], retry_big[n])
+            f = round(g / max(b, 1e-9), 1)
+            report[n] = {"sf0.1": b, f"x{k}": g, "factor": f,
+                         "retried": True}
+            if f <= ALLOWED_FACTOR.get(n, lambda kk: 2 * kk)(k):
+                del flagged[n]
+            else:
+                flagged[n] = report[n]
     print(json.dumps({"k": k, "queries": report, "superlinear": flagged}))
     if "--keep" not in sys.argv:
         shutil.rmtree(DST, ignore_errors=True)
