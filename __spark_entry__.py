@@ -2410,8 +2410,10 @@ def _exact_key_pairs(media, pairs):
     lineage (documents scan + rpad/encode synthesis) is computed once,
     not once per join side; at warehouse scale the key would be a stored
     content-hash column, not a query-time recompute."""
-    keys = media.select("media_id", F.xxhash64("content").alias("_ck"),
-                        F.length("content").alias("_cl")).persist()
+    from glamr_omics_pipelines_spark.operators import _cache
+    keys = _cache.register(
+        media.select("media_id", F.xxhash64("content").alias("_ck"),
+                     F.length("content").alias("_cl")))
     return (pairs
             .join(keys.select(F.col("media_id").alias("id_a"),
                               F.col("_ck").alias("_ka"),

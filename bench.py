@@ -265,6 +265,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min5: dict[str, float] = {}
     errors: dict[str, str] = {}
+    extra_run_errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -288,11 +289,22 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs[:3]), 3)
+                # Record the protocol timing the moment the first 3 runs are
+                # in: a transient failure on (non-protocol) run 4 or 5 must
+                # not erase a protocol-valid min-of-3 measurement and silently
+                # shrink the cross-round-comparable stable30 denominator.
+                if len(runs) == 3:
+                    timings[name] = round(min(runs), 3)
             if n_runs > 3:
                 timings_min5[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 - isolate per query
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            if name not in timings:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            else:
+                # Runs 4-5 only (non-protocol): the protocol timing stands
+                # and the round stays comparable; log the flake separately so
+                # it never inflates n_errors / total_incomparable.
+                extra_run_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
             # several operators persist() intermediates that stay referenced by
             # their (discarded) plans; without this, ~50 pinned RDDs accumulate
@@ -309,6 +321,22 @@ def main() -> None:
     stable30_total_min5 = round(sum(timings_min5.get(n, timings[n])
                                     for n in stable30), 3)
 
+    # DRIFT-ADJUSTED stable30 (r11): normalize the official total by the
+    # multithreaded calibration probe so thread-scaling box drift is divided
+    # out.  Rule:  stable30_drift_adj = stable30_total * MT_ANCHOR / probe_mt.
+    # MT_ANCHOR derivation (the only committed simultaneous pairing, from
+    # ROUND10.md): on the r10 builder box the MT probe read 0.578 s while
+    # stable30 read 33.4 s = 2.134x the r1 anchor (15.655 s); if stable30
+    # wall scales with the MT probe (both are 32-thread shuffle-bound work),
+    # an r1-speed box would probe at 0.578 / 2.134 = 0.271 s.  MT_ANCHOR is
+    # therefore pinned at 0.271 and MUST NOT be retuned round-to-round —
+    # retuning would let the normalization absorb real regressions.  The
+    # official stable30_total stays the gating number; drift_adj is the
+    # companion that separates plan regressions (both numbers move) from box
+    # drift (official moves, drift_adj stays).
+    MT_ANCHOR = 0.271
+    stable30_drift_adj = round(stable30_total * MT_ANCHOR / probe_mt_best, 3)
+
     # Per-query detail goes to a sidecar file + separate stdout lines; the
     # FINAL stdout line must stay tiny (<1KB) — round 4's single ~6KB JSON
     # line overflowed the driver's tail capture and the bench gate was
@@ -317,10 +345,13 @@ def main() -> None:
         "queries": timings,          # min over first 3 runs (r1-r9 protocol)
         "queries_min5": timings_min5,  # stable30 rows only: min over all 5
         "errors": errors,
+        "extra_run_errors": extra_run_errors,  # non-protocol run 4-5 flakes
         "runs_per_query": 3,           # the protocol runs behind `queries`
         "runs_stable30": 5,            # total runs taken on stable30 rows
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
+        "stable30_drift_adj": stable30_drift_adj,
+        "mt_anchor": MT_ANCHOR,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -342,6 +373,8 @@ def main() -> None:
         "calibration_probe_sec": round(probe_best, 3),
         "calibration_probe_mt_sec": round(probe_mt_best, 3),
         "stable30_total_min5": stable30_total_min5,
+        "stable30_drift_adj": stable30_drift_adj,
+        "mt_anchor": MT_ANCHOR,
         # a total over FEWER queries is not comparable across rounds; these
         # make a shrunken denominator impossible to miss
         "n_queries_timed": len(timings),

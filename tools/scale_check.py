@@ -106,7 +106,12 @@ def main() -> int:
         retry_base = run(spark, qs, list(flagged), SRC)
         retry_big = run(spark, qs, list(flagged), DST)
         for n in list(flagged):
-            b = min(base[n], retry_base[n])
+            # Keep the ORIGINAL base denominator; min only the big side.
+            # A warm retry_base faster than base would shrink the
+            # denominator and could keep a noise-flagged row flagged for
+            # the opposite reason the retry exists — the retry strictly
+            # tests whether the x{k} inflation reproduces (advisor r10).
+            b = base[n]
             g = min(big[n], retry_big[n])
             f = round(g / max(b, 1e-9), 1)
             report[n] = {"sf0.1": b, f"x{k}": g, "factor": f,
