@@ -187,18 +187,59 @@ def _shingle_overlap(df: DataFrame, id_col: str, text_col: str,
     arithmetic on top."""
     base = df.select(id_col, text_col)
     if candidates is not None:
+        # CANDIDATE-VERIFY FORM (the LSH verify stage): fetch each candidate
+        # doc's distinct-shingle SET once, join the (small) pair list to the
+        # two sets, and intersect row-locally — the standard verify shape.
+        # Value-identical to the inverted-index form below (collect_set is
+        # the distinct shingle set; array_intersect size = shared-shingle
+        # count; the `_inter >= 1` filter reproduces the inner self-join's
+        # "pairs sharing >= 1 shingle" grain) but with NO shingle-grain
+        # shuffle: the only exchange is the per-doc set aggregation over
+        # candidate docs. Cuts the verify from ~23 AQE stage rounds to ~8
+        # at sf0.1 — fixed scheduling overhead that dominates small-SF wall
+        # and serialization points that still matter at 100 TB, where the
+        # inverted-index form shuffles O(total shingles) while this form
+        # shuffles O(candidate-doc shingles) only.
+        #
         # the candidate plan (usually a full LSH pipeline) feeds two subplans
-        # below (doc-id restriction + pair semi-join); persist so it executes
-        # once — it is the expensive stage here, and it's small (pairs only).
-        candidates = _cache.register(candidates)
+        # (doc-id restriction + the pair frame itself); persist so it
+        # executes once — it is the expensive stage here and small (pairs).
+        # The distinct is required for correctness, not just size: LSH
+        # candidate frames built with dedup_pairs=False repeat a pair once
+        # per matching band, and unlike the old semi-join consumer the pair
+        # join below is multiplicity-sensitive. (RemoveRedundantAggregates
+        # collapses it when the caller already deduped.)
+        candidates = _cache.register(
+            candidates.select("id_a", "id_b").distinct())
         # verification only needs the docs the LSH stage surfaced: restrict
-        # BEFORE exploding shingles and self-joining, or the "verify" stage
-        # silently re-runs the full O(Σ per-shingle k²) all-pairs plan the
-        # LSH existed to avoid. Candidate ids are LSH output — tiny; broadcast.
+        # BEFORE exploding shingles, or the "verify" stage silently re-runs
+        # the full corpus tokenize. Candidate ids are LSH output — tiny;
+        # broadcast. No distinct before the broadcast: the semi-join's hash
+        # relation dedups keys on build, and skipping it saves an exchange
+        # round (ids repeat at most 2x pairs).
         cand_ids = (candidates.select(F.col("id_a").alias(id_col))
-                    .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-                    .distinct())
-        base = base.join(F.broadcast(cand_ids), id_col, "left_semi")
+                    .unionByName(candidates.select(F.col("id_b").alias(id_col))))
+        restricted = base.join(F.broadcast(cand_ids), id_col, "left_semi")
+        # per-doc distinct shingle set: ObjectHashAggregate, one exchange at
+        # candidate-doc grain. At 100 TB a doc's shingle set is bounded by
+        # doc length (the same bound the inverted-index rows carried).
+        sets = _cache.register(
+            char_shingles(restricted, text_col, shingle_n)
+            .groupBy(id_col).agg(F.collect_set("shingle").alias("_shset")))
+        out = (candidates
+               .join(sets.select(F.col(id_col).alias("id_a"),
+                                 F.col("_shset").alias("_seta")), "id_a")
+               .join(sets.select(F.col(id_col).alias("id_b"),
+                                 F.col("_shset").alias("_setb")), "id_b")
+               .select("id_a", "id_b",
+                       F.array_size(F.array_intersect("_seta", "_setb"))
+                       .alias("_inter"),
+                       F.array_size("_seta").alias("_sa"),
+                       F.array_size("_setb").alias("_sb")))
+        return out.filter(F.col("_inter") >= 1)
+    # DISCOVERY FORM (no candidate list): inverted-index self-join — the
+    # only way to FIND overlapping pairs without a pre-bucketed stage; use
+    # on bounded inputs or behind an LSH.
     sh = char_shingles(base, text_col, shingle_n) \
         .select(id_col, "shingle").distinct()
     # the shingle table feeds THREE subplans (a-side, b-side, sizes) whose
@@ -211,12 +252,6 @@ def _shingle_overlap(df: DataFrame, id_col: str, text_col: str,
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_inter")))
-    if candidates is not None:
-        # drop non-candidate pairs among candidate docs; candidate-bounded
-        # inter then broadcasts into the size-attach joins (sizes is per-doc:
-        # huge at scale).
-        inter = F.broadcast(
-            inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi"))
     return (inter
             .join(sizes.withColumnRenamed("_sz", "_sa")
                   .withColumnRenamed(id_col, "id_a"), "id_a")
