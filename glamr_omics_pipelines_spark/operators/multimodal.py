@@ -575,12 +575,25 @@ def _bilinear_resize(arr, width: int, height: int):
 def _fold_histogram(hist, feature_dim: int) -> list[float]:
     """256-bin (or longer) histogram folded to feature_dim, L1-normalized —
     shared by the stub (byte histogram) and real (pixel histogram) kernels
-    so both emit the same feature shape."""
-    acc = [0.0] * feature_dim
-    for i, v in enumerate(hist):
-        acc[i % feature_dim] += v
-    total = sum(acc) or 1.0
-    return [v / total for v in acc]
+    so both emit the same feature shape.
+
+    Vectorized: the input (bytes / list of counts) is folded by padding to a
+    multiple of feature_dim and column-summing the reshape — this was a
+    per-BYTE Python loop, the hot path of the feature-extraction kernel
+    (~60% of its wall at sf0.1). Values are bit-identical to the loop form:
+    every addend is a small non-negative integer, so both sums are exact in
+    float64 regardless of association order."""
+    import numpy as np
+    a = np.frombuffer(hist, dtype=np.uint8).astype(np.int64) \
+        if isinstance(hist, (bytes, bytearray, memoryview)) \
+        else np.asarray(hist, dtype=np.int64)
+    pad = (-a.size) % feature_dim
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+    acc = a.reshape(-1, feature_dim).sum(axis=0) if a.size else \
+        np.zeros(feature_dim, dtype=np.int64)
+    total = float(acc.sum()) or 1.0
+    return [v / total for v in acc.tolist()]
 
 
 def _decode_image_batch(pdf: pd.DataFrame, feature_dim: int, stub: bool) -> pd.DataFrame:
