@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from glamr_omics_pipelines_spark.session import get_spark  # noqa: E402
+from glamr_omics_pipelines_spark.operators import _cache, _ckpt  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 # Headline subset: one per operator family that dominates runtime at scale.
@@ -310,6 +311,13 @@ def main() -> None:
             # their (discarded) plans; without this, ~50 pinned RDDs accumulate
             # over the run and GC/eviction pressure inflates later queries 2-5x.
             spark.catalog.clearCache()
+            # localCheckpoint blocks are a SEPARATE resource clearCache()
+            # cannot touch (DataFrame.unpersist() is a no-op for them):
+            # without this, every iterative query (CC loops, pagerank,
+            # k-core) leaks its final round's materialized RDD into the
+            # session and later queries inherit the GC/block pressure.
+            _ckpt.release_checkpoints()
+            _cache.release_caches()  # drop the (now-unpersisted) handles
 
     total = round(sum(timings.values()), 3)
     # The r1-r3 30-query headline set: the ONLY total that is comparable

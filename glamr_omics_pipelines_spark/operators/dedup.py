@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from glamr_omics_pipelines_spark.operators import _cache
+from glamr_omics_pipelines_spark.operators import _cache, _ckpt
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
@@ -430,9 +430,70 @@ def hamming_candidates(sig: DataFrame, id_col: str, hash_col: str,
 _BROADCAST_LABELS_MAX_NODES = 1_000_000
 
 
+# Auto-ceiling for the single-task union-find CC path: at ~16 B per
+# (u, v) long pair plus dict overhead, 1M pairs is tens of MB in one
+# Python task and unions run in near-linear time — well under the cost
+# of even ONE distributed label-propagation round. Above it the
+# iterative loop is the scale path. Same auto-gate convention as
+# similarity._BRUTE_PAIRGEN_MAX_ROWS.
+_LOCAL_CC_MAX_PAIRS = 1_000_000
+
+
+def _cc_local(half: DataFrame) -> DataFrame:
+    """Single-task connected components: union-find with union-to-min.
+
+    EXACTLY the dup_clusters contract — (id, label) with label = the
+    component's min node id — computed in one ``mapInPandas`` task over
+    the coalesced pair list. Min-label is integer math with an
+    order-independent result, so the output is identical to the
+    distributed loop's on any input on which that loop converges (and
+    union-find always converges, diameter notwithstanding). Zero
+    shuffles, zero per-round barriers/checkpoints: at small pair counts
+    the whole CC stage is one narrow task (guide §2.4), where the loop
+    form pays O(rounds) joins + aggregations + eager checkpoints.
+    """
+    from pyspark.sql.types import StructField, StructType
+    id_type = half.schema["u"].dataType
+    out_schema = StructType([StructField("id", id_type),
+                             StructField("label", id_type)])
+
+    def kernel(batches):
+        import pandas as pd
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union-to-min: the root of every tree is its
+                    # component's minimum, so find() IS the label
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        ids = list(parent)
+        yield pd.DataFrame({"id": pd.Series(ids, dtype=object),
+                            "label": pd.Series([find(x) for x in ids],
+                                               dtype=object)})
+
+    return half.coalesce(1).mapInPandas(kernel, out_schema)
+
+
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                  max_iter: int = 20,
-                 broadcast_labels: bool | None = None) -> DataFrame:
+                 broadcast_labels: bool | None = None,
+                 local_fold: bool | None = None) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min doc id in the component. The step every dedup pipeline
     needs after pair generation (X2-X5 emit PAIRS; keeping one survivor per
@@ -453,18 +514,32 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     either side — measured −12% on a 150-pair graph (interleaved
     min-of-5), identical labels. Past the ceiling the shuffle join is the
     scale-safe form.
+
+    ``local_fold`` (None = auto at ≤ ``_LOCAL_CC_MAX_PAIRS`` pairs): when
+    the pair list fits one task, skip the loop entirely and run
+    single-task union-find (:func:`_cc_local`) — identical labels
+    (min-label is order-independent integer math), zero per-round
+    barriers. The pair count gates it via the same eager checkpoint the
+    loop needed anyway, so the upstream pipeline still executes once.
     """
     half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = (half.unionByName(half.select(F.col("v").alias("u"),
-                                          F.col("u").alias("v")))
-             .distinct()
-             # EAGER lineage cut: the pair-generation plan upstream (typically
-             # a full LSH+verify pipeline) would otherwise be re-analyzed and
-             # partially re-executed by every round's subplans.
-             .localCheckpoint(eager=True))
-    labels = (edges.select(F.col("u").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
+    # EAGER lineage cut on the RAW pair list: the pair-generation plan
+    # upstream (typically a full LSH+verify pipeline) executes exactly once
+    # here, and the count that gates the local path reads the checkpoint.
+    half = _ckpt.checkpoint(half)
+    if local_fold is None:
+        local_fold = half.count() <= _LOCAL_CC_MAX_PAIRS
+    if local_fold:
+        return _cc_local(half)
+    edges = _ckpt.checkpoint(
+        half.unionByName(half.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        .distinct())
+    _ckpt.free(half)  # the symmetric edge set carries everything the loop needs
+    labels = _ckpt.checkpoint(
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id")))
+    labels_ck = labels
     if broadcast_labels is None:
         # labels are NODE-grain (docs touched by any near-dup pair) — when
         # they fit a broadcast, each round's two label joins skip the edge
@@ -477,23 +552,28 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         nbr_side = F.broadcast(nbr_min) if broadcast_labels else nbr_min
         relabel = F.least(F.col("label"),
                           F.coalesce(F.col("_nbr"), F.col("label")))
-        new = (labels.join(nbr_side, labels.id == nbr_min.u, "left")
-               .select(labels.id, relabel.alias("label"),
-                       # convergence flag computed INLINE: the old form
-                       # re-joined new against labels just to count changes
-                       # — a whole extra shuffle join per round; the flag is
-                       # known at relabel time for free
-                       (relabel != F.col("label")).alias("_chg"))
-               # localCheckpoint, not persist: each round's plan references
-               # the previous round twice, so an un-truncated lineage DOUBLES
-               # per round and Catalyst re-analysis goes exponential (round 0
-               # took 7s, round 1 33s on a 200-node graph). Checkpointing
-               # pins the round to its materialized RDD and keeps every
-               # round's plan constant-size. (Same pattern GraphFrames uses
-               # for iterative CC.)
-               .localCheckpoint(eager=True))
+        new = _ckpt.checkpoint(
+            labels.join(nbr_side, labels.id == nbr_min.u, "left")
+            .select(labels.id, relabel.alias("label"),
+                    # convergence flag computed INLINE: the old form
+                    # re-joined new against labels just to count changes
+                    # — a whole extra shuffle join per round; the flag is
+                    # known at relabel time for free
+                    (relabel != F.col("label")).alias("_chg")))
+        # localCheckpoint, not persist: each round's plan references
+        # the previous round twice, so an un-truncated lineage DOUBLES
+        # per round and Catalyst re-analysis goes exponential (round 0
+        # took 7s, round 1 33s on a 200-node graph). Checkpointing
+        # pins the round to its materialized RDD and keeps every
+        # round's plan constant-size. (Same pattern GraphFrames uses
+        # for iterative CC.) _ckpt.free actually releases the replaced
+        # round's blocks — DataFrame.unpersist() is a no-op for
+        # checkpoints, so without this every round LEAKS a pinned RDD
+        # into the session (guide §5).
         changed = new.filter(F.col("_chg")).count()  # scan of the
         # just-materialized checkpoint, not a recomputation
+        _ckpt.free(labels_ck)
+        labels_ck = new
         labels = new.drop("_chg")
         if changed == 0:
             break
@@ -506,6 +586,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             f"dup_clusters did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing); raise max_iter or "
             "pre-partition the pair graph")
+    _ckpt.free(edges)  # the converged labels no longer reference the edges
     return labels
 
 
@@ -609,7 +690,8 @@ def embedding_cosine_dups(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                      id_b: str = "id_b", max_iter: int = 25,
+                      local_fold: bool | None = None) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the web-scale formulation ``dup_clusters`` documents as its
@@ -628,13 +710,24 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     # must still get a self-label, matching dup_clusters' contract); the
     # edge set then drops self-loops
     raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    nodes = (raw.select(F.col("u").alias("id"))
-             .unionByName(raw.select(F.col("v").alias("id"))).distinct()
-             .localCheckpoint(eager=True))
+    # one eager lineage cut of the (expensive) upstream pair plan; the
+    # local-path gate count reads it for free (union-find handles
+    # self-loops natively — a self-loop node unions with itself and
+    # self-labels — so the local form needs no node/edge split)
+    raw = _ckpt.checkpoint(raw)
+    if local_fold is None:
+        local_fold = raw.count() <= _LOCAL_CC_MAX_PAIRS
+    if local_fold:
+        return _cc_local(raw)
+    nodes = _ckpt.checkpoint(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id"))).distinct())
     e = raw.filter(F.col("u") != F.col("v"))
-    edges = (e.unionByName(e.select(F.col("v").alias("u"),
-                                    F.col("u").alias("v")))
-             .distinct().localCheckpoint(eager=True))
+    edges = _ckpt.checkpoint(
+        e.unionByName(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        .distinct())
+    _ckpt.free(raw)
 
     def large_star(ed: DataFrame) -> DataFrame:
         mins = (ed.groupBy("u")
@@ -654,17 +747,22 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
                 .filter(F.col("u") != F.col("v")).distinct())
 
     for _ in range(max_iter):
-        after_large = large_star(edges).localCheckpoint(eager=True)
+        after_large = _ckpt.checkpoint(large_star(edges))
         # re-symmetrize for the next phase's neighborhood views
         sym = (after_large.unionByName(
             after_large.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct())
-        after_small = small_star(sym).localCheckpoint(eager=True)
-        new_sym = (after_small.unionByName(
-            after_small.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct().localCheckpoint(eager=True))
+        after_small = _ckpt.checkpoint(small_star(sym))
+        _ckpt.free(after_large)
+        new_sym = _ckpt.checkpoint(
+            after_small.unionByName(
+                after_small.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+            .distinct())
+        _ckpt.free(after_small)
         changed = (new_sym.exceptAll(edges).limit(1).count()
                    + edges.exceptAll(new_sym).limit(1).count())
+        _ckpt.free(edges)
         edges = new_sym
         if changed == 0:
             break

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from glamr_omics_pipelines_spark.operators import _cache
+from glamr_omics_pipelines_spark.operators import _cache, _ckpt
 
 
 def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
@@ -72,13 +72,74 @@ _EDGE_ROWS_PER_PARTITION = 500_000
 # the shuffle-join form is the only scale-safe shape.
 _BROADCAST_RANKS_MAX_NODES = 1_000_000
 
+# Auto-ceiling for the single-task fold: 8M (src, dst, w) rows ≈ 200 MB
+# as one Arrow batch stream plus ~3 int/float64 numpy arrays — one
+# task's comfortable working set, and 10 iterations of bincount matvec
+# over 8M edges is well under a second of C-loop work, versus ~2 jobs
+# (broadcast build + agg) PER SUPERSTEP for the distributed loop. Above
+# it the superstep loop is the scale path. Same auto-gate convention as
+# dedup._LOCAL_CC_MAX_PAIRS / similarity._BRUTE_PAIRGEN_MAX_ROWS.
+_LOCAL_FOLD_MAX_EDGES = 8_000_000
+
+
+def _pagerank_local(e: DataFrame, damping: float,
+                    iterations: int) -> DataFrame:
+    """Single-task PageRank fold over a coalesced (_src, _dst, _w) frame.
+
+    The identical recurrence — rank ← (1−d)/N + d·Σ_in rank·w/wout,
+    dangling mass dropped — run as ``iterations`` numpy ``bincount``
+    matvecs in ONE ``mapInPandas`` task. Edge order is canonicalized
+    (lexsort by (dst, src)) before any accumulation, so every sum runs in
+    a fixed deterministic order and the output is bit-reproducible
+    run-to-run; values agree with the distributed loop to float64
+    round-off (both are IEEE sums of the same terms, grouping aside),
+    verified to 4dp against the unrolled-CTE oracle across SFs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    node_type = e.schema["_src"].dataType
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("rank", DoubleType())])
+
+    def fold(batches):
+        parts = [pdf for pdf in batches]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+        else:
+            pdf = pd.DataFrame({"_src": [], "_dst": [], "_w": []})
+        src, dst = pdf["_src"].to_numpy(), pdf["_dst"].to_numpy()
+        w = pdf["_w"].to_numpy(dtype=np.float64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        if n == 0:
+            yield pd.DataFrame({"node": pd.Series([], dtype=object),
+                                "rank": pd.Series([], dtype=np.float64)})
+            return
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        order = np.lexsort((si, di))  # fixed accumulation order
+        si, di, w = si[order], di[order], w[order]
+        wout = np.bincount(si, weights=w, minlength=n)
+        rate = w / wout[si]  # wout>0 wherever si occurs
+        base = (1.0 - damping) / n
+        rank = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            contrib = np.bincount(di, weights=rank[si] * rate, minlength=n)
+            rank = base + damping * contrib
+        yield pd.DataFrame({"node": pd.Series(nodes.tolist(), dtype=object),
+                            "rank": rank})
+
+    return e.coalesce(1).mapInPandas(fold, out_schema)
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight_col: str | None = "weight", iterations: int = 10,
              damping: float = 0.85,
              num_partitions: int | None = None,
              checkpoint_every: int = 3,
-             broadcast_ranks: bool | None = None) -> DataFrame:
+             broadcast_ranks: bool | None = None,
+             local_fold: bool | None = None) -> DataFrame:
     """Weighted PageRank over a directed edge list, fixed ``iterations``:
 
         rank ← (1−d)/N + d · Σ_in rank_src · w / wout_src
@@ -92,6 +153,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Output: (node, rank). Lineage is truncated per-iteration with eager
     localCheckpoints.
+
+    ``local_fold`` (None = auto at ≤ ``_LOCAL_FOLD_MAX_EDGES`` edges):
+    when the edge list fits one task, run all iterations as a single-task
+    numpy fold (:func:`_pagerank_local`) — zero supersteps, zero
+    broadcasts/checkpoints; above the ceiling the superstep loop below is
+    the scale path.
 
     Superstep join strategy (``broadcast_ranks``): ranks are NODE-grain —
     tiny next to the edge set on any real graph. When the node count is
@@ -131,6 +198,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # as soon as `rated` (the loop's own cache) is built.
     e = _cache.register(e)
     n_edges = e.count()
+    if local_fold is None:
+        local_fold = n_edges <= _LOCAL_FOLD_MAX_EDGES
+    if local_fold:
+        # the whole post-edges computation is ONE narrow task: no
+        # supersteps, no broadcast builds, no checkpoints — the edge
+        # cache (materialized by the gate count just taken) feeds the
+        # fold directly (guide §2.4: remove shuffles outright).
+        return _pagerank_local(e, damping, iterations)
     if num_partitions is None:
         # Size the superstep partitioning to the MEASURED edge count, not
         # the session default: every iteration pays 2 shuffles at this
@@ -197,9 +272,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          .alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             prev = checkpointed
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt.checkpoint(ranks)
             checkpointed = ranks
-            prev.unpersist()
+            # actually free the replaced round's blocks —
+            # DataFrame.unpersist() is a no-op for localCheckpoints (the
+            # initial non-checkpoint frame no-ops through free() safely)
+            _ckpt.free(prev)
     return ranks
 
 
@@ -361,10 +439,10 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
     sym = _cache.register(
         sym_half.unionByName(sym_half.select(F.col("v").alias("u"),
                                              F.col("u").alias("v"))))
-    alive = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-             .filter(F.col("_deg") >= k)
-             .select(F.col("u").alias("node"))
-             .localCheckpoint(eager=True))
+    alive = _ckpt.checkpoint(
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") >= k)
+        .select(F.col("u").alias("node")))
     n_prev = alive.count()
     if broadcast_alive is None:
         # the frontier only shrinks, so gating on the initial count (free:
@@ -379,11 +457,12 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
         kept = (sym
                 .join(_alive_side("u"), "u", "left_semi")
                 .join(_alive_side("v"), "v", "left_semi"))
-        new = (kept.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-               .filter(F.col("_deg") >= k)
-               .select(F.col("u").alias("node"))
-               .localCheckpoint(eager=True))
+        new = _ckpt.checkpoint(
+            kept.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("u").alias("node")))
         n_new = new.count()
+        _ckpt.free(alive)  # replaced frontier's blocks, freed for real
         alive = new
         if n_new == n_prev:
             break

@@ -773,8 +773,9 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
              # symbols: chars + trailing </w> marker
              .withColumn("syms", F.expr(
-                 "concat(filter(split(w, ''), x -> x <> ''), array('</w>'))"))
-             .localCheckpoint(eager=True))
+                 "concat(filter(split(w, ''), x -> x <> ''), array('</w>'))")))
+    from glamr_omics_pipelines_spark.operators import _ckpt
+    vocab = _ckpt.checkpoint(vocab)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         # guard the fully-merged single-symbol words: sequence(1, 0) counts
@@ -801,14 +802,16 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
         # escape its own closing quote in the spliced SQL literal
         a_l = a.replace("\\", "\\\\").replace("'", "\\'")
         b_l = b.replace("\\", "\\\\").replace("'", "\\'")
-        vocab = (vocab.withColumn("syms", F.expr(
+        prev = vocab
+        vocab = _ckpt.checkpoint(vocab.withColumn("syms", F.expr(
             f"aggregate(syms, cast(array() as array<string>), "
             f"(acc, x) -> CASE WHEN size(acc) > 0 "
             f"AND try_element_at(acc, -1) = '{a_l}' AND x = '{b_l}' "
             f"THEN concat(slice(acc, 1, size(acc) - 1), "
             f"array(concat('{a_l}', x))) "
-            f"ELSE concat(acc, array(x)) END)"))
-            .localCheckpoint(eager=True))
+            f"ELSE concat(acc, array(x)) END)")))
+        _ckpt.free(prev)  # replaced round's blocks, freed for real
+    _ckpt.free(vocab)  # merges list is the result; the frame is internal
     return merges
 
 

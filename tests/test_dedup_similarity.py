@@ -195,7 +195,29 @@ def test_dup_clusters_raises_on_nonconvergence(spark):
     chain = [(i, i + 1) for i in range(10)]  # diameter 10 > max_iter 2
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(df, max_iter=2)
+        # local_fold=False: the convergence guard belongs to the
+        # distributed loop; the single-task union-find path (the auto
+        # choice at this size) always converges.
+        dedup.dup_clusters(df, max_iter=2, local_fold=False)
+
+
+def test_dup_clusters_local_and_loop_forms_agree(spark):
+    """The single-task union-find path and the distributed min-label loop
+    are two physical plans of the same contract: identical (id, label)
+    sets, including chains, merged components, and self-loops."""
+    pairs = ([(i, i + 1) for i in range(1, 9)]
+             + [(50, 51), (60, 61), (51, 60), (70, 70)])
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = sorted(map(tuple, dedup.dup_clusters(df, local_fold=True).collect()))
+    b = sorted(map(tuple, dedup.dup_clusters(df, local_fold=False).collect()))
+    assert a == b
+    c = sorted(map(tuple,
+                   dedup.dup_clusters_star(df, local_fold=True).collect()))
+    d = sorted(map(tuple,
+                   dedup.dup_clusters_star(df, local_fold=False).collect()))
+    assert c == d
+    assert a == c
+    assert (70, 70) in a  # self-loop node keeps its self-label
 
 
 def test_line_dedup_strips_cross_doc_boilerplate(spark):
@@ -280,9 +302,9 @@ def test_dup_clusters_broadcast_and_shuffle_forms_agree(spark):
     pairs = [(i, i + 1) for i in range(1, 9)] + [(50, 51), (60, 61), (51, 60)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
     a = sorted(map(tuple, dedup.dup_clusters(
-        df, broadcast_labels=True).collect()))
+        df, broadcast_labels=True, local_fold=False).collect()))
     b = sorted(map(tuple, dedup.dup_clusters(
-        df, broadcast_labels=False).collect()))
+        df, broadcast_labels=False, local_fold=False).collect()))
     assert a == b
     assert {(i, 1) for i in range(1, 10)} <= set(a)
     assert {(50, 50), (51, 50), (60, 50), (61, 50)} <= set(a)

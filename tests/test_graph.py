@@ -107,14 +107,21 @@ def test_pagerank_broadcast_and_shuffle_forms_agree(spark):
             pairs.append((f"n{a}", f"n{b}", rng.randint(1, 4)))
     e = _edges(spark, pairs)
     bc = {r.node: r.rank
-          for r in graph.pagerank(e, iterations=6,
-                                  broadcast_ranks=True).collect()}
+          for r in graph.pagerank(e, iterations=6, broadcast_ranks=True,
+                                  local_fold=False).collect()}
     sh = {r.node: r.rank
-          for r in graph.pagerank(e, iterations=6,
-                                  broadcast_ranks=False).collect()}
+          for r in graph.pagerank(e, iterations=6, broadcast_ranks=False,
+                                  local_fold=False).collect()}
     assert set(bc) == set(sh)
     for n in bc:
         assert math.isclose(bc[n], sh[n], rel_tol=1e-12, abs_tol=1e-15), n
+    # the single-task numpy fold (the auto choice at this size) is a third
+    # physical plan of the same recurrence: same agreement bar
+    lf = {r.node: r.rank
+          for r in graph.pagerank(e, iterations=6, local_fold=True).collect()}
+    assert set(lf) == set(bc)
+    for n in bc:
+        assert math.isclose(lf[n], bc[n], rel_tol=1e-12, abs_tol=1e-15), n
 
 
 def test_k_core_broadcast_and_shuffle_forms_agree(spark):

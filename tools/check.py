@@ -139,6 +139,9 @@ def main():
             n_pass += 1
             print(f"PASS {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
         spark.catalog.clearCache()  # drop operator-persisted intermediates
+        from glamr_omics_pipelines_spark.operators import _ckpt, _cache
+        _ckpt.release_checkpoints()
+        _cache.release_caches()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -29,6 +29,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from glamr_omics_pipelines_spark.session import get_spark
+    from glamr_omics_pipelines_spark.operators import _cache, _ckpt
     import __spark_entry__ as E
 
     spark = get_spark("profile-r11")
@@ -49,6 +50,8 @@ def main() -> int:
                       "w") as fh:
                 fh.write(plan)
             spark.catalog.clearCache()
+            _ckpt.release_checkpoints()
+            _cache.release_caches()
         runs = []
         for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"profile:{name}")
@@ -56,6 +59,8 @@ def main() -> int:
             fn(spark, args.sf).collect()
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            _ckpt.release_checkpoints()
+            _cache.release_caches()
         print(f"TIME {name} min={min(runs):.3f} runs="
               + ",".join(f"{r:.3f}" for r in runs), flush=True)
     spark.stop()

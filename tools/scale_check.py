@@ -76,6 +76,9 @@ def run(spark, qs, names, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
+        from glamr_omics_pipelines_spark.operators import _ckpt, _cache
+        _ckpt.release_checkpoints()
+        _cache.release_caches()
         t[n] = round(best, 3)
     return t
 
