@@ -60,6 +60,20 @@ def cosine_sim(a, b) -> Column:
     return F.try_divide(_dot(da, db), _norm(da) * _norm(db))
 
 
+def cosine_from_norms(a, b, na, nb) -> Column:
+    """Cosine from vectors + PRECOMPUTED norms: dot(a,b) / (na*nb).
+
+    Value-identical to :func:`cosine_sim` when ``na``/``nb`` are
+    :func:`norm_col` of the same vectors (same double ops in the same
+    order) — but the two norm reductions run once per ROW below the pair
+    join instead of once per PAIR above it. At q queries × n candidates
+    that turns 3 array reductions per pair into 1 (r11 guide §2.3
+    "shuffle keys and metadata": the norm is 8 bytes of metadata riding
+    the row)."""
+    return F.try_divide(_dot(as_double_vec(a), as_double_vec(b)),
+                        F.col(na) * F.col(nb))
+
+
 # Auto-ceiling for exact all-pairs pair generation (mirrors pagerank's
 # _BROADCAST_RANKS_MAX_NODES gate, graph.py): n corpus rows enumerate
 # n(n-1)/2 candidate pairs, so 100k rows is already ~5e9 dot products —
@@ -317,13 +331,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         return lsh_topk_multi(corpus, queries, id_col, vec_col, k=k,
                               dim=_vec_dim(corpus, vec_col),
                               query_id=query_id)
+    # norms once per ROW (below the cross join) instead of twice per PAIR:
+    # every corpus row meets every query, so the per-row norm is pure
+    # savings (n + q norms vs 2·n·q) — value-identical (see cosine_from_norms)
     q = F.broadcast(queries.select(F.col(query_id),
-                                   F.col(vec_col).alias("_qv")))
+                                   F.col(vec_col).alias("_qv"),
+                                   norm_col(vec_col).alias("_qn")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
+                      F.col(vec_col).alias("_cv"),
+                      norm_col(vec_col).alias("_cn"))
     scored = (c.crossJoin(q)
               .filter(F.col("neighbor_id") != F.col(query_id))
-              .withColumn("cosine", cosine_sim("_cv", "_qv")))
+              .withColumn("cosine", cosine_from_norms("_cv", "_qv",
+                                                      "_cn", "_qn")))
     w = Window.partitionBy(query_id).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -471,15 +491,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     each probe is a partition-pruned scan + per-cell top-k — corpus-size-
     independent probe cost, unlike brute force."""
     cell = F.expr(_nearest_centroid_expr(vec_col, centroids)).cast("int")
+    # coalesce to a side-distinct sentinel: the join key becomes provably
+    # non-nullable, so the optimizer stops pushing an IsNotNull(cell) filter
+    # below the projection — which re-evaluated the ENTIRE k×d centroid
+    # argmin per corpus row (2× the assignment cost, visible as the
+    # duplicated expression in Filter+Project of plans/r11/ivf_ann_before).
+    # Semantics unchanged: a null cell (null embedding) never joined before,
+    # and -1 matches no real cell (0..k-1) and no query-side probe (the
+    # query side's IsNotNull runs on the already-generated explode output —
+    # cheap — so a null probe still never matches).
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"), cell.alias("ivf_cell"))
+                      F.col(vec_col).alias("_cv"),
+                      norm_col(vec_col).alias("_cn"),
+                      F.coalesce(cell, F.lit(-1)).alias("ivf_cell"))
     probes = F.expr(_nearest_cells_expr(vec_col, centroids, nprobe))
     q = F.broadcast(queries.select(
         query_id, F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
         F.explode(probes.cast("array<int>")).alias("ivf_cell")))
     scored = (c.join(q, "ivf_cell")
               .filter(F.col("neighbor_id") != F.col(query_id))
-              .withColumn("cosine", cosine_sim("_cv", "_qv")))
+              .withColumn("cosine", cosine_from_norms("_cv", "_qv",
+                                                      "_cn", "_qn")))
     w = Window.partitionBy(query_id).orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -540,9 +573,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     cb = hyperplane_buckets(corpus, vec_col, num_planes, dim)
     qb = hyperplane_buckets(queries.select(query_id, vec_col),
                             vec_col, num_planes, dim)
-    q = F.broadcast(qb.select(query_id, F.col(vec_col).alias("_qv"), "lsh_bucket"))
+    # side-distinct non-null sentinels (corpus -1, query -2): the join key
+    # becomes provably non-nullable, so no IsNotNull(bucket) filter is
+    # pushed below the projection — that filter re-evaluated the ENTIRE
+    # planes×dim bucket expression per corpus row (2× the dominant cost;
+    # plans/r11/lsh_ann_before shows the duplicated tree in Filter(2)).
+    # A null bucket (null embedding / null element) never matched before;
+    # -1 ≠ -2 and real buckets are non-negative, so matches are identical.
+    # Per-pair cosine_sim (not cosine_from_norms) is deliberate here: LSH
+    # matches ~nq/2^planes pairs per corpus row << 1, so a per-row norm
+    # would cost more than the per-pair norms it saves.
+    q = F.broadcast(qb.select(
+        query_id, F.col(vec_col).alias("_qv"),
+        F.coalesce(F.col("lsh_bucket"), F.lit(-2).cast("bigint"))
+        .alias("lsh_bucket")))
     c = cb.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("_cv"), "lsh_bucket")
+                  F.col(vec_col).alias("_cv"),
+                  F.coalesce(F.col("lsh_bucket"), F.lit(-1).cast("bigint"))
+                  .alias("lsh_bucket"))
     scored = (c.join(q, "lsh_bucket")
               .filter(F.col("neighbor_id") != F.col(query_id))
               .withColumn("cosine", cosine_sim("_cv", "_qv")))

@@ -116,9 +116,16 @@ def lang_id(df: DataFrame, text_col: str, out: str = "pred_lang",
     # larger lang; to break toward the smaller one, order langs descending
     # when building and it flips — instead keep it simple and deterministic:
     # ties → lexicographically larger code. Documented contract.
+    # `best` is referenced TWICE in the CASE below; materialize it in its
+    # own projection (the _lc_toks trick again) so the |langs| marker-count
+    # filters run once per row, not once per reference — inlined, the plan
+    # duplicated the whole array_max tree (8 token scans instead of 4;
+    # plans/r11/lang_id_before.txt) for ~2x the row cost.
+    df = df.withColumn("_best", best)
+    b = F.col("_best")
     return df.withColumn(
-        out, F.when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(F.lit(default))).drop("_lc_toks")
+        out, F.when(b.getField("score") > 0, b.getField("lang"))
+        .otherwise(F.lit(default))).drop("_lc_toks", "_best")
 
 
 def vocab_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
