@@ -809,16 +809,24 @@ def dbscan_cosine(df: DataFrame, id_col: str, vec_col: str,
     (min-label propagation, O(diameter) rounds). Pair lists, never a
     distance matrix, cross every shuffle.
     """
-    from glamr_omics_pipelines_spark.operators import dedup
+    from glamr_omics_pipelines_spark.operators import _cache, dedup
     pairs = dedup.embedding_cosine_dups(df, id_col, vec_col,
                                         threshold=sim_eps,
                                         candidates=candidates,
                                         pair_gen=pair_gen)
-    sym = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-           .unionAll(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v"))))
+    # The neighbor-pair list feeds deg, core_pairs (twice, via sym's two
+    # join sides) and border; without a persist every consumer re-evaluates
+    # the pair GENERATOR (the all-pairs cross join / LSH pipeline) — ~6
+    # plan copies of the most expensive subtree in the query. The pair list
+    # is exactly what DBSCAN must materialize at any scale (it is the
+    # neighbor graph), so a spill-capable persist is the scale shape too.
+    sym = _cache.register(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"),
+                               F.col("id_a").alias("v"))))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-    cores = deg.filter(F.col("_deg") >= min_pts).select(F.col("u").alias("_c"))
+    cores = _cache.register(
+        deg.filter(F.col("_deg") >= min_pts).select(F.col("u").alias("_c")))
     core_pairs = (sym.join(cores.withColumnRenamed("_c", "u"), "u")
                   .join(cores.withColumnRenamed("_c", "v"), "v")
                   .filter(F.col("u") < F.col("v"))
