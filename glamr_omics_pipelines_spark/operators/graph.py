@@ -110,14 +110,36 @@ def _pagerank_local(e: DataFrame, damping: float,
             pdf = pd.DataFrame({"_src": [], "_dst": [], "_w": []})
         src, dst = pdf["_src"].to_numpy(), pdf["_dst"].to_numpy()
         w = pdf["_w"].to_numpy(dtype=np.float64)
-        nodes = np.unique(np.concatenate([src, dst]))
-        n = len(nodes)
-        if n == 0:
+        if len(src) == 0:
             yield pd.DataFrame({"node": pd.Series([], dtype=object),
                                 "rank": pd.Series([], dtype=np.float64)})
             return
-        si = np.searchsorted(nodes, src)
-        di = np.searchsorted(nodes, dst)
+        # node-id compaction: np.unique + 2x searchsorted over the 2m-long
+        # id stream are the fold's dominant (memory-bound) ops — ~3s of a
+        # ~4.5s fold at 2.4M edges, and the ops most inflated by host
+        # memory-bandwidth contention. When ids are non-negative ints from
+        # a bounded universe (max id within ~4x the edge count — an O(m)
+        # int64 remap array), a dense boolean-mask + flatnonzero remap is
+        # value-identical (flatnonzero returns ids ascending, exactly
+        # unique's order) at a fraction of the cost. Arbitrary / sparse /
+        # string ids keep the sort-based path.
+        dense = (src.dtype.kind in "iu" and dst.dtype.kind in "iu"
+                 and min(src.min(), dst.min()) >= 0
+                 and max(src.max(), dst.max()) < 4 * len(src) + 1024)
+        if dense:
+            mx = int(max(src.max(), dst.max()))
+            present = np.zeros(mx + 1, dtype=bool)
+            present[src] = True
+            present[dst] = True
+            nodes = np.flatnonzero(present)
+            remap = np.empty(mx + 1, dtype=np.int64)
+            remap[nodes] = np.arange(len(nodes))
+            si, di = remap[src], remap[dst]
+        else:
+            nodes = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(nodes, src)
+            di = np.searchsorted(nodes, dst)
+        n = len(nodes)
         order = np.lexsort((si, di))  # fixed accumulation order
         si, di, w = si[order], di[order], w[order]
         wout = np.bincount(si, weights=w, minlength=n)

@@ -124,6 +124,35 @@ def test_pagerank_broadcast_and_shuffle_forms_agree(spark):
         assert math.isclose(lf[n], bc[n], rel_tol=1e-12, abs_tol=1e-15), n
 
 
+def test_pagerank_local_fold_dense_and_sparse_id_paths_agree(spark):
+    """_pagerank_local compacts node ids two ways: a dense flatnonzero
+    remap for bounded non-negative int ids, and the sort-based
+    unique+searchsorted path for everything else. The same graph under an
+    id offset large enough to defeat the dense gate must produce the same
+    ranks node-for-node (the offset is a bijection; the recurrence never
+    reads id VALUES, only identities)."""
+    import random
+    rng = random.Random(7)
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            pairs.add((a, b, rng.randint(1, 5)))
+    off = 10_000_000_000  # max id >> 4*len(edges): forces the sparse path
+    dense = {r.node: r.rank
+             for r in graph.pagerank(_edges(spark, list(pairs)),
+                                     iterations=6).collect()}
+    sparse = {r.node - off: r.rank
+              for r in graph.pagerank(
+                  _edges(spark, [(a + off, b + off, w)
+                                 for a, b, w in pairs]),
+                  iterations=6).collect()}
+    assert set(dense) == set(sparse)
+    for n in dense:
+        assert math.isclose(dense[n], sparse[n],
+                            rel_tol=1e-12, abs_tol=1e-15), n
+
+
 def test_k_core_broadcast_and_shuffle_forms_agree(spark):
     """broadcast_alive=True/False are two physical plans of the same peel:
     identical k-core membership and core degrees on a graph where peeling
