@@ -57,6 +57,24 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+# glibc malloc tunables for every Python worker (and, in local mode, the
+# whole JVM process tree): by default glibc mmap()s any allocation over
+# 128 KB and munmap()s it on free, so EVERY large numpy temporary in a
+# pandas/Arrow worker re-pays first-touch page faults on EVERY batch —
+# measured on this box at ~0.25 s per fresh 512 MB versus 0.003 s re-touching
+# resident pages (and far worse when the host is loaded). Raising the mmap
+# threshold and disabling trim keeps a worker's large buffers resident across
+# batches/tasks, so the fault cost is paid once per worker, not once per
+# allocation (guide §4: heavyweight init once per task, not per row/batch).
+# Fixed thresholds also disable glibc's dynamic adjustment, making worker
+# performance deterministic. 256 MB covers every kernel buffer this library
+# allocates (largest: single-task graph folds, ~20 MB per array).
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(256 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+}
+
+
 def get_spark(app_name: str = "glamr-omics-spark", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
@@ -64,11 +82,17 @@ def get_spark(app_name: str = "glamr-omics-spark", master: str | None = None,
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) for the test
     environment; on a cluster, leave unset and let spark-submit decide.
     """
+    # inherited by the JVM -> pyspark.daemon -> python workers in local mode;
+    # spark.executorEnv.* below carries the same tunables to cluster executors
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+    executor_env = {f"spark.executorEnv.{k}": v for k, v in _MALLOC_ENV.items()}
+    for k, v in {**DEFAULT_CONFS, **executor_env,
+                 **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
