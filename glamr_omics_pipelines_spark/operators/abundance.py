@@ -9,17 +9,54 @@ Reference semantics:
     (code/postgres_scripts/tpm.R:24-30; FPKM→TPM variant postgres.Rmd:1193)
   - weighted mean: ``sum(score*count)/sum(count)`` (code/ampliconTrunc.R:172-180)
 
-Spark-first: all of these are window-partitioned arithmetic — a single shuffle
-on the sample key (or zero shuffles if the input is already partitioned by it).
-At 100 TB the window over ``sample`` is safe: per-sample groups are bounded
-(one sample's rows fit a partition), and Catalyst turns the unordered
-sum-over-partition into a partial + final aggregate, not a sort.
+Spark-first: the group totals attach via a partial aggregate + broadcast
+join (_attach_group_sum), NOT a partition-only window. Spark 4 plans the
+window form as Exchange(sample) + Sort and lands every fact row on at most
+#groups partitions — a parallelism collapse whenever samples ≪ cores (the
+r11 plan audit caught exactly that on the 5-group bench queries). The
+aggregate form ships only group-grain rows and never exchanges the fact
+side.
 """
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _attach_group_sum(df: DataFrame, term: Column, sample_cols: list[str],
+                      out: str) -> DataFrame:
+    """Attach sum(term) over the sample keys as column ``out`` via a
+    group-grain partial aggregate + null-safe equi join, NOT a window.
+
+    A partition-only window forces ``Exchange hashpartitioning(sample) +
+    Sort`` and lands EVERY fact row on at most #groups partitions — with a
+    handful of samples that is a parallelism collapse at any scale (the
+    tpm bench query: 100k rows onto 5 partitions). The aggregate form
+    computes totals map-side (partial agg), ships only group-grain rows,
+    and re-attaches them with a join the optimizer broadcasts whenever the
+    group count is small; the fact side is never exchanged. The shared
+    upstream exchange is served to both branches by ReuseExchange.
+    eqNullSafe keeps the window's null-key semantics (nulls form a group)."""
+    # NOT persisted (r11 A/B): registering df here (upstream-once) measured
+    # WORSE than letting both branches share exchanges lazily (tpm 1.79 vs
+    # 2.26 min-of-5 interleaved) — the materialization barrier serializes
+    # branches AQE otherwise overlaps.
+    tot = df.groupBy(*sample_cols).agg(F.sum(term).alias(out))
+    # Group-grain totals are sample-count rows (a few MB at any corpus
+    # size for this family's sample/priority grains) — hint the broadcast
+    # so the fact side is NEVER exchanged; without the hint the static
+    # planner cannot size the aggregate and falls back to a sort-merge
+    # join that shuffles the fact side.
+    keyed = F.broadcast(tot.select(
+        *[F.col(c).alias(f"_gs_{c}") for c in sample_cols], out))
+    cond = functools.reduce(operator.and_, [
+        F.col(c).eqNullSafe(F.col(f"_gs_{c}")) for c in sample_cols])
+    return (df.join(keyed, cond, "left")
+            .drop(*[f"_gs_{c}" for c in sample_cols]))
 
 
 def rel_abund(df: DataFrame, value: str, sample_cols: list[str],
@@ -28,18 +65,19 @@ def rel_abund(df: DataFrame, value: str, sample_cols: list[str],
 
     try_divide: an all-zero group has total 0 — abundance is undefined
     there (null), not an ANSI DIVIDE_BY_ZERO that kills the whole job."""
-    w = Window.partitionBy(*sample_cols)
-    return df.withColumn(out, F.try_divide(F.col(value), F.sum(value).over(w)))
+    return (_attach_group_sum(df, F.col(value), sample_cols, "_tot")
+            .withColumn(out, F.try_divide(F.col(value), F.col("_tot")))
+            .drop("_tot"))
 
 
 def rpkm(df: DataFrame, count: str, length: str, sample_cols: list[str],
          out: str = "rpkm") -> DataFrame:
     """Reads-per-kilobase-per-million: n*1e9/(sample_total*len); null on
     an all-zero sample or a zero-length feature (try_divide)."""
-    w = Window.partitionBy(*sample_cols)
-    return df.withColumn(
-        out, F.try_divide(F.col(count) * F.lit(1e9),
-                          F.sum(count).over(w) * F.col(length)))
+    return (_attach_group_sum(df, F.col(count), sample_cols, "_tot")
+            .withColumn(out, F.try_divide(F.col(count) * F.lit(1e9),
+                                          F.col("_tot") * F.col(length)))
+            .drop("_tot"))
 
 
 def tpm(df: DataFrame, count: str, length: str, sample_cols: list[str],
@@ -51,10 +89,10 @@ def tpm(df: DataFrame, count: str, length: str, sample_cols: list[str],
     Degenerate groups (all-zero counts, zero lengths) yield null, never an
     ANSI divide error (try_divide).
     """
-    w = Window.partitionBy(*sample_cols)
     rate = F.try_divide(F.col(count), F.col(length))
-    return df.withColumn(
-        out, F.try_divide(F.lit(1e6) * rate, F.sum(rate).over(w)))
+    return (_attach_group_sum(df, rate, sample_cols, "_tot")
+            .withColumn(out, F.try_divide(F.lit(1e6) * rate, F.col("_tot")))
+            .drop("_tot"))
 
 
 def weighted_mean(value: str, weight: str) -> Column:

@@ -46,6 +46,16 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
     dominate the shuffle; cap and drop such groups explicitly rather than
     letting one key produce 10^12 pairs.
     """
+    # Join-based fan-out, kept on purpose (r11 negative result): an
+    # in-place form (groupBy(g) collect_set + nested-HOF pair explode, one
+    # aggregation, no broadcast build) was value-identical and oracle-green
+    # but measured +10-15% at min-of-4 interleaved on ALL five consumers
+    # (cooccur_cosine 2.18→2.51, k_core 2.42→2.76, triangle_count
+    # 2.85→3.32, pagerank 6.09→6.77, basket_rules 2.45→2.75) — the
+    # ObjectHashAggregate set build + interpreted nested-transform explode
+    # costs more than the broadcast-join machinery, the same verdict as the
+    # r11 LSH bucket-pair experiment at 200-doc scale, now confirmed at
+    # 600k-row scale.
     d = df.select(group_col, item_col).distinct()
     if max_group_size is not None:
         sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gs"))
@@ -441,9 +451,61 @@ def cooccurrence_cosine(df: DataFrame, group_col: str, item_col: str,
                     .alias("cosine")))
 
 
+def _k_core_local(half: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Single-task k-core peel over the coalesced distinct half-edge list
+    (u < v, no self-loops) — the same fixed-round recurrence as the
+    distributed loop (peel by current-subgraph degree, early exit on a
+    stable frontier COUNT, final degree over the last frontier's edges)
+    run as numpy bincounts in ONE mapInPandas task. Integer arithmetic
+    throughout, so the output is exactly the distributed loop's."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    node_type = half.schema["u"].dataType
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("core_degree", LongType())])
+
+    def fold(batches):
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.array([], dtype=np.int64)
+        v = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+        if len(u) == 0:
+            yield pd.DataFrame({"node": pd.Series([], dtype=object),
+                                "core_degree": pd.Series([], dtype=np.int64)})
+            return
+        nodes = np.unique(np.concatenate([u, v]))
+        si = np.searchsorted(nodes, np.concatenate([u, v]))
+        di = np.searchsorted(nodes, np.concatenate([v, u]))
+        n = len(nodes)
+        deg = np.bincount(si, minlength=n)
+        alive = deg >= k
+        n_prev = int(alive.sum())
+        for _ in range(rounds):
+            mask = alive[si] & alive[di]
+            deg = np.bincount(si[mask], minlength=n)
+            new = deg >= k
+            n_new = int(new.sum())
+            alive = new
+            if n_new == n_prev:
+                break
+            n_prev = n_new
+        mask = alive[si] & alive[di]
+        deg = np.bincount(si[mask], minlength=n)
+        keep = deg > 0
+        yield pd.DataFrame({"node": pd.Series(nodes[keep].tolist(),
+                                              dtype=object),
+                            "core_degree": deg[keep].astype(np.int64)})
+
+    return half.coalesce(1).mapInPandas(fold, out_schema)
+
+
 def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
            k: int = 3, rounds: int = 12,
-           broadcast_alive: bool | None = None) -> DataFrame:
+           broadcast_alive: bool | None = None,
+           local_fold: bool | None = None) -> DataFrame:
     """k-core decomposition (fixed-round peeling): repeatedly drop nodes
     whose degree in the surviving subgraph is < k; what remains is the
     k-core — the dense backbone of a co-occurrence network (community
@@ -467,6 +529,17 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
     half = edges.select(F.least(src, dst).alias("u"),
                         F.greatest(src, dst).alias("v"))
     sym_half = half.filter(F.col("u") != F.col("v")).distinct()
+    # scale gate (the pagerank/_cc_local convention): when the distinct
+    # half-edge list fits one task, the whole peel is numpy bincounts in a
+    # single mapInPandas task — zero supersteps, zero broadcast builds,
+    # zero checkpoints, versus 2 semi-joins + an agg + a count job PER
+    # ROUND distributed (guide §2.4: remove shuffles outright). The
+    # distributed loop below remains the 100 TB path.
+    sym_half = _cache.register(sym_half)
+    if local_fold is None:
+        local_fold = sym_half.count() <= _LOCAL_FOLD_MAX_EDGES
+    if local_fold:
+        return _k_core_local(sym_half, k, rounds)
     sym = _cache.register(
         sym_half.unionByName(sym_half.select(F.col("v").alias("u"),
                                              F.col("u").alias("v"))))

@@ -103,6 +103,15 @@ def mash_distance(sketches: DataFrame, k: int = 64,
     and the shared count is one agg. Never touches the original corpora.
     """
     from pyspark.sql import Window
+
+    from glamr_omics_pipelines_spark.operators import _cache
+
+    # The sketch frame feeds THREE subplans (the group list and both join
+    # sides); unpersisted, the whole upstream sketch build — typically a
+    # corpus-scale shingle explode + rank window — runs three times. The
+    # sketch itself is k rows per group at ANY corpus size, so persisting
+    # it is free at scale and releasable via the library registry.
+    sketches = _cache.register(sketches)
     groups = sketches.select(F.col("g")).distinct()
     pairs = (groups.select(F.col("g").alias("ga"))
              .join(groups.select(F.col("g").alias("gb")),

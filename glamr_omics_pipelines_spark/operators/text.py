@@ -844,6 +844,11 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str,
     toks = df.select(
         F.col(id_col),
         lower_tokens(text_col).alias("_arr"))
+    # NOT persisted (r11 negative result): bigrams/uni re-reads looked like
+    # duplicate pipeline work in the static plan, but an interleaved A/B of
+    # registered persists on both was a wash (1.314 vs 1.275 min-of-5) —
+    # AQE's runtime exchange reuse already serves the shared shuffles, and
+    # a position-grain cache is corpus-sized at 100 TB. Leave lazy.
     bigrams = (toks.filter(F.size("_arr") >= 2)
                .select(id_col, F.explode(F.expr(
                    "transform(sequence(1, size(_arr) - 1), "
@@ -888,10 +893,19 @@ def tfidf_doc_pairs(df: DataFrame, id_col: str, text_col: str,
     a term-grain equi join + partial-agg dot product of UNIT vectors, so
     no per-pair renormalization join is needed.
     """
+    from glamr_omics_pipelines_spark.operators import _cache
+
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(lower_tokens(text_col)).alias("term"))
-    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    # tf feeds three subplans (dfreq, w, and through w the norms agg) and
+    # unit feeds both sides of the pair self-join; unpersisted, the
+    # tokenize+explode+agg chain re-runs once per reference (AQE exchange
+    # reuse does not cover the broadcast builds). Both frames are the
+    # operator's natural materialization points (posting lists), registered
+    # for release via _cache.release_caches().
+    tf = _cache.register(
+        toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf")))
     n_docs = F.broadcast(
         df.agg(F.count_distinct(F.col(id_col)).alias("_n")))
     dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
@@ -904,10 +918,11 @@ def tfidf_doc_pairs(df: DataFrame, id_col: str, text_col: str,
                  .alias("_w")))
     norms = w.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm"))
-    unit = (w.join(norms, "_id")
-            .filter(F.col("_norm") > 0)
-            .select("term", F.col("_id"),
-                    (F.col("_w") / F.col("_norm")).alias("_u")))
+    unit = _cache.register(
+        w.join(norms, "_id")
+        .filter(F.col("_norm") > 0)
+        .select("term", F.col("_id"),
+                (F.col("_w") / F.col("_norm")).alias("_u")))
     a = unit.select("term", F.col("_id").alias("id_a"),
                     F.col("_u").alias("_ua"))
     b = unit.select("term", F.col("_id").alias("id_b"),

@@ -165,3 +165,19 @@ def test_deseq_size_factors_zero_taxon_excluded(spark):
     import math as _m
     assert _m.isclose(out["a"], 1.0, rel_tol=1e-12)
     assert _m.isclose(out["b"], 1.0, rel_tol=1e-12)
+
+
+def test_group_sum_attach_null_keys_and_no_window(spark):
+    """r11: the group-total attach is an agg + null-safe join, not a
+    partition-only window (which lands every fact row on <= #groups
+    partitions). Null sample keys must still form ONE group, exactly as
+    Window.partitionBy grouped them."""
+    rows = [("s1", 10.0), ("s1", 30.0), (None, 5.0), (None, 15.0)]
+    df = spark.createDataFrame(rows, ["sample", "n"])
+    out = abundance.rel_abund(df, "n", ["sample"])
+    got = {(r["sample"], r["n"]): r["rel_abund"] for r in out.collect()}
+    assert math.isclose(got[("s1", 10.0)], 0.25)
+    assert math.isclose(got[(None, 5.0)], 0.25)
+    assert math.isclose(got[(None, 15.0)], 0.75)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -162,6 +162,30 @@ def test_k_core_broadcast_and_shuffle_forms_agree(spark):
              ("x", "y")]                              # isolated edge peels
     e = spark.createDataFrame(
         [(s, d, 1.0) for s, d in pairs], "src string, dst string, weight double")
-    a = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=True).collect()))
-    b = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=False).collect()))
+    a = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=True,
+                                       local_fold=False).collect()))
+    b = sorted(map(tuple, graph.k_core(e, k=2, broadcast_alive=False,
+                                       local_fold=False).collect()))
     assert a == b == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_k_core_local_fold_agrees_with_distributed(spark):
+    """r11: the auto-gated single-task peel (local_fold=True) must produce
+    exactly the distributed loop's output, including the fixed-round
+    semantics on a graph that needs several peel rounds (a chain peels one
+    node per round) and string node ids (the sparse remap path)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),      # 2-core triangle
+             ("c", "d"), ("d", "e"), ("e", "f"),      # chain peels per round
+             ("x", "y"), ("b", "a"), ("a", "a")]      # dup edge + self loop
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in pairs], "src string, dst string, weight double")
+    loc = sorted(map(tuple, graph.k_core(e, k=2, local_fold=True).collect()))
+    dist = sorted(map(tuple, graph.k_core(e, k=2, local_fold=False).collect()))
+    assert loc == dist == [("a", 2), ("b", 2), ("c", 2)]
+    # fixed-round truncation must match too: rounds=1 leaves the partially
+    # peeled chain in BOTH forms (early exit cannot have fired yet)
+    loc1 = sorted(map(tuple, graph.k_core(e, k=2, rounds=1,
+                                          local_fold=True).collect()))
+    dist1 = sorted(map(tuple, graph.k_core(e, k=2, rounds=1,
+                                           local_fold=False).collect()))
+    assert loc1 == dist1
