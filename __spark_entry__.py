@@ -43,6 +43,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus a size-gated round-robin fan-out (guide §2.5, unsplittable
+    input → repartition after read): a file smaller than one scan split is
+    ONE task, so every scan-stage operator above it (shingle explodes, md5
+    scoring, marker-token scans) runs serially on one core until the first
+    exchange. Fanning the rows out first costs one tiny shuffle and buys
+    #cores-way parallelism for that work. The gate is the FILE SIZE versus
+    the scan split size, so on any multi-split table (every real table at
+    scale) this is a no-op and the plan is byte-identical to _t's.
+
+    Applied per-query ONLY where the scan-stage CPU dominates — it was
+    A/B-measured per consumer (r11): shingle/hash-heavy rows win 25-70%
+    (vocab_growth 2.27→0.69, mash sketch 3.49→1.28, weighted_sample
+    1.49→1.02, lang_id 0.49→0.37), while cheap-scan aggregates LOSE
+    (cms_counts 0.58→1.30, spearman, seqkit_stats, kmer_spectrum) because
+    the extra exchange outweighs the parallelized work — so this must stay
+    a per-call-site decision, not a _t default."""
+    df = _t(spark, sf_dir, name)
+    try:
+        sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    try:
+        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except (TypeError, ValueError):
+        split = 128 * 1024 * 1024
+    if sz >= split:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts normalized to TimestampType.
 
@@ -2133,7 +2164,7 @@ def q_weighted_sample(spark, sf_dir):
     (operators/sampling.py): 20 lineitems per return flag, probability
     proportional to quantity, deterministic via md5-derived exponential
     keys — reproducible across runs/engines/partitionings."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(spark, sf_dir, "lineitem")
     d = li.select(F.col("l_returnflag").alias("grp"),
                   (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
                   .alias("id"),
@@ -3581,7 +3612,7 @@ def q_cosine_topk(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (marker-word argmax, ties→lexicographically
     larger code, no hits→'und')."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     return text.lang_id(d, "text").select("doc_id", "lang", "pred_lang")
 
 
@@ -3595,7 +3626,7 @@ def q_text_quality(spark, sf_dir):
     x*10^4 product. The +1e-9 shifts every value decisively off the
     boundary identically in both engines (both compute the same IEEE
     double), so the rendered 4dp values agree at any sf."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     out = text.quality_features(d, "text")
     return out.select("doc_id",
                       F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -4437,7 +4468,7 @@ def q_mash_distance(spark, sf_dir):
     """Mash distance (Ondov 2016) between sources from bottom-64 KMV
     sketches of 4-shingles — the sourmash-style alignment-free distance
     (Snakefile:2529's sketch comparisons), engine-portable via md5."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     sh = (d.select("source", F.explode(F.expr(
         "transform(sequence(1, greatest(length(text) - 3, 1)), "
         "i -> substring(text, i, 4))")).alias("s"))
@@ -4780,7 +4811,7 @@ def q_feature_hash(spark, sf_dir):
     """Hashing-trick featurizer: 16-dim signed token-count vectors per doc
     (md5 bucket + sign bit), no vocabulary table — emitted as a csv string
     so the integer counts hash identically across engines."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     out = sampling.feature_hash(d, "doc_id", "text", n_features=16)
     return out.select(
         "doc_id",
@@ -4839,7 +4870,7 @@ def q_debruijn_stats(spark, sf_dir):
     """de Bruijn graph tangle diagnostic over the acgt read set (k=5):
     node/edge/linear/branching/tip counts — consecutive-kmer edges explode
     row-locally, degrees bounded by 4^k, corpus-size independent."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     reads = (d.select(F.upper(F.regexp_replace(F.lower("text"),
                                                "[^acgt]", "")).alias("seq"))
              .filter(F.length("seq") >= 6))
@@ -5149,7 +5180,7 @@ def q_vocab_growth(spark, sf_dir):
     shingle first-seen via one min-batch partial agg, cumulative via a
     BATCH-grain window (10 rows). The 'is the corpus still adding
     language' monitor for incremental ingestion."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     toks = (d.select((F.col("doc_id") / 50).cast("bigint").alias("batch"),
                      F.explode(F.expr(
                          "transform(sequence(1, greatest(length(text) - 5,"

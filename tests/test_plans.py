@@ -730,3 +730,22 @@ def test_phash_single_arrow_scan_banded_join(spark):
 def test_rp_project_catalog_row_zero_shuffle(spark):
     plan = _plan(spark, "rp_project")
     assert "Exchange" not in plan and "InPandas" not in plan
+
+
+def test_spread_gate_is_size_adaptive(spark):
+    """r11 _spread: below one scan split the scan is fanned out round-robin
+    (serial scan-stage work is the micro-file pathology); at or above the
+    split size the helper must be a NO-OP returning _t's exact plan — the
+    property that makes it scale-neutral (real tables never repartition)."""
+    small = E._spread(spark, SF, "documents")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan_small
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        big = E._spread(spark, SF, "documents")
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan_big
+        assert "Exchange" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
