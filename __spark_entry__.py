@@ -11,6 +11,7 @@ sides so pandas dtypes agree.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -61,13 +62,27 @@ def _spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the extra exchange outweighs the parallelized work — so this must stay
     a per-call-site decision, not a _t default."""
     df = _t(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        if os.path.isdir(path):
+            # directory-layout table (normal Spark output): size = sum of
+            # data files, NOT the directory inode (~4KB), which would
+            # invert the gate and repartition every multi-split table
+            sz = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(path) for f in fs)
+        else:
+            sz = os.path.getsize(path)
     except OSError:
         return df
-    try:
-        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except (TypeError, ValueError):
+    conf = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                              "134217728")).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*(b|k|kb|m|mb|g|gb)?", conf)
+    if m:
+        mult = {"b": 1, None: 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20,
+                "g": 1 << 30, "gb": 1 << 30}[m.group(2)]
+        split = int(m.group(1)) * mult
+    else:
         split = 128 * 1024 * 1024
     if sz >= split:
         return df

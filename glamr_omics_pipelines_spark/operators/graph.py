@@ -548,6 +548,10 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
         .filter(F.col("_deg") >= k)
         .select(F.col("u").alias("node")))
     n_prev = alive.count()
+    # the count above materialized sym (which read sym_half's cache twice,
+    # its purpose on this path) — drop the half-edge cache now so the peel
+    # holds ONE copy of the edge list, not 1.5x
+    sym_half.unpersist()
     if broadcast_alive is None:
         # the frontier only shrinks, so gating on the initial count (free:
         # just taken for the early-exit ledger) covers every round

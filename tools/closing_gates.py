@@ -58,25 +58,31 @@ def gate_check(reuse, sf_env=None):
 
 def gate_pytest(reuse):
     if reuse:
-        out = open(reuse).read()
+        rc, out = 0, open(reuse).read()
     else:
-        _, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
-    m = re.search(r"(\d+) passed.*", out.strip().splitlines()[-1])
-    ok = bool(m) and "failed" not in out.splitlines()[-1]
-    return (0 if ok else 1), (m.group(0) if m else out.strip().splitlines()[-1])
+        rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    lines = out.strip().splitlines()
+    if not lines:
+        return 1, "NO PYTEST OUTPUT"
+    last = lines[-1]
+    m = re.search(r"(\d+) passed.*", last)
+    # same (stripped) summary line feeds both the passed-count and the
+    # failed/error check; a live run's exit code gates too
+    ok = bool(m) and "failed" not in last and "error" not in last and rc == 0
+    return (0 if ok else 1), (m.group(0) if m else last)
 
 
 def gate_bench(reuse):
     if reuse:
-        out = open(reuse).read()
+        rc, out = 0, open(reuse).read()
     else:
-        _, out = run([sys.executable, "bench.py"])
+        rc, out = run([sys.executable, "bench.py"])
     line = [l for l in out.splitlines() if l.strip().startswith("{")]
     if not line:
         return 1, "NO JSON LINE"
     d = json.loads(line[-1])
-    if d.get("n_errors"):
-        return 1, f"n_errors={d['n_errors']}"
+    if d.get("n_errors") or rc != 0:
+        return 1, f"n_errors={d.get('n_errors')} rc={rc}"
     return 0, (f"headline {d['value']}s over {d['n_queries_timed']} queries; "
                f"stable30 {d['stable30_total']}s (min5 {d['stable30_total_min5']}, "
                f"drift_adj {d['stable30_drift_adj']}; probes st="
