@@ -290,6 +290,26 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 runs.append(time.perf_counter() - t0)
+                # COLD-RUN PROTOCOL (r12, VERDICT r11 item 2): release the
+                # operators' registered persists/checkpoints between RUNS,
+                # not just queries. Spark's CacheManager matches canonicalized
+                # plans, so without this, run 2-3 of a persist-style operator
+                # (dbscan, tfidf_doc_pairs, mash_distance) silently read run
+                # 1's cache and the min-of-3 records a warm run — which
+                # systematically flatters persist-style changes. Release time
+                # is outside the timed region (cleanup, not query work), the
+                # same accounting the old per-query release used. This is a
+                # MEASUREMENT-BUG FIX: r12 per-query numbers for persist-style
+                # queries are expected to read HIGHER than r11's warm numbers
+                # at identical code (movement quantified in
+                # OPTIMIZATION_r12.md; r11 logs retained).
+                # SPARK_GRAFT_BENCH_WARM=1 restores the r1-r11 per-query
+                # release for producing a cross-round-comparable number in
+                # the round log ONLY — never the default.
+                if not os.environ.get("SPARK_GRAFT_BENCH_WARM"):
+                    spark.catalog.clearCache()
+                    _ckpt.release_checkpoints()
+                    _cache.release_caches()
                 # Record the protocol timing the moment the first 3 runs are
                 # in: a transient failure on (non-protocol) run 4 or 5 must
                 # not erase a protocol-valid min-of-3 measurement and silently
@@ -307,15 +327,15 @@ def main() -> None:
                 # it never inflates n_errors / total_incomparable.
                 extra_run_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
-            # several operators persist() intermediates that stay referenced by
-            # their (discarded) plans; without this, ~50 pinned RDDs accumulate
-            # over the run and GC/eviction pressure inflates later queries 2-5x.
+            # safety net for the exception path: the per-run release above
+            # already ran after every completed run, but a failed run leaves
+            # its persists/checkpoints registered — without this, ~50 pinned
+            # RDDs accumulate over the run and GC/eviction pressure inflates
+            # later queries 2-5x. (localCheckpoint blocks are a SEPARATE
+            # resource clearCache() cannot touch — DataFrame.unpersist() is
+            # a no-op for them.) Double release is harmless: the registries
+            # clear their handles.
             spark.catalog.clearCache()
-            # localCheckpoint blocks are a SEPARATE resource clearCache()
-            # cannot touch (DataFrame.unpersist() is a no-op for them):
-            # without this, every iterative query (CC loops, pagerank,
-            # k-core) leaks its final round's materialized RDD into the
-            # session and later queries inherit the GC/block pressure.
             _ckpt.release_checkpoints()
             _cache.release_caches()  # drop the (now-unpersisted) handles
 
@@ -396,8 +416,30 @@ def main() -> None:
     }
     if errors:
         out["total_incomparable"] = True
+    # Driver per-query ingest (r12, VERDICT r11 item 8): the driver contract's
+    # one-line JSON carries {"queries": {name: sec}} — PERF_r10/r11 had
+    # per_query empty because this line never carried the key. But the
+    # driver's tail capture is 2000 chars and it parses the line FROM THE
+    # TAIL (BENCH_r04: a ~6KB line with all queries inlined was
+    # head-truncated and the whole bench gate became unevaluable,
+    # parsed=null). So: include as many per-query entries as fit a
+    # 1880-byte line — stable30 first (the cross-round-comparable set),
+    # then the most expensive rows, i.e. exactly the queries a per-query
+    # regression comparison cares about. The FULL per-query map stays in
+    # BENCH_DETAILS.json; `queries_elided` makes the truncation explicit.
+    prio = sorted(timings, key=lambda n: (n not in STABLE30_SET, -timings[n]))
+    included: dict[str, float] = {}
+    for n in prio:
+        included[n] = timings[n]
+        if len(json.dumps({**out, "queries": included,
+                           "queries_elided": 0})) > 1880:
+            del included[n]
+            break
+    out["queries"] = included
+    out["queries_elided"] = len(timings) - len(included)
     line = json.dumps(out)
-    assert len(line) < 1024, f"final bench line must stay <1KB, got {len(line)}"
+    assert len(line) < 1900, \
+        f"final bench line must fit the 2000-char tail, got {len(line)}"
     print(line)
     spark.stop()
 

@@ -107,6 +107,73 @@ def test_closure_root_gets_self_row(spark):
     assert rows["B"].abund_w_subtax == 3.0
 
 
+def _lca_agreement_corpus(spark):
+    """Adversarial agreement fixture: shared prefixes of every depth,
+    groups with one path, duplicated paths, a NULL-path row, and a group
+    whose EVERY path is NULL (the direct form yields NULL lca_path)."""
+    rows = [
+        ("g1", "B", ["r", "a", "a1"]), ("g1", "G", ["r", "a", "a2"]),
+        ("g1", "G", ["r", "a", "a2"]),          # duplicate path
+        ("g2", "G", ["r", "a", "a1"]), ("g2", "B", ["r", "b", "b1"]),
+        ("g3", "I", ["r", "a", "a1"]),           # singleton
+        ("g4", "G", ["r"]), ("g4", "G", ["r", "a"]),  # prefix-of relation
+        ("g5", "B", None), ("g5", "G", ["r", "b"]),   # NULL path mixed in
+        ("g6", "X", None),                        # all-NULL group
+        ("g7", "Z", ["z", "q"]), ("g7", "G", ["r", "q"]),  # unmapped kingdom
+    ]
+    return spark.createDataFrame(rows, ["gene", "kingdom", "path"])
+
+
+def _rows_key(rows):
+    return sorted((r["gene"], tuple(r["lca_path"]) if r["lca_path"]
+                   is not None else None) for r in rows)
+
+
+def test_lca_rank_proxy_agreement(spark):
+    """The scale-gated rank-proxy form (shuffle 8-byte dense ranks, join
+    lineage paths back) must return row-identical output to the direct
+    array min/max form on an adversarial corpus."""
+    from glamr_omics_pipelines_spark.operators import _cache
+    df = _lca_agreement_corpus(spark)
+    direct = taxonomy.lca_aggregate(df, ["gene"], "path", rank_proxy=False)
+    proxy = taxonomy.lca_aggregate(df, ["gene"], "path", rank_proxy=True)
+    try:
+        assert _rows_key(direct.collect()) == _rows_key(proxy.collect())
+    finally:
+        _cache.release_caches()
+
+
+def test_kingdom_priority_lca_rank_proxy_agreement(spark):
+    from glamr_omics_pipelines_spark.operators import _cache
+    df = _lca_agreement_corpus(spark)
+    kw = dict(kingdom_col="kingdom", priority=["G", "I", "B"])
+    direct = taxonomy.kingdom_priority_lca(df, ["gene"], "path",
+                                           rank_proxy=False, **kw)
+    proxy = taxonomy.kingdom_priority_lca(df, ["gene"], "path",
+                                          rank_proxy=True, **kw)
+    try:
+        assert _rows_key(direct.collect()) == _rows_key(proxy.collect())
+    finally:
+        _cache.release_caches()
+
+
+def test_lca_rank_proxy_gate_is_size_adaptive(spark):
+    """The auto gate must NOT fire at local test sizes (plans byte-identical
+    to the direct form) and MUST fire above _RANK_PROXY_MIN_BYTES."""
+    import re
+    df = _lca_agreement_corpus(spark)
+    auto = taxonomy.lca_aggregate(df, ["gene"], "path")
+    direct = taxonomy.lca_aggregate(df, ["gene"], "path", rank_proxy=False)
+
+    def norm(d):  # strip expression IDs (fresh per-DataFrame counters)
+        return re.sub(r"#\d+", "#", d._jdf.queryExecution()
+                      .optimizedPlan().toString())
+
+    assert norm(auto) == norm(direct)
+    # the gate reads Catalyst's size estimate: a tiny frame is far below it
+    assert taxonomy._est_plan_bytes(df) < taxonomy._RANK_PROXY_MIN_BYTES
+
+
 def test_ncbi_majority_vote_reference_cases(spark):
     """The four documented cases of resolve_majority_vote
     (gtdb_to_ncbi_majority_vote.py:259-320), one cluster per case:

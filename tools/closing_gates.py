@@ -7,7 +7,7 @@ script step, not a prose intention that can be forgotten.
 Gates:
   1. full-catalog oracle check at sf0.01       (tools/check.py)
   2. full-catalog robustness check at sf0.1    (SPARK_GRAFT_CHECK_SF=...)
-  3. full pytest                               (python -m pytest tests/ -q)
+  3. full pytest incl. slow tiers              (python -m pytest tests/ -q --runslow)
   4. full bench, alone on the box              (python bench.py)
 
 Usage:
@@ -60,7 +60,10 @@ def gate_pytest(reuse):
     if reuse:
         rc, out = 0, open(reuse).read()
     else:
-        rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
+        # --runslow: the closing gate runs the FULL suite including the
+        # @pytest.mark.slow tiers that a default (driver-window) run skips
+        rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q",
+                       "--runslow"])
     lines = out.strip().splitlines()
     if not lines:
         return 1, "NO PYTEST OUTPUT"
