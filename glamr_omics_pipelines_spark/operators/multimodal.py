@@ -547,13 +547,16 @@ def _decode_image_gray(buf: bytes):
     return arr
 
 
-def _bilinear_resize(arr, width: int, height: int):
-    """Deterministic pixel-center-aligned bilinear resample of a grayscale
-    uint8 array (the textbook sample-grid form; NOT PIL's antialiased
-    BILINEAR, which widens its kernel when downscaling — this path is the
-    stdlib decoder's companion and defines its own contract)."""
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _resize_grid(sh: int, sw: int, width: int, height: int):
+    """Memoized pixel-center sample grid for :func:`_bilinear_resize`:
+    (y0, y1, x0, x1, fy, fx), all read-only. Grid construction is pure
+    shape arithmetic that the hash kernels were redoing per FRAME
+    (guide §4.5)."""
     import numpy as np
-    sh, sw = arr.shape
     x = (np.arange(width) + 0.5) * (sw / width) - 0.5
     y = (np.arange(height) + 0.5) * (sh / height) - 0.5
     x0 = np.clip(np.floor(x).astype("i8"), 0, sw - 1)
@@ -562,6 +565,20 @@ def _bilinear_resize(arr, width: int, height: int):
     y1 = np.minimum(y0 + 1, sh - 1)
     fx = np.clip(x - x0, 0.0, 1.0)
     fy = np.clip(y - y0, 0.0, 1.0)
+    grids = (y0, y1, x0, x1, fy, fx)
+    for g in grids:
+        g.setflags(write=False)
+    return grids
+
+
+def _bilinear_resize(arr, width: int, height: int):
+    """Deterministic pixel-center-aligned bilinear resample of a grayscale
+    uint8 array (the textbook sample-grid form; NOT PIL's antialiased
+    BILINEAR, which widens its kernel when downscaling — this path is the
+    stdlib decoder's companion and defines its own contract)."""
+    import numpy as np
+    sh, sw = arr.shape
+    y0, y1, x0, x1, fy, fx = _resize_grid(sh, sw, width, height)
     a = arr[np.ix_(y0, x0)].astype("f8")
     b = arr[np.ix_(y0, x1)].astype("f8")
     c = arr[np.ix_(y1, x0)].astype("f8")
@@ -648,14 +665,31 @@ PHASH_SCHEMA = StructType([
 ])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _dct2_matrix(n: int):
-    """Orthonormal DCT-II basis matrix (row 0 scaled by 1/√2)."""
+    """Orthonormal DCT-II basis matrix (row 0 scaled by 1/√2). Memoized —
+    the hash kernels call this once per FRAME (guide §4.5: heavyweight
+    init once per task, not per row); the cached array is marked
+    read-only so no caller can corrupt the shared instance."""
     import numpy as np
     k = np.arange(n).reshape(-1, 1)
     i = np.arange(n).reshape(1, -1)
     m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
     m[0] *= 1.0 / np.sqrt(2.0)
+    m.setflags(write=False)
     return m
+
+
+def _pack_sign_bits(bits) -> int:
+    """Row-major bool[64] → signed 64-bit int (two's complement). Bit-exact
+    replacement for the former 64-iteration Python shift loop: packbits
+    puts bits[0] in the MSB of byte 0, so the big-endian int64 view IS the
+    loop's result, sign bit included."""
+    import numpy as np
+    return int(np.frombuffer(np.packbits(bits).tobytes(), dtype=">i8")[0])
 
 
 def _phash_of_gray(arr, hash_size: int = 8, img_size: int = 32) -> int:
@@ -671,13 +705,67 @@ def _phash_of_gray(arr, hash_size: int = 8, img_size: int = 32) -> int:
     m = _dct2_matrix(img_size)
     c = (m @ a @ m.T)[:hash_size, :hash_size].ravel()
     med = np.median(c[1:])
-    bits = c > med
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    if v >= 1 << 63:
-        v -= 1 << 64
-    return v
+    return _pack_sign_bits(c > med)
+
+
+def _phash_of_gray_many(arrs, hash_size: int = 8, img_size: int = 32):
+    """Batched :func:`_phash_of_gray` over same-shaped grayscale arrays —
+    BIT-IDENTICAL results (pinned by tests): the resize is the same
+    element-wise lerp over a stacked tensor (per-element float ops are
+    association-free), the two DCT matmuls stay per-frame (the exact
+    ``m @ a @ m.T`` BLAS calls — a reshaped single-GEMM form could change
+    accumulation order and flip a coefficient-vs-median ulp boundary),
+    and median/packbits vectorize exactly. The win is Python/numpy
+    dispatch amortization over the batch (guide §4.2): per-frame grid and
+    basis construction disappear and the bit packing is one call."""
+    import numpy as np
+    if not arrs:
+        return []
+    if len(arrs) > 64:
+        # chunk: the resize gathers/lerps materialize 4 float64 copies of
+        # the stacked tensor — beyond ~64 frames they fall out of L2 and
+        # the batch runs SLOWER than the scalar loop (measured 270 vs 131
+        # µs/frame at 512; 78 µs/frame chunked). Per-frame values are
+        # independent, so chunking cannot change them.
+        out = []
+        for i in range(0, len(arrs), 64):
+            out.extend(_phash_of_gray_many(arrs[i:i + 64],
+                                           hash_size, img_size))
+        return out
+    A = np.stack(arrs)
+    n, (sh, sw) = A.shape[0], A.shape[1:]
+    y0, y1, x0, x1, fy, fx = _resize_grid(sh, sw, img_size, img_size)
+    a = A[:, y0[:, None], x0[None, :]].astype("f8")
+    b = A[:, y0[:, None], x1[None, :]].astype("f8")
+    cc = A[:, y1[:, None], x0[None, :]].astype("f8")
+    d = A[:, y1[:, None], x1[None, :]].astype("f8")
+    top = a * (1.0 - fx)[None, None, :] + b * fx[None, None, :]
+    bot = cc * (1.0 - fx)[None, None, :] + d * fx[None, None, :]
+    out = top * (1.0 - fy)[None, :, None] + bot * fy[None, :, None]
+    R = np.clip(np.rint(out), 0, 255).astype("u1").astype(np.float64)
+    m = _dct2_matrix(img_size)
+    C = np.empty((n, hash_size * hash_size), dtype=np.float64)
+    for i in range(n):  # per-frame GEMMs: bit-exact with the scalar path
+        C[i] = (m @ R[i] @ m.T)[:hash_size, :hash_size].ravel()
+    med = np.median(C[:, 1:], axis=1)
+    packed = np.packbits(C > med[:, None], axis=1)
+    return [int(v) for v in
+            np.frombuffer(packed.tobytes(), dtype=">i8")]
+
+
+def _phash_scatter(indexed_arrs):
+    """Hash [(pos, gray_array), ...] of MIXED shapes via shape-grouped
+    :func:`_phash_of_gray_many` batches; returns {pos: hash}."""
+    groups: dict = {}
+    for pos, a in indexed_arrs:
+        groups.setdefault(a.shape, ([], []))
+        groups[a.shape][0].append(pos)
+        groups[a.shape][1].append(a)
+    out = {}
+    for positions, arrs in groups.values():
+        for pos, h in zip(positions, _phash_of_gray_many(arrs)):
+            out[pos] = h
+    return out
 
 
 def _phash_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
@@ -688,18 +776,19 @@ def _phash_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
     import io
 
     import numpy as np
-    hashes, oks = [], []
-    for buf in pdf["content"]:
+    n = len(pdf["content"])
+    hashes: list = [None] * n
+    oks: list = [None] * n
+    pending = []  # (row position, decoded gray array)
+    for i, buf in enumerate(pdf["content"]):
         if buf is None:
-            hashes.append(None)
-            oks.append("null_content")
+            oks[i] = "null_content"
             continue
         b = bytes(buf)
         arr = None
         if stub:
             if not b:
-                hashes.append(None)
-                oks.append("decode_error")
+                oks[i] = "decode_error"
                 continue
             flat = np.frombuffer(b, dtype=np.uint8)
             reps = -(-1024 // len(flat))
@@ -708,8 +797,7 @@ def _phash_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
             try:
                 arr = _decode_image_gray(b)
             except Exception:
-                hashes.append(None)
-                oks.append("decode_error")
+                oks[i] = "decode_error"
                 continue
             if arr is None:
                 Image = _import_pil_image()
@@ -717,11 +805,14 @@ def _phash_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
                     img = Image.open(io.BytesIO(b))
                     arr = np.asarray(img.convert("L"), dtype=np.uint8)
                 except Exception:
-                    hashes.append(None)
-                    oks.append("decode_error")
+                    oks[i] = "decode_error"
                     continue
-        hashes.append(_phash_of_gray(arr))
-        oks.append("ok")
+        oks[i] = "ok"
+        pending.append((i, arr))
+    # hash all decoded rows in shape-grouped batches (bit-identical to the
+    # per-row kernel; the batching amortizes the numpy dispatch — §4.2)
+    for pos, h in _phash_scatter(pending).items():
+        hashes[pos] = h
     return pd.DataFrame({"media_id": pdf["media_id"],
                          "phash": pd.array(hashes, dtype="Int64"),
                          "decode_ok": oks})
@@ -747,6 +838,15 @@ def _afp_of_samples(samples, frame: int = 1024, hop: int = 512,
     gain-invariant by construction even on quiet clips (pytest-pinned;
     log1p would only approximate this when band energies >> 1).
     Constant (silent) clips normalize to the all-zero matrix."""
+    return _phash_of_gray(_afp_matrix(samples, frame, hop, bands))
+
+
+def _afp_matrix(samples, frame: int = 1024, hop: int = 512,
+                bands: int = 16):
+    """The spectrogram-normalization half of :func:`_afp_of_samples`,
+    returning the uint8 log-energy matrix the pHash kernel consumes —
+    split out so :func:`_afp_batch` can batch the hash stage across a
+    whole Arrow batch (§4.2)."""
     import numpy as np
     x = np.asarray(samples, dtype=np.float64)
     if len(x) < frame:
@@ -768,7 +868,7 @@ def _afp_of_samples(samples, frame: int = 1024, hop: int = 512,
         m = (m - m.min()) / rng * 255.0
     else:
         m = np.zeros_like(m)
-    return _phash_of_gray(m.astype(np.uint8))
+    return m.astype(np.uint8)
 
 
 def _afp_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
@@ -777,11 +877,13 @@ def _afp_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
     _decode_wav_samples (PCM 8/16/24/32, G.711, IMA ADPCM; stereo
     averaged), same row-level decode_error contract as the image path."""
     import numpy as np
-    out, oks = [], []
-    for buf in pdf["content"]:
+    n = len(pdf["content"])
+    out: list = [None] * n
+    oks: list = [None] * n
+    pending = []  # (row position, normalized spectrogram matrix)
+    for i, buf in enumerate(pdf["content"]):
         if buf is None:
-            out.append(None)
-            oks.append("null_content")
+            oks[i] = "null_content"
             continue
         b = bytes(buf)
         try:
@@ -792,11 +894,13 @@ def _afp_batch(pdf: pd.DataFrame, stub: bool) -> pd.DataFrame:
                 samples = _decode_wav_samples(b)
                 if samples is None:
                     raise ValueError("not a decodable WAV")
-            out.append(_afp_of_samples(samples))
-            oks.append("ok")
+            pending.append((i, _afp_matrix(samples)))
+            oks[i] = "ok"
         except Exception:
-            out.append(None)
-            oks.append("decode_error")
+            oks[i] = "decode_error"
+    # hash stage batched across the Arrow batch (bit-identical — §4.2)
+    for pos, h in _phash_scatter(pending).items():
+        out[pos] = h
     return pd.DataFrame({"media_id": pdf["media_id"],
                          "afp": pd.array(out, dtype="Int64"),
                          "decode_ok": oks})
@@ -1105,7 +1209,7 @@ def vhash_frames(df: DataFrame, every_n: int = 1,
             for idx, plane in frames:
                 if idx % every_n:
                     continue
-                rows.append((idx, _phash_of_gray(plane), "ok"))
+                rows.append((idx, plane, "ok"))
         except Exception:
             return [(None, None, "decode_error")]
         if not rows:
@@ -1114,13 +1218,21 @@ def vhash_frames(df: DataFrame, every_n: int = 1,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hs, oks = [], [], [], []
+            ids, idxs, planes, oks = [], [], [], []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
-                for idx, h, ok in one(buf):
+                # decode only here; hashing runs batch-wide below so the
+                # DCT kernel is amortized over ALL the batch's frames
+                # (bit-identical per-frame values — §4.2)
+                for idx, plane, ok in one(buf):
                     ids.append(mid)
                     idxs.append(idx)
-                    hs.append(h)
+                    planes.append(plane)
                     oks.append(ok)
+            hs: list = [None] * len(planes)
+            for pos, h in _phash_scatter(
+                    [(i, p) for i, p in enumerate(planes)
+                     if p is not None]).items():
+                hs[pos] = h
             yield pd.DataFrame({
                 "media_id": ids,
                 "frame_idx": pd.array(idxs, dtype="Int64"),

@@ -1417,3 +1417,27 @@ def test_vhash_stub_and_degenerate_rows(spark):
         M.vhash_frames(df, every_n=0)
     with _pytest.raises(ValueError):
         M.video_dup_pairs(M.vhash_frames(df), min_shared=0)
+
+
+def test_phash_batched_kernel_bit_identical():
+    """_phash_of_gray_many must return EXACTLY the per-frame kernel's
+    hashes (the r12 batching is an amortization, not an approximation):
+    mixed shapes, degenerate constant frames (median ties), and gradient
+    frames all pinned."""
+    import numpy as np
+    from glamr_omics_pipelines_spark.operators import multimodal as M
+    rng = np.random.default_rng(42)
+    arrs = ([rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(7)]
+            + [rng.integers(0, 256, (33, 17), dtype=np.uint8) for _ in range(3)]
+            + [np.zeros((16, 16), dtype=np.uint8),          # constant: all
+               np.full((16, 16), 255, dtype=np.uint8),      # DCT ties at 0
+               np.arange(256, dtype=np.uint8).reshape(16, 16),
+               np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))])
+    ref = [M._phash_of_gray(a) for a in arrs]
+    got_map = M._phash_scatter(list(enumerate(arrs)))
+    got = [got_map[i] for i in range(len(arrs))]
+    assert got == ref
+    # and the audio matrix path composes identically
+    samples = rng.normal(0, 1000, 4096)
+    assert M._afp_of_samples(samples) == M._phash_of_gray(
+        M._afp_matrix(samples))
