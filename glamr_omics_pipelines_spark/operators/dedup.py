@@ -202,15 +202,32 @@ def _shingle_overlap(df: DataFrame, id_col: str, text_col: str,
         # shuffles O(candidate-doc shingles) only.
         #
         # the candidate plan (usually a full LSH pipeline) feeds two subplans
-        # (doc-id restriction + the pair frame itself); persist so it
-        # executes once — it is the expensive stage here and small (pairs).
+        # (doc-id restriction + the pair frame itself); materialize it ONCE
+        # and TRUNCATE the plan (eager localCheckpoint, r12): a persist()
+        # kept the full LSH lineage inside every downstream subtree (the two
+        # set joins embed it 5x), and job profiling showed ~0.9 s of
+        # driver-side planning plus ~14 AQE stage-materialization rounds
+        # spent on those trees while the verify compute itself was
+        # milliseconds (guide §3.3: enormous plans make planning the
+        # bottleneck; materializing an intermediate truncates it). The
+        # repartition hash-spreads the pair list on its join keys — the
+        # distinct's aggregate reuses that exchange (no extra shuffle) — so
+        # the per-pair set-intersect stage below runs #cores-wide instead of
+        # on the single AQE-coalesced post-shuffle partition (guide §2.5;
+        # isolated: 1.69 s -> 0.35 s). Interleaved A/B at sf0.1 on the full
+        # minhash_dedup verify: 3.53 -> 1.51 s min-of-7, values identical.
+        # At 100 TB the checkpoint is the same materialization the persist
+        # paid, and partition count = total cores right-sizes a stage whose
+        # per-row cost is O(|set_a|+|set_b|), not bytes.
         # The distinct is required for correctness, not just size: LSH
         # candidate frames built with dedup_pairs=False repeat a pair once
         # per matching band, and unlike the old semi-join consumer the pair
         # join below is multiplicity-sensitive. (RemoveRedundantAggregates
         # collapses it when the caller already deduped.)
-        candidates = _cache.register(
-            candidates.select("id_a", "id_b").distinct())
+        n_out = df.sparkSession.sparkContext.defaultParallelism
+        candidates = _ckpt.checkpoint(
+            candidates.select("id_a", "id_b")
+            .repartition(n_out, "id_a", "id_b").distinct())
         # verification only needs the docs the LSH stage surfaced: restrict
         # BEFORE exploding shingles, or the "verify" stage silently re-runs
         # the full corpus tokenize. Candidate ids are LSH output — tiny;
@@ -223,7 +240,10 @@ def _shingle_overlap(df: DataFrame, id_col: str, text_col: str,
         # per-doc distinct shingle set: ObjectHashAggregate, one exchange at
         # candidate-doc grain. At 100 TB a doc's shingle set is bounded by
         # doc length (the same bound the inverted-index rows carried).
-        sets = _cache.register(
+        # Checkpoint, not persist, for the same plan-truncation reason as
+        # the candidates above: each of the two pair joins re-embeds this
+        # subtree (and the candidate tree under it) in the final plan.
+        sets = _ckpt.checkpoint(
             char_shingles(restricted, text_col, shingle_n)
             .groupBy(id_col).agg(F.collect_set("shingle").alias("_shset")))
         out = (candidates
