@@ -56,7 +56,16 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
     # costs more than the broadcast-join machinery, the same verdict as the
     # r11 LSH bucket-pair experiment at 200-doc scale, now confirmed at
     # 600k-row scale.
-    d = df.select(group_col, item_col).distinct()
+    # r12: cluster by GROUP before the distinct so every downstream step
+    # shares ONE exchange (guide §2.4): hashpartitioning(group) satisfies
+    # the distinct's ClusteredDistribution(group,item) (subset rule), the
+    # group-size aggregate's ClusteredDistribution(group), and both sides
+    # of the within-group self-join — the old form paid a (group,item)
+    # exchange for the distinct and then re-exchanged on group for sizes
+    # and for each join side. Same bytes cross the wire once either way;
+    # three exchanges removed. Interleaved noop A/B at sf0.1 (2.39M edges,
+    # min-of-6): 1.76 -> 1.04 s, values identical.
+    d = df.select(group_col, item_col).repartition(F.col(group_col)).distinct()
     if max_group_size is not None:
         sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gs"))
         d = (d.join(F.broadcast(sizes.filter(F.col("_gs") <= max_group_size)),
