@@ -2554,8 +2554,12 @@ def q_afp_dedup(spark, sf_dir):
     content key (the phash_dedup collision-proofing — spectrogram-pHash
     sign bits are far from uniform on structured payloads); gain
     invariance and discrimination are pytest-pinned where SQL can't
-    follow."""
-    d = _t(spark, sf_dir, "documents")
+    follow.
+
+    r12: _spread — the WAV decode+rFFT+phash pass is Python-kernel CPU
+    over a sub-split scan (interleaved A/B min-of-4: 2.05 -> 1.32 s,
+    values identical)."""
+    d = _spread(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     # pad by cycling the TEXT ITSELF: a constant pad gives short docs a
     # shared periodic 8 KB tail that DOMINATES the spectrogram (measured:
@@ -2732,8 +2736,15 @@ def q_video_dedup(spark, sf_dir):
     frame + 1 collision would still surface — the load-bearing defense is
     the measured collision-free frame population at the certified sf
     range, not the floor. Re-cuts land at containment 0.75 with the
-    copies at 1.0."""
-    d = _t(spark, sf_dir, "documents")
+    copies at 1.0.
+
+    r12: _spread — the Y4M decode+DCT pass is Python-kernel CPU over a
+    sub-split scan; fanning rows out first buys cores-way decode
+    (interleaved A/B min-of-4: 2.44 -> 1.59 s, values identical).
+    phash_dedup and multimodal_features measured LOSSES under the same
+    A/B — their batched kernels are cheaper than the extra exchange —
+    and keep _t."""
+    d = _spread(spark, sf_dir, "documents")
     ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     base = (d.select("doc_id", ascii_text.alias("t"))
             .filter(F.length("t") > 0)
