@@ -719,8 +719,11 @@ def q_bpe_encode(spark, sf_dir):
     Lloyd-like trainer stays pytest-covered) with chained rules
     ('t'+'h'→'th' then 'th'+'e</w>'→'the</w>') exercising iterative
     merging and end-of-word merges. Output: token count + the first 12
-    tokens — pins both the merge fold and the word/marker framing."""
-    d = _t(spark, sf_dir, "documents")
+    tokens — pins both the merge fold and the word/marker framing.
+
+    r12: _spread — the 8-rule replace-chain is scan-stage CPU over a
+    sub-split file (interleaved A/B min-of-6: 0.95 -> 0.35 s)."""
+    d = _spread(spark, sf_dir, "documents")
     merges = [("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"),
               ("an", "d</w>"), ("e", "r"), ("o", "n"), ("in", "g</w>")]
     out = text.bpe_encode(d, "text", merges)
@@ -4048,8 +4051,11 @@ def q_line_quality(spark, sf_dir):
     rules, line_dedup's no-cross-doc-evidence complement): documents are
     framed with synthetic web artifacts (a SHOUTY nav header, a digit
     counter, a rights-reserved footer) that the row-local HOF filter must
-    strip while keeping the body — zero shuffle, scan-stage."""
-    d = _t(spark, sf_dir, "documents")
+    strip while keeping the body — zero shuffle, scan-stage.
+
+    r12: _spread — the line-rule HOF chain is scan-stage CPU over a
+    sub-split file (interleaved A/B min-of-6: 0.68 -> 0.54 s)."""
+    d = _spread(spark, sf_dir, "documents")
     framed = d.select("doc_id", _framed_text().alias("text"))
     out = text.line_quality_filter(framed, "text")
     return out.select("doc_id", "clean_text", "n_lines", "n_removed_lines")
