@@ -742,8 +742,10 @@ def q_pq_ann(spark, sf_dir):
     value-exact SQL oracle without the non-SQL Lloyd loop mattering),
     then each query ranks the coded corpus by ADC (m table lookups per
     pair). train_pq_codebooks (the production path) is covered by
-    pytest."""
-    emb = _t(spark, sf_dir, "embeddings")
+    pytest.
+
+    r12: _spread — the PQ encode argmins are scan-stage CPU over a sub-split file (interleaved A/B min-of-5: 0.67 -> 0.57 s)."""
+    emb = _spread(spark, sf_dir, "embeddings")
     books = similarity.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
     codes = similarity.pq_encode(emb, "vec_id", "embedding", books)
     queries = emb.filter(F.col("vec_id") < 5) \
@@ -765,8 +767,10 @@ def q_ivfpq_ann(spark, sf_dir):
     cells and ADC-ranks only those cells' rows through a broadcast EQUI
     join on ivf_cell — never the flat scan's nested loop. The trained
     forms (train_ivf_centroids + train_pq_codebooks) are pytest-covered,
-    including probe-all == flat-ADC exactness."""
-    emb = _t(spark, sf_dir, "embeddings")
+    including probe-all == flat-ADC exactness.
+
+    r12: _spread — the cell-assign + PQ encode are scan-stage CPU over a sub-split file (interleaved A/B min-of-4: 1.07 -> 0.75 s)."""
+    emb = _spread(spark, sf_dir, "embeddings")
     books = similarity.pq_codebooks_random(m=4, k=8, dsub=16, seed=7)
     cents = similarity.ivf_centroids_random(k=8, dim=64, seed=11)
     idx = similarity.ivfpq_encode(emb, "vec_id", "embedding", books, cents)
@@ -3304,8 +3308,10 @@ def q_ann_recall(spark, sf_dir):
     ranking, per-cell candidate ranking AND the exact ranking, then the
     hit join — so the recall arithmetic, the dropped-query handling, and
     the IVF pruning are all under the hash. Centroids are
-    DATA-INDEPENDENT seeded literals (the pq_ann oracle pattern)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    DATA-INDEPENDENT seeded literals (the pq_ann oracle pattern).
+
+    r12: _spread — both index and brute sides are scan-stage CPU over a sub-split file (interleaved A/B min-of-4: 1.14 -> 0.95 s). dataset_card / semdedup / kmeans_lloyd measured LOSSES in the same batch and keep _t."""
+    emb = _spread(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids_random(k=8, dim=64, seed=11)
     queries_df = emb.filter(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -3363,8 +3369,10 @@ def q_ivf_ann(spark, sf_dir):
     probe set covers them all — so the full quantize/assign/probe machinery
     gets a value-exact brute-force SQL oracle without the (non-SQL) Lloyd
     loop mattering to the result. Partial-probe recall (nprobe < cells) is
-    covered by tests/test_dedup_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    covered by tests/test_dedup_similarity.py.
+
+    r12: _spread — the literal-centroid argmin + probe scoring are scan-stage CPU over a sub-split file (interleaved A/B min-of-5: 0.87 -> 0.72 s)."""
+    emb = _spread(spark, sf_dir, "embeddings")
     cents = similarity.train_ivf_centroids(emb, "embedding", k=8, iters=4,
                                            sample_rows=512)
     queries_df = emb.filter(F.col("vec_id") < 8) \
@@ -3445,8 +3453,10 @@ def q_pii_scrub(spark, sf_dir):
 def q_lsh_ann_multi(spark, sf_dir):
     """OR-amplified multi-table hyperplane LSH ANN: 3 independent hash tables
     (seeds 42/1042/2042); candidates matching in ANY table are scored once —
-    recall 1-(1-p^b)^L vs the single-table p^b of q_lsh_ann."""
-    emb = _t(spark, sf_dir, "embeddings")
+    recall 1-(1-p^b)^L vs the single-table p^b of q_lsh_ann.
+
+    r12: _spread — the 3-table hyperplane hashing is scan-stage CPU over a sub-split file (interleaved A/B min-of-4: 1.09 -> 0.93 s)."""
+    emb = _spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.lsh_topk_multi(emb, queries, "vec_id", "embedding", k=3,
@@ -3646,8 +3656,10 @@ def q_geo_neighbors(spark, sf_dir):
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table
-    (zip_with/aggregate dot products — JVM-side, no UDF)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    (zip_with/aggregate dot products — JVM-side, no UDF).
+
+    r12: _spread — the zip_with dot products are scan-stage CPU over a sub-split file (interleaved A/B min-of-5: 0.69 -> 0.62 s)."""
+    emb = _spread(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
@@ -4935,8 +4947,10 @@ def q_debruijn_stats(spark, sf_dir):
 def q_minimizers(spark, sf_dir):
     """Minimizer (winnowing) sketch density per read (k=5, w=4): window
     minima over the md5 k-mer hash array, all row-local HOFs — zero
-    shuffle, the minimap2-style seeding sketch as a scan."""
-    d = _t(spark, sf_dir, "documents")
+    shuffle, the minimap2-style seeding sketch as a scan.
+
+    r12: _spread — the winnowing HOFs are scan-stage CPU over a sub-split file (interleaved A/B min-of-4: 0.74 -> 0.46 s)."""
+    d = _spread(spark, sf_dir, "documents")
     reads = (d.select("doc_id",
                       F.upper(F.regexp_replace(F.lower("text"),
                                                "[^acgt]", "")).alias("seq")))
