@@ -3424,8 +3424,10 @@ def q_doc_lm_score(spark, sf_dir):
 
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition gates (dup-word / dup-bigram /
-    top-bigram fractions) — row-local HOF expressions, zero shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    top-bigram fractions) — row-local HOF expressions, zero shuffle.
+
+    r12: _spread — the Gopher repetition-gate HOFs are scan-stage CPU over a sub-split file (interleaved A/B min-of-3: 0.75 -> 0.37 s)."""
+    d = _spread(spark, sf_dir, "documents")
     out = text.repetition_metrics(d, "text")
     return out.select("doc_id",
                       _r4("dup_word_frac").alias("dup_word_frac"),
@@ -3436,8 +3438,10 @@ def q_text_repetition(spark, sf_dir):
 def q_pii_scrub(spark, sf_dir):
     """PII redaction curation stage: synthetic email/URL/phone injected per
     doc (both sides inject identically), then the shared regex chain redacts
-    and audits counts."""
-    d = _t(spark, sf_dir, "documents")
+    and audits counts.
+
+    r12: _spread — the regex redaction chain is scan-stage CPU over a sub-split file (interleaved A/B min-of-3: 0.55 -> 0.30 s)."""
+    d = _spread(spark, sf_dir, "documents")
     seeded = d.withColumn("text2", F.concat(
         F.col("text"), F.lit(" contact doc"), F.col("doc_id"),
         F.lit("@example.com via https://ex.com/d/"), F.col("doc_id"),
@@ -4626,8 +4630,10 @@ def q_translate_dna(spark, sf_dir):
     """Frame-0 DNA → protein translation (standard genetic code) over the
     acgt reads derived from documents — codon map lookup entirely in
     whole-stage codegen, zero shuffle (the relational core of prodigal's
-    product strings)."""
-    d = _t(spark, sf_dir, "documents")
+    product strings).
+
+    r12: _spread — the codon-map translation is scan-stage CPU over a sub-split file (interleaved A/B min-of-3: 0.43 -> 0.33 s)."""
+    d = _spread(spark, sf_dir, "documents")
     reads = (d.select("doc_id",
                       F.upper(F.regexp_replace(F.lower("text"), "[^acgt]", ""))
                       .alias("seq"))
@@ -5137,8 +5143,10 @@ def q_orf_count(spark, sf_dir):
     """ORF census per read (frame 0): complete ORFs = 'M…*' spans in the
     X107 translation — regexp_count + extract_all/length over the protein
     string, all scan-stage (the relational shadow of prodigal's gene
-    calls)."""
-    d = _t(spark, sf_dir, "documents")
+    calls).
+
+    r12: _spread — the translate+regexp spans are scan-stage CPU over a sub-split file (interleaved A/B min-of-5: 0.48 -> 0.31 s). benford, gini, doc_lm_score, doc_fingerprint, token_counts, chunk_documents, zorder_key measured loss/wash in the same batches and keep _t."""
+    d = _spread(spark, sf_dir, "documents")
     reads = (d.select("doc_id",
                       F.upper(F.regexp_replace(F.lower("text"),
                                                "[^acgt]", "")).alias("seq"))
@@ -5155,8 +5163,10 @@ def q_orf_count(spark, sf_dir):
 def q_base_entropy(spark, sf_dir):
     """Per-read Shannon entropy of base composition (0 for homopolymers,
     2 bits for uniform ACGT) — the low-complexity detector's
-    information-theoretic twin, entirely row-local length arithmetic."""
-    d = _t(spark, sf_dir, "documents")
+    information-theoretic twin, entirely row-local length arithmetic.
+
+    r12: _spread — the 4-replace entropy chain is scan-stage CPU over a sub-split file (interleaved A/B min-of-5: 0.54 -> 0.43 s)."""
+    d = _spread(spark, sf_dir, "documents")
     reads = (d.select("doc_id",
                       F.upper(F.regexp_replace(F.lower("text"),
                                                "[^acgt]", "")).alias("seq"))
