@@ -541,6 +541,7 @@ BNLJ_ALLOWLIST = {
 }
 
 
+@pytest.mark.slow
 def test_catalog_wide_plan_lint(spark):
     """Sweep EVERY catalog query's optimized plan: no CartesianProduct, no
     BatchEvalPython/ArrowEvalPython (row-at-a-time UDFs — Arrow-batched

@@ -62,6 +62,7 @@ def test_export_coverage_slices(spark, tmp_path):
 
 
 @pytest.mark.timeout(300)
+@pytest.mark.slow
 def test_sessionize_stream_stateful(spark, tmp_path):
     src = tmp_path / "events_in"
     src.mkdir()
@@ -325,6 +326,7 @@ def test_streaming_vocab_ingest_heavy_hitters(spark, tmp_path):
     assert sum(got.values()) == 10  # total mass exact
 
 
+@pytest.mark.slow
 def test_streaming_drift_monitor_psi_log(spark, tmp_path):
     """File stream of drifted values vs a static reference: the per-batch
     PSI log must show ~0 for a matching batch and a loud value once the
@@ -441,6 +443,7 @@ def test_state_write_crash_window_keeps_previous_snapshot(spark, tmp_path):
     assert read_state_table(spark, state).collect()[0]["n"] == 101
 
 
+@pytest.mark.slow
 def test_sessionize_stream_honors_custom_column_names(spark, tmp_path):
     """user_col/ts_col must flow into the kernel and output schema — the
     kernel previously hard-coded 'ts'/'user_id' and forced bigint ids."""
@@ -469,6 +472,7 @@ def test_sessionize_stream_honors_custom_column_names(spark, tmp_path):
     assert closed.get(("alice", 1)) == 2  # string ids, custom col names
 
 
+@pytest.mark.slow
 def test_drift_monitor_registers_mass_in_unseen_bins(spark, tmp_path):
     """A degenerate reference (all one value) puts every reference count in
     bin 0; traffic arriving in bins the reference never populated must

@@ -1,3 +1,4 @@
+import pytest
 """Taxonomy engine tests: lineage parse, closure, subtree rollup (with the
 reference's own invariant: subtree >= direct, not all equal —
 tax_abund_from_contigs.R:90-92), LCA."""
@@ -45,6 +46,7 @@ def test_lineage_closure_and_subtree_rollup(spark):
     assert any(not math.isclose(s, d) for d, s in got.values())
 
 
+@pytest.mark.slow
 def test_closure_from_parent_edges(spark):
     edges = spark.createDataFrame(
         [("a", "r"), ("b", "r"), ("a1", "a")], ["child", "parent"])
@@ -92,6 +94,7 @@ def test_rank_ladder_rollup(spark):
     assert got[("K1", "P1")] == 1.0
 
 
+@pytest.mark.slow
 def test_closure_root_gets_self_row(spark):
     """Root appears only as a parent; its subtree sum must still include
     abundance assigned directly to the root (review finding)."""
@@ -129,6 +132,7 @@ def _rows_key(rows):
                    is not None else None) for r in rows)
 
 
+@pytest.mark.slow
 def test_lca_rank_proxy_agreement(spark):
     """The scale-gated rank-proxy form (shuffle 8-byte dense ranks, join
     lineage paths back) must return row-identical output to the direct
@@ -143,6 +147,7 @@ def test_lca_rank_proxy_agreement(spark):
         _cache.release_caches()
 
 
+@pytest.mark.slow
 def test_kingdom_priority_lca_rank_proxy_agreement(spark):
     from glamr_omics_pipelines_spark.operators import _cache
     df = _lca_agreement_corpus(spark)

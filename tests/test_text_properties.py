@@ -4,6 +4,8 @@ rolling fingerprint, on arbitrary hypothesis inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -23,6 +25,7 @@ def _tok(s: str) -> list[str]:
 
 @settings(**SETTINGS)
 @given(docs)
+@pytest.mark.slow
 def test_repetition_metrics_match_python_counter(spark, ds):
     df = spark.createDataFrame(list(enumerate(ds)), "doc_id int, text string")
     got = {r.doc_id: (r.dup_word_frac, r.dup_bigram_frac, r.top_bigram_frac)
@@ -42,6 +45,7 @@ def test_repetition_metrics_match_python_counter(spark, ds):
 
 @settings(**SETTINGS)
 @given(docs, st.integers(1, 80))
+@pytest.mark.slow
 def test_doc_fingerprint_matches_python_rolling_hash(spark, ds, prefix):
     df = spark.createDataFrame(list(enumerate(ds)), "doc_id int, text string")
     got = {r.doc_id: r.fingerprint
@@ -56,6 +60,7 @@ def test_doc_fingerprint_matches_python_rolling_hash(spark, ds, prefix):
 
 @settings(**SETTINGS)
 @given(docs)
+@pytest.mark.slow
 def test_token_counts_match_python(spark, ds):
     df = spark.createDataFrame(list(enumerate(ds)), "doc_id int, text string")
     got = {r.doc_id: r.n_tokens
@@ -111,6 +116,7 @@ def _monotone_merges(draw):
 @given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=20),
                 min_size=1, max_size=5),
        _monotone_merges())
+@pytest.mark.slow
 def test_bpe_fold_and_rank_agree_on_monotone_lists(spark, ds, merges):
     """r9: the Column-tree fold and the mapInPandas min-rank apply must
     agree (and match the pure-python fold) on ANY rank-monotone merge

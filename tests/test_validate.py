@@ -62,6 +62,7 @@ def test_referential_orphans_and_null_fk(spark):
     assert (r.check, r.violations, r.passed) == ("c->p", 1, False)
 
 
+@pytest.mark.slow
 def test_referential_shuffle_path_matches_broadcast(spark):
     child = spark.createDataFrame([Row(fk=i % 5) for i in range(50)])
     parent = spark.createDataFrame([Row(fk=i) for i in range(3)])

@@ -1,3 +1,4 @@
+import pytest
 """Layer-C capstone: the full warehouse build run twice — second run must
 load ZERO new rows (the reference's anti-join idempotence contract)."""
 
@@ -27,6 +28,7 @@ def _frames(spark):
     }
 
 
+@pytest.mark.slow
 def test_build_twice_is_idempotent(spark, tmp_path):
     root = str(tmp_path / "wh")
     rows = fixtures.make_bracken_counts(fixtures.make_taxonomy())
@@ -66,6 +68,7 @@ def test_build_twice_is_idempotent(spark, tmp_path):
     assert mv.groupBy("gene").count().filter(F.col("count") > 1).count() == 0
 
 
+@pytest.mark.slow
 def test_schema_contract_enforced(spark, tmp_path):
     root = str(tmp_path / "wh2")
     rows = fixtures.make_bracken_counts(fixtures.make_taxonomy())

@@ -13,6 +13,7 @@ def _norm(spark, url: str) -> str:
     return df.select(web.normalize_url("u").alias("n")).collect()[0]["n"]
 
 
+@pytest.mark.slow
 def test_normalize_url_hand_cases(spark):
     cases = {
         # fragment + scheme/host case + default port + www
